@@ -1,0 +1,266 @@
+"""The transcript quality-filter pipeline — feast's materialization shape
+re-expressed on Spark.
+
+Stages (each maps to a reference operator, SURVEY §2/§7):
+
+1. **ingest dedup** — latest row per (conv_id, turn_idx) by ts
+   (= ``pull_latest_from_table_or_query``, ``spark.py:98-166``): planted
+   "edited" duplicate turns resolve to the newest edit.
+2. **score** — one ``mapInPandas`` pass wrapping the shared
+   :mod:`feast_spark.rules` library (lid + hashed-5-gram perplexity +
+   C4/Gopher heuristics + regex scrub). Arrow-batched, zero per-row
+   Python — the same executor-side shape as feast's ``map_in_arrow``
+   write node (``infra/compute_engines/spark/utils.py:128-175``).
+3. **conversation features** — ``groupBy(conv_id)`` aggregations
+   (= ``SparkAggregationNode``, ``spark/nodes.py:364-396``): mean
+   perplexity, modal language (deterministic lexicographic tie-break),
+   tool-call density. Partial (map-side) aggregation makes the mega-conv
+   hot key a non-issue here; no salt needed for aggs.
+4. **materialize** — append the feature rows (ts = conv's latest turn ts,
+   created_ts = run time) to a keyed feature table
+   (= feast materialize, ``spark/compute.py:87-129``), latest-per-key
+   deduped on read.
+5. **point-in-time join** — features as-of the decision timestamp joined
+   back onto turns via :func:`feast_spark.operators.point_in_time_join`
+   (= ``spark.py:1709-1887``); with multiple materialized snapshots the
+   as-of window + created-ts tie-break select the right feature version.
+6. **conversation-level rules + final labels** — per FIXTURES §3:
+   (conv_id, turn_idx, keep, drop_reason, scrubbed_text, ts).
+7. **lineage** — one row per Spark partition (run_id, partition_id,
+   row_count, rule-hit counters) — feast's ``materialization_intervals``
+   checkpoint (``feature_view.py:157``, ``registry.py:1016``) generalized
+   to partition granularity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark import rules
+from feast_spark.operators.latest import latest_per_key
+from feast_spark.operators.pit_join import point_in_time_join
+
+SCORED_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "lang string, perplexity double, word_count long, "
+    "keep_turn boolean, drop_reason_turn string, scrubbed_text string"
+)
+
+CONV_FEATURE_COLS = ["mean_perplexity", "lang_mode", "tool_call_density"]
+
+LABEL_SCHEMA_COLS = ["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text", "ts"]
+
+# conversation-level rules run AFTER turn rules; order within conv rules fixed
+CONV_RULE_ORDER = ["conv_perplexity", "conv_tool_spam"]
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    rules: rules.RuleConfig = field(default_factory=rules.RuleConfig)
+    feature_ttl_seconds: int | None = None  # None = unbounded as-of window
+    broadcast_conv_features: bool = True    # conv table is turns/|conv| smaller
+
+
+def dedup_latest_turns(transcripts: DataFrame) -> DataFrame:
+    """Latest row per (conv_id, turn_idx); text desc pins determinism on
+    exact-ts ties (reference tie-break discipline, spark.py:151-157)."""
+    return latest_per_key(
+        transcripts, ["conv_id", "turn_idx"], "ts", tiebreak_cols=["text"]
+    )
+
+
+def score_transcripts(
+    transcripts: DataFrame, cfg: QualityConfig = QualityConfig()
+) -> DataFrame:
+    """Stage 2: vectorized scoring via mapInPandas over Arrow batches."""
+    rule_cfg = cfg.rules
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scored = rules.score_turns(pdf["text"], rule_cfg)
+            out = pdf[["conv_id", "turn_idx", "role", "tool", "ts"]].reset_index(
+                drop=True
+            )
+            out["lang"] = scored["lang"]
+            out["perplexity"] = scored["perplexity"]
+            out["word_count"] = scored["word_count"]
+            out["keep_turn"] = scored["keep"]
+            out["drop_reason_turn"] = scored["drop_reason"]
+            out["scrubbed_text"] = scored["scrubbed_text"]
+            yield out
+
+    return transcripts.mapInPandas(score_batches, SCORED_SCHEMA)
+
+
+def _reverse_alphabet(col):
+    # lexicographic-MIN via max_by: map a..z -> z..a so the struct max picks
+    # the smallest language on count ties (deterministic mode, SURVEY §7)
+    return F.translate(
+        col, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba"
+    )
+
+
+def conversation_features(
+    scored: DataFrame, created_ts: datetime
+) -> DataFrame:
+    """Stage 3: keyed conversation feature rows (FIXTURES §2 schema).
+
+    Two hash aggregations on the same key (Catalyst reuses the exchange);
+    both benefit from map-side partial aggregation, so mega-conversations
+    do not skew the shuffle.
+    """
+    # empty turns carry the sentinel perplexity (rules._PPL_EMPTY) — exclude
+    # zero-word turns from the mean so one blank turn can't poison a conv
+    base = scored.groupBy("conv_id").agg(
+        F.avg(F.when(F.col("word_count") > 0, F.col("perplexity"))).alias(
+            "mean_perplexity"
+        ),
+        F.avg(F.col("tool").isNotNull().cast("double")).alias("tool_call_density"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("ts").alias("ts"),
+    )
+    lang_counts = scored.groupBy("conv_id", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_mode = lang_counts.groupBy("conv_id").agg(
+        F.max_by(
+            "lang", F.struct(F.col("cnt"), _reverse_alphabet(F.col("lang")))
+        ).alias("lang_mode")
+    )
+    return (
+        base.join(lang_mode, "conv_id")
+        .withColumn("created_ts", F.lit(created_ts))
+        .select(
+            "conv_id", "ts", "created_ts",
+            "mean_perplexity", "lang_mode", "tool_call_density", "n_turns",
+        )
+    )
+
+
+def apply_conv_rules(
+    scored: DataFrame,
+    conv_features_df: DataFrame,
+    cfg: QualityConfig,
+    decision_ts: datetime,
+) -> DataFrame:
+    """Stages 5-6: PIT-join features as-of ``decision_ts`` onto turns, then
+    combine turn-level and conversation-level verdicts.
+
+    NULL features (conversation not yet materialized as-of decision_ts)
+    pass the conv rules — blank, don't drop (``dask.py:1203-1226``).
+    """
+    entity = scored.withColumn("__decision_ts", F.lit(decision_ts))
+    joined = point_in_time_join(
+        entity_df=entity,
+        feature_df=conv_features_df,
+        join_keys=["conv_id"],
+        feature_ts_col="ts",
+        entity_ts_col="__decision_ts",
+        created_ts_col="created_ts",
+        ttl_seconds=cfg.feature_ttl_seconds,
+        features=CONV_FEATURE_COLS,
+        broadcast_features=cfg.broadcast_conv_features,
+    )
+
+    r = cfg.rules
+    conv_reason = F.when(
+        F.col("mean_perplexity") > F.lit(r.conv_max_mean_perplexity),
+        F.lit("conv_perplexity"),
+    ).when(
+        F.col("tool_call_density") > F.lit(r.conv_max_tool_density),
+        F.lit("conv_tool_spam"),
+    )
+    return (
+        joined.withColumn("__conv_reason", conv_reason)
+        .withColumn(
+            "drop_reason", F.coalesce(F.col("drop_reason_turn"), F.col("__conv_reason"))
+        )
+        .withColumn("keep", F.col("keep_turn") & F.col("__conv_reason").isNull())
+        .select(*LABEL_SCHEMA_COLS)
+    )
+
+
+def lineage_rows(labels: DataFrame, run_id: str, started_at: datetime) -> DataFrame:
+    """Stage 7: per-partition lineage (FIXTURES §3 ``lineage`` schema).
+
+    rule_hit_counters is a map<reason, count> built executor-side from the
+    labels; partition_id = physical Spark partition, so a resumed run can
+    diff which partitions completed (feast ``materialization_intervals``
+    generalized; ``feature_view.py:783-789``).
+    """
+    per_part = (
+        labels.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", "drop_reason")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_part.groupBy("__pid")
+        .agg(
+            F.sum("cnt").alias("row_count"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("k"),
+                            F.col("cnt").alias("v"),
+                        )
+                    )
+                )
+            ).alias("rule_hit_counters"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("__pid").alias("partition_id"),
+            F.col("row_count"),
+            F.col("rule_hit_counters"),
+            F.lit(started_at).alias("started_at"),
+            F.current_timestamp().alias("finished_at"),
+        )
+    )
+
+
+@dataclass
+class PipelineResult:
+    scored: DataFrame
+    conv_features: DataFrame
+    labels: DataFrame
+    lineage: DataFrame
+
+
+def run_quality_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: QualityConfig = QualityConfig(),
+    run_id: str = "run-0",
+    decision_ts: datetime | None = None,
+    feature_table_path: str | None = None,
+) -> PipelineResult:
+    """End-to-end: dedup → score → conv features → (materialize) → PIT
+    join → labels → lineage.
+
+    When ``feature_table_path`` is given, conversation features are
+    appended there (parquet feature table, stand-in for Iceberg
+    ``writeTo().append()``) and the PIT join reads the FULL history back —
+    so repeated runs exercise multi-snapshot as-of semantics with
+    created_ts tie-breaks.
+    """
+    decision_ts = decision_ts or datetime(2025, 1, 1, tzinfo=timezone.utc)
+    started_at = datetime.now(timezone.utc)
+
+    deduped = dedup_latest_turns(transcripts)
+    scored = score_transcripts(deduped, cfg)
+    conv = conversation_features(scored, created_ts=started_at)
+
+    if feature_table_path:
+        conv.write.mode("append").parquet(feature_table_path)
+        conv_history = spark.read.parquet(feature_table_path)
+    else:
+        conv_history = conv
+
+    labels = apply_conv_rules(scored, conv_history, cfg, decision_ts)
+    lineage = lineage_rows(labels, run_id, started_at)
+    return PipelineResult(scored=scored, conv_features=conv, labels=labels, lineage=lineage)

@@ -1,0 +1,457 @@
+"""Vectorized quality-filter rule library — the single source of truth.
+
+Both the Spark pipeline (inside Arrow-batched pandas UDFs,
+``feast_spark/pipeline/quality.py``) and the pandas oracle
+(``feast_spark/pipeline/oracle.py``) import THESE functions, so scrubbed
+text and keep/drop labels are bit-identical by construction — the
+reference's golden-oracle strategy
+(``/root/reference/sdk/python/tests/utils/feature_records.py:23-47``:
+a naive recomputation compared with ``assert_frame_equal``), applied to
+text rules.
+
+Everything here is numpy/pandas-vectorized over a batch ``pd.Series`` of
+texts — no per-row Python in the hot path (Arrow batches arrive ~10k rows
+at a time; all ops below are C-level: ``Series.str`` regex, ``explode`` +
+``groupby``, flat ``np.uint32`` codepoint arrays with ``np.bincount``
+reductions).
+
+Components
+----------
+- :func:`language_id` — n-gram/stop-word heuristic lid over {en,de,es,fr,zh}
+  (stands in for fastText lid.176; same broadcast-model call shape).
+- :func:`perplexity` — hashed char-5-gram model (KenLM-style hashed n-gram
+  table, cf. Heafield 2011) trained at import time on a small built-in
+  multilingual corpus; vectorized rolling polynomial hash + table lookup.
+- :func:`heuristic_stats` — C4/Gopher-style stats (word count, mean word
+  length, stop-word ratio, symbol/digit density, top-bigram repetition).
+- :func:`scrub_text` — compiled-regex PII (email/SSN/CC/phone/IP) +
+  toxicity-lexicon scrub, fixed application order.
+- :func:`decide` — ordered rule evaluation -> (keep, drop_reason).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# Vocabulary / corpus (also used by the deterministic fixture generator)
+# --------------------------------------------------------------------------
+
+LANG_WORDS: dict[str, list[str]] = {
+    "en": (
+        "the quick brown fox jumps over a lazy dog and then runs back home "
+        "we should review this plan before the next meeting starts today "
+        "please check the results of the query and send them to me now "
+        "it was a bright cold day in april and the clocks were striking "
+        "data quality matters because models learn from what they read"
+    ).split(),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und läuft "
+        "wir sollten diesen plan vor dem nächsten treffen überprüfen heute "
+        "bitte prüfe die ergebnisse der abfrage und sende sie mir jetzt "
+        "es war ein heller kalter tag im april und die uhren schlugen"
+    ).split(),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y luego corre "
+        "debemos revisar este plan antes de que empiece la próxima reunión "
+        "por favor revisa los resultados de la consulta y envíamelos ahora "
+        "era un día frío y luminoso de abril y los relojes daban la hora"
+    ).split(),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et court "
+        "nous devrions revoir ce plan avant le début de la prochaine réunion "
+        "veuillez vérifier les résultats de la requête et me les envoyer "
+        "c'était une journée froide et lumineuse d'avril et les horloges"
+    ).split(),
+    "zh": list("今天天气很好我们应该在下次会议之前审查这个计划请检查查询的结果并立即发送给我数据质量很重要因为模型从它们读取的内容中学习春天来了花开了"),
+}
+
+# Distinctive function words per language for the lid heuristic.
+_LID_MARKERS: dict[str, set[str]] = {
+    "de": {"der", "die", "das", "und", "nicht", "ist", "ich", "mit", "für",
+           "auf", "dem", "den", "ein", "eine", "sie", "wir", "über", "vor",
+           "nach", "aber", "auch", "sind", "wird", "bitte", "jetzt"},
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "was", "for",
+           "on", "are", "with", "as", "they", "at", "be", "this", "have",
+           "from", "we", "should", "please", "now", "a"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "por", "con", "para", "del", "se", "su", "al", "lo",
+           "como", "más", "pero", "sus", "ahora", "antes"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "est",
+           "que", "pour", "dans", "ce", "il", "qui", "ne", "sur", "se",
+           "pas", "plus", "par", "avec", "nous", "vous"},
+}
+_LID_LANGS = sorted(_LID_MARKERS)  # deterministic, lexicographic tie-break
+
+ENGLISH_STOPWORDS: set[str] = _LID_MARKERS["en"] | {
+    "i", "you", "he", "she", "but", "or", "an", "not", "by", "his", "her",
+    "them", "then", "there", "what", "all", "were", "when", "your", "can",
+    "said", "will", "each", "do", "how", "their", "if",
+}
+
+TOXICITY_LEXICON: list[str] = sorted(
+    ["damn", "hell", "crap", "idiot", "stupid", "moron", "hate", "shut up"]
+)
+
+ALLOWED_LANGS: set[str] = {"en", "de", "es", "fr", "zh"}
+
+# --------------------------------------------------------------------------
+# PII / toxicity scrub — fixed pattern order; order is part of the contract
+# --------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied top to bottom with Series.str.replace
+# (vectorized C regex). SSN before PHONE so 123-45-6789 is not half-eaten.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("credit_card", r"\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b", "<CC>"),
+    ("phone", r"\b(?:\+?\d{1,2}[ .\-])?(?:\(\d{3}\)|\d{3})[ .\-]\d{3}[ .\-]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+_TOX_PATTERN = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+
+
+def scrub_text(texts: pd.Series) -> pd.Series:
+    """Apply PII + toxicity scrub patterns in fixed order (vectorized)."""
+    out = texts.fillna("")
+    for _name, pat, repl in SCRUB_PATTERNS:
+        out = out.str.replace(pat, repl, regex=True)
+    out = out.str.replace(_TOX_PATTERN, "<TOX>", regex=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Hashed 5-gram perplexity model (KenLM-style hashed table, built at import)
+# --------------------------------------------------------------------------
+
+_LOGM = 18                     # 2^18 hash buckets
+_M = 1 << _LOGM
+_B = np.uint64(1000003)        # polynomial base
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing multiplier
+_W5 = 0.8                      # interpolation weight of the 5-gram model
+_P5_MAX = 0.25                 # prob assigned to a max-familiar 5-gram
+_P5_MIN = 0.0005               # prob floor for unseen 5-grams
+_P_FLOOR = 1e-6
+_PPL_EMPTY = 1.0e6
+
+# Fixed ASCII char unigram log-probs (rough English letter frequencies,
+# lowercase; space is the most common symbol).
+_CHAR_P = np.full(128, 1e-4)
+for _ch, _p in {
+    " ": 0.17, "e": 0.10, "t": 0.072, "a": 0.065, "o": 0.061, "i": 0.056,
+    "n": 0.054, "s": 0.051, "h": 0.049, "r": 0.048, "d": 0.034, "l": 0.032,
+    "u": 0.022, "c": 0.022, "m": 0.019, "w": 0.019, "f": 0.018, "g": 0.016,
+    "y": 0.016, "p": 0.015, "b": 0.012, "v": 0.008, "k": 0.006, "j": 0.001,
+    "x": 0.001, "q": 0.0008, "z": 0.0006, ".": 0.006, ",": 0.006, "'": 0.002,
+    "0": 0.002, "1": 0.002, "2": 0.001, "3": 0.001, "4": 0.001, "5": 0.001,
+    "6": 0.001, "7": 0.001, "8": 0.001, "9": 0.001,
+}.items():
+    _CHAR_P[ord(_ch)] = _p
+_CJK_P = 1.0 / 800.0  # flat char prob inside the CJK block
+
+
+def _codes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a Series of strings to (uint32 codepoints, per-row lengths)."""
+    filled = texts.fillna("").astype(str).str.lower()
+    joined = "".join(filled.tolist())
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = filled.str.len().to_numpy(dtype=np.int64)
+    return codes, lens
+
+
+def _gram_hashes(codes: np.ndarray) -> np.ndarray:
+    """Rolling 5-gram polynomial hash -> bucket index (vectorized)."""
+    c = codes.astype(np.uint64)
+    h = c[:-4]
+    for k in range(1, 5):
+        h = h * _B + c[k : len(c) - 4 + k]
+    return ((h * _MIX) >> np.uint64(64 - _LOGM)).astype(np.int64)
+
+
+def _char_probs(codes: np.ndarray) -> np.ndarray:
+    p = np.where(
+        codes < 128,
+        _CHAR_P[np.minimum(codes, 127)],
+        np.where((codes >= 0x4E00) & (codes <= 0x9FFF), _CJK_P, _P_FLOOR),
+    )
+    return p
+
+
+def _train_table() -> np.ndarray:
+    """Bucket familiarity table from the built-in corpus (import-time)."""
+    sentences = []
+    for lang in sorted(LANG_WORDS):
+        words = LANG_WORDS[lang]
+        sep = "" if lang == "zh" else " "
+        sentences.append(sep.join(words))
+    corpus = pd.Series(sentences)
+    codes, lens = _codes(corpus)
+    counts = np.zeros(_M, dtype=np.float64)
+    if len(codes) >= 5:
+        idx = _gram_hashes(codes)
+        # mask grams that span sentence boundaries
+        doc = np.repeat(np.arange(len(lens)), lens)
+        valid = doc[4:] == doc[:-4]
+        np.add.at(counts, idx[valid], 1.0)
+    mx = counts.max() if counts.max() > 0 else 1.0
+    famil = np.minimum(counts / mx * 4.0, 1.0)  # saturate: seen-4+-times == max
+    return _P5_MIN + (_P5_MAX - _P5_MIN) * famil
+
+
+_P5_TABLE = _train_table()
+
+
+def perplexity(texts: pd.Series) -> np.ndarray:
+    """Hashed-5-gram interpolated char perplexity per text (vectorized).
+
+    Every char position is scored with the unigram char model; positions
+    with a full 4-char history additionally mix in the hashed 5-gram
+    familiarity table (weight ``_W5``). Familiar fluent text in any corpus
+    language scores low; symbol soup, alien scripts and gibberish score
+    high. Deterministic — same bytes in, same float out, everywhere.
+    """
+    codes, lens = _codes(texts)
+    n = len(lens)
+    if len(codes) == 0:
+        return np.full(n, _PPL_EMPTY)
+    p = _char_probs(codes).astype(np.float64)
+    if len(codes) >= 5:
+        idx = _gram_hashes(codes)
+        doc = np.repeat(np.arange(n), lens)
+        valid = doc[4:] == doc[:-4]
+        p5 = _P5_TABLE[idx]
+        tail = p[4:]
+        p[4:] = np.where(valid, _W5 * p5 + (1.0 - _W5) * tail, tail)
+        logp_sums = np.bincount(doc, weights=np.log(np.maximum(p, _P_FLOOR)), minlength=n)
+    else:
+        doc = np.repeat(np.arange(n), lens)
+        logp_sums = np.bincount(doc, weights=np.log(np.maximum(p, _P_FLOOR)), minlength=n)
+    ppl = np.exp(-logp_sums / np.maximum(lens, 1))
+    ppl[lens == 0] = _PPL_EMPTY
+    return ppl
+
+
+# --------------------------------------------------------------------------
+# Token-level heuristics (C4/Gopher-style) — explode + groupby, no row loops
+# --------------------------------------------------------------------------
+
+
+def heuristic_stats(texts: pd.Series) -> pd.DataFrame:
+    """Per-text quality stats. Index-aligned with ``texts`` (reset to 0..n).
+
+    Columns: n_chars, word_count, mean_word_len, stopword_ratio,
+    symbol_ratio, digit_ratio, cjk_ratio, top2gram_frac, tox_count.
+    """
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    n = len(s)
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    denom_c = np.maximum(n_chars, 1)
+    symbol_ratio = s.str.count(r"[^\w\s]").to_numpy() / denom_c
+    digit_ratio = s.str.count(r"\d").to_numpy() / denom_c
+    cjk_ratio = s.str.count(r"[一-鿿]").to_numpy() / denom_c
+    tox_count = s.str.count(_TOX_PATTERN).to_numpy(dtype=np.int64)
+
+    toks = s.str.lower().str.findall(r"\S+")
+    word_count = toks.str.len().to_numpy(dtype=np.int64)
+
+    flat = toks.explode().dropna()
+    rows = flat.index.to_numpy(dtype=np.int64)
+    tok_vals = flat.to_numpy()
+
+    tok_lens = flat.str.len().to_numpy(dtype=np.float64)
+    len_sum = np.bincount(rows, weights=tok_lens, minlength=n)
+    denom_w = np.maximum(word_count, 1)
+    mean_word_len = len_sum / denom_w
+
+    sw_hits = np.bincount(
+        rows, weights=flat.isin(ENGLISH_STOPWORDS).to_numpy(dtype=np.float64), minlength=n
+    )
+    stopword_ratio = sw_hits / denom_w
+
+    # top word-bigram repetition fraction (Gopher "top 2-gram" analogue)
+    top2 = np.zeros(n, dtype=np.float64)
+    if len(rows) > 1:
+        same = rows[1:] == rows[:-1]
+        if same.any():
+            bg_rows = rows[:-1][same]
+            bg = pd.DataFrame(
+                {
+                    "row": bg_rows,
+                    "big": np.char.add(
+                        np.char.add(tok_vals[:-1][same].astype(str), " "),
+                        tok_vals[1:][same].astype(str),
+                    ),
+                }
+            )
+            counts = bg.groupby(["row", "big"], sort=False).size()
+            maxc = counts.groupby(level=0).max()
+            top2[maxc.index.to_numpy()] = (
+                2.0 * maxc.to_numpy(dtype=np.float64)
+            ) / denom_w[maxc.index.to_numpy()]
+
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "word_count": word_count,
+            "mean_word_len": mean_word_len,
+            "stopword_ratio": stopword_ratio,
+            "symbol_ratio": symbol_ratio,
+            "digit_ratio": digit_ratio,
+            "cjk_ratio": cjk_ratio,
+            "top2gram_frac": top2,
+            "tox_count": tox_count,
+        }
+    )
+
+
+def language_id(texts: pd.Series, stats: pd.DataFrame | None = None) -> pd.Series:
+    """Heuristic language id over {en,de,es,fr,zh} (+ ``und`` fallback).
+
+    CJK-dominant text -> zh; otherwise the language whose marker-word hit
+    ratio is highest, ties broken lexicographically (deterministic across
+    partitionings — SURVEY §7 "mode-of-language tie-break must be
+    order-independent").
+    """
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    n = len(s)
+    if stats is None:
+        cjk_ratio = s.str.count(r"[一-鿿]").to_numpy() / np.maximum(
+            s.str.len().to_numpy(), 1
+        )
+    else:
+        cjk_ratio = stats["cjk_ratio"].to_numpy()
+
+    toks = s.str.lower().str.findall(r"[a-zà-ÿäöüß']+")
+    flat = toks.explode().dropna()
+    rows = flat.index.to_numpy(dtype=np.int64)
+    wc = np.maximum(toks.str.len().to_numpy(dtype=np.int64), 1)
+
+    scores = np.zeros((n, len(_LID_LANGS)), dtype=np.float64)
+    for j, lang in enumerate(_LID_LANGS):
+        hits = np.bincount(
+            rows, weights=flat.isin(_LID_MARKERS[lang]).to_numpy(dtype=np.float64), minlength=n
+        )
+        scores[:, j] = hits / wc
+
+    best = np.argmax(scores, axis=1)  # first max -> lexicographic tie-break
+    best_score = scores[np.arange(n), best]
+    langs = np.array(_LID_LANGS, dtype=object)[best]
+    langs = np.where(best_score <= 0.0, "und", langs)
+    langs = np.where(cjk_ratio > 0.3, "zh", langs)
+    return pd.Series(langs, dtype=object)
+
+
+# --------------------------------------------------------------------------
+# Keep/drop decision — ordered rules, first failure wins
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Thresholds for the ordered turn-level rules (C4/Gopher defaults)."""
+
+    min_chars: int = 5
+    min_words: int = 2
+    max_chars: int = 20000
+    min_mean_word_len: float = 1.5
+    max_mean_word_len: float = 12.0
+    max_symbol_ratio: float = 0.25
+    max_digit_ratio: float = 0.30
+    min_stopword_ratio: float = 0.04   # en only, word_count >= 10
+    stopword_min_words: int = 10
+    max_top2gram_frac: float = 0.30    # word_count >= 10
+    repetition_min_words: int = 10
+    max_perplexity: float = 400.0
+    max_tox_ratio: float = 0.10
+    allowed_langs: frozenset[str] = field(default_factory=lambda: frozenset(ALLOWED_LANGS))
+    # conversation-level thresholds (applied after the PIT join)
+    conv_max_mean_perplexity: float = 600.0
+    conv_max_tool_density: float = 0.8
+
+
+# Rule evaluation order is part of the output contract (drop_reason).
+RULE_ORDER = [
+    "too_short",
+    "too_long",
+    "mean_word_len",
+    "symbol_ratio",
+    "digit_ratio",
+    "stopword_ratio",
+    "repetition",
+    "language",
+    "perplexity",
+    "toxicity",
+]
+
+
+def decide(
+    stats: pd.DataFrame,
+    lang: pd.Series,
+    ppl: np.ndarray,
+    cfg: RuleConfig = RuleConfig(),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate ordered rules -> (keep: bool[n], drop_reason: object[n]).
+
+    drop_reason is the FIRST failing rule in :data:`RULE_ORDER`; None when
+    kept. Mirrors the reference's "blank, don't drop" discipline in that
+    every input row yields an output row (`dask.py:1203-1226`) — dropping
+    is a label, not a row deletion.
+    """
+    n = len(stats)
+    lang_arr = lang.to_numpy()
+    wc = stats["word_count"].to_numpy()
+    is_zh = lang_arr == "zh"
+
+    fails: dict[str, np.ndarray] = {}
+    fails["too_short"] = (stats["n_chars"].to_numpy() < cfg.min_chars) | (
+        np.where(is_zh, stats["n_chars"].to_numpy() < cfg.min_chars, wc < cfg.min_words)
+    )
+    fails["too_long"] = stats["n_chars"].to_numpy() > cfg.max_chars
+    fails["mean_word_len"] = (~is_zh) & (
+        (stats["mean_word_len"].to_numpy() < cfg.min_mean_word_len)
+        | (stats["mean_word_len"].to_numpy() > cfg.max_mean_word_len)
+    )
+    fails["symbol_ratio"] = stats["symbol_ratio"].to_numpy() > cfg.max_symbol_ratio
+    fails["digit_ratio"] = stats["digit_ratio"].to_numpy() > cfg.max_digit_ratio
+    fails["stopword_ratio"] = (
+        (lang_arr == "en")
+        & (wc >= cfg.stopword_min_words)
+        & (stats["stopword_ratio"].to_numpy() < cfg.min_stopword_ratio)
+    )
+    fails["repetition"] = (wc >= cfg.repetition_min_words) & (
+        stats["top2gram_frac"].to_numpy() > cfg.max_top2gram_frac
+    )
+    fails["language"] = ~np.isin(lang_arr, list(cfg.allowed_langs))
+    fails["perplexity"] = ppl > cfg.max_perplexity
+    fails["toxicity"] = (stats["tox_count"].to_numpy() / np.maximum(wc, 1)) > cfg.max_tox_ratio
+
+    keep = np.ones(n, dtype=bool)
+    reason = np.full(n, None, dtype=object)
+    for name in RULE_ORDER:
+        f = fails[name] & keep
+        reason[f] = name
+        keep &= ~fails[name]
+    return keep, reason
+
+
+def score_turns(texts: pd.Series, cfg: RuleConfig = RuleConfig()) -> pd.DataFrame:
+    """One-call scoring: stats + lang + ppl + keep/drop + scrubbed text.
+
+    This is the exact function the Spark pipeline wraps in ``mapInPandas``
+    and the oracle calls directly — shared-code exactness by construction.
+    """
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    stats = heuristic_stats(s)
+    lang = language_id(s, stats)
+    ppl = perplexity(s)
+    keep, reason = decide(stats, lang, ppl, cfg)
+    out = stats.copy()
+    out["lang"] = lang.to_numpy()
+    out["perplexity"] = ppl
+    out["keep"] = keep
+    out["drop_reason"] = reason
+    out["scrubbed_text"] = scrub_text(s).to_numpy()
+    return out

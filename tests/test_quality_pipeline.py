@@ -1,0 +1,110 @@
+"""Spark pipeline vs pandas oracle — the BASELINE.md correctness gate:
+keep/drop F1 >= 0.99 and EXACT scrubbed-text equality per turn under
+stable (conv_id, turn_idx) ordering."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_spark.fixtures import TRANSCRIPT_SCHEMA, generate_transcripts, transcripts_spark
+from feast_spark.pipeline.oracle import f1_score, oracle_labels
+from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+N_CONVS = 120
+DECISION_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+CREATED_TS = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf() -> pd.DataFrame:
+    return generate_transcripts(N_CONVS, seed=42, mega_every=50, mega_turns=300)
+
+
+@pytest.fixture(scope="module")
+def spark_labels(spark, transcripts_pdf):
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    result = run_quality_pipeline(
+        spark, df, QualityConfig(), run_id="t", decision_ts=DECISION_TS
+    )
+    out = (
+        result.labels.toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out, result
+
+
+@pytest.fixture(scope="module")
+def expected(transcripts_pdf) -> pd.DataFrame:
+    return oracle_labels(
+        transcripts_pdf, QualityConfig(), decision_ts=DECISION_TS, created_ts=CREATED_TS
+    )
+
+
+def test_row_alignment(spark_labels, expected):
+    actual, _ = spark_labels
+    assert len(actual) == len(expected)
+    assert actual["conv_id"].tolist() == expected["conv_id"].tolist()
+    assert actual["turn_idx"].tolist() == expected["turn_idx"].tolist()
+
+
+def test_keep_f1(spark_labels, expected):
+    actual, _ = spark_labels
+    f1 = f1_score(
+        expected["keep"].to_numpy(dtype=bool), actual["keep"].to_numpy(dtype=bool)
+    )
+    assert f1 >= 0.99, f"keep/drop F1 {f1} below target"
+    # shared rules code should actually give exact agreement
+    assert (expected["keep"].to_numpy() == actual["keep"].to_numpy()).all()
+
+
+def test_drop_reasons_match(spark_labels, expected):
+    actual, _ = spark_labels
+    a = actual["drop_reason"].where(actual["drop_reason"].notna(), None)
+    e = expected["drop_reason"].where(expected["drop_reason"].notna(), None)
+    assert a.tolist() == e.tolist()
+
+
+def test_scrubbed_text_exact(spark_labels, expected):
+    actual, _ = spark_labels
+    mism = actual["scrubbed_text"].to_numpy() != expected["scrubbed_text"].to_numpy()
+    assert not mism.any(), (
+        f"{mism.sum()} scrubbed-text mismatches, first at "
+        f"{actual.loc[np.argmax(mism), ['conv_id', 'turn_idx']].tolist()}"
+    )
+
+
+def test_dedup_resolved_edits(spark_labels, transcripts_pdf):
+    actual, _ = spark_labels
+    dup_keys = transcripts_pdf[
+        transcripts_pdf.duplicated(["conv_id", "turn_idx"], keep=False)
+    ]
+    assert len(dup_keys) > 0, "fixture should plant duplicate keys"
+    # output must contain each key exactly once
+    assert not actual.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_lineage_counters(spark_labels):
+    actual, result = spark_labels
+    lineage = result.lineage.toPandas()
+    assert lineage["row_count"].sum() == len(actual)
+    kept_total = sum(m.get("kept", 0) for m in lineage["rule_hit_counters"])
+    assert kept_total == int(actual["keep"].sum())
+
+
+def test_distributed_generator_matches_local(spark, transcripts_pdf):
+    sdf = transcripts_spark(spark, N_CONVS, seed=42, mega_every=50, mega_turns=300)
+    got = (
+        sdf.toPandas()
+        .sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        transcripts_pdf.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
