@@ -1,38 +1,692 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship transcript quality pipeline;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query. Column names/alias
+discipline: every computed column is aliased identically on both sides.
+
+Float-valued aggregates are rounded on BOTH sides (sum/avg are not
+associative in fp arithmetic; rounding removes engine-order noise while
+still failing on real logic differences).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcript quality-filter pipeline on synthetic transcripts
+    at sf0.001-ish scale (+ a sanity read of the provided tables)."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    # touch the driver-provided data to prove the reader path
+    _ = _t(spark, "/root/testdata/sf0.001", "lineitem").count()
+
+    transcripts = transcripts_spark(spark, 150, seed=42, mega_every=75, mega_turns=300)
+    res = run_quality_pipeline(
+        spark,
+        transcripts,
+        QualityConfig(),
+        run_id="entry",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    return res.labels.orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# queries — §2.1/§2.2 scans & filters
+# ---------------------------------------------------------------------------
+
+
+def q_pull_all_window(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import pull_all
+
+    ev = _t(spark, sf, "events")
+    return pull_all(
+        ev, ["user_id"], ["value"], "ts",
+        start="2024-01-10 00:00:00", end="2024-01-20 00:00:00",
+    )
+
+
+def q_pull_latest_events(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import pull_latest
+
+    ev = _t(spark, sf, "events")
+    out = pull_latest(
+        ev, ["user_id"], ["event_type", "value"], "ts", tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+def q_field_mapping_scan(spark: SparkSession, sf: str) -> DataFrame:
+    # DataSource field_mapping rename + projection (data_source.py:179-266)
+    ev = _t(spark, sf, "events").withColumnsRenamed(
+        {"ts": "event_timestamp", "value": "amount"}
+    )
+    return ev.select("event_id", "event_timestamp", "amount").filter(
+        F.col("amount") > 150
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_pit_last_click(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import point_in_time_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = point_in_time_join(
+        purchases, clicks, ["user_id"],
+        feature_ts_col="ts", entity_ts_col="ts",
+    )
+    return out.select("user_id", "ts", F.col("value").alias("last_click_value"))
+
+
+def q_pit_ttl_1h(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import point_in_time_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = point_in_time_join(
+        purchases, clicks, ["user_id"],
+        feature_ts_col="ts", entity_ts_col="ts", ttl_seconds=3600,
+    )
+    return out.select("user_id", "ts", F.col("value").alias("last_click_value"))
+
+
+def q_two_role_join(spark: SparkSession, sf: str) -> DataFrame:
+    # self-join w/ key remap: one dim table (nation) under two roles
+    # (feature_view.py:447-480 with_join_key_map)
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), "s_nationkey")
+        .join(F.broadcast(cust_n), "c_nationkey")
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_entity_union(spark: SparkSession, sf: str) -> DataFrame:
+    # non-entity-mode UNION DISTINCT of per-view entity projections,
+    # CAST STRING aligned (spark.py:1336-1397)
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts").between("2024-01-01 00:00:00", "2024-01-15 00:00:00")
+    )
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+    )
+    a = ev.select(F.col("user_id").cast("string").alias("entity_key"))
+    b = o.select(F.col("o_custkey").cast("string").alias("entity_key"))
+    return a.unionByName(b).distinct()
+
+
+def q_cross_join_share(spark: SparkSession, sf: str) -> DataFrame:
+    # entity-less view -> DUMMY_ENTITY cross join (dask.py:1098-1116)
+    ev = _t(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return per_type.crossJoin(F.broadcast(total)).select(
+        "event_type", "cnt", F.round(F.col("cnt") / F.col("total"), 6).alias("share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.5 aggregations & windows
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_spec(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import Aggregation, apply_aggregations
+
+    ev = _t(spark, sf, "events")
+    out = apply_aggregations(
+        ev,
+        ["event_type"],
+        [
+            Aggregation("value", "sum"),
+            Aggregation("value", "max"),
+            Aggregation("value", "min"),
+            Aggregation("value", "count"),
+            Aggregation("value", "avg"),
+            Aggregation("user_id", "count_distinct"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_value", "min_value", "count_value",
+        F.round("avg_value", 6).alias("avg_value"),
+        "count_distinct_user_id",
+    )
+
+
+def q_hourly_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import Aggregation, apply_aggregations
+
+    ev = _t(spark, sf, "events")
+    out = apply_aggregations(
+        ev,
+        ["event_type"],
+        [Aggregation("value", "sum", 3600), Aggregation("value", "count", 3600)],
+        ts_col="ts",
+    )
+    return out.select(
+        "event_type",
+        "window_start",
+        F.round("sum_value_3600s", 2).alias("hour_sum"),
+        F.col("count_value_3600s").alias("hour_cnt"),
+    )
+
+
+def q_sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def q_numeric_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import numeric_stats
+
+    ev = _t(spark, sf, "events")
+    out = numeric_stats(ev, "value")
+    return out.select(
+        "cnt",
+        F.round("avg_val", 4).alias("avg_val"),
+        F.round("stddev_val", 4).alias("stddev_val"),
+        F.round("min_val", 4).alias("min_val"),
+        F.round("max_val", 4).alias("max_val"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.aggregate import histogram
+
+    ev = _t(spark, sf, "events")
+    return histogram(ev, "value", bins=10)
+
+
+def q_top_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators import categorical_stats
+
+    ev = _t(spark, sf, "events")
+    return categorical_stats(ev, "event_type", top_n=3)
+
+
+def q_latest_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.dedup import exact_dedup
+
+    ev = _t(spark, sf, "events")
+    return exact_dedup(ev.select("user_id", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_row_id_synthesis(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.functions import row_id
+
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey", row_id(["o_custkey", "o_orderkey"]).alias("entity_row_id")
+    ).filter(F.col("o_orderkey") < 100)
+
+
+def q_interval_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
+        (F.col("ts") - F.expr("INTERVAL 90 SECONDS")).alias("ts_minus_90s"),
+        F.floor("value").cast("long").alias("value_floor"),
+    ).filter(F.col("event_id") < 1000)
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON validity/extraction (spark/nodes.py:693-724 validation analogue)
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    ).filter(F.col("event_id") < 1000)
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.functions import digit_count, symbol_count, token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("token_cnt"),
+        digit_count("text").alias("digit_cnt"),
+        symbol_count("text").alias("symbol_cnt"),
+        F.length("text").alias("char_cnt"),
+    )
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.groupBy(norm.alias("norm_text"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_doc_bigram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.dedup import simhash_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_dup_pairs(d, "doc_id", "text", hamming_threshold=8)
+
+
+def q_doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.pipeline.quality import QualityConfig, score_transcripts
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = score_transcripts(d, QualityConfig())
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "lang",
+        F.round("perplexity", 4).alias("ppl"),
+        F.col("keep_turn").alias("keep"),
+        F.col("drop_reason_turn").alias("drop_reason"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, dim=64, num_bits=8)
+
+
+def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    transcripts = transcripts_spark(spark, 100, seed=42, mega_every=50, mega_turns=200)
+    res = run_quality_pipeline(
+        spark, transcripts, QualityConfig(), run_id="q",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    return res.labels
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pull_all_window": q_pull_all_window,
+        "pull_latest_events": q_pull_latest_events,
+        "field_mapping_scan": q_field_mapping_scan,
+        "pit_last_click": q_pit_last_click,
+        "pit_ttl_1h": q_pit_ttl_1h,
+        "two_role_join": q_two_role_join,
+        "entity_union": q_entity_union,
+        "cross_join_share": q_cross_join_share,
+        "tpch_q1": q_tpch_q1,
+        "agg_spec": q_agg_spec,
+        "hourly_window_agg": q_hourly_window_agg,
+        "sliding_window_agg": q_sliding_window_agg,
+        "numeric_stats": q_numeric_stats,
+        "histogram": q_histogram,
+        "top_event_types": q_top_event_types,
+        "latest_dedup": q_latest_dedup,
+        "row_id_synthesis": q_row_id_synthesis,
+        "interval_arithmetic": q_interval_arithmetic,
+        "json_extract": q_json_extract,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_bigram_jaccard": q_doc_bigram_jaccard,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_quality_scores": q_doc_quality_scores,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "transcript_pipeline": q_transcript_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pull_all_window": """
+            SELECT user_id, value, ts FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "pull_latest_events": """
+            SELECT user_id,
+                   event_type AS last_type,
+                   value AS last_value,
+                   ts AS last_ts
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "field_mapping_scan": """
+            SELECT event_id, ts AS event_timestamp, value AS amount
+            FROM events WHERE value > 150
+        """,
+        "pit_last_click": """
+            WITH entity AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT user_id, ts AS fts, value FROM events WHERE event_type = 'click'
+            ), base AS (
+              SELECT e.user_id, e.ts, f.fts, f.value
+              FROM entity e JOIN feat f
+                ON e.user_id = f.user_id AND f.fts <= e.ts
+            ), latest AS (
+              SELECT user_id, ts, value, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, ts ORDER BY fts DESC) AS rn
+              FROM base
+            )
+            SELECT e.user_id, e.ts, l.value AS last_click_value
+            FROM entity e LEFT JOIN latest l
+              ON e.user_id = l.user_id AND e.ts = l.ts AND l.rn = 1
+        """,
+        "pit_ttl_1h": """
+            WITH entity AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT user_id, ts AS fts, value FROM events WHERE event_type = 'click'
+            ), base AS (
+              SELECT e.user_id, e.ts, f.fts, f.value
+              FROM entity e JOIN feat f
+                ON e.user_id = f.user_id
+               AND f.fts <= e.ts
+               AND f.fts >= e.ts - INTERVAL 3600 SECONDS
+            ), latest AS (
+              SELECT user_id, ts, value, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, ts ORDER BY fts DESC) AS rn
+              FROM base
+            )
+            SELECT e.user_id, e.ts, l.value AS last_click_value
+            FROM entity e LEFT JOIN latest l
+              ON e.user_id = l.user_id AND e.ts = l.ts AND l.rn = 1
+        """,
+        "two_role_join": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   ROUND(SUM(l.l_extendedprice), 2) AS volume,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "entity_union": """
+            SELECT CAST(user_id AS VARCHAR) AS entity_key FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+            UNION
+            SELECT CAST(o_custkey AS VARCHAR) AS entity_key FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+        """,
+        "cross_join_share": """
+            SELECT event_type, cnt, ROUND(cnt * 1.0 / total, 6) AS share
+            FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1)
+            CROSS JOIN (SELECT COUNT(*) AS total FROM events)
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_spec": """
+            SELECT event_type,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   MAX(value) AS max_value,
+                   MIN(value) AS min_value,
+                   COUNT(value) AS count_value,
+                   ROUND(AVG(value), 6) AS avg_value,
+                   COUNT(DISTINCT user_id) AS count_distinct_user_id
+            FROM events GROUP BY event_type
+        """,
+        "hourly_window_agg": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   ROUND(SUM(value), 2) AS hour_sum,
+                   COUNT(value) AS hour_cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window_agg": """
+            SELECT date_trunc('hour', ts) - (h * INTERVAL 1 HOUR) AS window_start,
+                   COUNT(*) AS n_events
+            FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS h)
+            GROUP BY 1
+        """,
+        "numeric_stats": """
+            SELECT COUNT(value) AS cnt,
+                   ROUND(AVG(value), 4) AS avg_val,
+                   ROUND(STDDEV_SAMP(value), 4) AS stddev_val,
+                   ROUND(MIN(value), 4) AS min_val,
+                   ROUND(MAX(value), 4) AS max_val,
+                   ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
+                   ROUND(QUANTILE_CONT(value, 0.9), 4) AS p90,
+                   ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
+                   ROUND(QUANTILE_CONT(value, 0.99), 4) AS p99
+            FROM events
+        """,
+        "histogram": """
+            WITH mm AS (SELECT MIN(value) AS lo,
+                               (MAX(value) - MIN(value)) / 10 AS w
+                        FROM events)
+            SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / w) + 1 AS INT), 1), 10) AS bucket,
+                   COUNT(*) AS cnt
+            FROM events, mm
+            WHERE value IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top_event_types": """
+            SELECT event_type, COUNT(*) AS cnt FROM events
+            GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3
+        """,
+        "latest_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "row_id_synthesis": """
+            SELECT o_orderkey,
+                   sha256(concat_ws(chr(31),
+                          CAST(o_custkey AS VARCHAR),
+                          CAST(o_orderkey AS VARCHAR))) AS entity_row_id
+            FROM orders WHERE o_orderkey < 100
+        """,
+        "interval_arithmetic": """
+            SELECT event_id,
+                   ts + INTERVAL 1 HOUR AS ts_plus_1h,
+                   ts - INTERVAL 90 SECONDS AS ts_minus_90s,
+                   CAST(FLOOR(value) AS BIGINT) AS value_floor
+            FROM events WHERE event_id < 1000
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+            FROM events WHERE event_id < 1000
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(
+                               regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+                        END AS token_cnt,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+                   length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS symbol_cnt,
+                   length(text) AS char_cnt
+            FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "doc_bigram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS gram
+              FROM docs, UNNEST(range(1, len(w))) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1
+            ), co AS (
+              SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS inter
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT co.id_a, co.id_b,
+                   ROUND(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard_r
+            FROM co
+            JOIN sizes sa ON co.id_a = sa.doc_id
+            JOIN sizes sb ON co.id_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.05
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10
+            ), sims AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) AS cosine
+              FROM embeddings c, q WHERE c.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine_r
+            FROM ranked WHERE rank <= 5
+        """,
+        # doc_minhash_pairs / doc_simhash_pairs / ann_lsh_topk /
+        # doc_quality_scores / transcript_pipeline: hash- and model-based
+        # operators with no faithful ANSI-SQL equivalent -> rows-only check.
+    }

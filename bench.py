@@ -1,0 +1,180 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "pipeline": {...}, "scaling": {...}}
+
+- Headline queries run on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  at local[$SPARK_GRAFT_CPUS]; each timed to full materialization via the
+  noop sink (no driver collect).
+- The transcript quality pipeline is benchmarked on a deterministic
+  generated corpus (cached parquet), reporting turns/sec.
+- Scaling evidence (BASELINE.md "N vs 4N executors" rule, sandboxed): the
+  same pipeline job at local[N/4] and local[N] on identical input, each in
+  a FRESH subprocess (no JIT cross-contamination), timing the second of
+  two runs (steady-state, not JVM warm-up). Corpus is sized so Python
+  scoring dominates fixed overhead (~2M turns). Disable with
+  SPARK_GRAFT_SCALING=0.
+
+Usage: python bench.py            # full benchmark, one JSON line
+       python bench.py --scale-run CPUS CORPUS_PATH   # internal helper
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+SCALE_TURN_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "2000000"))
+
+HEADLINE = [
+    "tpch_q1",
+    "pull_latest_events",
+    "pit_last_click",
+    "two_role_join",
+    "hourly_window_agg",
+    "numeric_stats",
+    "doc_token_stats",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "doc_quality_scores",
+]
+
+# pipeline corpus sized to the sf (~80k turns at sf0.1)
+N_CONVS = {"sf0.001": 150, "sf0.01": 1000, "sf0.1": 8000}.get(
+    os.path.basename(SF_DIR.rstrip("/")), 8000
+)
+# ~11.7 turns/conv on average with the default generator mix
+SCALE_CONVS = max(SCALE_TURN_TARGET // 12, 1000)
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _session(cpus: int):
+    from feast_spark.session import get_spark
+
+    return get_spark(f"bench_{cpus}", cpus=cpus)
+
+
+def _corpus(spark, n_convs: int, files: int) -> str:
+    """Materialize the deterministic corpus once (cached across runs)."""
+    path = f"/tmp/feast_spark_bench/transcripts_{n_convs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from feast_spark.fixtures import transcripts_spark
+
+        (
+            transcripts_spark(spark, n_convs, seed=42, partitions=files)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _run_pipeline(spark, path: str) -> tuple[float, int]:
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    transcripts = spark.read.parquet(path)
+    t0 = time.time()
+    res = run_quality_pipeline(
+        spark, transcripts, QualityConfig(), run_id="bench",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    _noop_write(res.labels)
+    wall = time.time() - t0
+    res.scored.unpersist()
+    n_turns = transcripts.count()
+    return wall, n_turns
+
+
+def scale_run(cpus: int, corpus: str) -> None:
+    """Subprocess entry: warm once, time the second (steady-state) run."""
+    spark = _session(cpus)
+    _run_pipeline(spark, corpus)          # warm: JIT, codegen, python workers
+    wall, n_turns = _run_pipeline(spark, corpus)
+    print(json.dumps({"cpus": cpus, "wall_sec": wall, "n_turns": n_turns}))
+    spark.stop()
+
+
+def _scale_subprocess(cpus: int, corpus: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-run", str(cpus), corpus],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = _session(CPUS)
+    qs = entry_mod.queries()
+
+    # warm the JVM/Arrow paths once
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop_write(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    tpath = _corpus(spark, N_CONVS, files=CPUS * 2)
+    pipe_wall, n_turns = _run_pipeline(spark, tpath)
+    pipeline = {
+        "n_turns": n_turns,
+        "wall_sec": round(pipe_wall, 3),
+        "turns_per_sec": round(n_turns / pipe_wall, 1),
+        "cpus": CPUS,
+    }
+    timings["transcript_pipeline"] = round(pipe_wall, 3)
+
+    scaling = None
+    if SCALING and CPUS >= 4:
+        scale_corpus = _corpus(spark, SCALE_CONVS, files=max(CPUS * 4, 128))
+        spark.stop()
+        small = max(CPUS // 4, 1)
+        r_small = _scale_subprocess(small, scale_corpus)
+        r_big = _scale_subprocess(CPUS, scale_corpus)
+        tput_small = r_small["n_turns"] / r_small["wall_sec"]
+        tput_big = r_big["n_turns"] / r_big["wall_sec"]
+        scaling = {
+            "corpus_turns": r_big["n_turns"],
+            "cpus_small": small,
+            "cpus_big": CPUS,
+            "turns_per_sec_small": round(tput_small, 1),
+            "turns_per_sec_big": round(tput_big, 1),
+            "speedup": round(tput_big / tput_small, 3),
+            "efficiency": round(tput_big / (tput_small * (CPUS / small)), 3),
+        }
+
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "pipeline": pipeline,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-run":
+        scale_run(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

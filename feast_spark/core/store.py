@@ -1,0 +1,218 @@
+"""FeatureStore facade — the reference's three entry points on Spark.
+
+- :meth:`get_historical_features` <- feature_store.py:1942-2106 ->
+  offline store PIT query (spark.py:168-355): entity_df + N feature views
+  joined left-to-right accumulating columns (dask.py:212-349 driver loop),
+  ODFV transforms applied post-join (offline_store.py:219-272).
+- :meth:`materialize` <- feature_store.py:2788-3001 + SparkComputeEngine
+  (spark/compute.py:87-195): pull-latest in [start, end], apply view UDF,
+  write the keyed serving table, record the interval in the registry.
+- :meth:`get_latest_features` <- the batch analogue of
+  get_online_features (feature_store.py:3855): read the serving table,
+  latest row per key (+ TTL staleness nulling).
+
+Serving tables are snapshot directories (``snap-<n>`` + ``LATEST``
+pointer) — the sandbox stand-in for Iceberg's snapshot isolation: writers
+never mutate a snapshot a reader may be scanning, and a failed write
+leaves the pointer untouched (idempotent resume).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.core.model import (
+    BatchFeatureView,
+    FeatureService,
+    FeatureView,
+    OnDemandFeatureView,
+)
+from feast_spark.core.registry import Registry
+from feast_spark.operators.latest import latest_per_key, pull_latest
+from feast_spark.operators.pit_join import point_in_time_join
+
+
+class FeatureStore:
+    def __init__(self, spark: SparkSession, repo_path: str):
+        self.spark = spark
+        self.repo_path = repo_path
+        self.registry = Registry(os.path.join(repo_path, "registry.json"))
+        self._views: dict[str, FeatureView] = {}
+        self._odfvs: dict[str, OnDemandFeatureView] = {}
+        self._services: dict[str, FeatureService] = {}
+
+    # -- apply ---------------------------------------------------------------
+    def apply(self, objs: list) -> None:
+        for obj in objs:
+            if isinstance(obj, OnDemandFeatureView):
+                self._odfvs[obj.name] = obj
+            elif isinstance(obj, FeatureView):
+                self._views[obj.name] = obj
+                self.registry.apply_view(
+                    obj.name,
+                    {
+                        "entities": obj.join_keys,
+                        "features": obj.feature_names,
+                        "ttl_seconds": obj.ttl_seconds,
+                    },
+                )
+            elif isinstance(obj, FeatureService):
+                self._services[obj.name] = obj
+
+    # -- historical retrieval (PIT) -------------------------------------------
+    def get_historical_features(
+        self,
+        entity_df: DataFrame,
+        features: list[str] | FeatureService,
+        entity_ts_col: str = "event_timestamp",
+        full_feature_names: bool = False,
+    ) -> DataFrame:
+        """Training frame: as-of join each referenced view onto entity_df.
+
+        ``features`` are "view:feature" refs (utils._get_features,
+        utils.py:1171); views join left-to-right accumulating columns, then
+        ODFV transforms append theirs. Lazy — returns the unexecuted plan
+        (the reference's RetrievalJob contract, offline_store.py:92-442).
+        """
+        refs = features.features if isinstance(features, FeatureService) else features
+        by_view: dict[str, list[str]] = {}
+        odfv_refs: list[str] = []
+        for ref in refs:
+            view, feat = ref.split(":", 1)
+            if view in self._odfvs:
+                odfv_refs.append(view)
+                continue
+            by_view.setdefault(view, []).append(feat)
+
+        out = entity_df
+        for view_name, feats in by_view.items():
+            fv = self._views[view_name]
+            fdf = fv.read(self.spark)
+            out = point_in_time_join(
+                out,
+                fdf,
+                join_keys=fv.join_keys,
+                feature_ts_col=fv.source.timestamp_field,
+                entity_ts_col=entity_ts_col,
+                created_ts_col=fv.source.created_timestamp_column,
+                ttl_seconds=fv.ttl_seconds,
+                features=feats,
+                prefix=view_name if full_feature_names else None,
+            )
+        for odfv_name in dict.fromkeys(odfv_refs):
+            out = self._odfvs[odfv_name].apply(out)
+        return out
+
+    # -- materialization -------------------------------------------------------
+    def _serving_dir(self, view: str) -> str:
+        return os.path.join(self.repo_path, "serving", view)
+
+    def _latest_snapshot(self, view: str) -> str | None:
+        d = self._serving_dir(view)
+        ptr = os.path.join(d, "LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return os.path.join(d, f.read().strip())
+
+    def _commit_snapshot(self, view: str, df: DataFrame) -> str:
+        d = self._serving_dir(view)
+        os.makedirs(d, exist_ok=True)
+        existing = [s for s in os.listdir(d) if s.startswith("snap-")]
+        snap = f"snap-{len(existing):05d}"
+        df.write.mode("overwrite").parquet(os.path.join(d, snap))
+        with open(os.path.join(d, "LATEST"), "w") as f:
+            f.write(snap)
+        return snap
+
+    def materialize(
+        self,
+        view_name: str,
+        start: datetime,
+        end: datetime,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Latest row per key in [start, end] -> merged into the serving
+        snapshot; interval checkpointed (feature_store.py:2968-2973)."""
+        fv = self._views[view_name]
+        src = fv.read(self.spark)
+        created = fv.source.created_timestamp_column
+        fresh = pull_latest(
+            src,
+            fv.join_keys,
+            fv.feature_names,
+            fv.source.timestamp_field,
+            created_ts_col=created,
+            start=start,
+            end=end,
+        )
+        prev = self._latest_snapshot(view_name)
+        if prev:
+            old = self.spark.read.parquet(prev)
+            merged = latest_per_key(
+                fresh.unionByName(old),
+                fv.join_keys,
+                fv.source.timestamp_field,
+                created_ts_col=created,
+            )
+        else:
+            merged = fresh
+        snap = self._commit_snapshot(view_name, merged)
+        self.registry.apply_materialization(
+            view_name, start, end, run_id=run_id or snap
+        )
+        return self.spark.read.parquet(self._latest_snapshot(view_name))
+
+    def materialize_incremental(self, view_name: str, end: datetime) -> DataFrame:
+        """Resume from the last checkpointed end (feature_store.py:2546)."""
+        last = self.registry.most_recent_end_time(view_name)
+        start = last or datetime(1970, 1, 1, tzinfo=timezone.utc)
+        return self.materialize(view_name, start, end)
+
+    # -- serving-side batch read ------------------------------------------------
+    def get_latest_features(
+        self,
+        view_name: str,
+        keys_df: DataFrame | None = None,
+        as_of: datetime | None = None,
+    ) -> DataFrame:
+        """Batch read of the serving table; TTL staleness nulling mirrors
+        the online read path (utils._populate_response_from_feature_data,
+        utils.py:1654)."""
+        if view_name not in self._views:
+            raise ValueError(f"unknown feature view: {view_name}")
+        fv = self._views[view_name]
+        snap = self._latest_snapshot(view_name)
+        if snap is None:
+            raise ValueError(f"view {view_name} not materialized")
+        df = self.spark.read.parquet(snap)
+        if keys_df is not None:
+            df = df.join(F.broadcast(keys_df), fv.join_keys, "inner")
+        if as_of is not None and fv.ttl_seconds:
+            ts = fv.source.timestamp_field
+            stale = F.col(ts) < F.lit(as_of) - F.expr(
+                f"INTERVAL {fv.ttl_seconds} SECONDS"
+            )
+            for c in fv.feature_names:
+                df = df.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        return df
+
+    # -- push source (feature_store.py:3338-3374) --------------------------------
+    def push(self, view_name: str, df: DataFrame) -> None:
+        """Synchronous push: merge rows straight into the serving table."""
+        fv = self._views[view_name]
+        prev = self._latest_snapshot(view_name)
+        merged = df
+        if prev:
+            old = self.spark.read.parquet(prev)
+            merged = latest_per_key(
+                df.unionByName(old),
+                fv.join_keys,
+                fv.source.timestamp_field,
+                created_ts_col=fv.source.created_timestamp_column,
+            )
+        self._commit_snapshot(view_name, merged)

@@ -1,0 +1,59 @@
+"""Text-analysis column functions — JVM-side (Catalyst expressions).
+
+The reference has no scalar library of its own (SURVEY §2.8); the only
+scalar ops it emits are row-id CONCAT synthesis (``spark.py:1718-1724``),
+casts, and interval arithmetic. This module adds the text-analysis columns
+a training-data pipeline needs, as pure ``pyspark.sql.functions``
+compositions so they stay inside whole-stage codegen and are expressible
+1:1 in the DuckDB oracle SQL.
+
+Python/pandas paths (language-ID, perplexity) live in
+:mod:`feast_spark.rules`; these are the cheap SQL-native counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def symbol_count(col: str | Column) -> Column:
+    """Count of non-alphanumeric, non-space chars (ASCII classes so the
+    DuckDB oracle regex behaves identically)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[A-Za-z0-9 ]", ""))
+
+
+def digit_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Deterministic 64-bit fingerprint of whitespace-normalized lowercase
+    text (exact-dedup key; xxhash64 — stable across Spark versions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def row_id(key_cols: list[str], ts_col: str | None = None) -> Column:
+    """Entity-row-id synthesis: sha2 over the canonical sorted-key concat —
+    the reference's CONCAT row id (``spark.py:1718-1724``) hardened the way
+    its key serializer canonicalizes (sorted keys,
+    ``infra/key_encoding_utils.py:12-123``)."""
+    parts = [
+        F.coalesce(F.col(k).cast("string"), F.lit("__null__"))
+        for k in sorted(key_cols)
+    ]
+    if ts_col:
+        parts.append(F.col(ts_col).cast("string"))
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)

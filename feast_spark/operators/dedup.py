@@ -1,0 +1,290 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference only ships exact/latest dedup (``dask.py:930``,
+``spark.py:147-158``); near-dup detection is the standard extension a
+quality-filter engine needs at corpus scale (MinHash-LSH per Broder '97,
+SimHash per Charikar '02 — both public algorithms). Design constraints:
+
+- **MinHash stays JVM-side**: shingle extraction, hashing, per-permutation
+  minima and band keys are all Catalyst expressions (``transform`` /
+  ``xxhash64`` / ``array_min``) — whole-stage-codegen'd, no Python.
+  The only shuffle is the band-bucket self-join, which AQE sizes.
+- **SimHash** uses the same flat-codepoint numpy trick as the perplexity
+  scorer (one Arrow batch -> one vectorized pass), then Hamming-ball
+  candidate generation via 16-bit block keys (pigeonhole: hamming<=3 over
+  64 bits guarantees one of 4 blocks equal) and ``bit_count(a^b)``
+  verification — JVM-side.
+- Exact n-gram Jaccard is provided as the verification/oracle path.
+
+At 100 TB: band-join candidate pairs are quadratic within a bucket; bucket
+sizes are bounded by the hash, and the verify step is a projection —
+the expensive part (signatures) is map-side only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a*x + b inside int64 under ANSI arithmetic (a, x < 2^31)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """dropDuplicates — reference upsert-pk dedup (dask.py:930)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def _shingle_hashes(text_col: str, k: int) -> str:
+    """SQL expr: array of xxhash64 values of the char k-shingles of
+    lower(text), distinct. Empty/short text -> single hash of the whole."""
+    return (
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length(lower({text_col})) - {k} + 1, 1)),"
+        f"  i -> xxhash64(substr(lower({text_col}), i, {k}))))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """id, shingles (hash array), sig (minhash signature array) — map-side.
+
+    Permutations h_j(x) = (a_j * x + b_j) mod 2^61-1 with seeded a/b.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(_shingle_hashes(text_col, shingle_k)).alias("shingles"),
+    )
+    sig_exprs = [
+        f"array_min(transform(shingles, x -> pmod({int(a[j])}L * pmod(x, {_MERSENNE}L) + {int(b[j])}L, {_MERSENNE}L)))"
+        for j in range(num_hashes)
+    ]
+    return out.withColumn("sig", F.expr("array(" + ",".join(sig_exprs) + ")"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate generation via banded LSH + exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Jaccard is exact over the distinct shingle-hash sets (array_intersect /
+    array_union sizes) — the MinHash estimate only gates candidates.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    # persist (id, shingles, sig): reused by the bucket join AND the verify
+    # join-backs — one map-side signature pass total
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, seed
+    ).persist()
+
+    band_structs = ",".join(
+        f"struct({bi} as band, xxhash64(concat_ws(',', slice(sig, {bi * rows_per_band + 1}, {rows_per_band}))) as bh)"
+        for bi in range(bands)
+    )
+    # NARROW bucket rows: ids only — the shingle arrays never enter the
+    # candidate shuffle (they re-attach by id at verification)
+    buckets = sigs.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("b")
+    ).select("id", F.col("b.band"), F.col("b.bh"))
+
+    cand = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select("id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: keep the smallest id of each duplicate pair
+    (single-link one hop — the standard streaming approximation; full
+    connected components would iterate the pair table)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity join (the oracle-checkable
+    near-dup path; SQL-expressible end to end).
+
+    Explodes n-grams -> co-occurrence counts per pair -> |A∩B| / |A∪B|.
+    Quadratic in docs sharing an n-gram; use for verification and small
+    corpora, MinHash-LSH for scale.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"  sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n} + 1, 1)),"
+                f"  i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}))))"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    co = (
+        grams.alias("g1")
+        .join(grams.alias("g2"), (F.col("g1.gram") == F.col("g2.gram")) & (F.col("g1.id") < F.col("g2.id")))
+        .groupBy(F.col("g1.id").alias("id_a"), F.col("g2.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series, k: int = 4) -> np.ndarray:
+    """Vectorized 64-bit simhash over char k-gram hashes (numpy, one pass).
+
+    Uses the same flattened-codepoint layout as rules.perplexity: all rows
+    concatenated, per-gram 64-bit rolling hash, then 64 sign-sums per doc
+    via bincount — no per-row Python.
+    """
+    filled = texts.fillna("").astype(str).str.lower()
+    joined = "".join(filled.tolist())
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lens = filled.str.len().to_numpy(dtype=np.int64)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(codes) < k:
+        return out.view(np.int64)
+    B = np.uint64(1000003)
+    h = codes[: len(codes) - k + 1].copy()
+    for j in range(1, k):
+        h = h * B + codes[j : len(codes) - k + 1 + j]
+    h *= np.uint64(0x9E3779B97F4A7C15)
+    doc = np.repeat(np.arange(n), lens)
+    gdoc = doc[k - 1 :]
+    valid = doc[: len(codes) - k + 1] == gdoc
+    h = h[valid]
+    gdoc = gdoc[valid]
+    counts = np.bincount(gdoc, minlength=n).astype(np.int64)
+    sim = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.bincount(gdoc, weights=bit, minlength=n)
+        sim |= ((2 * ones > counts).astype(np.uint64)) << np.uint64(b)
+    return sim.view(np.int64)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id, simhash (long) — Arrow-vectorized pandas UDF (slow path is one
+    numpy pass per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "simhash": _simhash_batch(pdf[text_col])}
+            )
+
+    return df.mapInPandas(run, "id long, simhash long")
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) with hamming <= threshold.
+
+    Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit blocks;
+    hamming<=3 implies at least one block matches exactly, so the self-join
+    only runs within block buckets. Verification via bit_count(xor) —
+    all JVM-side. The (id, simhash) table is persisted so the Python
+    hashing pass runs once, not once per join side."""
+    h = simhash(df, id_col, text_col).persist()
+    blocks = h.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "array("
+                + ",".join(
+                    f"struct({i} as blk, shiftright(simhash, {i * 16}) & 65535 as bkey)"
+                    for i in range(4)
+                )
+                + ")"
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.bkey")
+    cand = (
+        blocks.alias("l")
+        .join(
+            blocks.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= hamming_threshold)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -33,7 +33,36 @@ def latest_per_key(
     ts_col: str,
     created_ts_col: str | None = None,
     tiebreak_cols: list[str] | None = None,
+    strategy: str = "window",
 ) -> DataFrame:
+    """Newest row per key, ordering by (ts DESC[, created DESC[, tiebreaks]]).
+
+    strategy='window' is the reference's literal ROW_NUMBER plan
+    (one shuffle + sort). strategy='agg' computes the same result as
+    ``max_by(struct(<all cols>), struct(ts, created, tiebreaks))`` — a hash
+    aggregation with MAP-SIDE PARTIAL COMBINE: no global sort, and the
+    shuffle carries at most one row per (key, map-partition). At 10^12 rows
+    this is the difference between sort-spilling every partition and a
+    near-linear scan; prefer 'agg' whenever the ordering columns make the
+    order total (ties resolve arbitrarily-but-deterministically via the
+    struct comparison either way)."""
+    if strategy == "agg":
+        order_cols = [ts_col]
+        if created_ts_col:
+            order_cols.append(created_ts_col)
+        order_cols += list(tiebreak_cols or [])
+        out_cols = df.columns
+        payload = [c for c in out_cols if c not in keys]
+        agged = df.groupBy(*keys).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__row")
+        )
+        return agged.select(
+            *keys, *[F.col(f"__row.{c}").alias(c) for c in payload]
+        ).select(*out_cols)
+
     order = [F.col(ts_col).desc()]
     if created_ts_col:
         order.append(F.col(created_ts_col).desc())
@@ -83,5 +112,7 @@ def pull_latest(
     cols = [*join_keys, *feature_cols, ts_col]
     if created_ts_col:
         cols.append(created_ts_col)
-    out = out.select(*cols)
-    return latest_per_key(out, join_keys, ts_col, created_ts_col, tiebreak_cols)
+    extra = [c for c in (tiebreak_cols or []) if c not in cols]
+    out = out.select(*cols, *extra)
+    deduped = latest_per_key(out, join_keys, ts_col, created_ts_col, tiebreak_cols)
+    return deduped.drop(*extra) if extra else deduped

@@ -58,6 +58,7 @@ def point_in_time_join(
     prefix: str | None = None,
     broadcast_features: bool = False,
     created_cutoff: bool = False,
+    entity_ts_bounds: tuple[datetime, datetime] | None = None,
 ) -> DataFrame:
     """As-of join ``feature_df`` onto ``entity_df``.
 
@@ -80,16 +81,22 @@ def point_in_time_join(
     # concat row id, spark.py:1718-1724)
     entity_keys = entity.select(ROW_ID, entity_ts_col, *join_keys).dropDuplicates([ROW_ID])
 
-    # time-bounded feature scan: push entity ts range ± ttl into the scan
-    bounds = entity_df.agg(
-        F.min(entity_ts_col).alias("lo"), F.max(entity_ts_col).alias("hi")
-    ).first()
+    # time-bounded feature scan: push entity ts range ± ttl into the scan.
+    # The ttl-derived bound is semantic — Catalyst can't infer it (SURVEY §4).
+    # Callers that know the range (e.g. constant decision_ts) pass
+    # entity_ts_bounds to skip the min/max pre-scan of the entity table.
+    if entity_ts_bounds is not None:
+        lo_hi = {"lo": entity_ts_bounds[0], "hi": entity_ts_bounds[1]}
+    else:
+        lo_hi = entity_df.agg(
+            F.min(entity_ts_col).alias("lo"), F.max(entity_ts_col).alias("hi")
+        ).first()
     fdf = feature_df
-    if bounds and bounds["hi"] is not None:
-        hi: datetime = bounds["hi"]
+    if lo_hi is not None and lo_hi["hi"] is not None:
+        hi: datetime = lo_hi["hi"]
         fdf = fdf.filter(F.col(feature_ts_col) <= F.lit(hi))
         if ttl_seconds:
-            lo: datetime = bounds["lo"]
+            lo: datetime = lo_hi["lo"]
             fdf = fdf.filter(
                 F.col(feature_ts_col)
                 >= F.lit(lo) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")

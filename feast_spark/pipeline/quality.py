@@ -69,9 +69,13 @@ class QualityConfig:
 
 def dedup_latest_turns(transcripts: DataFrame) -> DataFrame:
     """Latest row per (conv_id, turn_idx); text desc pins determinism on
-    exact-ts ties (reference tie-break discipline, spark.py:151-157)."""
+    exact-ts ties (reference tie-break discipline, spark.py:151-157).
+
+    Uses the hash-aggregation strategy: map-side partial combine instead of
+    a global window sort — the scalable form of the same semantics."""
     return latest_per_key(
-        transcripts, ["conv_id", "turn_idx"], "ts", tiebreak_cols=["text"]
+        transcripts, ["conv_id", "turn_idx"], "ts", tiebreak_cols=["text"],
+        strategy="agg",
     )
 
 
@@ -152,19 +156,30 @@ def apply_conv_rules(
 
     NULL features (conversation not yet materialized as-of decision_ts)
     pass the conv rules — blank, don't drop (``dask.py:1203-1226``).
+
+    Because the as-of timestamp is one constant for all turns, the PIT join
+    algebraically reduces to: dedup the FEATURE side to its latest
+    qualifying row per conv, then equi-join. That turns two full shuffles
+    of the (huge) turn table — the generic plan's window-by-row-id + join —
+    into a broadcast hash join with ZERO shuffles of the big side. Same
+    semantics as :func:`point_in_time_join` with entity_ts = decision_ts;
+    the generic operator remains the path for per-row timestamps
+    (historical retrieval, core/store.py).
     """
-    entity = scored.withColumn("__decision_ts", F.lit(decision_ts))
-    joined = point_in_time_join(
-        entity_df=entity,
-        feature_df=conv_features_df,
-        join_keys=["conv_id"],
-        feature_ts_col="ts",
-        entity_ts_col="__decision_ts",
-        created_ts_col="created_ts",
-        ttl_seconds=cfg.feature_ttl_seconds,
-        features=CONV_FEATURE_COLS,
-        broadcast_features=cfg.broadcast_conv_features,
-    )
+    feats = conv_features_df.filter(F.col("ts") <= F.lit(decision_ts))
+    if cfg.feature_ttl_seconds:
+        feats = feats.filter(
+            F.col("ts")
+            >= F.lit(decision_ts)
+            - F.expr(f"INTERVAL {int(cfg.feature_ttl_seconds)} SECONDS")
+        )
+    latest_feats = latest_per_key(
+        feats.select("conv_id", "ts", "created_ts", *CONV_FEATURE_COLS),
+        ["conv_id"], "ts", created_ts_col="created_ts", strategy="agg",
+    ).drop("ts", "created_ts")
+    if cfg.broadcast_conv_features:
+        latest_feats = F.broadcast(latest_feats)
+    joined = scored.join(latest_feats, "conv_id", "left")
 
     r = cfg.rules
     conv_reason = F.when(
@@ -252,7 +267,10 @@ def run_quality_pipeline(
     started_at = datetime.now(timezone.utc)
 
     deduped = dedup_latest_turns(transcripts)
-    scored = score_transcripts(deduped, cfg)
+    # scored fans out into conv-features AND the final label join — persist
+    # so the python scoring pass runs exactly once (MEMORY_AND_DISK: spills
+    # instead of recomputing at 100 TB partition sizes)
+    scored = score_transcripts(deduped, cfg).persist()
     conv = conversation_features(scored, created_ts=started_at)
 
     if feature_table_path:

@@ -1,0 +1,92 @@
+"""Sinks — the reference's write paths re-expressed.
+
+- :func:`offline_append` <- offline_write_batch (spark.py:357-407;
+  dask.py:572-610): schema-checked, column-order-normalized append.
+- :func:`saved_dataset_persist` <- SavedDatasetStorage persist
+  (spark.py:1098-1132; dask.py:105-133): overwrite-guarded.
+- :func:`feature_logging_sink` <- feature_logging.py:23-98 +
+  dask.py:535-570: served-features log with __request_id/__log_timestamp,
+  partitioned by __log_date.
+- :func:`remote_storage_export` <- to_remote_storage (spark.py:1153-1201):
+  parquet export to a staging dir, returns file list.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def offline_append(df: DataFrame, path: str, expected_schema=None) -> None:
+    """Append with schema check + cast (spark.py:377-400: reorders columns
+    to table order and casts, raising on missing columns)."""
+    if expected_schema is not None:
+        table_cols = [f.name for f in expected_schema.fields]
+        missing = set(table_cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"missing columns for append: {sorted(missing)}")
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                for f in expected_schema.fields
+            ]
+        )
+    df.write.mode("append").parquet(path)
+
+
+def saved_dataset_persist(df: DataFrame, path: str, allow_overwrite: bool = False) -> None:
+    """Persist a retrieval result; refuse to clobber unless asked
+    (spark.py:1098-1132 overwrite guard)."""
+    if os.path.exists(path) and not allow_overwrite:
+        raise FileExistsError(f"saved dataset already exists: {path}")
+    df.write.mode("overwrite" if allow_overwrite else "errorifexists").parquet(path)
+
+
+def feature_logging_sink(
+    served: DataFrame, path: str, request_id_col: str | None = None
+) -> None:
+    """Log served features with __request_id / __log_timestamp /
+    __log_date partition column (feature_logging.py:23-98)."""
+    out = served
+    if request_id_col is None:
+        out = out.withColumn("__request_id", F.expr("uuid()"))
+    else:
+        out = out.withColumn("__request_id", F.col(request_id_col))
+    out = out.withColumn("__log_timestamp", F.current_timestamp()).withColumn(
+        "__log_date", F.to_date(F.col("__log_timestamp"))
+    )
+    out.write.mode("append").partitionBy("__log_date").parquet(path)
+
+
+def remote_storage_export(df: DataFrame, staging_dir: str) -> list[str]:
+    """Write result parquet under staging/<uuid> and list the files
+    (spark.py:1153-1201)."""
+    dest = os.path.join(staging_dir, str(uuid.uuid4()))
+    df.write.parquet(dest)
+    return sorted(
+        os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+
+def read_partition_pruned(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    date_partition_column: str | None,
+    start,
+    end,
+) -> DataFrame:
+    """Time-range scan with the partition-pruning predicate on the
+    partition column (spark.py:155,1359-1365; offline_utils.py:427-431):
+    the coarse date filter prunes directories, the fine ts filter trims
+    rows."""
+    df = spark.read.parquet(path)
+    if date_partition_column:
+        df = df.filter(
+            (F.col(date_partition_column) >= F.lit(str(start)[:10]))
+            & (F.col(date_partition_column) <= F.lit(str(end)[:10]))
+        )
+    return df.filter(F.col(ts_col).between(F.lit(start), F.lit(end)))

@@ -1,0 +1,98 @@
+"""Structured Streaming operators — feast's stream ingestion re-expressed.
+
+Reference: ``infra/contrib/spark_kafka_processor.py`` —
+- ingest (:84-131): readStream from Kafka + JSON/Avro decode. In this
+  sandbox there is no Kafka broker; :func:`stream_source` builds the same
+  query shape from a file stream (the transformation/sink chain is
+  identical, only the source format differs — swap ``format("kafka")`` +
+  ``from_json(value)`` in production).
+- per-batch latest-row dedup + ``created`` stamping (:136-153): the
+  reference sorts a pandas batch and keeps group-head; here it is the
+  same window dedup as the batch path (dropDuplicates-by-window inside
+  foreachBatch), executed distributed instead of on the driver.
+- fan-out with checkpointing (:159-175): writeStream.foreachBatch +
+  checkpointLocation + processingTime trigger.
+
+Late data: the reference relies on per-batch overwrite (late rows lose to
+newer created_ts at dedup); we additionally support a real watermark for
+windowed aggregations (SURVEY §2.10 gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.operators.latest import latest_per_key
+
+
+def stream_source(
+    spark: SparkSession, path: str, schema: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-based stream with the Kafka-ingest query shape
+    (spark_kafka_processor.py:84-131 minus the broker)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def streaming_materialize(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    out_path: str,
+    checkpoint: str,
+    transform=None,
+):
+    """writeStream.foreachBatch: per-batch latest-per-key dedup + created
+    stamping + append to the offline table (processor :136-175).
+
+    Returns the StreamingQuery; callers drive it with
+    ``processAllAvailable()`` in tests or ``awaitTermination()`` in prod.
+    """
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df
+        if transform is not None:
+            out = transform(out)
+        out = latest_per_key(out, keys, ts_col)
+        out = out.withColumn("created_ts", F.current_timestamp())
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle_batch)
+        .start()
+    )
+
+
+def stream_window_agg(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    window: str,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    agg_exprs: list | None = None,
+) -> DataFrame:
+    """Tumbling/sliding windowed aggregation with watermarked late-data
+    handling — the native replacement for the reference's sawtooth tiling
+    (spark/nodes.py:248-362), per SURVEY §2.4."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    exprs = agg_exprs or [F.count(F.lit(1)).alias("n")]
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("w"))
+        .agg(*exprs)
+    )
+    return out.withColumn("window_start", F.col("w.start")).withColumn(
+        "window_end", F.col("w.end")
+    ).drop("w")

@@ -1,0 +1,109 @@
+"""Semantics tests for near-dup + similarity operators on planted data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_spark.operators.dedup import (
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from feast_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the clocks "
+        "were striking thirteen and the wind was cold outside the house"
+    )
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup
+        (2, base.replace("cold", "warm")),          # near dup (1 word)
+        (3, base + " extra trailing words here"),   # near dup (suffix)
+        (4, "completely different content about spark shuffle partitions "
+            "and adaptive query execution in distributed engines"),
+        (5, "yet another unrelated document mentioning feature stores and "
+            "point in time joins for machine learning pipelines"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_finds_planted_dups(docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.6
+    ).toPandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (0, 1) in found
+    assert (0, 2) in found or (1, 2) in found
+    # unrelated docs must not pair with the fox cluster
+    assert not any(4 in p or 5 in p for p in found)
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert exact.jaccard.iloc[0] == 1.0
+
+
+def test_minhash_dedup_keeps_smallest_id(docs):
+    kept = minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.6
+    ).toPandas()
+    ids = set(kept.doc_id)
+    assert 0 in ids and 1 not in ids
+    assert {4, 5} <= ids
+
+
+def test_simhash_near_dups(docs):
+    pairs = simhash_dup_pairs(docs, "doc_id", "text", hamming_threshold=6).toPandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (0, 1) in found
+    assert pairs[(pairs.id_a == 0) & (pairs.id_b == 1)].hamming.iloc[0] == 0
+    assert not any((4 in p and 5 in p) for p in found)
+
+
+def test_ngram_jaccard_exact_values(docs, spark):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).toPandas()
+    row = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert row.jaccard.iloc[0] == 1.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": [v.tolist() for v in vecs]}
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(emb):
+    out = cosine_topk(emb, emb.filter("vec_id = 0"), k=3).toPandas()
+    assert len(out) == 3
+    top1 = out[out["rank"] == 1]
+    assert top1.neighbor_id.iloc[0] == 1  # planted nearest
+    assert top1.cosine.iloc[0] > 0.99
+    # numpy cross-check of the full ranking
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    sims = mat @ mat[0] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[0]))
+    sims[0] = -np.inf
+    exp_top = set(np.argsort(-sims)[:3])
+    assert set(out.neighbor_id) == exp_top
+
+
+def test_lsh_topk_recall(emb):
+    exact = cosine_topk(emb, emb.filter("vec_id < 10"), k=3).toPandas()
+    approx = lsh_topk(emb, emb.filter("vec_id < 10"), k=3, dim=16, num_bits=4).toPandas()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # LSH trades recall for candidate-set size; with 4 bits + 1-bit
+    # multiprobe 5/16 of the space is probed — random far neighbors are
+    # lossy, but the planted NEAR duplicate must always survive bucketing
+    assert recall >= 0.3, f"LSH recall {recall}"
+    assert (0, 1) in approx_pairs

@@ -1,0 +1,167 @@
+"""FeatureStore facade: historical retrieval vs naive oracle,
+materialize/incremental checkpoints, latest-feature reads, ODFV.
+
+Fixture mirrors the reference's driver_test_data.py shapes (FIXTURES §4):
+a feature table with deliberate duplicate+late rows so created_ts
+tie-breaking is exercised (driver_test_data.py:88-178 plants those)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_spark.core import Entity, FeatureStore, FeatureView, Field, OnDemandFeatureView, ParquetSource
+
+
+def _mk(ts: str) -> datetime:
+    return datetime.fromisoformat(ts)
+
+
+@pytest.fixture(scope="module")
+def repo(tmp_path_factory, spark):
+    root = tmp_path_factory.mktemp("fs_repo")
+    rng = np.random.default_rng(0)
+
+    # feature rows: 5 drivers x hourly stats, plus duplicate keys with a
+    # later created ts and a sentinel value (must win the dedup)
+    rows = []
+    for d in range(5):
+        for h in range(24):
+            rows.append(
+                {
+                    "driver_id": d,
+                    "event_timestamp": _mk("2024-01-01") + timedelta(hours=h),
+                    "created": _mk("2024-01-02"),
+                    "conv_rate": float(rng.random()),
+                    "trips": int(rng.integers(0, 100)),
+                }
+            )
+    dup = dict(rows[10])
+    dup["created"] = _mk("2024-01-03")
+    dup["conv_rate"] = 999.0
+    rows.append(dup)
+    feats = pd.DataFrame(rows)
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")  # Spark can't read NANOS
+    fpath = str(root / "driver_stats.parquet")
+    feats.to_parquet(fpath)
+
+    store = FeatureStore(spark, str(root))
+    driver = Entity("driver", "driver_id")
+    fv = FeatureView(
+        name="driver_stats",
+        entities=[driver],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "int64"), Field("conv_rate", "float64"), Field("trips", "int64")],
+        ttl_seconds=6 * 3600,
+    )
+
+    def add_rate_per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["rate_per_trip"] = pdf["conv_rate"] / (pdf["trips"] + 1)
+        return pdf
+
+    odfv = OnDemandFeatureView(
+        name="derived", udf=add_rate_per_trip,
+        schema=[Field("rate_per_trip", "double")],
+    )
+    store.apply([fv, odfv])
+    return store, feats
+
+
+def _naive_pit(feats: pd.DataFrame, driver_id: int, ts: datetime, ttl_s: int):
+    """feature_records.py:23-47 find_latest_record shape."""
+    rows = feats[
+        (feats.driver_id == driver_id)
+        & (feats.event_timestamp <= ts)
+        & (feats.event_timestamp >= ts - timedelta(seconds=ttl_s))
+    ]
+    if rows.empty:
+        return None
+    return rows.sort_values(["event_timestamp", "created"]).iloc[-1]
+
+
+def test_historical_features_match_naive_oracle(spark, repo):
+    store, feats = repo
+    entity_rows = [
+        (d, _mk("2024-01-01") + timedelta(hours=h, minutes=30))
+        for d in range(5)
+        for h in [0, 3, 11, 23]
+    ] + [(0, _mk("2023-12-31"))]  # before any feature -> NULL
+    entity_df = spark.createDataFrame(
+        pd.DataFrame(entity_rows, columns=["driver_id", "event_timestamp"])
+    )
+    got = (
+        store.get_historical_features(
+            entity_df, ["driver_stats:conv_rate", "driver_stats:trips"]
+        )
+        .toPandas()
+        .sort_values(["driver_id", "event_timestamp"])
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        exp = _naive_pit(feats, row.driver_id, row.event_timestamp, 6 * 3600)
+        if exp is None:
+            assert pd.isna(row.conv_rate)
+        else:
+            assert row.conv_rate == exp.conv_rate, (row.driver_id, row.event_timestamp)
+            assert row.trips == exp.trips
+
+
+def test_created_ts_tiebreak_wins(spark, repo):
+    store, feats = repo
+    # the planted duplicate (driver 0, hour 10) has created one day later
+    # and conv_rate 999 — the PIT join must surface it
+    entity_df = spark.createDataFrame(
+        pd.DataFrame([(0, _mk("2024-01-01") + timedelta(hours=10, minutes=5))],
+                     columns=["driver_id", "event_timestamp"])
+    )
+    got = store.get_historical_features(entity_df, ["driver_stats:conv_rate"]).toPandas()
+    assert got.conv_rate.iloc[0] == 999.0
+
+
+def test_odfv_appends_columns(spark, repo):
+    store, _ = repo
+    entity_df = spark.createDataFrame(
+        pd.DataFrame([(1, _mk("2024-01-01") + timedelta(hours=5))],
+                     columns=["driver_id", "event_timestamp"])
+    )
+    got = store.get_historical_features(
+        entity_df,
+        ["driver_stats:conv_rate", "driver_stats:trips", "derived:rate_per_trip"],
+    ).toPandas()
+    assert "rate_per_trip" in got.columns
+    assert got.rate_per_trip.iloc[0] == pytest.approx(
+        got.conv_rate.iloc[0] / (got.trips.iloc[0] + 1)
+    )
+
+
+def test_materialize_and_latest_read(spark, repo):
+    store, feats = repo
+    out = store.materialize("driver_stats", _mk("2024-01-01"), _mk("2024-01-02"))
+    got = out.toPandas()
+    assert len(got) == 5  # one latest row per driver
+    # driver 0's latest within window is hour 23
+    assert got[got.driver_id == 0].event_timestamp.iloc[0] == _mk("2024-01-01") + timedelta(hours=23)
+
+    latest = store.get_latest_features("driver_stats").toPandas()
+    assert len(latest) == 5
+
+    # staleness nulling: as_of far in the future + ttl -> features nulled
+    stale = store.get_latest_features(
+        "driver_stats", as_of=_mk("2024-06-01")
+    ).toPandas()
+    assert stale.conv_rate.isna().all()
+
+
+def test_materialize_incremental_resumes(spark, repo):
+    store, _ = repo
+    assert store.registry.most_recent_end_time("driver_stats") == _mk("2024-01-02")
+    out = store.materialize_incremental("driver_stats", _mk("2024-01-03"))
+    assert len(out.toPandas()) == 5
+    assert store.registry.most_recent_end_time("driver_stats") == _mk("2024-01-03")
