@@ -415,6 +415,123 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, dim=64, num_bits=8)
 
 
+def q_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.3 semi/anti joins ("available for free in Spark"): customers with
+    # orders but no high-value order
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    has_order = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return has_order.join(
+        big, has_order.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.7 INTERSECT/EXCEPT: (user, day) pairs with clicks but no errors
+    ev = _t(spark, sf, "events")
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+    )
+    errors = (
+        ev.filter("event_type = 'error'")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+    )
+    return clicks.subtract(errors)
+
+
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.4 rollup ("free in Spark"): order counts by (status, priority)
+    # with subtotals
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_pit_created_cutoff(spark: SparkSession, sf: str) -> DataFrame:
+    # created-timestamp cutoff: blank features created after entity ts,
+    # keep the row (offline_store.py:454-462, dask.py:1203-1226).
+    # Deterministic created column: click created = ts + (event_id % 3) hours
+    from feast_spark.operators import point_in_time_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value",
+        (F.col("ts") + F.make_interval(hours=F.col("event_id") % 3)).alias("created"),
+    )
+    out = point_in_time_join(
+        purchases, clicks, ["user_id"],
+        feature_ts_col="ts", entity_ts_col="ts",
+        created_ts_col="created", created_cutoff=True,
+    )
+    return out.select("user_id", "ts", F.col("value").alias("last_click_value"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-cosine near-dup pairs (brute force; LSH path is
+    # ann_lsh_topk). Low threshold so pairs exist on random test vectors.
+    from feast_spark.operators.similarity import _dot_expr, _norm_expr
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).filter(F.col("id") < 200)
+    a = emb.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sims = pairs.withColumn(
+        "cosine",
+        F.expr(_dot_expr("va", "vb"))
+        / (F.expr(_norm_expr("va")) * F.expr(_norm_expr("vb"))),
+    )
+    return sims.filter(F.col("cosine") > 0.35).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # rolling-hash document fingerprint (xxhash64 of normalized text) —
+    # rows-only (DuckDB lacks xxhash64)
+    from feast_spark.functions import doc_fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_image_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    # multimodal: binary image column -> typed metadata (stub codec;
+    # rows-only). Payloads derived deterministically from doc_id.
+    from feast_spark.functions.multimodal import image_metadata
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+
+    def make(batches):
+        from feast_spark.functions.multimodal import encode_fake_image
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["doc_id"],
+                    "data": [
+                        encode_fake_image(64 + int(i) % 128, 48 + int(i) % 64, int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    imgs = d.mapInPandas(make, "img_id long, data binary")
+    return image_metadata(imgs, "data", "img_id")
+
+
 def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from feast_spark.fixtures import transcripts_spark
     from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
@@ -456,6 +573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": q_doc_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "semi_anti_join": q_semi_anti_join,
+        "intersect_except": q_intersect_except,
+        "rollup_orders": q_rollup_orders,
+        "pit_created_cutoff": q_pit_created_cutoff,
+        "embedding_neardup": q_embedding_neardup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "image_metadata": q_image_metadata,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -686,7 +810,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine_r
             FROM ranked WHERE rank <= 5
         """,
+        "semi_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+        """,
+        "intersect_except": """
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d
+            FROM events WHERE event_type = 'error'
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pit_created_cutoff": """
+            WITH entity AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT user_id, ts AS fts, value,
+                     ts + (event_id % 3) * INTERVAL 1 HOUR AS created
+              FROM events WHERE event_type = 'click'
+            ), base AS (
+              SELECT e.user_id, e.ts, f.fts, f.created, f.value
+              FROM entity e JOIN feat f
+                ON e.user_id = f.user_id AND f.fts <= e.ts
+            ), latest AS (
+              SELECT user_id, ts, value, created, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, ts ORDER BY fts DESC, created DESC) AS rn
+              FROM base
+            )
+            SELECT e.user_id, e.ts,
+                   CASE WHEN l.created <= e.ts THEN l.value END AS last_click_value
+            FROM entity e LEFT JOIN latest l
+              ON e.user_id = l.user_id AND e.ts = l.ts AND l.rn = 1
+        """,
+        "embedding_neardup": """
+            WITH emb AS (
+              SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 200
+            ), sims AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+                                            CAST(b.v AS DOUBLE[])) AS cosine
+              FROM emb a JOIN emb b ON a.id < b.id
+            )
+            SELECT id_a, id_b, ROUND(cosine, 4) AS cosine_r
+            FROM sims WHERE cosine > 0.35
+        """,
         # doc_minhash_pairs / doc_simhash_pairs / ann_lsh_topk /
-        # doc_quality_scores / transcript_pipeline: hash- and model-based
-        # operators with no faithful ANSI-SQL equivalent -> rows-only check.
+        # doc_quality_scores / doc_fingerprint / image_metadata /
+        # transcript_pipeline: hash-, model-, and codec-based operators with
+        # no faithful ANSI-SQL equivalent -> rows-only check.
     }
