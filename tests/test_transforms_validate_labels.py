@@ -1,0 +1,104 @@
+"""§2.9 transformation modes, §2.2 schema validation, LabelView conflict
+resolution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_spark.functions.transforms import (
+    infer_output_schema,
+    python_transform,
+    spark_sql_transform,
+)
+from feast_spark.operators.labels import (
+    resolve_labeler_priority,
+    resolve_last_write_wins,
+    resolve_majority_vote,
+)
+from feast_spark.operators.validate import validate_schema
+
+
+def test_python_transform_dict_mode(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3], "b": [1.0, 2.0, 3.0]}))
+    def udf(cols):
+        return {"a": cols["a"], "c": cols["a"] * 2 + cols["b"]}
+    out = python_transform(df, udf, "a long, c double").toPandas().sort_values("a")
+    assert out.c.tolist() == [3.0, 6.0, 9.0]
+
+
+def test_spark_sql_transform(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3, 4]}))
+    def udf(view):
+        return f"SELECT count(*) AS n, sum(x) AS s FROM {view} WHERE x > 1"
+    out = spark_sql_transform(spark, udf, {"tv_x": df}).first()
+    assert out.n == 3 and out.s == 9
+
+
+def test_infer_output_schema():
+    def udf(pdf):
+        pdf["y"] = pdf["x"] * 1.5
+        pdf["z"] = pdf["x"].astype(str)
+        return pdf
+    ddl = infer_output_schema(udf, pd.DataFrame({"x": [1, 2]}))
+    assert ddl == "x long, y double, z string"
+
+
+def test_validate_schema_happy_and_sad(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "v": [1.5], "props": ['{"k": 1}']})
+    )
+    ok = validate_schema(df, {"id": "bigint", "v": "double"}, {"props": "k long"})
+    assert ok.ok
+
+    missing = validate_schema(df, {"id": "bigint", "nope": "string"})
+    assert not missing.ok and missing.missing_columns == ["nope"]
+
+    wrong = validate_schema(df, {"v": "timestamp"})
+    assert not wrong.ok and wrong.type_mismatches[0][0] == "v"
+
+    bad = spark.createDataFrame(pd.DataFrame({"props": ["{not json", '{"k":2}']}))
+    res = validate_schema(bad, {"props": "string"}, {"props": "k long"})
+    assert not res.ok and res.invalid_json_count == 1
+    with pytest.raises(ValueError):
+        res.raise_on_error()
+
+
+@pytest.fixture(scope="module")
+def labels_df(spark):
+    rows = [
+        # key, label, labeler priority, ts
+        (1, "keep", 1, "2024-01-01 00:00:00"),
+        (1, "drop", 2, "2024-01-01 01:00:00"),
+        (1, "keep", 1, "2024-01-02 00:00:00"),
+        (2, "drop", 3, "2024-01-01 00:00:00"),
+        (2, "keep", 1, "2024-01-05 00:00:00"),
+        # key 3: 1x keep, 1x drop -> majority tie -> 'drop' (lexicographic)
+        (3, "keep", 1, "2024-01-01 00:00:00"),
+        (3, "drop", 1, "2024-01-01 01:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "label", "priority", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
+
+
+def test_last_write_wins(labels_df):
+    out = resolve_last_write_wins(labels_df, ["entity_id"], "ts").toPandas()
+    out = out.set_index("entity_id").label
+    assert out[1] == "keep" and out[2] == "keep" and out[3] == "drop"
+
+
+def test_labeler_priority(labels_df):
+    out = resolve_labeler_priority(
+        labels_df, ["entity_id"], "label", "priority", "ts"
+    ).toPandas().set_index("entity_id").label
+    assert out[1] == "drop" and out[2] == "drop"
+
+
+def test_majority_vote_with_tiebreak(labels_df):
+    out = resolve_majority_vote(labels_df, ["entity_id"], "label").toPandas()
+    got = out.set_index("entity_id").label
+    assert got[1] == "keep"      # 2 keep vs 1 drop
+    assert got[3] == "drop"      # 1-1 tie -> lexicographically smallest
+    assert out.set_index("entity_id").n_votes[1] == 3
