@@ -415,6 +415,40 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, dim=64, num_bits=8)
 
 
+def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # session windows (reference gap: SURVEY §2.10 "not implemented";
+    # native in Spark). 30-min inactivity gap per user.
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def q_pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    # pivot (§2.6/guide): per-user counts by event type as columns
+    ev = _t(spark, sf, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("n_click"),
+        F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        F.coalesce("error", F.lit(0)).alias("n_error"),
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     # §2.3 semi/anti joins ("available for free in Spark"): customers with
     # orders but no high-value order
@@ -573,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": q_doc_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "session_window_agg": q_session_window_agg,
+        "pivot_event_types": q_pivot_event_types,
         "semi_anti_join": q_semi_anti_join,
         "intersect_except": q_intersect_except,
         "rollup_orders": q_rollup_orders,
@@ -809,6 +845,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine_r
             FROM ranked WHERE rank <= 5
+        """,
+        "session_window_agg": """
+            WITH ordered AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTES
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), sessions AS (
+              SELECT user_id, ts, value,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS session_value
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "pivot_event_types": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
         """,
         "semi_anti_join": """
             SELECT c_custkey, c_name FROM customer c

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feast_spark.core.model import (
-    BatchFeatureView,
     FeatureService,
     FeatureView,
     OnDemandFeatureView,

@@ -102,46 +102,29 @@ def score_transcripts(
     return transcripts.mapInPandas(score_batches, SCORED_SCHEMA)
 
 
-def _reverse_alphabet(col):
-    # lexicographic-MIN via max_by: map a..z -> z..a so the struct max picks
-    # the smallest language on count ties (deterministic mode, SURVEY §7)
-    return F.translate(
-        col, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba"
-    )
-
-
 def conversation_features(
     scored: DataFrame, created_ts: datetime
 ) -> DataFrame:
     """Stage 3: keyed conversation feature rows (FIXTURES §2 schema).
 
-    Two hash aggregations on the same key (Catalyst reuses the exchange);
-    both benefit from map-side partial aggregation, so mega-conversations
-    do not skew the shuffle.
+    ONE hash aggregation (map-side partial combine, so mega-conversations
+    do not skew the shuffle). ``mode(lang, true)`` is Spark's deterministic
+    mode — ties resolve to the lexicographically smallest value, matching
+    the oracle's sorted-tie-break exactly (SURVEY §7 determinism).
     """
     # empty turns carry the sentinel perplexity (rules._PPL_EMPTY) — exclude
     # zero-word turns from the mean so one blank turn can't poison a conv
-    base = scored.groupBy("conv_id").agg(
+    return scored.groupBy("conv_id").agg(
         F.avg(F.when(F.col("word_count") > 0, F.col("perplexity"))).alias(
             "mean_perplexity"
         ),
         F.avg(F.col("tool").isNotNull().cast("double")).alias("tool_call_density"),
         F.count(F.lit(1)).alias("n_turns"),
         F.max("ts").alias("ts"),
-    )
-    lang_counts = scored.groupBy("conv_id", "lang").agg(F.count(F.lit(1)).alias("cnt"))
-    lang_mode = lang_counts.groupBy("conv_id").agg(
-        F.max_by(
-            "lang", F.struct(F.col("cnt"), _reverse_alphabet(F.col("lang")))
-        ).alias("lang_mode")
-    )
-    return (
-        base.join(lang_mode, "conv_id")
-        .withColumn("created_ts", F.lit(created_ts))
-        .select(
-            "conv_id", "ts", "created_ts",
-            "mean_perplexity", "lang_mode", "tool_call_density", "n_turns",
-        )
+        F.expr("mode(lang, true)").alias("lang_mode"),
+    ).select(
+        "conv_id", "ts", F.lit(created_ts).alias("created_ts"),
+        "mean_perplexity", "lang_mode", "tool_call_density", "n_turns",
     )
 
 

@@ -115,11 +115,25 @@ _TOX_PATTERN = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 
 
 def scrub_text(texts: pd.Series) -> pd.Series:
-    """Apply PII + toxicity scrub patterns in fixed order (vectorized)."""
+    """Apply PII + toxicity scrub patterns in fixed order (vectorized).
+
+    A cheap prescan (one char-class pass) gates the 5 PII replacements to
+    rows that could possibly match (every PII pattern requires a digit or
+    '@'); the toxicity replace is gated on its own match scan. On mostly
+    clean corpora this cuts 6 full regex passes to ~1-2."""
     out = texts.fillna("")
-    for _name, pat, repl in SCRUB_PATTERNS:
-        out = out.str.replace(pat, repl, regex=True)
-    out = out.str.replace(_TOX_PATTERN, "<TOX>", regex=True)
+    pii_candidates = out.str.contains(r"[@0-9]", regex=True)
+    if pii_candidates.any():
+        sub = out[pii_candidates]
+        for _name, pat, repl in SCRUB_PATTERNS:
+            sub = sub.str.replace(pat, repl, regex=True)
+        out = out.copy()
+        out[pii_candidates] = sub
+    tox_hits = out.str.contains(_TOX_PATTERN, regex=True)
+    if tox_hits.any():
+        sub = out[tox_hits].str.replace(_TOX_PATTERN, "<TOX>", regex=True)
+        out = out.copy()
+        out[tox_hits] = sub
     return out
 
 
@@ -171,13 +185,15 @@ def _gram_hashes(codes: np.ndarray) -> np.ndarray:
     return ((h * _MIX) >> np.uint64(64 - _LOGM)).astype(np.int64)
 
 
+# full-codepoint prob table (8.9 MB, built once at import): one gather per
+# char instead of branchy np.where chains — same values by construction
+_CP_TABLE = np.full(0x110000, _P_FLOOR)
+_CP_TABLE[:128] = _CHAR_P
+_CP_TABLE[0x4E00 : 0x9FFF + 1] = _CJK_P
+
+
 def _char_probs(codes: np.ndarray) -> np.ndarray:
-    p = np.where(
-        codes < 128,
-        _CHAR_P[np.minimum(codes, 127)],
-        np.where((codes >= 0x4E00) & (codes <= 0x9FFF), _CJK_P, _P_FLOOR),
-    )
-    return p
+    return _CP_TABLE[codes]
 
 
 def _train_table() -> np.ndarray:
@@ -271,26 +287,31 @@ def heuristic_stats(texts: pd.Series) -> pd.DataFrame:
     )
     stopword_ratio = sw_hits / denom_w
 
-    # top word-bigram repetition fraction (Gopher "top 2-gram" analogue)
+    # top word-bigram repetition fraction (Gopher "top 2-gram" analogue).
+    # Pure-integer path: factorize tokens -> bigram = pair of codes ->
+    # lexsort + run-length counting (no string concatenation; identical
+    # counts to the string-bigram formulation).
     top2 = np.zeros(n, dtype=np.float64)
     if len(rows) > 1:
         same = rows[1:] == rows[:-1]
         if same.any():
+            codes, _uniq = pd.factorize(flat)
+            k = np.int64(len(_uniq) + 1)
             bg_rows = rows[:-1][same]
-            bg = pd.DataFrame(
-                {
-                    "row": bg_rows,
-                    "big": np.char.add(
-                        np.char.add(tok_vals[:-1][same].astype(str), " "),
-                        tok_vals[1:][same].astype(str),
-                    ),
-                }
-            )
-            counts = bg.groupby(["row", "big"], sort=False).size()
-            maxc = counts.groupby(level=0).max()
-            top2[maxc.index.to_numpy()] = (
-                2.0 * maxc.to_numpy(dtype=np.float64)
-            ) / denom_w[maxc.index.to_numpy()]
+            bg_codes = codes[:-1][same].astype(np.int64) * k + codes[1:][same]
+            order = np.lexsort((bg_codes, bg_rows))
+            r2, b2 = bg_rows[order], bg_codes[order]
+            new = np.ones(len(r2), dtype=bool)
+            new[1:] = (r2[1:] != r2[:-1]) | (b2[1:] != b2[:-1])
+            starts = np.nonzero(new)[0]
+            cnt = np.diff(np.append(starts, len(r2)))
+            grp_rows = r2[starts]
+            row_new = np.ones(len(grp_rows), dtype=bool)
+            row_new[1:] = grp_rows[1:] != grp_rows[:-1]
+            row_starts = np.nonzero(row_new)[0]
+            maxc = np.maximum.reduceat(cnt, row_starts)
+            rows_u = grp_rows[row_starts]
+            top2[rows_u] = 2.0 * maxc / denom_w[rows_u]
 
     return pd.DataFrame(
         {
