@@ -566,6 +566,48 @@ def q_image_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return image_metadata(imgs, "data", "img_id")
 
 
+def q_historical_two_views(spark: SparkSession, sf: str) -> DataFrame:
+    # FeatureStore.get_historical_features with TWO views accumulated
+    # left-to-right (dask.py:212-349 driver loop) through the facade
+    import tempfile
+
+    from feast_spark.core import Entity, FeatureStore, FeatureView, Field
+    from feast_spark.core.model import SparkSqlSource
+
+    _t(spark, sf, "events").createOrReplaceTempView("__events_src")
+    store = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_hist_"))
+    user = Entity("user", "user_id")
+    clicks = FeatureView(
+        "clicks",
+        [user],
+        SparkSqlSource(
+            "SELECT user_id, ts, value AS click_value FROM __events_src "
+            "WHERE event_type = 'click'",
+            timestamp_field="ts",
+        ),
+        schema=[Field("user_id", "int64"), Field("click_value", "float64")],
+    )
+    views = FeatureView(
+        "views",
+        [user],
+        SparkSqlSource(
+            "SELECT user_id, ts, value AS view_value FROM __events_src "
+            "WHERE event_type = 'view'",
+            timestamp_field="ts",
+        ),
+        schema=[Field("user_id", "int64"), Field("view_value", "float64")],
+    )
+    store.apply([clicks, views])
+    entity_df = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("event_timestamp"))
+    )
+    return store.get_historical_features(
+        entity_df, ["clicks:click_value", "views:view_value"]
+    )
+
+
 def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from feast_spark.fixtures import transcripts_spark
     from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
@@ -616,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "doc_fingerprint": q_doc_fingerprint,
         "image_metadata": q_image_metadata,
+        "historical_two_views": q_historical_two_views,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -925,6 +968,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, ROUND(cosine, 4) AS cosine_r
             FROM sims WHERE cosine > 0.35
+        """,
+        "historical_two_views": """
+            WITH entity AS (
+              SELECT user_id, ts AS event_timestamp FROM events
+              WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts, value AS click_value FROM events
+              WHERE event_type = 'click'
+            ), v AS (
+              SELECT user_id, ts, value AS view_value FROM events
+              WHERE event_type = 'view'
+            ), lc AS (
+              SELECT e.user_id, e.event_timestamp, f.click_value,
+                     ROW_NUMBER() OVER (PARTITION BY e.user_id, e.event_timestamp
+                                        ORDER BY f.ts DESC) AS rn
+              FROM entity e JOIN c f
+                ON e.user_id = f.user_id AND f.ts <= e.event_timestamp
+            ), lv AS (
+              SELECT e.user_id, e.event_timestamp, f.view_value,
+                     ROW_NUMBER() OVER (PARTITION BY e.user_id, e.event_timestamp
+                                        ORDER BY f.ts DESC) AS rn
+              FROM entity e JOIN v f
+                ON e.user_id = f.user_id AND f.ts <= e.event_timestamp
+            )
+            SELECT e.user_id, e.event_timestamp, lc.click_value, lv.view_value
+            FROM entity e
+            LEFT JOIN lc ON e.user_id = lc.user_id
+                        AND e.event_timestamp = lc.event_timestamp AND lc.rn = 1
+            LEFT JOIN lv ON e.user_id = lv.user_id
+                        AND e.event_timestamp = lv.event_timestamp AND lv.rn = 1
         """,
         # doc_minhash_pairs / doc_simhash_pairs / ann_lsh_topk /
         # doc_quality_scores / doc_fingerprint / image_metadata /

@@ -69,7 +69,8 @@ class FeatureStore:
         features: list[str] | FeatureService,
         entity_ts_col: str = "event_timestamp",
         full_feature_names: bool = False,
-    ) -> DataFrame:
+        as_job: bool = False,
+    ):
         """Training frame: as-of join each referenced view onto entity_df.
 
         ``features`` are "view:feature" refs (utils._get_features,
@@ -104,6 +105,10 @@ class FeatureStore:
             )
         for odfv_name in dict.fromkeys(odfv_refs):
             out = self._odfvs[odfv_name].apply(out)
+        if as_job:
+            from feast_spark.core.retrieval import RetrievalJob
+
+            return RetrievalJob(out)
         return out
 
     # -- materialization -------------------------------------------------------

@@ -1,0 +1,69 @@
+"""Property-based robustness for the rule library (hypothesis).
+
+The rules run on arbitrary web text at 10^12-turn scale — they must never
+crash, must be batch-invariant (same row -> same result regardless of
+batch composition, the Arrow-batch execution model), and the scrubber
+must be idempotent (re-scrubbing scrubbed text is a no-op)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from feast_spark import rules
+
+# arbitrary unicode text, including controls, emoji, CJK, RTL
+texts_strategy = st.lists(
+    st.text(max_size=300) | st.none(),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy)
+def test_score_turns_never_crashes(raw):
+    s = pd.Series(raw, dtype=object)
+    out = rules.score_turns(s)
+    assert len(out) == len(s)
+    assert out["perplexity"].notna().all()
+    assert out["keep"].dtype == bool
+    # dropped rows always carry a reason; kept rows never do
+    kept = out["keep"].to_numpy()
+    reasons = out["drop_reason"].to_numpy()
+    assert all(r is None for r in reasons[kept])
+    assert all(r is not None for r in reasons[~kept])
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts_strategy)
+def test_batch_invariance(raw):
+    s = pd.Series(raw, dtype=object)
+    full = rules.score_turns(s)
+    # same rows scored inside a different batch composition
+    padded = pd.concat(
+        [pd.Series(["padding text row one two three"] * 3, dtype=object), s],
+        ignore_index=True,
+    )
+    sub = rules.score_turns(padded).iloc[3:].reset_index(drop=True)
+    assert full["keep"].tolist() == sub["keep"].tolist()
+    assert full["scrubbed_text"].tolist() == sub["scrubbed_text"].tolist()
+    assert np.allclose(full["perplexity"], sub["perplexity"], rtol=0, atol=0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_scrub_idempotent(text):
+    once = rules.scrub_text(pd.Series([text], dtype=object))
+    twice = rules.scrub_text(once)
+    assert once.iloc[0] == twice.iloc[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200))
+def test_perplexity_finite_and_positive(text):
+    ppl = rules.perplexity(pd.Series([text], dtype=object))
+    assert np.isfinite(ppl).all()
+    assert (ppl > 0).all()
