@@ -84,8 +84,9 @@ def test_complex_types_through_pit(spark, typed_repo):
     ).toPandas().sort_values("k").reset_index(drop=True)
     # latest row (hour 6) wins for each key; complex values survive intact
     assert [list(t) for t in got.tags] == [["t0", "h6"], ["t1", "h6"], ["t2", "h6"]]
-    assert got.attrs[0]["h"] == "6"
-    assert got.nested[1]["a"] == 16 and got.nested[1]["b"] == "s1"
+    # note: got.attrs would hit pandas' built-in DataFrame.attrs metadata
+    assert got["attrs"][0]["h"] == "6"
+    assert got["nested"][1]["a"] == 16 and got["nested"][1]["b"] == "s1"
 
 
 def test_complex_types_through_materialize(spark, typed_repo):
