@@ -48,6 +48,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "doc_quality_scores",
+    "session_window_agg",
+    "rollup_orders",
+    "historical_two_views",
+    "pit_created_cutoff",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
