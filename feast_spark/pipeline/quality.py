@@ -252,8 +252,17 @@ def run_quality_pipeline(
     deduped = dedup_latest_turns(transcripts)
     # scored fans out into conv-features AND the final label join — persist
     # so the python scoring pass runs exactly once (MEMORY_AND_DISK: spills
-    # instead of recomputing at 100 TB partition sizes)
+    # instead of recomputing at 100 TB partition sizes).
     scored = score_transcripts(deduped, cfg).persist()
+    # Materialization barrier: without it, the labels action launches the
+    # broadcast-subtree job (conv features) and the main job CONCURRENTLY,
+    # and since the cache is not yet populated, BOTH run the full
+    # dedup+score stage — observed as two identical 16-task jobs in the
+    # event log, doubling the heavy work. One count() fills the cache
+    # first; every downstream job then scans the cache. (At warehouse
+    # scale the equivalent barrier is writing `scored` to a table between
+    # phases — SURVEY §4 "prefer write-to-Iceberg between phases".)
+    scored.count()
     conv = conversation_features(scored, created_ts=started_at)
 
     if feature_table_path:
