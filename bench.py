@@ -120,8 +120,13 @@ def _scale_subprocess(cpus: int, corpus: str) -> dict:
         capture_output=True, text=True, timeout=1200,
         env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scale-run cpus={cpus} failed (rc={out.returncode}); "
+            f"stderr tail: {out.stderr.strip()[-800:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

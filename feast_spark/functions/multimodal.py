@@ -121,6 +121,8 @@ def frame_sample(
         for pdf in batches:
             out_id, out_frame = [], []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
+                # the codec boundary: raises NotImplementedError unless fake
+                _, _, _ = _decode_one(bytes(b), fake)
                 _, _, seed = struct.unpack_from(HEADER_FMT, bytes(b))[1:]
                 n_frames = (seed % 50) + every_n  # stub: header-declared length
                 for f in range(0, n_frames, every_n):

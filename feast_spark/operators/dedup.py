@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from feast_spark import textkit
+
 # 2^31-1: keeps a*x + b inside int64 under ANSI arithmetic (a, x < 2^31)
 _MERSENNE = (1 << 31) - 1
 
@@ -54,30 +56,16 @@ def _shingle_hashes(text_col: str, k: int) -> str:
     )
 
 
-_SH_B = np.uint64(1000003)
-_SH_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
 def _shingle_hash_batch(texts: pd.Series, k: int) -> list[np.ndarray]:
     """Distinct rolling k-gram hashes per text — one numpy pass per Arrow
-    batch (flat codepoint array + boundary masking, as in rules.perplexity).
-    Hashes are int64 (sign-preserving cast of the mixed uint64)."""
-    filled = texts.fillna("").astype(str).str.lower()
-    joined = "".join(filled.tolist())
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    lens = filled.str.len().to_numpy(dtype=np.int64)
+    batch over the shared textkit kernel. Hashes are int64
+    (sign-preserving cast of the mixed uint64)."""
+    codes, lens = textkit.flat_codes(texts)
     n = len(lens)
-    doc = np.repeat(np.arange(n), lens)
-
     out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n
-    if len(codes) >= k:
-        h = codes[: len(codes) - k + 1].copy()
-        for j in range(1, k):
-            h = h * _SH_B + codes[j : len(codes) - k + 1 + j]
-        h = (h * _SH_MIX).view(np.int64)
-        gdoc = doc[k - 1 :]
-        valid = doc[: len(codes) - k + 1] == gdoc
-        h, gdoc = h[valid], gdoc[valid]
+    h_u, gdoc = textkit.rolling_kgram_hashes(codes, lens, k)
+    if len(h_u):
+        h = h_u.view(np.int64)
         order = np.lexsort((h, gdoc))
         h, gdoc = h[order], gdoc[order]
         keep = np.ones(len(h), dtype=bool)
@@ -88,13 +76,18 @@ def _shingle_hash_batch(texts: pd.Series, k: int) -> list[np.ndarray]:
 
     # short texts (< k chars): hash the whole text, matching the SQL
     # fallback's "one shingle" contract
+    doc = np.repeat(np.arange(n), lens)
+    codes64 = codes.astype(np.uint64)
     for i in np.nonzero((lens > 0) & (lens < k))[0]:
         s, e = doc.searchsorted(i, "left"), doc.searchsorted(i, "right")
-        c = codes[s:e]
+        c = codes64[s:e]
         hh = c[0] if len(c) else np.uint64(0)
         for x in c[1:]:
-            hh = hh * _SH_B + x
-        out[i] = np.array([np.int64((hh * _SH_MIX).astype(np.uint64).view(np.int64))], dtype=np.int64)
+            hh = hh * textkit.HASH_BASE + x
+        out[i] = np.array(
+            [np.int64((hh * textkit.HASH_MIX).astype(np.uint64).view(np.int64))],
+            dtype=np.int64,
+        )
     return out
 
 
@@ -180,7 +173,11 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # (id, shingles) persisted: shingle extraction (the expensive string
-    # hashing) runs once, reused by the min-sig pass and the verify joins
+    # hashing) runs once, reused by the min-sig pass and the verify joins.
+    # NOTE: the cache is intentionally left alive (the returned DataFrame
+    # references it lazily); long-lived drivers running many dedup passes
+    # should call spark.catalog.clearCache() between passes or materialize
+    # the result and unpersist via the plan's InMemoryRelation.
     sh = _shingle_table(df, id_col, text_col, shingle_k).persist()
     mins = _min_sig_columns(sh, num_hashes, seed)
 
@@ -250,13 +247,18 @@ def ngram_jaccard_pairs(
     Quadratic in docs sharing an n-gram; use for verification and small
     corpora, MinHash-LSH for scale.
     """
+    # docs with fewer than n words emit NO grams (empty array -> explode
+    # drops the row), matching the SQL-oracle semantics exactly — a
+    # truncated pseudo-gram would pair up unrelated one-word docs
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.expr(
+                f"CASE WHEN size(split(trim(lower({text_col})), '\\\\s+')) >= {n} THEN "
                 f"array_distinct(transform("
-                f"  sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n} + 1, 1)),"
+                f"  sequence(1, size(split(trim(lower({text_col})), '\\\\s+')) - {n} + 1),"
                 f"  i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}))))"
+                f" ELSE array() END"
             )
         ).alias("gram"),
     )
@@ -282,30 +284,15 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_batch(texts: pd.Series, k: int = 4) -> np.ndarray:
-    """Vectorized 64-bit simhash over char k-gram hashes (numpy, one pass).
-
-    Uses the same flattened-codepoint layout as rules.perplexity: all rows
-    concatenated, per-gram 64-bit rolling hash, then 64 sign-sums per doc
-    via bincount — no per-row Python.
+    """Vectorized 64-bit simhash over char k-gram hashes (numpy, one pass
+    over the shared textkit kernel): per-gram rolling hash, then 64
+    sign-sums per doc via bincount — no per-row Python.
     """
-    filled = texts.fillna("").astype(str).str.lower()
-    joined = "".join(filled.tolist())
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    lens = filled.str.len().to_numpy(dtype=np.int64)
+    codes, lens = textkit.flat_codes(texts)
     n = len(lens)
-    out = np.zeros(n, dtype=np.uint64)
-    if len(codes) < k:
-        return out.view(np.int64)
-    B = np.uint64(1000003)
-    h = codes[: len(codes) - k + 1].copy()
-    for j in range(1, k):
-        h = h * B + codes[j : len(codes) - k + 1 + j]
-    h *= np.uint64(0x9E3779B97F4A7C15)
-    doc = np.repeat(np.arange(n), lens)
-    gdoc = doc[k - 1 :]
-    valid = doc[: len(codes) - k + 1] == gdoc
-    h = h[valid]
-    gdoc = gdoc[valid]
+    h, gdoc = textkit.rolling_kgram_hashes(codes, lens, k)
+    if len(h) == 0:
+        return np.zeros(n, dtype=np.uint64).view(np.int64)
     counts = np.bincount(gdoc, minlength=n).astype(np.int64)
     sim = np.zeros(n, dtype=np.uint64)
     for b in range(64):

@@ -103,10 +103,11 @@ def pull_latest(
     end: datetime | str | None = None,
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Newest row per key within the window (spark.py:98-166)."""
+    """Newest row per key within [start, end] — inclusive bounds, matching
+    the reference's BETWEEN (spark.py:98-166)."""
     out = df
     if start is not None:
-        out = out.filter(F.col(ts_col) > F.lit(start))
+        out = out.filter(F.col(ts_col) >= F.lit(start))
     if end is not None:
         out = out.filter(F.col(ts_col) <= F.lit(end))
     cols = [*join_keys, *feature_cols, ts_col]

@@ -34,16 +34,12 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feast_spark.functions.text import row_id as _row_id
+
 ROW_ID = "__entity_row_id"
-
-
-def _row_id(keys: list[str], ts_col: str) -> Column:
-    parts = [F.coalesce(F.col(k).cast("string"), F.lit("__null__")) for k in keys]
-    parts.append(F.col(ts_col).cast("string"))
-    return F.sha2(F.concat_ws("\x1f", *parts), 256)
 
 
 def point_in_time_join(
@@ -59,6 +55,8 @@ def point_in_time_join(
     broadcast_features: bool = False,
     created_cutoff: bool = False,
     entity_ts_bounds: tuple[datetime, datetime] | None = None,
+    push_time_bounds: bool = False,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """As-of join ``feature_df`` onto ``entity_df``.
 
@@ -70,6 +68,17 @@ def point_in_time_join(
     ``created_cutoff=True`` additionally nulls features whose
     ``created_ts > entity_ts`` (no-backfill-leakage flag,
     ``offline_store.py:454-462``, ``dask.py:1203-1226``).
+
+    The entity-range time bound on the feature scan is an OPTIMIZATION
+    (correctness comes from the join predicates): pass
+    ``entity_ts_bounds`` when the range is known (cheap, keeps the plan
+    lazy), or ``push_time_bounds=True`` to pre-scan the entity frame for
+    it (an eager min/max job — avoid inside multi-view accumulation where
+    it re-executes every upstream join; SURVEY §4 keeps the ttl-derived
+    bound explicit because Catalyst cannot derive it).
+
+    ``tiebreak_cols`` pins determinism when (ts, created_ts) is not a
+    total order over a key's feature rows.
     """
     if features is None:
         reserved = set(join_keys) | {feature_ts_col, created_ts_col}
@@ -83,14 +92,14 @@ def point_in_time_join(
 
     # time-bounded feature scan: push entity ts range ± ttl into the scan.
     # The ttl-derived bound is semantic — Catalyst can't infer it (SURVEY §4).
-    # Callers that know the range (e.g. constant decision_ts) pass
-    # entity_ts_bounds to skip the min/max pre-scan of the entity table.
     if entity_ts_bounds is not None:
         lo_hi = {"lo": entity_ts_bounds[0], "hi": entity_ts_bounds[1]}
-    else:
+    elif push_time_bounds:
         lo_hi = entity_df.agg(
             F.min(entity_ts_col).alias("lo"), F.max(entity_ts_col).alias("hi")
         ).first()
+    else:
+        lo_hi = None
     fdf = feature_df
     if lo_hi is not None and lo_hi["hi"] is not None:
         hi: datetime = lo_hi["hi"]
@@ -126,6 +135,8 @@ def point_in_time_join(
     order = [F.col("__feature_ts").desc()]
     if created_ts_col:
         order.append(F.col("__created_ts").desc())
+    for c in tiebreak_cols or []:
+        order.append(F.col(f"__f_{c}").desc())
     w = Window.partitionBy(ROW_ID).orderBy(*order)
     latest = (
         base.withColumn("__rn", F.row_number().over(w))

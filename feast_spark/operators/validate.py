@@ -15,13 +15,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# widening conversions considered compatible (nodes.py:676-690 analogue)
+# Spark simpleString() names and common aliases normalize to one canonical
+# form, so callers may declare either 'long' or 'bigint' etc.
+_ALIASES = {
+    "bigint": "long", "integer": "int", "smallint": "short",
+    "tinyint": "byte", "string": "string", "varchar": "string",
+    "real": "float", "timestamp_ntz": "timestamp",
+}
+
+
+def _canon_type(name: str) -> str:
+    name = name.strip().lower()
+    return _ALIASES.get(name, name)
+
+
+# widening conversions considered compatible (nodes.py:676-690 analogue),
+# keyed by canonical names
 _COMPATIBLE: dict[str, set[str]] = {
-    "long": {"int", "long"},
-    "double": {"int", "long", "float", "double"},
-    "float": {"int", "float"},
+    "long": {"byte", "short", "int", "long"},
+    "int": {"byte", "short", "int"},
+    "double": {"byte", "short", "int", "long", "float", "double"},
+    "float": {"byte", "short", "int", "float"},
     "string": {"string"},
-    "timestamp": {"timestamp", "timestamp_ntz"},
+    "timestamp": {"timestamp"},
 }
 
 
@@ -52,11 +68,12 @@ def validate_schema(
     actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     missing = [c for c in expected if c not in actual]
     mismatches = []
-    for c, want in expected.items():
+    for c, want_raw in expected.items():
         if c in actual:
-            have = actual[c]
+            want = _canon_type(want_raw)
+            have = _canon_type(actual[c])
             if have != want and have not in _COMPATIBLE.get(want, {want}):
-                mismatches.append((c, want, have))
+                mismatches.append((c, want_raw, actual[c]))
 
     bad_json = 0
     if json_columns and not missing:

@@ -171,7 +171,11 @@ def _codes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a Series of strings to (uint32 codepoints, per-row lengths)."""
     filled = texts.fillna("").astype(str).str.lower()
     joined = "".join(filled.tolist())
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # surrogatepass: lone surrogates (legal in Python str) must hash, not
+    # raise — identical output for all valid text
+    codes = np.frombuffer(
+        joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
     lens = filled.str.len().to_numpy(dtype=np.int64)
     return codes, lens
 
