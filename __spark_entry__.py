@@ -490,6 +490,18 @@ def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube_events(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.4 cube (reference gap, free in Spark): counts/sums over all
+    # (event_type, user_id % 10) combinations incl. subtotals
+    ev = _t(spark, sf, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def q_pit_created_cutoff(spark: SparkSession, sf: str) -> DataFrame:
     # created-timestamp cutoff: blank features created after entity ts,
     # keep the row (offline_store.py:454-462, dask.py:1203-1226).
@@ -654,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "intersect_except": q_intersect_except,
         "rollup_orders": q_rollup_orders,
+        "cube_events": q_cube_events,
         "pit_created_cutoff": q_pit_created_cutoff,
         "embedding_neardup": q_embedding_neardup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -935,6 +948,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_events": """
+            SELECT event_type, user_id % 10 AS user_bucket,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY CUBE (event_type, (user_id % 10))
         """,
         "pit_created_cutoff": """
             WITH entity AS (
