@@ -967,8 +967,11 @@ def oracle_sql() -> dict[str, str]:
               FROM entity e JOIN feat f
                 ON e.user_id = f.user_id AND f.fts <= e.ts
             ), latest AS (
+              -- cutoff-before-dedup: qualified rows (created <= entity ts)
+              -- outrank every too-new row (dask.py:1203-1270)
               SELECT user_id, ts, value, created, ROW_NUMBER() OVER (
-                  PARTITION BY user_id, ts ORDER BY fts DESC, created DESC) AS rn
+                  PARTITION BY user_id, ts
+                  ORDER BY (created <= ts) DESC, fts DESC, created DESC) AS rn
               FROM base
             )
             SELECT e.user_id, e.ts,

@@ -100,3 +100,90 @@ def test_pit_join_no_eager_job_by_default(spark):
     )
     after = tracker.getJobIdsForGroup(None)
     assert before == after, "plan construction launched a Spark job"
+
+
+def test_pit_join_shared_lineage_no_ambiguity(spark):
+    # entity and feature frames filtered from ONE parent (the pit_last_click
+    # shape): must resolve by alias, produce the oracle answer, and raise no
+    # AnalysisException (round-1 finding #1)
+    parent = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "kind": ["e", "f", "f", "e"],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-02 00:00:00",
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 12:00:00",
+                        "2024-01-02 00:00:00",
+                    ]
+                ).astype("datetime64[us]"),
+                "v": [0.0, 1.0, 2.0, 0.0],
+            }
+        )
+    )
+    entity = parent.filter(F.col("kind") == "e").select("k", "ts")
+    feats = parent.filter(F.col("kind") == "f").select("k", "ts", "v")
+    out = (
+        point_in_time_join(entity, feats, ["k"], feature_ts_col="ts", entity_ts_col="ts")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert len(out) == 2
+    assert out.v.iloc[0] == 2.0 and pd.isna(out.v.iloc[1])
+
+
+def test_pit_created_cutoff_before_dedup(spark):
+    # backfill scenario (ADVICE r1 high): the LATEST row by ts is created
+    # after the entity ts, but an OLDER row qualifies -> the older row's
+    # value must win (reference masks too-new rows before _drop_duplicates,
+    # dask.py:1203-1270). Previously this returned NULL.
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "fts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-03 00:00:00"]
+                ).astype("datetime64[us]"),
+                "created": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-06-01 00:00:00"]
+                ).astype("datetime64[us]"),
+                "v": [1.0, 2.0],
+            }
+        )
+    )
+    entity = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1], "ets": pd.to_datetime(["2024-01-05"]).astype("datetime64[us]")}
+        )
+    )
+    out = point_in_time_join(
+        entity, feats, ["k"], feature_ts_col="fts", entity_ts_col="ets",
+        created_ts_col="created", created_cutoff=True,
+    ).toPandas()
+    assert len(out) == 1 and out.v.iloc[0] == 1.0
+
+
+def test_pit_created_cutoff_all_too_new_blanks(spark):
+    # every candidate too new -> blank, don't drop
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "fts": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+                "created": pd.to_datetime(["2024-06-01"]).astype("datetime64[us]"),
+                "v": [1.0],
+            }
+        )
+    )
+    entity = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1], "ets": pd.to_datetime(["2024-01-05"]).astype("datetime64[us]")}
+        )
+    )
+    out = point_in_time_join(
+        entity, feats, ["k"], feature_ts_col="fts", entity_ts_col="ets",
+        created_ts_col="created", created_cutoff=True,
+    ).toPandas()
+    assert len(out) == 1 and pd.isna(out.v.iloc[0])
