@@ -49,16 +49,20 @@ def resolve_labeler_priority(
 def resolve_majority_vote(
     df: DataFrame, keys: list[str], label_col: str
 ) -> DataFrame:
-    """Modal label per key; count ties break to the lexicographically
-    smallest label (deterministic under any partitioning)."""
+    """Modal label per key; count ties break to the exact lexicographically
+    smallest label (deterministic under any partitioning).
+
+    Two hash aggregations, no window sorts: per-(key,label) counts, then
+    min_by on (-cnt, label) — min over the struct is exactly (max count,
+    then smallest label) because struct comparison is field-ordered.
+    -cnt keeps the whole comparison a single MIN (no translate tricks —
+    the round-1 reverse-alphabet tie-break was wrong for prefix pairs and
+    non-letter labels)."""
     counts = df.groupBy(*keys, label_col).agg(F.count(F.lit(1)).alias("cnt"))
-    rev = F.translate(
-        F.lower(F.col(label_col)),
-        "abcdefghijklmnopqrstuvwxyz",
-        "zyxwvutsrqponmlkjihgfedcba",
-    )
     out = counts.groupBy(*keys).agg(
-        F.max_by(label_col, F.struct(F.col("cnt"), rev)).alias(label_col),
+        F.min_by(
+            label_col, F.struct((-F.col("cnt")).alias("neg"), F.col(label_col))
+        ).alias(label_col),
         F.sum("cnt").alias("n_votes"),
     )
     return out

@@ -53,14 +53,38 @@ def test_store_returns_job(spark, tmp_path):
 
 
 def test_entity_key_serde_roundtrip_and_canonical_order():
-    k = {"user_id": 42, "region": "eu", "score": 1.5, "blob": b"\x00\x01"}
+    k = {"user_id": 42, "region": "eu", "blob": b"\x00\x01"}
     buf = serialize_entity_key(k)
     assert deserialize_entity_key(buf) == k
     # key order must not matter (canonical sorted encoding,
-    # key_encoding_utils.py:12-123)
+    # key_encoding_utils.py:151-163)
     buf2 = serialize_entity_key(dict(reversed(list(k.items()))))
     assert buf == buf2
     assert serialize_entity_key({"a": 1}) != serialize_entity_key({"a": 2})
+
+
+def test_entity_key_v3_byte_layout_matches_reference():
+    # Expected bytes derived by hand from serialize_entity_key v3
+    # (key_encoding_utils.py:131-190): <I count | per sorted key:
+    # <I STRING(2) <I len name | per value: <I type <I len payload.
+    # Keys sort to [region, user_id]; values follow in the same order.
+    expected = bytes.fromhex(
+        "02000000"                      # 2 keys
+        "0200000006000000" + b"region".hex()
+        + "0200000007000000" + b"user_id".hex()
+        + "020000000200000065 75".replace(" ", "")   # STRING 'eu'
+        + "04000000080000002a00000000000000"          # INT64 42
+    )
+    assert serialize_entity_key({"user_id": 42, "region": "eu"}) == expected
+
+
+def test_entity_key_rejects_float_and_bool():
+    import pytest
+
+    with pytest.raises(TypeError):
+        serialize_entity_key({"score": 1.5})
+    with pytest.raises(TypeError):
+        serialize_entity_key({"flag": True})
 
 
 def test_partition_pruned_read_plan(spark, tmp_path):

@@ -102,3 +102,26 @@ def test_majority_vote_with_tiebreak(labels_df):
     assert got[1] == "keep"      # 2 keep vs 1 drop
     assert got[3] == "drop"      # 1-1 tie -> lexicographically smallest
     assert out.set_index("entity_id").n_votes[1] == 3
+
+
+def test_majority_vote_exact_lexicographic_tiebreak(spark):
+    import pandas as pd
+    from feast_spark.operators.labels import resolve_majority_vote
+
+    # prefix pair tie ('a' vs 'ab') and digit labels — the round-1
+    # reverse-translate tie-break got both wrong
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2, 2, 3, 3, 3],
+                "label": ["ab", "a", "9", "1", "x", "x", "y"],
+            }
+        )
+    )
+    out = (
+        resolve_majority_vote(df, ["k"], "label")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert out.label.tolist() == ["a", "1", "x"]
+    assert out.n_votes.tolist() == [2, 2, 3]
