@@ -35,6 +35,48 @@ from feast_spark import textkit
 # 2^31-1: keeps a*x + b inside int64 under ANSI arithmetic (a, x < 2^31)
 _MERSENNE = (1 << 31) - 1
 
+# cache lifecycle: every persist() issued by a dedup operator is registered
+# here; release_dedup_caches() (or the next operator call, which releases
+# the previous pass automatically) unpersists them. Bounds cached storage
+# to at most ONE pass's tables in long-lived drivers (round-1 finding #3).
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every cache registered by dedup operators; returns the
+    number released. Safe to call while results are still lazy — Spark
+    recomputes instead of erroring (you lose the reuse, not correctness)."""
+    n = len(_ACTIVE_CACHES)
+    for df in _ACTIVE_CACHES:
+        df.unpersist(blocking=False)
+    _ACTIVE_CACHES.clear()
+    return n
+
+
+def _cap_buckets(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop degenerate buckets larger than ``max_bucket_size`` before the
+    self-join (candidate count is quadratic within a bucket — a single
+    common-shingle bucket of 10^5 docs is 10^10 candidate pairs). The size
+    count shuffles on the SAME key as the join, so AQE coalesces the two
+    exchanges. Documented recall tradeoff: pairs living only in a dropped
+    bucket are missed (round-1 finding #6)."""
+    if not max_bucket_size:
+        return buckets
+    sizes = buckets.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    return (
+        buckets.join(sizes, bucket_cols)
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """dropDuplicates — reference upsert-pk dedup (dask.py:930)."""
@@ -163,22 +205,28 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    release_previous_caches: bool = True,
 ) -> DataFrame:
     """Candidate generation via banded LSH + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Jaccard is exact over the distinct shingle-hash sets (array_intersect /
     array_union sizes) — the MinHash estimate only gates candidates.
+
+    ``max_bucket_size`` caps degenerate band buckets (see
+    :func:`_cap_buckets`); caches from the previous dedup pass are released
+    on entry unless ``release_previous_caches=False`` — call
+    :func:`release_dedup_caches` after consuming the result to drop this
+    pass's cache too.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    if release_previous_caches:
+        release_dedup_caches()
     # (id, shingles) persisted: shingle extraction (the expensive string
     # hashing) runs once, reused by the min-sig pass and the verify joins.
-    # NOTE: the cache is intentionally left alive (the returned DataFrame
-    # references it lazily); long-lived drivers running many dedup passes
-    # should call spark.catalog.clearCache() between passes or materialize
-    # the result and unpersist via the plan's InMemoryRelation.
-    sh = _shingle_table(df, id_col, text_col, shingle_k).persist()
+    sh = _scoped_persist(_shingle_table(df, id_col, text_col, shingle_k))
     mins = _min_sig_columns(sh, num_hashes, seed)
 
     band_structs = ",".join(
@@ -195,6 +243,7 @@ def minhash_lsh_pairs(
     buckets = mins.select(
         "id", F.explode(F.expr(f"array({band_structs})")).alias("b")
     ).select("id", F.col("b.band"), F.col("b.bh"))
+    buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket_size)
 
     cand = (
         buckets.alias("l")
@@ -219,17 +268,95 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) — component = min id reachable, via alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Converges in O(log n) rounds; each
+    round is two hash aggregations + a localCheckpoint to cut lineage
+    (iterative plans otherwise grow exponentially in Catalyst).
+
+    Not in the reference (its dedup is exact-key only, ``dask.py:930``);
+    required so transitive near-dup chains (A~B~C with A≁C) collapse to
+    one cluster.
+    """
+    # undirected edge list, self-loops dropped, as (u, v) longs
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # each round works on the symmetrized edge list (the paper's map
+        # emits both (u,v) and (v,u))
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: connect every strictly-larger neighbor of u to
+        # min(N(u) ∪ {u})
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("m"))
+        large = (
+            sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"), F.least("m", F.col("u")).alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star: connect u and every smaller neighbor to the minimum
+        # of that set
+        small_base = sym.filter(F.col("v") < F.col("u"))
+        small_min = small_base.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_base.join(small_min, "u")
+            .select(F.col("v").alias("u2"), F.col("m"))
+            .select(F.col("u2").alias("u"), F.col("m").alias("v"))
+            .union(small_min.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        new_e = large.union(small).distinct().localCheckpoint()
+        # converged when the edge set is stable (star graphs are fixpoints)
+        if (
+            new_e.exceptAll(e).isEmpty()
+            and e.exceptAll(new_e).isEmpty()
+        ):
+            e = new_e
+            break
+        e = new_e
+    # star edges point node -> component min; add the roots themselves
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = comp.select(F.col("component").alias("id")).distinct().join(
+        comp.select("id"), "id", "left_anti"
+    )
+    return comp.union(
+        roots.select("id", F.col("id").alias("component"))
+    ).groupBy("id").agg(F.min("component").alias("component"))
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    transitive: bool = True,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: keep the smallest id of each duplicate pair
-    (single-link one hop — the standard streaming approximation; full
-    connected components would iterate the pair table)."""
+    """Drop near-duplicates, keeping the smallest id of each duplicate
+    CLUSTER. ``transitive=True`` (default) runs connected components over
+    the pair table so chains A~B~C collapse to {A}; ``transitive=False``
+    is the cheaper one-hop approximation (keeps A and C when only A~B,
+    B~C were found)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -315,20 +442,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.mapInPandas(run, "id long, simhash long")
 
 
+def _block_spans(num_blocks: int, total_bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) spans splitting ``total_bits`` into ``num_blocks``
+    nearly-equal contiguous blocks."""
+    base, extra = divmod(total_bits, num_blocks)
+    spans, off = [], 0
+    for i in range(num_blocks):
+        w = base + (1 if i < extra else 0)
+        spans.append((off, w))
+        off += w
+    return spans
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     hamming_threshold: int = 3,
+    max_bucket_size: int | None = None,
+    release_previous_caches: bool = True,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) with hamming <= threshold.
+    """(id_a, id_b, hamming) with hamming <= threshold — EXACT.
 
-    Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit blocks;
-    hamming<=3 implies at least one block matches exactly, so the self-join
-    only runs within block buckets. Verification via bit_count(xor) —
-    all JVM-side. The (id, simhash) table is persisted so the Python
-    hashing pass runs once, not once per join side."""
-    h = simhash(df, id_col, text_col).persist()
+    Pigeonhole blocking: split the 64-bit hash into ``threshold + 1``
+    contiguous blocks; hamming <= t implies at least one block matches
+    exactly (t differing bits cannot touch all t+1 blocks), so the
+    self-join only runs within block buckets and still finds EVERY
+    qualifying pair (round 1 used a fixed 4 blocks, which was only exact
+    for t <= 3). Verification via bit_count(xor) — all JVM-side.
+
+    Larger thresholds mean narrower blocks (64/(t+1) bits) and hotter
+    buckets — ``max_bucket_size`` caps the degenerate ones (recall
+    tradeoff, documented in :func:`_cap_buckets`). The (id, simhash)
+    table is persisted so the Python hashing pass runs once, not once per
+    join side; the cache is registered for :func:`release_dedup_caches`.
+    """
+    if hamming_threshold < 0 or hamming_threshold > 32:
+        raise ValueError("hamming_threshold must be in [0, 32]")
+    if release_previous_caches:
+        release_dedup_caches()
+    h = _scoped_persist(simhash(df, id_col, text_col))
+    spans = _block_spans(hamming_threshold + 1)
     blocks = h.select(
         "id",
         "simhash",
@@ -336,13 +490,15 @@ def simhash_dup_pairs(
             F.expr(
                 "array("
                 + ",".join(
-                    f"struct({i} as blk, shiftright(simhash, {i * 16}) & 65535 as bkey)"
-                    for i in range(4)
+                    f"struct({i} as blk, "
+                    f"shiftright(simhash, {off}) & {(1 << w) - 1} as bkey)"
+                    for i, (off, w) in enumerate(spans)
                 )
                 + ")"
             )
         ).alias("b"),
     ).select("id", "simhash", "b.blk", "b.bkey")
+    blocks = _cap_buckets(blocks, ["blk", "bkey"], max_bucket_size)
     cand = (
         blocks.alias("l")
         .join(

@@ -107,3 +107,122 @@ def test_lsh_topk_recall(emb):
     # lossy, but the planted NEAR duplicate must always survive bucketing
     assert recall >= 0.3, f"LSH recall {recall}"
     assert (0, 1) in approx_pairs
+
+
+def test_connected_components_chain_and_isolates(spark):
+    import pandas as pd
+    from feast_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (no direct 1-3), separate pair 10-11, long chain 20..24
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 2, 10, 20, 21, 22, 23],
+                "id_b": [2, 3, 11, 21, 22, 23, 24],
+            }
+        )
+    )
+    out = connected_components(pairs).toPandas().sort_values("id")
+    comp = dict(zip(out.id, out.component))
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    import pandas as pd
+    from feast_spark.operators.dedup import minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight while everyone sleeps quietly"
+    )
+    # A~B and B~C are near-dups, A and C differ more (transitive chain)
+    a = base
+    b = base.replace("quick", "swift")
+    c = base.replace("quick", "swift").replace("lazy", "idle")
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [a, b, c, "completely different content here about cooking pasta recipes"],
+            }
+        )
+    )
+    kept = minhash_dedup(
+        docs, "doc_id", "text", transitive=True,
+        num_hashes=32, bands=16, jaccard_threshold=0.5,
+    ).toPandas()
+    assert sorted(kept.doc_id) == [0, 3]
+
+
+def test_dedup_cache_lifecycle_no_growth(spark):
+    import pandas as pd
+    from feast_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_dedup_caches,
+        simhash_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": [f"doc number {i} words" for i in range(20)]})
+    )
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_dedup_caches()
+    base = n_cached()
+    for _ in range(5):
+        minhash_lsh_pairs(docs, "doc_id", "text").count()
+        simhash_dup_pairs(docs, "doc_id", "text").count()
+    # each call releases the previous pass: at most one pass's caches live
+    assert n_cached() - base <= 2
+    release_dedup_caches()
+    assert n_cached() <= base
+
+
+def test_simhash_exact_pigeonhole_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+    from feast_spark.operators.dedup import _simhash_batch, simhash_dup_pairs
+
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(words, 12)) + (" tail" if i % 3 == 0 else "")
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(40), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    t = 8  # was only exact for t<=3 before the threshold+1 block fix
+    got = (
+        simhash_dup_pairs(docs, "doc_id", "text", hamming_threshold=t)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    h = _simhash_batch(pdf["text"]).view(np.uint64)
+    exp = []
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            d = int(h[i] ^ h[j]).bit_count()
+            if d <= t:
+                exp.append((i, j, d))
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_bucket_cap_drops_degenerate_bucket(spark):
+    import pandas as pd
+    from feast_spark.operators.dedup import minhash_lsh_pairs
+
+    # 30 identical docs -> one degenerate bucket of 30; cap of 10 must
+    # suppress the quadratic candidate blowup (0 pairs survive the cap)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": ["same exact text everywhere"] * 30})
+    )
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.9)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.9, max_bucket_size=10
+    )
+    assert capped.count() == 0
