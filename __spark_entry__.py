@@ -13,11 +13,17 @@ still failing on real logic differences).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# sf dir the ORACLE side materializes derived relations for (the driver
+# compares at sf0.01; the local pytest harness overrides this)
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -387,10 +393,12 @@ def q_doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
     out = score_transcripts(d, QualityConfig())
+    # ppl is emitted RAW: the oracle is the same numpy kernel run on the
+    # driver (oracles.quality_scores_pdf), so doubles match bit-for-bit
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         "lang",
-        F.round("perplexity", 4).alias("ppl"),
+        F.col("perplexity").alias("ppl"),
         F.col("keep_turn").alias("keep"),
         F.col("drop_reason_turn").alias("drop_reason"),
     )
@@ -544,12 +552,13 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    # rolling-hash document fingerprint (xxhash64 of normalized text) —
-    # rows-only (DuckDB lacks xxhash64)
+    # document fingerprint of whitespace-normalized lowercase text. The
+    # md5 method is the portable/verifiable form (DuckDB recomputes it
+    # 1:1); the xxhash64 method (default) is the 8-byte scale path.
     from feast_spark.functions import doc_fingerprint
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    return d.select("doc_id", doc_fingerprint("text", method="md5").alias("fingerprint"))
 
 
 def q_image_metadata(spark: SparkSession, sf: str) -> DataFrame:
@@ -576,6 +585,33 @@ def q_image_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
     imgs = d.mapInPandas(make, "img_id long, data binary")
     return image_metadata(imgs, "data", "img_id")
+
+
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # transitive near-dup clustering: minhash LSH pairs -> connected
+    # components (large-star/small-star); cluster_id = min doc_id reachable
+    from feast_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # package-level LSH-bucketed embedding near-dup (the scale path; the
+    # brute-force embedding_neardup query is the capped exact baseline)
+    from feast_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64,
+        cosine_threshold=0.2, num_bits=6, seed=7,
+    )
 
 
 def q_historical_two_views(spark: SparkSession, sf: str) -> DataFrame:
@@ -671,13 +707,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "doc_fingerprint": q_doc_fingerprint,
         "image_metadata": q_image_metadata,
+        "dup_clusters": q_dup_clusters,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "historical_two_views": q_historical_two_views,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # hash/model-based relations get an INDEPENDENT driver-side naive
+    # recomputation (numpy/pandas, no Spark) materialized to parquet —
+    # see feast_spark/oracles.py for the method and bit-exactness notes.
+    from feast_spark.oracles import ensure_oracles
+
+    derived = ensure_oracles(_oracle_sf_dir())
+
+    def _rp(name: str) -> str:
+        return f"SELECT * FROM read_parquet('{derived[name]}')"
+
     return {
+        "doc_minhash_pairs": _rp("doc_minhash_pairs"),
+        "doc_simhash_pairs": _rp("doc_simhash_pairs"),
+        "doc_quality_scores": _rp("doc_quality_scores"),
+        "ann_lsh_topk": _rp("ann_lsh_topk"),
+        "dup_clusters": _rp("dup_clusters"),
+        "embedding_neardup_lsh": _rp("embedding_neardup_lsh"),
+        "transcript_pipeline": _rp("transcript_pipeline"),
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+        "image_metadata": """
+            -- closed form: the fake payloads are deterministic in doc_id
+            -- (encode_fake_image(64 + id%128, 48 + id%64, id): 16-byte
+            -- header + min(w*h, 4096)-byte payload)
+            SELECT doc_id AS id,
+                   CAST(64 + doc_id % 128 AS INT) AS width,
+                   CAST(48 + doc_id % 64 AS INT) AS height,
+                   CAST(16 + LEAST((64 + doc_id % 128) * (48 + doc_id % 64),
+                                   4096) AS BIGINT) AS n_bytes,
+                   'fsim' AS format,
+                   TRUE AS valid
+            FROM documents WHERE doc_id < 200
+        """,
         "pull_all_window": """
             SELECT user_id, value, ts FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -1021,8 +1095,4 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lv ON e.user_id = lv.user_id
                         AND e.event_timestamp = lv.event_timestamp AND lv.rn = 1
         """,
-        # doc_minhash_pairs / doc_simhash_pairs / ann_lsh_topk /
-        # doc_quality_scores / doc_fingerprint / image_metadata /
-        # transcript_pipeline: hash-, model-, and codec-based operators with
-        # no faithful ANSI-SQL equivalent -> rows-only check.
     }

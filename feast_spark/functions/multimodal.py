@@ -59,27 +59,57 @@ def _decode_one(buf: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     return w, h, rng.integers(0, 256, (min(h, 8), min(w, 8)), dtype=np.uint8)
 
 
+def _headers_vectorized(bufs: pd.Series) -> tuple[np.ndarray, ...]:
+    """(width, height, n_bytes, valid) for a Series of binary payloads —
+    O(1) Python calls per batch: the Series converts to ONE Arrow
+    BinaryArray whose offsets/data buffers are viewed as numpy arrays;
+    header fields come from a fancy-indexed (n, 16) gather
+    (round-1 finding #4: this replaced a per-row unpack loop)."""
+    import pyarrow as pa
+
+    arr = pa.array(bufs, type=pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z.astype(np.int32), z, np.zeros(0, dtype=bool)
+    null_mask = np.asarray(arr.is_null())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = offsets[1:] - offsets[:-1]
+    n_bytes = np.where(null_mask, 0, lens)
+    long_enough = (~null_mask) & (lens >= HEADER_SIZE)
+    # gather the first 16 bytes per row (data zero-padded by one header so
+    # short rows never index out of bounds; their values are masked anyway)
+    padded = np.concatenate([data, np.zeros(HEADER_SIZE, dtype=np.uint8)])
+    hdr = padded[offsets[:-1, None] + np.arange(HEADER_SIZE)]
+    magic = np.frombuffer(MAGIC, dtype=np.uint8)
+    valid = long_enough & (hdr[:, :4] == magic).all(axis=1)
+    w = hdr[:, 4:8].copy().view(np.uint32).ravel().astype(np.int64)
+    h = hdr[:, 8:12].copy().view(np.uint32).ravel().astype(np.int64)
+    w = np.where(valid, w, 0).astype(np.int32)
+    h = np.where(valid, h, 0).astype(np.int32)
+    return w, h, n_bytes.astype(np.int64), valid
+
+
 def image_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """Header-only metadata pass — no decode, pure numpy over the Arrow
     batch (the cheap scan you run before deciding what to decode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            bufs = pdf[binary_col]
-            n = len(bufs)
-            w = np.zeros(n, dtype=np.int32)
-            h = np.zeros(n, dtype=np.int32)
-            valid = np.zeros(n, dtype=bool)
-            for i, b in enumerate(bufs):  # header peek: 16 bytes, O(1)/row
-                if b is not None and len(b) >= HEADER_SIZE and b[:4] == MAGIC:
-                    _, w[i], h[i], _ = struct.unpack_from(HEADER_FMT, b)
-                    valid[i] = True
+            w, h, n_bytes, valid = _headers_vectorized(pdf[binary_col])
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "width": w,
                     "height": h,
-                    "n_bytes": bufs.map(lambda b: 0 if b is None else len(b)),
+                    "n_bytes": n_bytes,
                     "format": np.where(valid, "fsim", "unknown"),
                     "valid": valid,
                 }

@@ -38,11 +38,21 @@ def digit_count(col: str | Column) -> Column:
     return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
 
 
-def doc_fingerprint(col: str | Column) -> Column:
-    """Deterministic 64-bit fingerprint of whitespace-normalized lowercase
-    text (exact-dedup key; xxhash64 — stable across Spark versions)."""
+def doc_fingerprint(col: str | Column, method: str = "xxhash64") -> Column:
+    """Deterministic fingerprint of whitespace-normalized lowercase text
+    (exact-dedup key).
+
+    ``xxhash64`` (default): 64-bit long — the scale path (8-byte shuffle
+    key, stable across Spark versions). ``md5``: 128-bit hex string —
+    the portable form every engine can recompute (DuckDB ``md5()``
+    verifies it 1:1), at 4x the shuffle width."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    if method == "xxhash64":
+        return F.xxhash64(norm)
+    if method == "md5":
+        return F.md5(norm)
+    raise ValueError(f"unknown fingerprint method: {method}")
 
 
 def row_id(key_cols: list[str], ts_col: str | None = None) -> Column:

@@ -19,6 +19,7 @@ retrieval at corpus scale.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +74,37 @@ def cosine_topk(
     )
 
 
+def _bucket_col(vec_col: str, planes: np.ndarray, method: str = "auto"):
+    """Bucket column for fixed hyperplanes.
+
+    ``sql``: planes embedded as array literals — pure Catalyst, zero
+    Python, but the expression string is O(dim x bits) chars (fragile
+    above ~dim 256 x 16 bits: >100k-char SQL strings stress the parser).
+    ``pandas``: vectorized Arrow-batched matmul with the planes shipped
+    once in the task closure — the scale path for big dims. ``auto``
+    picks sql below 4096 plane cells. Both produce IDENTICAL buckets for
+    the same planes up to float summation order; pick ONE method per
+    dataset (bucket files are not interchangeable across methods)."""
+    if method == "auto":
+        method = "sql" if planes.size <= 4096 else "pandas"
+    if method == "sql":
+        return F.expr(_hyperplane_bucket_expr(vec_col, planes))
+    if method != "pandas":
+        raise ValueError(f"unknown bucket method: {method}")
+    # planes rounded through the same %.9f the SQL literal uses, so the
+    # two methods agree except on knife-edge dot==0 sign flips
+    p = np.array([[float(f"{x:.9f}") for x in row] for row in planes]).T
+
+    @F.pandas_udf("long")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) if len(vecs) else np.zeros((0, p.shape[0]))
+        signs = (mat @ p) >= 0
+        vals = signs @ (1 << np.arange(p.shape[1], dtype=np.int64))
+        return pd.Series(vals.astype(np.int64))
+
+    return bucket_udf(F.col(vec_col))
+
+
 def _hyperplane_bucket_expr(vec_col: str, planes: np.ndarray) -> str:
     """Catalyst expr computing the sign-bit bucket of vec against fixed
     hyperplanes (planes embedded as array literals — dims x bits doubles)."""
@@ -97,24 +129,27 @@ def lsh_topk(
     seed: int = 42,
     multiprobe: bool = True,
     exclude_self: bool = True,
+    bucket_method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets + exact re-rank.
 
     ``multiprobe`` also probes the ``num_bits`` single-bit-flip neighbor
-    buckets of each query (recall boost at ~(bits+1)x candidate cost)."""
+    buckets of each query (recall boost at ~(bits+1)x candidate cost).
+    ``bucket_method`` picks the projection path (see :func:`_bucket_col`):
+    Catalyst SQL literals for small dims, an Arrow-batched matmul pandas
+    UDF for dim x bits beyond SQL-string sanity."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bits, dim))
-    bucket = _hyperplane_bucket_expr(vec_col, planes)
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.expr(bucket).alias("__bucket"),
+        _bucket_col(vec_col, planes, bucket_method).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.expr(bucket).alias("__qb"),
+        _bucket_col(vec_col, planes, bucket_method).alias("__qb"),
     )
     if multiprobe:
         probes = "array(__qb," + ",".join(
@@ -141,4 +176,61 @@ def lsh_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cosine_threshold: float = 0.9,
+    num_bits: int = 6,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+    bucket_method: str = "auto",
+) -> DataFrame:
+    """(id_a, id_b, cosine) near-duplicate pairs via LSH bucketing — the
+    package-level SCALE path for embedding near-dup (round-1 finding #7:
+    the all-pairs theta join was entry-file-only and capped).
+
+    Random-hyperplane buckets partition the corpus; the self-join runs
+    only within a bucket (cost N^2 / 2^bits in expectation), then exact
+    cosine verifies. Recall note: a pair straddling a hyperplane lands in
+    different buckets and is missed — raise recall by lowering num_bits
+    (bigger buckets) or running multiple seeds and unioning (standard
+    banding); high-cosine pairs disagree on few planes, so recall rises
+    steeply with similarity. ``max_bucket_size`` caps degenerate buckets
+    (e.g. all-zero vectors) before the quadratic join.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _bucket_col(vec_col, planes, bucket_method).alias("__bucket"),
+    )
+    if max_bucket_size:
+        sizes = base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        base = (
+            base.join(sizes, "__bucket")
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a = base.select(
+        F.col("__bucket"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("__bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.withColumn(
+        "cosine",
+        F.expr(_dot_expr("va", "vb"))
+        / (F.expr(_norm_expr("va")) * F.expr(_norm_expr("vb"))),
+    )
+    return (
+        sims.filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -1,0 +1,331 @@
+"""Driver-side oracle relations for hash/model/codec-based operators.
+
+The driver's correctness gate runs each ``queries()`` entry on Spark and
+its ``oracle_sql()`` twin on DuckDB. Operators built on our own hash
+kernels (MinHash shingles, SimHash, random-hyperplane LSH) and on the
+scoring model have no faithful ANSI-SQL re-expression — round 1 left them
+``no_oracle``. This module closes that gap the way the round-1 review
+prescribed: an INDEPENDENT driver-side recomputation (pure numpy/pandas —
+naive data structures, no Spark, no DataFrame algebra) is materialized to
+parquet, and the oracle SQL simply reads it. The Spark plan and the naive
+recomputation share only the leaf hash kernels (:mod:`feast_spark.textkit`
+/ :mod:`feast_spark.rules` — the same shared-kernel discipline the
+pipeline oracle uses, ``pipeline/oracle.py``); every relational step
+(bucketing, joins, dedup, ranking, fixpoints) is re-derived naively here.
+
+Bit-exactness notes (values are compared by hash, so floats must match
+exactly, not approximately):
+
+- Jaccard = ``len(intersect)/len(union)`` — one IEEE double division of
+  exact ints on both sides.
+- Cosine / hyperplane projections replicate Spark's ``aggregate`` fold
+  order: elementwise product (float32 widened to double) then a
+  LEFT-TO-RIGHT running sum (``np.add.accumulate`` is sequential), never
+  pairwise/`np.dot` summation.
+- LSH plane literals are parsed from the same ``%.9f`` strings the SQL
+  expression embeds, so both engines see identical doubles.
+
+Relations are rebuilt on every :func:`ensure_oracles` call within a new
+process (memoized per-process) — no staleness across code changes.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+
+ORACLE_ROOT = "/tmp/feast_spark_oracles"
+
+_BUILT: set[tuple[str, str]] = set()
+
+
+def oracle_path(sf_dir: str, name: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(ORACLE_ROOT, sf_name, f"{name}.parquet")
+
+
+def _seq_sum(prods: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Left-to-right sequential sum — matches Spark's aggregate() fold."""
+    return np.add.accumulate(prods, axis=axis)[..., -1]
+
+
+# ---------------------------------------------------------------------------
+# minhash / simhash over documents
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1
+
+
+def _doc_shingles(sf_dir: str, k: int) -> tuple[np.ndarray, list[np.ndarray]]:
+    from feast_spark.operators.dedup import _shingle_hash_batch
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs["doc_id"].to_numpy(), _shingle_hash_batch(docs["text"], k)
+
+
+def minhash_pairs_pdf(
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Naive LSH: dict-of-buckets on the band-value TUPLE (bucket equality
+    == band-hash equality modulo xxhash64 collisions), exact set Jaccard."""
+    from feast_spark.operators.dedup import _perm_params
+
+    ids, shingles = _doc_shingles(sf_dir, shingle_k)
+    a, b = _perm_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    sets: dict[int, set] = {}
+    for i in range(len(ids)):
+        arr = shingles[i]
+        if len(arr) == 0:  # explode() drops empty-shingle docs in Spark
+            continue
+        sets[i] = set(arr.tolist())
+        xm = np.mod(arr, _MERSENNE)  # pmod: positive, matches Spark
+        sig = np.mod(a[:, None] * xm[None, :] + b[:, None], _MERSENNE).min(axis=1)
+        for bi in range(bands):
+            key = (bi, *sig[bi * rows_per_band : (bi + 1) * rows_per_band].tolist())
+            buckets[key].append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                ia, ib = (i, j) if ids[i] < ids[j] else (j, i)
+                cand.add((ia, ib))
+    rows = []
+    for i, j in sorted(cand):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        jac = inter / union  # one IEEE double division, same as Spark
+        if jac >= jaccard_threshold:
+            rows.append((int(ids[i]), int(ids[j]), jac))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+    )
+
+
+def simhash_pairs_pdf(sf_dir: str, hamming_threshold: int = 8) -> pd.DataFrame:
+    """All-pairs hamming filter — the exact relation the (threshold+1)-block
+    pigeonhole join computes."""
+    from feast_spark.operators.dedup import _simhash_batch
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs["doc_id"].to_numpy()
+    h = _simhash_batch(docs["text"]).view(np.uint64)
+    rows = []
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            d = int(h[i] ^ h[j]).bit_count()
+            if d <= hamming_threshold:
+                ia, ib = sorted((int(ids[i]), int(ids[j])))
+                rows.append((ia, ib, d))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+    )
+
+
+def dup_clusters_pdf(sf_dir: str, **minhash_kwargs) -> pd.DataFrame:
+    """Union-find over the minhash pair table — the naive form of
+    operators.dedup.connected_components."""
+    pairs = minhash_pairs_pdf(sf_dir, **minhash_kwargs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    return pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": [find(int(n)) for n in nodes]}
+    ).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring / transcript pipeline
+# ---------------------------------------------------------------------------
+
+
+def quality_scores_pdf(sf_dir: str) -> pd.DataFrame:
+    from feast_spark import rules
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    scored = rules.score_turns(docs["text"], rules.RuleConfig())
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "lang": scored["lang"].astype(object),
+            "ppl": scored["perplexity"].astype("float64"),
+            "keep": scored["keep"].astype(bool),
+            "drop_reason": scored["drop_reason"].astype(object),
+        }
+    )
+
+
+def transcript_labels_pdf() -> pd.DataFrame:
+    from feast_spark.fixtures import generate_transcripts
+    from feast_spark.pipeline.oracle import oracle_labels
+    from feast_spark.pipeline.quality import QualityConfig
+
+    transcripts = generate_transcripts(100, seed=42, mega_every=50, mega_turns=200)
+    labels = oracle_labels(
+        transcripts,
+        QualityConfig(),
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        created_ts=datetime(2025, 6, 1, tzinfo=timezone.utc),
+    )
+    out = labels[["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text", "ts"]].copy()
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["keep"] = out["keep"].astype(bool)
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH (top-k and near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def _load_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = emb["vec_id"].to_numpy()
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for v in emb["embedding"]]
+    )
+    return ids, vecs
+
+
+def _planes_as_sql_doubles(num_bits: int, dim: int, seed: int) -> np.ndarray:
+    """The planes exactly as the SQL literal embeds them: %.9f strings
+    parsed back to doubles (similarity._hyperplane_bucket_expr)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    return np.array(
+        [[float(f"{x:.9f}") for x in row] for row in planes], dtype=np.float64
+    )
+
+
+def _buckets(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit buckets with Spark's sequential fold order per plane."""
+    n, nbits = len(vecs), len(planes)
+    buckets = np.zeros(n, dtype=np.int64)
+    for i in range(nbits):
+        prods = vecs * planes[i][None, :]
+        dots = _seq_sum(prods)
+        buckets |= (dots >= 0).astype(np.int64) << i
+    return buckets
+
+
+def _cosine(q: np.ndarray, c: np.ndarray) -> float:
+    dot = _seq_sum(q * c)
+    nq = np.sqrt(_seq_sum(q * q))
+    nc = np.sqrt(_seq_sum(c * c))
+    return float(dot / (nq * nc))
+
+
+def lsh_topk_pdf(
+    sf_dir: str,
+    k: int = 5,
+    dim: int = 64,
+    num_bits: int = 8,
+    seed: int = 42,
+    query_max_id: int = 10,
+) -> pd.DataFrame:
+    ids, vecs = _load_vectors(sf_dir)
+    planes = _planes_as_sql_doubles(num_bits, dim, seed)
+    buckets = _buckets(vecs, planes)
+    by_bucket: dict[int, list[int]] = defaultdict(list)
+    for i, b in enumerate(buckets):
+        by_bucket[int(b)].append(i)
+    rows = []
+    for qi in np.nonzero(ids < query_max_id)[0]:
+        probes = [int(buckets[qi])] + [
+            int(buckets[qi]) ^ (1 << b) for b in range(num_bits)
+        ]
+        cand = {j for p in probes for j in by_bucket.get(p, [])}
+        cand.discard(int(qi))
+        scored = sorted(
+            ((-_cosine(vecs[qi], vecs[j]), int(ids[j])) for j in cand
+             if ids[j] != ids[qi]),
+        )[:k]
+        for rank, (negcos, nid) in enumerate(scored, start=1):
+            rows.append((int(ids[qi]), nid, -negcos, rank))
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64",
+              "rank": "int32"})
+
+
+def embedding_neardup_pdf(
+    sf_dir: str,
+    threshold: float = 0.2,
+    dim: int = 64,
+    num_bits: int = 6,
+    seed: int = 7,
+) -> pd.DataFrame:
+    ids, vecs = _load_vectors(sf_dir)
+    planes = _planes_as_sql_doubles(num_bits, dim, seed)
+    buckets = np.asarray(_buckets(vecs, planes))
+    by_bucket: dict[int, list[int]] = defaultdict(list)
+    for i, b in enumerate(buckets):
+        by_bucket[int(b)].append(i)
+    rows = []
+    for members in by_bucket.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                ia, ib = (i, j) if ids[i] < ids[j] else (j, i)
+                cos = _cosine(vecs[ia], vecs[ib])
+                if cos >= threshold:
+                    rows.append((int(ids[ia]), int(ids[ib]), cos))
+    return (
+        pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + ensure
+# ---------------------------------------------------------------------------
+
+_RELATIONS = {
+    "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),
+    "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf),
+    "dup_clusters": lambda sf: dup_clusters_pdf(sf),
+    "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
+    "transcript_pipeline": lambda sf: transcript_labels_pdf(),
+    "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
+    "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
+}
+
+
+def ensure_oracles(sf_dir: str, names: list[str] | None = None) -> dict[str, str]:
+    """Materialize the requested oracle relations for ``sf_dir``; returns
+    name -> parquet path. Recomputed once per process per sf."""
+    out: dict[str, str] = {}
+    for name in names or list(_RELATIONS):
+        path = oracle_path(sf_dir, name)
+        key = (sf_dir, name)
+        if key not in _BUILT or not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pdf = _RELATIONS[name](sf_dir)
+            pdf.to_parquet(path, index=False)
+            _BUILT.add(key)
+        out[name] = path
+    return out

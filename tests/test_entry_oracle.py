@@ -5,14 +5,18 @@ entry at sf0.001 and compare against oracle_sql() via DuckDB
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
 import pytest
 
-import __spark_entry__ as entry_mod
-
 SF_DIR = "/root/testdata/sf0.001"
+# derived oracle relations must be built for the SAME sf this harness
+# queries (the driver leaves this unset and gets sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
+
+import __spark_entry__ as entry_mod  # noqa: E402
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
