@@ -656,6 +656,121 @@ def q_historical_two_views(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_derived_view_historical(spark: SparkSession, sf: str) -> DataFrame:
+    # derived FeatureView (source_views DAG): hourly click aggregates view
+    # derived from a raw clicks view, PIT-joined as-of purchase times
+    # through the store facade (feature_view.py:148,232-239,
+    # feature_resolver.py:28-95)
+    import tempfile
+
+    from feast_spark.core import (
+        BatchFeatureView, Entity, FeatureStore, FeatureView, Field,
+    )
+    from feast_spark.core.model import SparkSqlSource
+
+    _t(spark, sf, "events").createOrReplaceTempView("__events_dv")
+    store = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_dv_"))
+    user = Entity("user", "user_id")
+    base = FeatureView(
+        "clicks_raw",
+        [user],
+        SparkSqlSource(
+            "SELECT user_id, ts, value FROM __events_dv WHERE event_type = 'click'",
+            timestamp_field="ts",
+        ),
+        schema=[Field("user_id", "int64"), Field("value", "float64")],
+    )
+
+    def hourly(df: DataFrame) -> DataFrame:
+        # feature ts = window END: the aggregate only becomes known when
+        # the hour closes (leak-free as-of semantics)
+        return (
+            df.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.round(F.sum("value"), 2).alias("hour_click_value"),
+                F.count(F.lit(1)).alias("hour_click_cnt"),
+            )
+            .select("user_id", F.col("w.end").alias("ts"),
+                    "hour_click_value", "hour_click_cnt")
+        )
+
+    derived = BatchFeatureView(
+        "clicks_hourly",
+        [user],
+        source_views=[base],
+        udf=hourly,
+        mode="spark",
+        schema=[
+            Field("user_id", "int64"),
+            Field("hour_click_value", "double"),
+            Field("hour_click_cnt", "long"),
+        ],
+    )
+    store.apply([base, derived])
+    entity = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("event_timestamp"))
+    )
+    return store.get_historical_features(
+        entity, ["clicks_hourly:hour_click_value", "clicks_hourly:hour_click_cnt"]
+    )
+
+
+def q_odfv_request_scale(spark: SparkSession, sf: str) -> DataFrame:
+    # RequestSource + python-mode ODFV: request-time 'scale' column
+    # multiplies the PIT-joined click value (data_source.py:591,
+    # on_demand_feature_view.py:1101-1134, validation
+    # feature_store.py:2057-2068)
+    import tempfile
+
+    from feast_spark.core import (
+        Entity, FeatureStore, FeatureView, Field, OnDemandFeatureView,
+        RequestSource,
+    )
+    from feast_spark.core.model import SparkSqlSource
+
+    _t(spark, sf, "events").createOrReplaceTempView("__events_rq")
+    store = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_rq_"))
+    user = Entity("user", "user_id")
+    clicks = FeatureView(
+        "clicks_rq",
+        [user],
+        SparkSqlSource(
+            "SELECT user_id, ts, value AS click_value FROM __events_rq "
+            "WHERE event_type = 'click'",
+            timestamp_field="ts",
+        ),
+        schema=[Field("user_id", "int64"), Field("click_value", "float64")],
+    )
+    req = RequestSource("req", (Field("scale", "double"),))
+
+    def scale_udf(cols: dict) -> dict:
+        cols["scaled_click"] = cols["click_value"] * cols["scale"]
+        return cols
+
+    odfv = OnDemandFeatureView(
+        "scaled",
+        scale_udf,
+        schema=[Field("scaled_click", "double")],
+        mode="python",
+        sources=[req, clicks],
+    )
+    store.apply([clicks, odfv])
+    entity = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("event_timestamp"),
+            (F.col("event_id") % 5).cast("double").alias("scale"),
+        )
+    )
+    return store.get_historical_features(
+        entity, ["clicks_rq:click_value", "scaled:scaled_click"]
+    )
+
+
 def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from feast_spark.fixtures import transcripts_spark
     from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
@@ -710,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "historical_two_views": q_historical_two_views,
+        "derived_view_historical": q_derived_view_historical,
+        "odfv_request_scale": q_odfv_request_scale,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -733,6 +850,55 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _rp("dup_clusters"),
         "embedding_neardup_lsh": _rp("embedding_neardup_lsh"),
         "transcript_pipeline": _rp("transcript_pipeline"),
+        "derived_view_historical": """
+            WITH entity AS (
+              SELECT user_id, ts AS event_timestamp FROM events
+              WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT user_id,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS fts,
+                     ROUND(SUM(value), 2) AS hour_click_value,
+                     COUNT(*) AS hour_click_cnt
+              FROM events WHERE event_type = 'click'
+              GROUP BY 1, 2
+            ), latest AS (
+              SELECT e.user_id, e.event_timestamp,
+                     f.hour_click_value, f.hour_click_cnt,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY e.user_id, e.event_timestamp
+                         ORDER BY f.fts DESC) AS rn
+              FROM entity e JOIN feat f
+                ON e.user_id = f.user_id AND f.fts <= e.event_timestamp
+            )
+            SELECT e.user_id, e.event_timestamp,
+                   l.hour_click_value, l.hour_click_cnt
+            FROM entity e LEFT JOIN latest l
+              ON e.user_id = l.user_id
+             AND e.event_timestamp = l.event_timestamp AND l.rn = 1
+        """,
+        "odfv_request_scale": """
+            WITH entity AS (
+              SELECT user_id, ts AS event_timestamp,
+                     CAST(event_id % 5 AS DOUBLE) AS scale
+              FROM events WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT user_id, ts AS fts, value AS click_value FROM events
+              WHERE event_type = 'click'
+            ), latest AS (
+              SELECT e.user_id, e.event_timestamp, f.click_value,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY e.user_id, e.event_timestamp
+                         ORDER BY f.fts DESC) AS rn
+              FROM entity e JOIN feat f
+                ON e.user_id = f.user_id AND f.fts <= e.event_timestamp
+            )
+            SELECT e.user_id, e.event_timestamp, e.scale,
+                   l.click_value,
+                   l.click_value * e.scale AS scaled_click
+            FROM entity e LEFT JOIN latest l
+              ON e.user_id = l.user_id
+             AND e.event_timestamp = l.event_timestamp AND l.rn = 1
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))

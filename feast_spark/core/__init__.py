@@ -9,6 +9,8 @@ from feast_spark.core.model import (  # noqa: F401
     Field,
     OnDemandFeatureView,
     ParquetSource,
+    RequestSource,
+    SparkSqlSource,
 )
 from feast_spark.core.registry import Registry  # noqa: F401
 from feast_spark.core.store import FeatureStore  # noqa: F401

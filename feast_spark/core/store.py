@@ -88,6 +88,22 @@ class FeatureStore:
                 continue
             by_view.setdefault(view, []).append(feat)
 
+        # request-data validation BEFORE any work (feature_store.py:2057-2068):
+        # every RequestSource column an ODFV needs must be in the entity frame
+        entity_cols = set(entity_df.columns)
+        for odfv_name in dict.fromkeys(odfv_refs):
+            missing = [
+                c
+                for c in self._odfvs[odfv_name].request_fields
+                if c not in entity_cols
+            ]
+            if missing:
+                raise ValueError(
+                    f"Missing request data values for on-demand view "
+                    f"{odfv_name!r}: {missing} (supply them as entity_df "
+                    "columns)"
+                )
+
         out = entity_df
         for view_name, feats in by_view.items():
             fv = self._views[view_name]
@@ -96,9 +112,9 @@ class FeatureStore:
                 out,
                 fdf,
                 join_keys=fv.join_keys,
-                feature_ts_col=fv.source.timestamp_field,
+                feature_ts_col=fv.timestamp_field,
                 entity_ts_col=entity_ts_col,
-                created_ts_col=fv.source.created_timestamp_column,
+                created_ts_col=fv.created_timestamp_column,
                 ttl_seconds=fv.ttl_seconds,
                 features=feats,
                 prefix=view_name if full_feature_names else None,
@@ -144,12 +160,12 @@ class FeatureStore:
         snapshot; interval checkpointed (feature_store.py:2968-2973)."""
         fv = self._views[view_name]
         src = fv.read(self.spark)
-        created = fv.source.created_timestamp_column
+        created = fv.created_timestamp_column
         fresh = pull_latest(
             src,
             fv.join_keys,
             fv.feature_names,
-            fv.source.timestamp_field,
+            fv.timestamp_field,
             created_ts_col=created,
             start=start,
             end=end,
@@ -160,7 +176,7 @@ class FeatureStore:
             merged = latest_per_key(
                 fresh.unionByName(old),
                 fv.join_keys,
-                fv.source.timestamp_field,
+                fv.timestamp_field,
                 created_ts_col=created,
             )
         else:
@@ -197,7 +213,7 @@ class FeatureStore:
         if keys_df is not None:
             df = df.join(F.broadcast(keys_df), fv.join_keys, "inner")
         if as_of is not None and fv.ttl_seconds:
-            ts = fv.source.timestamp_field
+            ts = fv.timestamp_field
             stale = F.col(ts) < F.lit(as_of) - F.expr(
                 f"INTERVAL {fv.ttl_seconds} SECONDS"
             )
@@ -216,7 +232,7 @@ class FeatureStore:
             merged = latest_per_key(
                 df.unionByName(old),
                 fv.join_keys,
-                fv.source.timestamp_field,
-                created_ts_col=fv.source.created_timestamp_column,
+                fv.timestamp_field,
+                created_ts_col=fv.created_timestamp_column,
             )
         self._commit_snapshot(view_name, merged)

@@ -36,7 +36,12 @@ def python_transform(
                 for i, name in enumerate(batch.schema.names)
             }
             out = udf(cols)
-            yield pa.RecordBatch.from_pydict(out)
+            # from_pandas=True: NaN in float arrays round-trips back to
+            # null (to_numpy surfaced nulls as NaN on the way in), so a
+            # NULL feature stays NULL through the dict mode
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, from_pandas=True) for k, v in out.items()}
+            )
 
     return df.mapInArrow(run, output_schema)
 
