@@ -771,6 +771,28 @@ def q_odfv_request_scale(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dqm_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # DQM profile (ge_profiler.py:77-161 analogue): one aggregation pass ->
+    # per-column expectations; emitted as rows so DuckDB can recompute the
+    # exact same stats
+    from feast_spark.operators.profile import profile_dataset
+
+    ev = _t(spark, sf, "events")
+    prof = profile_dataset(ev, ["value", "user_id"])
+    rows = [
+        (
+            c.name,
+            round(c.null_fraction, 6),
+            round(c.min, 4),
+            round(c.max, 4),
+        )
+        for c in prof.columns.values()
+    ]
+    return spark.createDataFrame(
+        rows, "column string, null_fraction double, min_val double, max_val double"
+    )
+
+
 def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from feast_spark.fixtures import transcripts_spark
     from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
@@ -827,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "historical_two_views": q_historical_two_views,
         "derived_view_historical": q_derived_view_historical,
         "odfv_request_scale": q_odfv_request_scale,
+        "dqm_profile": q_dqm_profile,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -898,6 +921,20 @@ def oracle_sql() -> dict[str, str]:
             FROM entity e LEFT JOIN latest l
               ON e.user_id = l.user_id
              AND e.event_timestamp = l.event_timestamp AND l.rn = 1
+        """,
+        "dqm_profile": """
+            SELECT 'value' AS "column",
+                   ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                       AS null_fraction,
+                   ROUND(MIN(value), 4) AS min_val,
+                   ROUND(MAX(value), 4) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'user_id',
+                   ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6),
+                   ROUND(CAST(MIN(user_id) AS DOUBLE), 4),
+                   ROUND(CAST(MAX(user_id) AS DOUBLE), 4)
+            FROM events
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -221,6 +221,59 @@ class FeatureStore:
                 df = df.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
         return df
 
+    # -- vector retrieval (feature_store.py:4044,4149) ----------------------------
+    def retrieve_online_documents(
+        self,
+        view_name: str,
+        query: list[float],
+        top_k: int,
+        embedding_col: str | None = None,
+        method: str = "exact",
+        num_bits: int = 8,
+    ) -> DataFrame:
+        """Top-k document retrieval over a view's embedding column —
+        ``retrieve_online_documents[_v2]`` re-expressed as a batch read of
+        the latest serving snapshot (reference delegates to ANN-capable
+        online stores; here the operators are first-class,
+        operators/similarity.py).
+
+        ``method``: 'exact' (brute-force cosine, the baseline) or 'lsh'
+        (hyperplane-bucketed approximate path). Returns the view's rows
+        for the k nearest neighbors plus ``cosine`` and ``rank``.
+        """
+        from feast_spark.operators.similarity import cosine_topk, lsh_topk
+
+        fv = self._views[view_name]
+        snap = self._latest_snapshot(view_name)
+        corpus = (
+            self.spark.read.parquet(snap) if snap is not None else fv.read(self.spark)
+        )
+        if embedding_col is None:
+            arrays = [f.name for f in fv.schema if f.dtype.startswith("array")]
+            if not arrays:
+                raise ValueError(f"view {view_name!r} has no array-typed field")
+            embedding_col = arrays[0]
+        id_col = fv.join_keys[0]
+        qdf = self.spark.createDataFrame(
+            [(0, [float(x) for x in query])],
+            f"__qid long, {embedding_col} array<float>",
+        )
+        kwargs = dict(
+            corpus_id=id_col, query_id="__qid", vec_col=embedding_col,
+            exclude_self=False,
+        )
+        if method == "exact":
+            topk = cosine_topk(corpus, qdf, top_k, **kwargs)
+        elif method == "lsh":
+            dim = len(query)
+            topk = lsh_topk(corpus, qdf, top_k, dim=dim, num_bits=num_bits, **kwargs)
+        else:
+            raise ValueError(f"unknown retrieval method: {method}")
+        hits = topk.select(
+            F.col("neighbor_id").alias(id_col), "cosine", "rank"
+        )
+        return corpus.join(F.broadcast(hits), id_col, "inner")
+
     # -- push source (feature_store.py:3338-3374) --------------------------------
     def push(self, view_name: str, df: DataFrame) -> None:
         """Synchronous push: merge rows straight into the serving table."""

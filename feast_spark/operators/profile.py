@@ -1,0 +1,206 @@
+"""Data-quality-monitoring profiles — the reference's ValidationReference
+flow (``dqm/profilers/ge_profiler.py:77-161``, ``saved_dataset.py:259``)
+without the Great Expectations dependency.
+
+Reference flow: profile a reference dataset into an expectation suite,
+persist it, validate later retrieval results against it, surface a report
+of validation errors. Here the "suite" is a :class:`DatasetProfile` built
+in ONE Spark aggregation pass (count / null-fraction / min / max /
+approx-quantiles / capped category sets), JSON-serializable for the
+registry, and :func:`validate_dataset` re-profiles a candidate frame and
+checks it against tolerance-expanded envelopes — the same three
+expectation families feast's canonical GE profiles use
+(values-between, null-fraction, value-set membership).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.startswith(_NUMERIC_PREFIXES)
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    dtype: str
+    null_fraction: float
+    min: float | None = None
+    max: float | None = None
+    p05: float | None = None
+    p50: float | None = None
+    p95: float | None = None
+    categories: list[str] | None = None  # None = unbounded / not tracked
+
+
+@dataclass
+class DatasetProfile:
+    row_count: int
+    columns: dict[str, ColumnProfile] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "row_count": self.row_count,
+                "columns": {k: asdict(v) for k, v in self.columns.items()},
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "DatasetProfile":
+        d = json.loads(s)
+        return cls(
+            row_count=d["row_count"],
+            columns={k: ColumnProfile(**v) for k, v in d["columns"].items()},
+        )
+
+
+@dataclass(frozen=True)
+class ValidationError:
+    column: str
+    check: str
+    expected: str
+    observed: str
+
+
+@dataclass
+class ValidationReport:
+    ok: bool
+    errors: list[ValidationError]
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def profile_dataset(
+    df: DataFrame, cols: list[str] | None = None, max_categories: int = 25
+) -> DatasetProfile:
+    """One aggregation pass over the frame -> per-column profile.
+
+    String columns collect a category set CAPPED at ``max_categories + 1``
+    values (one extra to detect unboundedness) — a column with more
+    distinct values than the cap is recorded as unbounded rather than
+    shipping a giant set through the driver."""
+    dtypes = dict(df.dtypes)
+    cols = cols or list(dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nf"))
+        if _is_numeric(dtypes[c]):
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.percentile_approx(c, [0.05, 0.5, 0.95]).alias(f"{c}__q"),
+            ]
+        elif dtypes[c] == "string":
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(c)), 1, max_categories + 1
+                ).alias(f"{c}__cats")
+            )
+    row = df.agg(*aggs).first()
+    prof = DatasetProfile(row_count=row["__n"])
+    for c in cols:
+        cp = ColumnProfile(
+            name=c, dtype=dtypes[c], null_fraction=float(row[f"{c}__nf"] or 0.0)
+        )
+        if _is_numeric(dtypes[c]):
+            q = row[f"{c}__q"] or [None, None, None]
+            cp.min = None if row[f"{c}__min"] is None else float(row[f"{c}__min"])
+            cp.max = None if row[f"{c}__max"] is None else float(row[f"{c}__max"])
+            cp.p05, cp.p50, cp.p95 = [None if x is None else float(x) for x in q]
+        elif dtypes[c] == "string":
+            cats = row[f"{c}__cats"]
+            cp.categories = (
+                sorted(cats) if cats is not None and len(cats) <= max_categories else None
+            )
+        prof.columns[c] = cp
+    return prof
+
+
+def validate_dataset(
+    df: DataFrame,
+    reference: DatasetProfile,
+    null_tolerance: float = 0.05,
+    range_tolerance: float = 0.10,
+    allow_new_categories: bool = False,
+) -> ValidationReport:
+    """Validate ``df`` against a reference profile.
+
+    Checks per column (tolerance-expanded envelopes):
+    - null fraction <= reference + null_tolerance;
+    - numeric min/max within [min - tol*range, max + tol*range];
+    - median within the reference [p05, p95] band (range-tol expanded);
+    - no categories outside the reference set (when it was bounded).
+    Missing columns and an empty frame are errors. One aggregation pass.
+    """
+    errors: list[ValidationError] = []
+    have = set(df.columns)
+    for c in reference.columns:
+        if c not in have:
+            errors.append(ValidationError(c, "column_present", "present", "missing"))
+    cand = profile_dataset(df, [c for c in reference.columns if c in have])
+    if cand.row_count == 0:
+        errors.append(ValidationError("*", "row_count", "> 0", "0"))
+    for c, ref in reference.columns.items():
+        if c not in cand.columns:
+            continue
+        got = cand.columns[c]
+        if got.null_fraction > ref.null_fraction + null_tolerance:
+            errors.append(
+                ValidationError(
+                    c, "null_fraction",
+                    f"<= {ref.null_fraction + null_tolerance:.4f}",
+                    f"{got.null_fraction:.4f}",
+                )
+            )
+        if ref.min is not None and ref.max is not None and got.min is not None:
+            span = max(ref.max - ref.min, 1e-12)
+            lo = ref.min - range_tolerance * span
+            hi = ref.max + range_tolerance * span
+            if got.min < lo or got.max > hi:
+                errors.append(
+                    ValidationError(
+                        c, "values_between",
+                        f"[{lo:.6g}, {hi:.6g}]",
+                        f"[{got.min:.6g}, {got.max:.6g}]",
+                    )
+                )
+            if (
+                got.p50 is not None
+                and ref.p05 is not None
+                and ref.p95 is not None
+                and not (
+                    ref.p05 - range_tolerance * span
+                    <= got.p50
+                    <= ref.p95 + range_tolerance * span
+                )
+            ):
+                errors.append(
+                    ValidationError(
+                        c, "median_in_band",
+                        f"[{ref.p05:.6g}, {ref.p95:.6g}] (+/- tol)",
+                        f"{got.p50:.6g}",
+                    )
+                )
+        if (
+            not allow_new_categories
+            and ref.categories is not None
+            and got.categories is not None
+        ):
+            new = sorted(set(got.categories) - set(ref.categories))
+            if new:
+                errors.append(
+                    ValidationError(
+                        c, "value_set", f"subset of {ref.categories}", f"new: {new}"
+                    )
+                )
+    return ValidationReport(ok=not errors, errors=errors)

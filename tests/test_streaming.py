@@ -76,3 +76,89 @@ def test_stream_window_agg_matches_batch(spark, src_dir, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_json_decode_end_to_end(spark, tmp_path):
+    """Raw JSON strings -> from_json decode -> per-batch latest dedup ->
+    offline append, through streaming_materialize (the reference's Kafka
+    ingest shape minus the broker, spark_kafka_processor.py:95-153)."""
+    import json
+
+    from feast_spark.functions.codecs import decode_json
+    from feast_spark.streaming.processor import streaming_materialize
+
+    src = tmp_path / "json_src"
+    out = tmp_path / "json_out"
+    ckpt = tmp_path / "json_ckpt"
+    src.mkdir()
+    rows = [
+        {"k": 1, "ts": "2024-01-01 00:00:00", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01 00:05:00", "v": 2.0},
+        {"k": 2, "ts": "2024-01-01 00:01:00", "v": 9.0},
+    ]
+    (src / "batch0.txt").write_text("\n".join(json.dumps(r) for r in rows))
+
+    raw = spark.readStream.format("text").load(str(src))
+    decoded = decode_json(raw, "k long, ts timestamp, v double")
+    q = streaming_materialize(
+        decoded, ["k"], "ts", str(out), str(ckpt),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(out)).toPandas().sort_values("k")
+    assert got.k.tolist() == [1, 2]
+    assert got.v.tolist() == [2.0, 9.0]  # latest per key won
+    assert "created_ts" in got.columns
+
+
+def test_avro_decode_roundtrip(spark):
+    """Pure-Python Avro binary decode (fallback arm of decode_avro):
+    payloads encoded HERE by an independent spec-following encoder."""
+    import pandas as pd
+
+    from feast_spark.functions.codecs import decode_avro, from_avro_available
+
+    def zz(n: int) -> bytes:  # zigzag varint encoder (Avro spec)
+        u = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    import struct as st
+
+    def enc(k: int, name: str | None, score: float, ok: bool) -> bytes:
+        buf = bytearray()
+        buf += zz(k)
+        if name is None:
+            buf += zz(0)  # union index 0 = null
+        else:
+            nb = name.encode()
+            buf += zz(1) + zz(len(nb)) + nb
+        buf += st.pack("<d", score)
+        buf += b"\x01" if ok else b"\x00"
+        return bytes(buf)
+
+    schema = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"k","type":"long"},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"score","type":"double"},'
+        '{"name":"ok","type":"boolean"}]}'
+    )
+    payloads = [enc(7, "alpha", 1.5, True), enc(-3, None, -0.25, False)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"value": payloads}), "value binary"
+    )
+    got = decode_avro(df, schema).toPandas().sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == [-3, 7]
+    assert got.name.tolist()[1] == "alpha" and pd.isna(got.name.iloc[0])
+    assert got.score.tolist() == [-0.25, 1.5]
+    assert got.ok.tolist() == [False, True]
+    # document which arm ran in this image
+    assert from_avro_available(spark) in (True, False)
