@@ -118,11 +118,25 @@ def numeric_stats(
     return df.agg(*exprs)
 
 
-def histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
+def histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
     """Fixed-width histogram via FLOOR((x-min)/w)+1 with LEAST/GREATEST
-    clamping — the reference's exact bucketing (spark.py:879-881)."""
-    mm = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
-    lo, hi = mm["lo"], mm["hi"]
+    clamping — the reference's exact bucketing (spark.py:879-881).
+
+    Two passes are semantically required (bounds, then counts). Pass
+    ``bounds=(lo, hi)`` when the range is already known to keep the
+    operator fully lazy and composable; otherwise the bounds pass runs as
+    an eager min/max job over ``df`` (round-1 finding #5 — the eager scan
+    is now avoidable, not mandatory)."""
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        mm = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+        lo, hi = mm["lo"], mm["hi"]
     width = (hi - lo) / bins if hi is not None and hi != lo else 1.0
     bucket = F.least(
         F.greatest(
