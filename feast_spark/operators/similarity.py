@@ -130,38 +130,55 @@ def lsh_topk(
     multiprobe: bool = True,
     exclude_self: bool = True,
     bucket_method: str = "auto",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets + exact re-rank.
 
     ``multiprobe`` also probes the ``num_bits`` single-bit-flip neighbor
     buckets of each query (recall boost at ~(bits+1)x candidate cost).
+    ``num_tables`` > 1 builds L independent hash tables (fresh planes per
+    table) and unions their candidates — the classical LSH recall lever:
+    miss probability decays exponentially in L while cost grows linearly
+    (recall study: scripts/ann_recall.py + BASELINE.md §ANN).
     ``bucket_method`` picks the projection path (see :func:`_bucket_col`):
     Catalyst SQL literals for small dims, an Arrow-batched matmul pandas
     UDF for dim x bits beyond SQL-string sanity."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_bits, dim))
 
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _bucket_col(vec_col, planes, bucket_method).alias("__bucket"),
-    )
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _bucket_col(vec_col, planes, bucket_method).alias("__qb"),
-    )
+    def table(t: int) -> tuple:
+        planes = rng.standard_normal((num_bits, dim))
+        c = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.lit(t).alias("__tbl"),
+            _bucket_col(vec_col, planes, bucket_method).alias("__bucket"),
+        )
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.lit(t).alias("__tbl"),
+            _bucket_col(vec_col, planes, bucket_method).alias("__qb"),
+        )
+        return c, q
+
+    tables = [table(t) for t in range(num_tables)]
+    c = tables[0][0]
+    q = tables[0][1]
+    for ct, qt in tables[1:]:
+        c = c.unionByName(ct)
+        q = q.unionByName(qt)
     if multiprobe:
         probes = "array(__qb," + ",".join(
             f"__qb ^ {1 << i}" for i in range(num_bits)
         ) + ")"
         q = q.select(
-            "query_id", "__qv", F.explode(F.expr(probes)).alias("__bucket")
+            "query_id", "__qv", "__tbl",
+            F.explode(F.expr(probes)).alias("__bucket"),
         )
     else:
         q = q.withColumnRenamed("__qb", "__bucket")
 
-    joined = c.join(F.broadcast(q), "__bucket")
+    joined = c.join(F.broadcast(q), ["__tbl", "__bucket"])
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     sims = joined.withColumn(

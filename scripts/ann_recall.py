@@ -42,12 +42,11 @@ def main() -> None:
     from feast_spark.session import get_spark
 
     spark = get_spark("ann_recall", cpus=int(os.environ.get("ANN_CPUS", "16")))
-    for dim, num_bits, method in [
-        (256, 8, "sql"),
-        (256, 12, "sql"),
-        (1024, 12, "pandas"),
-        (1024, 16, "pandas"),
-    ]:
+    configs = [
+        (256, [(8, "sql", 1), (12, "sql", 1), (12, "sql", 4), (12, "sql", 8)]),
+        (1024, [(12, "pandas", 4), (16, "pandas", 1)]),
+    ]
+    for dim, variants in configs:
         vecs = make_vectors(N, dim, clusters=256, seed=dim)
         pdf = pd.DataFrame(
             {"vec_id": range(N), "embedding": [v.tolist() for v in vecs]}
@@ -66,39 +65,41 @@ def main() -> None:
         )
         t_exact = time.time() - t0
 
-        t0 = time.time()
-        approx = (
-            lsh_topk(
-                corpus, queries, K, dim=dim, num_bits=num_bits,
-                bucket_method=method, multiprobe=True,
+        for num_bits, method, num_tables in variants:
+            t0 = time.time()
+            approx = (
+                lsh_topk(
+                    corpus, queries, K, dim=dim, num_bits=num_bits,
+                    bucket_method=method, multiprobe=True,
+                    num_tables=num_tables,
+                )
+                .toPandas()
+                .groupby("query_id")["neighbor_id"]
+                .apply(set)
             )
-            .toPandas()
-            .groupby("query_id")["neighbor_id"]
-            .apply(set)
-        )
-        t_lsh = time.time() - t0
-
-        recalls = [
-            len(exact.get(q, set()) & approx.get(q, set())) / K
-            for q in exact.index
-        ]
-        print(
-            json.dumps(
-                {
-                    "n_vectors": N,
-                    "dim": dim,
-                    "num_bits": num_bits,
-                    "bucket_method": method,
-                    "k": K,
-                    "n_queries": len(exact),
-                    "recall_at_k": round(float(np.mean(recalls)), 4),
-                    "exact_wall_sec": round(t_exact, 2),
-                    "lsh_wall_sec": round(t_lsh, 2),
-                    "speedup": round(t_exact / t_lsh, 2),
-                }
-            ),
-            flush=True,
-        )
+            t_lsh = time.time() - t0
+            recalls = [
+                len(exact.get(q, set()) & approx.get(q, set())) / K
+                for q in exact.index
+            ]
+            print(
+                json.dumps(
+                    {
+                        "n_vectors": N,
+                        "dim": dim,
+                        "num_bits": num_bits,
+                        "num_tables": num_tables,
+                        "bucket_method": method,
+                        "k": K,
+                        "n_queries": len(exact),
+                        "recall_at_k": round(float(np.mean(recalls)), 4),
+                        "exact_wall_sec": round(t_exact, 2),
+                        "lsh_wall_sec": round(t_lsh, 2),
+                        "speedup": round(t_exact / t_lsh, 2),
+                    }
+                ),
+                flush=True,
+            )
         corpus.unpersist()
     spark.stop()
 
