@@ -52,6 +52,11 @@ HEADLINE = [
     "rollup_orders",
     "historical_two_views",
     "pit_created_cutoff",
+    # round 2 additions
+    "dup_clusters",
+    "derived_view_historical",
+    "embedding_neardup_lsh",
+    "odfv_request_scale",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

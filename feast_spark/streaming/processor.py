@@ -96,3 +96,73 @@ def stream_window_agg(
     return out.withColumn("window_start", F.col("w.start")).withColumn(
         "window_end", F.col("w.end")
     ).drop("w")
+
+
+def streaming_stateful_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch exact dedup via ``applyInPandasWithState`` — the custom
+    stateful operator shape (SURVEY §2.10; not expressible with
+    dropDuplicates' bounded state semantics when you need an explicit
+    per-key TTL and first-seen emission).
+
+    Emits only the FIRST row seen for each key across all micro-batches;
+    later occurrences are suppressed while the key's state lives. State
+    carries (first_ts) per key. With ``state_ttl_ms`` set, state expires
+    after that much processing time (bounds state size at 100 TB key
+    cardinality) — note the timeout makes the query trigger continuously
+    for cleanup, so tests driving it with ``processAllAvailable()`` should
+    leave it None. The reference's dedup is per-batch driver pandas
+    (spark_kafka_processor.py:136-153); this dedups ACROSS batches, which
+    it cannot do.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    out_schema = stream.schema
+    state_schema = StructType.fromDDL("first_ts timestamp")
+    ttl = state_ttl_ms
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=out_schema.names)
+            return
+        already = state.exists
+        first = None
+        for pdf in pdf_iter:
+            if already or len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            first = pdf.iloc[:1]
+            already = True
+        if not state.exists and first is not None:
+            state.update((first[ts_col].iloc[0].to_pydatetime(),))
+            if ttl:
+                state.setTimeoutDuration(ttl)
+            yield first
+        else:
+            if state.exists and ttl:
+                state.setTimeoutDuration(ttl)
+            yield pd.DataFrame(columns=out_schema.names)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

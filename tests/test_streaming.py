@@ -162,3 +162,48 @@ def test_avro_decode_roundtrip(spark):
     assert got.ok.tolist() == [False, True]
     # document which arm ran in this image
     assert from_avro_available(spark) in (True, False)
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: a key seen in
+    batch 0 must be suppressed when it reappears in batch 1 (cross-batch
+    state the reference's per-batch pandas dedup cannot express)."""
+    import json
+    import time
+
+    from feast_spark.functions.codecs import decode_json
+    from feast_spark.streaming.processor import streaming_stateful_dedup
+
+    src = tmp_path / "st_src"
+    out = tmp_path / "st_out"
+    ckpt = tmp_path / "st_ckpt"
+    src.mkdir()
+    (src / "b0.txt").write_text(
+        json.dumps({"k": 1, "ts": "2024-01-01 00:00:00", "v": 1.0})
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    decoded = decode_json(raw, "k long, ts timestamp, v double")
+    deduped = streaming_stateful_dedup(decoded, ["k"], "ts")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 1: same key again (+ a new key)
+    (src / "b1.txt").write_text(
+        "\n".join(
+            [
+                json.dumps({"k": 1, "ts": "2024-01-01 00:30:00", "v": 99.0}),
+                json.dumps({"k": 2, "ts": "2024-01-01 00:31:00", "v": 7.0}),
+            ]
+        )
+    )
+    time.sleep(0.2)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(out)).toPandas().sort_values("k")
+    assert got.k.tolist() == [1, 2]
+    assert got.v.tolist() == [1.0, 7.0]  # k=1 re-occurrence suppressed
