@@ -375,10 +375,14 @@ def q_doc_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # t=4: 5 pigeonhole blocks of ~13 bits — exact, and the block buckets
+    # stay sparse (t=8 would mean 7-bit blocks whose dense buckets explode
+    # the candidate join quadratically; simhash's useful radius on 64 bits
+    # is 3-4 anyway, Charikar '02 / Manku '07)
     from feast_spark.operators.dedup import simhash_dup_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_dup_pairs(d, "doc_id", "text", hamming_threshold=8)
+    return simhash_dup_pairs(d, "doc_id", "text", hamming_threshold=4)
 
 
 def q_doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:

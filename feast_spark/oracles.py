@@ -84,13 +84,15 @@ def minhash_pairs_pdf(
     rows_per_band = num_hashes // bands
     buckets: dict[tuple, list[int]] = defaultdict(list)
     sets: dict[int, set] = {}
+    sigs: dict[int, np.ndarray] = {}
     for i in range(len(ids)):
         arr = shingles[i]
-        if len(arr) == 0:  # explode() drops empty-shingle docs in Spark
+        if len(arr) == 0:  # NULL-sig docs drop out of banding in Spark
             continue
         sets[i] = set(arr.tolist())
         xm = np.mod(arr, _MERSENNE)  # pmod: positive, matches Spark
         sig = np.mod(a[:, None] * xm[None, :] + b[:, None], _MERSENNE).min(axis=1)
+        sigs[i] = sig
         for bi in range(bands):
             key = (bi, *sig[bi * rows_per_band : (bi + 1) * rows_per_band].tolist())
             buckets[key].append(i)
@@ -101,8 +103,12 @@ def minhash_pairs_pdf(
                 i, j = members[x], members[y]
                 ia, ib = (i, j) if ids[i] < ids[j] else (j, i)
                 cand.add((ia, ib))
+    # replicate the operator's signature-estimate gate bit-for-bit
+    min_matches = -(-num_hashes * jaccard_threshold // 2)  # ceil
     rows = []
     for i, j in sorted(cand):
+        if int((sigs[i] == sigs[j]).sum()) < min_matches:
+            continue
         inter = len(sets[i] & sets[j])
         union = len(sets[i] | sets[j])
         jac = inter / union  # one IEEE double division, same as Spark
@@ -306,7 +312,7 @@ def embedding_neardup_pdf(
 
 _RELATIONS = {
     "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),
-    "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf),
+    "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf, hamming_threshold=4),
     "dup_clusters": lambda sf: dup_clusters_pdf(sf),
     "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
