@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-SCALE_TURN_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "1000000"))
+SCALE_TURN_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "2000000"))
 
 HEADLINE = [
     "tpch_q1",
@@ -114,8 +114,10 @@ def scale_run(cpus: int, corpus: str) -> None:
     fastest observation is closest to the machine's true throughput."""
     spark = _session(cpus)
     _run_pipeline(spark, corpus)          # warm: JIT, codegen, python workers
-    wall, n_turns = _run_pipeline(spark, corpus)
-    print(json.dumps({"cpus": cpus, "wall_sec": wall, "n_turns": n_turns}))
+    wall1, n_turns = _run_pipeline(spark, corpus)
+    wall2, _ = _run_pipeline(spark, corpus)
+    # min of two steady-state runs: external load only ever slows a run
+    print(json.dumps({"cpus": cpus, "wall_sec": min(wall1, wall2), "n_turns": n_turns}))
     spark.stop()
 
 
