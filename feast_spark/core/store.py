@@ -187,6 +187,27 @@ class FeatureStore:
         )
         return self.spark.read.parquet(self._latest_snapshot(view_name))
 
+    def list_snapshots(self, view_name: str) -> list[str]:
+        d = self._serving_dir(view_name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(s for s in os.listdir(d) if s.startswith("snap-"))
+
+    def read_snapshot(self, view_name: str, snapshot: str | None = None) -> DataFrame:
+        """Time travel over the serving table: read a specific immutable
+        snapshot (default LATEST) — the Iceberg ``VERSION AS OF`` analogue
+        on the snapshot-dir stand-in (writers never mutate a committed
+        snapshot, so old reads stay consistent)."""
+        if snapshot is None:
+            path = self._latest_snapshot(view_name)
+            if path is None:
+                raise ValueError(f"view {view_name} not materialized")
+        else:
+            path = os.path.join(self._serving_dir(view_name), snapshot)
+            if not os.path.isdir(path):
+                raise ValueError(f"unknown snapshot {snapshot!r} for {view_name}")
+        return self.spark.read.parquet(path)
+
     def materialize_incremental(self, view_name: str, end: datetime) -> DataFrame:
         """Resume from the last checkpointed end (feature_store.py:2546)."""
         last = self.registry.most_recent_end_time(view_name)

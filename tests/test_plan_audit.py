@@ -1,0 +1,138 @@
+"""Physical-plan audits — the scale properties the operators claim must be
+visible in the plan, not just asserted in docstrings.
+
+Checks: predicate pushdown reaches the parquet scan, dimension joins
+broadcast, PIT joins never degenerate to cartesian products and carry the
+WindowGroupLimit (map-side top-1 pruning), LSH bucket joins are equi-joins.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pull_all_pushes_time_bounds_to_scan(spark):
+    from feast_spark.operators import pull_all
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = pull_all(
+        ev, ["user_id"], ["value"], "ts",
+        start="2024-01-10 00:00:00", end="2024-01-20 00:00:00",
+    )
+    plan = plan_of(out)
+    assert "PushedFilters" in plan
+    # both bounds must land in the parquet scan, not a post-scan filter only
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+    # column pruning: the scan must not read unused wide columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_two_role_join_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_two_role_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit_join_plan_shape(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_pit_last_click(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # map-side top-1 pruning of the dedup window
+    assert "WindowGroupLimit" in plan
+    # the sha2 row id must NOT be in the hot path anymore
+    assert "sha2" not in plan
+
+
+def test_minhash_bucket_join_is_equijoin(spark):
+    from feast_spark.operators.dedup import minhash_lsh_pairs, release_dedup_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    release_dedup_caches()
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from feast_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    plan = plan_of(cosine_topk(emb, q, 3))
+    # brute force is an intentional broadcast nested-loop of the SMALL query
+    # side against the streaming corpus — never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_pipeline_no_cartesian_no_sort_of_big_side(spark):
+    from datetime import datetime, timezone
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    t = transcripts_spark(spark, 30, seed=3)
+    res = run_quality_pipeline(
+        spark, t, QualityConfig(), run_id="audit",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    plan = plan_of(res.labels)
+    assert "CartesianProduct" not in plan
+    # conv features join onto turns must be a broadcast, not a big shuffle
+    assert "BroadcastHashJoin" in plan
+    res.scored.unpersist()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from feast_spark.core import Entity, FeatureStore, FeatureView, Field
+    from feast_spark.core.model import SparkSqlSource
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-02-01 00:00:00"]
+            ).astype("datetime64[us]"),
+            "v": [1.0, 2.0],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("__tt_src")
+    store = FeatureStore(spark, str(tmp_path))
+    fv = FeatureView(
+        "tt", [Entity("k", "k")],
+        SparkSqlSource("SELECT * FROM __tt_src", timestamp_field="ts"),
+        schema=[Field("k", "int64"), Field("v", "float64")],
+    )
+    store.apply([fv])
+    store.materialize("tt", datetime(2024, 1, 1, tzinfo=timezone.utc),
+                      datetime(2024, 1, 15, tzinfo=timezone.utc))
+    store.materialize("tt", datetime(2024, 1, 15, tzinfo=timezone.utc),
+                      datetime(2024, 3, 1, tzinfo=timezone.utc))
+    snaps = store.list_snapshots("tt")
+    assert snaps == ["snap-00000", "snap-00001"]
+    # VERSION AS OF: the first snapshot still reads the old value
+    assert store.read_snapshot("tt", "snap-00000").toPandas().v.tolist() == [1.0]
+    assert store.read_snapshot("tt").toPandas().v.tolist() == [2.0]
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        store.read_snapshot("tt", "snap-99999")
