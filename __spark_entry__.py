@@ -347,6 +347,19 @@ def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # BPE-ish pre-tokenizer counting (lookahead-free GPT-2-style split,
+    # identical under Java regex and RE2)
+    from feast_spark.functions import bpe_token_count, token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("bpe_tokens"),
+        token_count("text").alias("ws_tokens"),
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -425,6 +438,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries, k=5, dim=64, num_bits=8)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF coarse-quantizer ANN (second family next to hyperplane LSH)
+    from feast_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_clusters=32, n_probe=4)
 
 
 def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -831,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_arithmetic": q_interval_arithmetic,
         "json_extract": q_json_extract,
         "doc_token_stats": q_doc_token_stats,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_bigram_jaccard": q_doc_bigram_jaccard,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -838,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": q_doc_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "session_window_agg": q_session_window_agg,
         "pivot_event_types": q_pivot_event_types,
         "semi_anti_join": q_semi_anti_join,
@@ -874,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": _rp("doc_simhash_pairs"),
         "doc_quality_scores": _rp("doc_quality_scores"),
         "ann_lsh_topk": _rp("ann_lsh_topk"),
+        "ann_ivf_topk": _rp("ann_ivf_topk"),
         "dup_clusters": _rp("dup_clusters"),
         "embedding_neardup_lsh": _rp("embedding_neardup_lsh"),
         "transcript_pipeline": _rp("transcript_pipeline"),
@@ -1135,6 +1160,17 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
                    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS symbol_cnt,
                    length(text) AS char_cnt
+            FROM documents
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                       AS bpe_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(
+                               regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+                        END AS ws_tokens
             FROM documents
         """,
         "doc_exact_dedup": """

@@ -5,5 +5,6 @@ from feast_spark.functions.text import (  # noqa: F401
     doc_fingerprint,
     row_id,
     symbol_count,
+    bpe_token_count,
     token_count,
 )

@@ -67,3 +67,15 @@ def row_id(key_cols: list[str], ts_col: str | None = None) -> Column:
     if ts_col:
         parts.append(F.col(ts_col).cast("string"))
     return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Approximate BPE pre-tokenizer token count — the GPT-2-style split
+    (contraction suffixes, letter runs, digit runs, punctuation runs, each
+    with an optional leading space), simplified to be lookahead-free so
+    Java regex (Spark) and RE2 (DuckDB oracle) count identically. A cheap
+    JVM-side stand-in for tokenizer-based length budgeting when the real
+    tokenizer is too expensive for a first-pass filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+    return F.regexp_count(c, F.lit(pat))

@@ -251,3 +251,118 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def spherical_kmeans(
+    sample: np.ndarray, n_clusters: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd, fixed iterations, first-rows
+    init) on a driver-side sample — the IVF coarse quantizer. Returns
+    unit-norm centroids (n_clusters, dim) float64. Shared verbatim by the
+    driver oracle so assignment is bit-identical."""
+    x = sample.astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    cent = x[:n_clusters].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def _assign_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: top-n_probe centroid ids per vector (n_probe=1 for the
+    corpus side). Centroids travel in the task closure once."""
+    cent_t = centroids.T  # (dim, n_clusters)
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cent_t
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 64,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_clusters
+    inverted lists, probe each query's n_probe nearest lists, exact cosine
+    re-rank inside them — the second ANN family next to hyperplane LSH
+    (complementary failure modes: IVF adapts to the data distribution,
+    LSH is distribution-free).
+
+    Cost model: corpus assignment is one map-side matmul pass; the probe
+    join touches ~n_probe/n_clusters of the corpus per query. Recall rises
+    with n_probe (miss only when the true neighbor's list isn't probed).
+    The quantizer trains on a deterministic driver-side sample (sorted
+    top-``sample_size`` ids) so runs are reproducible and the driver
+    oracle can retrain identically.
+    """
+    sample_rows = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(corpus_id)
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    n_clusters = min(n_clusters, len(sample))
+    centroids = spherical_kmeans(sample, n_clusters, kmeans_iters)
+
+    c_assign = _assign_udf(centroids, 1)
+    q_assign = _assign_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("__list"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("__list"),
+    )
+    joined = c.join(F.broadcast(q), "__list")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = joined.withColumn(
+        "cosine",
+        F.expr(_dot_expr("__qv", "__cv"))
+        / (F.expr(_norm_expr("__qv")) * F.expr(_norm_expr("__cv"))),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -276,6 +276,51 @@ def lsh_topk_pdf(
               "rank": "int32"})
 
 
+def ivf_topk_pdf(
+    sf_dir: str,
+    k: int = 5,
+    n_clusters: int = 32,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+    query_max_id: int = 10,
+) -> pd.DataFrame:
+    """Naive IVF: retrain the shared quantizer kernel on the same sorted
+    sample, replicate the matmul assignment (identical numpy ops -> bit-
+    identical), probe lists, exact cosine with Spark's fold order."""
+    from feast_spark.operators.similarity import spherical_kmeans
+
+    ids, vecs = _load_vectors(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    sample = vecs[order[:sample_size]]
+    n_clusters = min(n_clusters, len(sample))
+    cent = spherical_kmeans(sample, n_clusters, kmeans_iters)
+
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims_to_cent = (vecs / norms) @ cent.T
+    corpus_list = np.argsort(-sims_to_cent, axis=1, kind="stable")[:, 0]
+    probes = np.argsort(-sims_to_cent, axis=1, kind="stable")[:, :n_probe]
+
+    members: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(corpus_list):
+        members[int(c)].append(i)
+    rows = []
+    for qi in np.nonzero(ids < query_max_id)[0]:
+        cand = {j for p in probes[qi] for j in members.get(int(p), [])}
+        cand.discard(int(qi))
+        scored = sorted(
+            ((-_cosine(vecs[qi], vecs[j]), int(ids[j])) for j in cand
+             if ids[j] != ids[qi]),
+        )[:k]
+        for rank, (negcos, nid) in enumerate(scored, start=1):
+            rows.append((int(ids[qi]), nid, -negcos, rank))
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64",
+              "rank": "int32"})
+
+
 def embedding_neardup_pdf(
     sf_dir: str,
     threshold: float = 0.2,
@@ -317,6 +362,7 @@ _RELATIONS = {
     "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
+    "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
 }
 
