@@ -398,6 +398,18 @@ def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_dup_pairs(d, "doc_id", "text", hamming_threshold=4)
 
 
+def q_doc_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # winnowing fingerprints (Schleimer et al. SIGMOD'03): partial-overlap
+    # pairs via shared window-min k-gram hashes; boilerplate fingerprints
+    # (doc frequency > 50) dropped before the self-join
+    from feast_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=5, window=4, min_shared=2, max_fingerprint_df=50
+    )
+
+
 def q_doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     from feast_spark.pipeline.quality import QualityConfig, score_transcripts
 
@@ -858,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_jaccard": q_doc_bigram_jaccard,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_quality_scores": q_doc_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -896,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_minhash_pairs": _rp("doc_minhash_pairs"),
         "doc_simhash_pairs": _rp("doc_simhash_pairs"),
+        "doc_winnow_pairs": _rp("doc_winnow_pairs"),
         "doc_quality_scores": _rp("doc_quality_scores"),
         "ann_lsh_topk": _rp("ann_lsh_topk"),
         "ann_ivf_topk": _rp("ann_ivf_topk"),

@@ -570,3 +570,102 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= hamming_threshold)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03 — partial-overlap dup)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_batch(texts: pd.Series, k: int, window: int) -> list[np.ndarray]:
+    """Per-text distinct winnowed fingerprints: min k-gram hash in every
+    sliding window of ``window`` consecutive grams (rightmost min on ties,
+    per the paper) — one numpy pass over the shared textkit kernel."""
+    codes, lens = textkit.flat_codes(texts)
+    n = len(lens)
+    h, gdoc = textkit.rolling_kgram_hashes(codes, lens, k)
+    out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n
+    if len(h) == 0:
+        return out
+    hv = h.view(np.int64)
+    bounds = np.searchsorted(gdoc, np.arange(n + 1))
+    for i in range(n):
+        s, e = bounds[i], bounds[i + 1]
+        m = e - s
+        if m == 0:
+            continue
+        doc_h = hv[s:e]
+        if m <= window:
+            sel = np.array([int(np.flatnonzero(doc_h == doc_h.min())[-1])])
+        else:
+            idx = np.arange(m - window + 1)[:, None] + np.arange(window)
+            w = doc_h[idx]
+            rev_arg = window - 1 - np.argmin(w[:, ::-1], axis=1)  # rightmost min
+            sel = np.unique(np.arange(m - window + 1) + rev_arg)
+        out[i] = np.unique(doc_h[sel])
+    return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) rows — the winnowing document-fingerprint set.
+
+    Guarantee (the paper's): any shared substring of length >= k+window-1
+    between two documents yields at least one SHARED fingerprint, so
+    partial-overlap duplicates (quotes, boilerplate blocks) are caught by
+    an equi-join on fingerprint — unlike the whole-document
+    :func:`feast_spark.functions.text.doc_fingerprint`. Fingerprint
+    density is ~2/(window+1) of the grams, bounding index size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = _winnow_batch(pdf[text_col], k, window)
+            ids = np.repeat(pdf[id_col].to_numpy(), [len(f) for f in fps])
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "fingerprint": np.concatenate(fps)
+                    if len(fps)
+                    else np.empty(0, dtype=np.int64),
+                }
+            )
+
+    return _scale_partitions(df).mapInPandas(run, "id long, fingerprint long")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fingerprint_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, shared) — pairs sharing >= min_shared winnowed
+    fingerprints. ``max_fingerprint_df`` drops boilerplate fingerprints
+    appearing in more than that many docs before the self-join (the same
+    degenerate-bucket guard as the LSH caps)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_fingerprint_df:
+        dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
+        fp = fp.join(dfreq, "fingerprint").filter(
+            F.col("__df") <= max_fingerprint_df
+        ).drop("__df")
+    pairs = (
+        fp.alias("l")
+        .join(
+            fp.alias("r"),
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return pairs

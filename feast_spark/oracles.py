@@ -139,6 +139,43 @@ def simhash_pairs_pdf(sf_dir: str, hamming_threshold: int = 8) -> pd.DataFrame:
     )
 
 
+def winnow_pairs_pdf(
+    sf_dir: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fingerprint_df: int = 50,
+) -> pd.DataFrame:
+    """Naive winnowing-overlap pairs: shared winnowed-fingerprint counts
+    via dict-of-postings (same fingerprint kernel, naive relational part)."""
+    from feast_spark.operators.dedup import _winnow_batch
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs["doc_id"].to_numpy()
+    fps = _winnow_batch(docs["text"], k, window)
+    postings: dict[int, list[int]] = defaultdict(list)
+    for i, arr in enumerate(fps):
+        for f in arr.tolist():
+            postings[f].append(i)
+    shared: dict[tuple[int, int], int] = defaultdict(int)
+    for f, members in postings.items():
+        if max_fingerprint_df and len(members) > max_fingerprint_df:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                ia, ib = (int(ids[i]), int(ids[j]))
+                if ia > ib:
+                    ia, ib = ib, ia
+                shared[(ia, ib)] += 1
+    rows = [
+        (a, b, c) for (a, b), c in sorted(shared.items()) if c >= min_shared
+    ]
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "shared"]).astype(
+        {"id_a": "int64", "id_b": "int64", "shared": "int64"}
+    )
+
+
 def dup_clusters_pdf(sf_dir: str, **minhash_kwargs) -> pd.DataFrame:
     """Union-find over the minhash pair table — the naive form of
     operators.dedup.connected_components."""
@@ -359,6 +396,7 @@ _RELATIONS = {
     "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),
     "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf, hamming_threshold=4),
     "dup_clusters": lambda sf: dup_clusters_pdf(sf),
+    "doc_winnow_pairs": lambda sf: winnow_pairs_pdf(sf),
     "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),

@@ -226,3 +226,29 @@ def test_bucket_cap_drops_degenerate_bucket(spark):
         docs, "doc_id", "text", jaccard_threshold=0.9, max_bucket_size=10
     )
     assert capped.count() == 0
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    import pandas as pd
+    from feast_spark.operators.dedup import winnow_overlap_pairs
+
+    # the paper's guarantee: a shared substring of length >= k+window-1
+    # (= 8 here) yields at least one shared fingerprint
+    shared_block = "identical boilerplate legal disclaimer paragraph here"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "first document body. " + shared_block,
+                    shared_block + " trailing unique content two",
+                    "entirely different text with no overlap at all whatsoever",
+                ],
+            }
+        )
+    )
+    pairs = winnow_overlap_pairs(
+        docs, "doc_id", "text", k=5, window=4, min_shared=1
+    ).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 1)).any()
+    assert not ((pairs.id_b == 2) | (pairs.id_a == 2)).any()
