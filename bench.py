@@ -57,6 +57,8 @@ HEADLINE = [
     "derived_view_historical",
     "embedding_neardup_lsh",
     "odfv_request_scale",
+    "ann_ivf_topk",
+    "doc_winnow_pairs",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -33,7 +33,29 @@ class RetrievalJob:
     def to_arrow(self) -> pa.Table:
         return pa.Table.from_pandas(self._df.toPandas(), preserve_index=False)
 
-    def persist(self, path: str, allow_overwrite: bool = False) -> None:
+    def persist(
+        self,
+        path: str,
+        allow_overwrite: bool = False,
+        validation_reference=None,
+    ) -> None:
+        """Saved-dataset persist; with ``validation_reference`` (a
+        :class:`feast_spark.operators.profile.DatasetProfile`) the result
+        is validated FIRST and the write refused on failure — the
+        reference's ``create_saved_dataset(validation_reference)`` gate
+        (feature_store.py saved-dataset flow + saved_dataset.py:259)."""
+        if validation_reference is not None:
+            from feast_spark.operators.profile import validate_dataset
+
+            report = validate_dataset(self._df, validation_reference)
+            if not report.ok:
+                raise ValueError(
+                    "retrieval result failed validation; not persisting: "
+                    + "; ".join(
+                        f"{e.column}:{e.check} expected {e.expected} got {e.observed}"
+                        for e in report.errors
+                    )
+                )
         saved_dataset_persist(self._df, path, allow_overwrite)
 
     def to_remote_storage(self, staging_dir: str) -> list[str]:

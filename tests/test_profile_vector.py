@@ -105,3 +105,19 @@ def test_retrieve_online_documents(spark, tmp_path):
     lsh = store.retrieve_online_documents("docs", q, top_k=3, method="lsh", num_bits=4)
     got = lsh.toPandas()
     assert 1 <= len(got) <= 3 and 7 in got.doc_id.tolist()
+
+
+def test_retrieval_job_validation_gate(spark, tmp_path, clean_df):
+    from feast_spark.core.retrieval import RetrievalJob
+
+    prof = profile_dataset(clean_df)
+    ok_path = str(tmp_path / "sd_ok")
+    RetrievalJob(clean_df).persist(ok_path, validation_reference=prof)
+    assert spark.read.parquet(ok_path).count() == clean_df.count()
+
+    bad = clean_df.withColumn("v", F.col("v") + F.lit(999.0))
+    bad_path = str(tmp_path / "sd_bad")
+    with pytest.raises(ValueError, match="failed validation"):
+        RetrievalJob(bad).persist(bad_path, validation_reference=prof)
+    import os
+    assert not os.path.exists(bad_path)
