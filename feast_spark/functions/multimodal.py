@@ -161,3 +161,42 @@ def frame_sample(
             yield pd.DataFrame({"id": out_id, "frame_idx": out_frame})
 
     return df.mapInPandas(run, "id long, frame_idx int")
+
+
+def image_resize(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode -> resize -> re-encode, binary in / binary out — the
+    transform-in-place shape for image normalization pipelines. The
+    decode/encode pair is the stubbed codec boundary (real impl:
+    PIL ``Image.resize``); with the fake codec the resize is a REAL
+    deterministic nearest-neighbor downsample of the fake payload, so the
+    plumbing (binary -> array -> binary, per-batch) is exercised
+    end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_data, out_valid = [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                # codec boundary (raises NotImplementedError unless fake)
+                w, h, px = _decode_one(bytes(b), fake)
+                ys = np.linspace(0, px.shape[0] - 1, min(target_h, px.shape[0])).astype(int)
+                xs = np.linspace(0, px.shape[1] - 1, min(target_w, px.shape[1])).astype(int)
+                resized = px[ys][:, xs]
+                _, _, seed = struct.unpack_from(HEADER_FMT, bytes(b))[1:]
+                payload = resized.astype(np.uint8).tobytes()
+                out_id.append(int(i))
+                out_data.append(
+                    struct.pack(HEADER_FMT, MAGIC, target_w, target_h, seed) + payload
+                )
+                out_valid.append(True)
+            yield pd.DataFrame(
+                {"id": out_id, "data": out_data, "valid": out_valid}
+            )
+
+    return df.mapInPandas(run, "id long, data binary, valid boolean")

@@ -67,3 +67,51 @@ def test_perplexity_finite_and_positive(text):
     ppl = rules.perplexity(pd.Series([text], dtype=object))
     assert np.isfinite(ppl).all()
     assert (ppl > 0).all()
+
+
+def test_connected_components_partition_invariant(spark):
+    import pandas as pd
+
+    from feast_spark.operators.dedup import connected_components
+
+    pairs_pdf = pd.DataFrame(
+        {
+            "id_a": [1, 2, 5, 8, 9, 3],
+            "id_b": [2, 3, 6, 9, 10, 1],
+        }
+    )
+    base = connected_components(
+        spark.createDataFrame(pairs_pdf)
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    # shuffled row order + different partitioning must give identical comps
+    shuffled = pairs_pdf.sample(frac=1.0, random_state=7)
+    alt = connected_components(
+        spark.createDataFrame(shuffled).repartition(7)
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    assert base.equals(alt)
+    comp = dict(zip(base.id, base.component))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[8] == comp[9] == comp[10] == 8
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_winnow_and_bpe_crash_free_on_arbitrary_unicode(texts):
+    import pandas as pd
+
+    from feast_spark.operators.dedup import _winnow_batch
+
+    fps = _winnow_batch(pd.Series(texts), k=5, window=4)
+    assert len(fps) == len(texts)
+    # every non-trivial text yields at least one fingerprint
+    for t, f in zip(texts, fps):
+        if len(t) >= 5:
+            assert len(f) >= 1
