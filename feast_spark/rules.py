@@ -112,6 +112,8 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 ]
 _TOX_PATTERN = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+# case-sensitive variant for pre-lowered text (heuristic_stats fast path)
+_TOX_PATTERN_LOWER = r"\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 
 
 def scrub_text(texts: pd.Series) -> pd.Series:
@@ -267,22 +269,38 @@ def heuristic_stats(texts: pd.Series) -> pd.DataFrame:
     """
     s = texts.fillna("").astype(str).reset_index(drop=True)
     n = len(s)
+    low = s.str.lower()  # computed once, reused by tokens + tox matching
     n_chars = s.str.len().to_numpy(dtype=np.int64)
     denom_c = np.maximum(n_chars, 1)
     symbol_ratio = s.str.count(r"[^\w\s]").to_numpy() / denom_c
     digit_ratio = s.str.count(r"\d").to_numpy() / denom_c
     cjk_ratio = s.str.count(r"[一-鿿]").to_numpy() / denom_c
-    tox_count = s.str.count(_TOX_PATTERN).to_numpy(dtype=np.int64)
+    # toxicity: the word-boundary regex only runs on rows that contain a
+    # lexicon word as a plain substring (8 C-speed substring scans gate
+    # one slow regex pass; most rows contain none). Matching is evaluated
+    # on the lowercased text — equivalent to the former (?i) scan for the
+    # ASCII lexicon.
+    tox_count = np.zeros(n, dtype=np.int64)
+    cand = np.zeros(n, dtype=bool)
+    for w in TOXICITY_LEXICON:
+        cand |= low.str.contains(w, regex=False).to_numpy()
+    if cand.any():
+        tox_count[cand] = (
+            low[cand].str.count(_TOX_PATTERN_LOWER).to_numpy(dtype=np.int64)
+        )
 
-    toks = s.str.lower().str.findall(r"\S+")
+    toks = low.str.findall(r"\S+")
     word_count = toks.str.len().to_numpy(dtype=np.int64)
 
     flat = toks.explode().dropna()
     rows = flat.index.to_numpy(dtype=np.int64)
-    tok_vals = flat.to_numpy()
 
-    tok_lens = flat.str.len().to_numpy(dtype=np.float64)
-    len_sum = np.bincount(rows, weights=tok_lens, minlength=n)
+    # sum of token lengths == non-whitespace chars of the lowered text
+    # (findall(\S+) tokens partition exactly the non-\s characters)
+    len_sum = (
+        low.str.len().to_numpy(dtype=np.float64)
+        - low.str.count(r"\s").to_numpy(dtype=np.float64)
+    )
     denom_w = np.maximum(word_count, 1)
     mean_word_len = len_sum / denom_w
 
@@ -354,12 +372,17 @@ def language_id(texts: pd.Series, stats: pd.DataFrame | None = None) -> pd.Serie
     rows = flat.index.to_numpy(dtype=np.int64)
     wc = np.maximum(toks.str.len().to_numpy(dtype=np.int64), 1)
 
+    # factorize once: marker membership is decided per UNIQUE token (the
+    # vocabulary is ~20x smaller than the token stream), then gathered
+    # back through the codes — identical hits to per-token isin
     scores = np.zeros((n, len(_LID_LANGS)), dtype=np.float64)
-    for j, lang in enumerate(_LID_LANGS):
-        hits = np.bincount(
-            rows, weights=flat.isin(_LID_MARKERS[lang]).to_numpy(dtype=np.float64), minlength=n
-        )
-        scores[:, j] = hits / wc
+    if len(flat):
+        codes, uniq = pd.factorize(flat)
+        uniq_idx = pd.Index(uniq)
+        for j, lang in enumerate(_LID_LANGS):
+            member = uniq_idx.isin(_LID_MARKERS[lang]).astype(np.float64)
+            hits = np.bincount(rows, weights=member[codes], minlength=n)
+            scores[:, j] = hits / wc
 
     best = np.argmax(scores, axis=1)  # first max -> lexicographic tie-break
     best_score = scores[np.arange(n), best]
