@@ -415,7 +415,11 @@ def ensure_oracles(sf_dir: str, names: list[str] | None = None) -> dict[str, str
         if key not in _BUILT or not os.path.exists(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             pdf = _RELATIONS[name](sf_dir)
-            pdf.to_parquet(path, index=False)
+            # atomic publish: concurrent processes (driver harnesses) may
+            # build the same relation — rename is atomic on one filesystem
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pdf.to_parquet(tmp, index=False)
+            os.replace(tmp, path)
             _BUILT.add(key)
         out[name] = path
     return out
