@@ -118,8 +118,13 @@ def scale_run(cpus: int, corpus: str) -> None:
     _run_pipeline(spark, corpus)          # warm: JIT, codegen, python workers
     wall1, n_turns = _run_pipeline(spark, corpus)
     wall2, _ = _run_pipeline(spark, corpus)
+    with open("/proc/loadavg") as f:
+        load = float(f.read().split()[0])
     # min of two steady-state runs: external load only ever slows a run
-    print(json.dumps({"cpus": cpus, "wall_sec": min(wall1, wall2), "n_turns": n_turns}))
+    print(json.dumps({
+        "cpus": cpus, "wall_sec": min(wall1, wall2), "n_turns": n_turns,
+        "loadavg": load,
+    }))
     spark.stop()
 
 
@@ -178,18 +183,20 @@ def main() -> None:
         # SPARK_GRAFT_SCALE_SMALL.
         small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
         big = small * 4
-        # The small config is compute-bound and stable (its cores always fit
-        # under host load); the big config is the noise-sensitive one. Run
-        # big twice, bracketing the small run, and keep the big min — a
-        # load burst during either big window is discarded.
+        # Both configs are noise-sensitive on this shared host (external
+        # tenant bursts measured at loadavg 0-7 within minutes). Sample
+        # each config in TWO fresh subprocesses, interleaved, and keep the
+        # min wall per config — a burst landing in any one window is
+        # discarded; each subprocess additionally mins over two internal
+        # steady-state runs.
         r_big_1 = _scale_subprocess(big, scale_corpus)
-        r_small = _scale_subprocess(small, scale_corpus)
+        r_small_1 = _scale_subprocess(small, scale_corpus)
         r_big_2 = _scale_subprocess(big, scale_corpus)
+        r_small_2 = _scale_subprocess(small, scale_corpus)
         r_big = min((r_big_1, r_big_2), key=lambda r: r["wall_sec"])
+        r_small = min((r_small_1, r_small_2), key=lambda r: r["wall_sec"])
         tput_small = r_small["n_turns"] / r_small["wall_sec"]
         tput_big = r_big["n_turns"] / r_big["wall_sec"]
-        with open("/proc/loadavg") as f:
-            loadavg = f.read().split()[0]
         scaling = {
             "corpus_turns": r_big["n_turns"],
             "cpus_small": small,
@@ -198,7 +205,10 @@ def main() -> None:
             "turns_per_sec_big": round(tput_big, 1),
             "speedup": round(tput_big / tput_small, 3),
             "efficiency": round(tput_big / (tput_small * (big / small)), 3),
-            "host_loadavg_1m": float(loadavg),
+            "host_loadavg_per_window": [
+                r.get("loadavg")
+                for r in (r_big_1, r_small_1, r_big_2, r_small_2)
+            ],
         }
 
     out = {
