@@ -90,3 +90,59 @@ def read_partition_pruned(
             & (F.col(date_partition_column) <= F.lit(str(end)[:10]))
         )
     return df.filter(F.col(ts_col).between(F.lit(start), F.lit(end)))
+
+
+def online_kv_export(
+    df: DataFrame,
+    join_keys: list[str],
+    ts_col: str,
+    path: str,
+) -> None:
+    """Executor-side KV serialization of a serving table — the shape of
+    feast's ``online_write_batch`` (provider writes (entity_key bytes,
+    feature blob) rows to a KV store) with the store swapped for parquet
+    (no KV server in this sandbox; a real deployment replaces the write
+    with the client call inside the SAME mapInPandas).
+
+    Keys are the reference v3 binary encoding (``core/keys.py``,
+    byte-for-byte ``key_encoding_utils.py:131-190``), so rows are directly
+    loadable into any store that reads feast v3 keys. Values are
+    JSON-encoded feature dicts with the event timestamp. All
+    serialization happens ON EXECUTORS over Arrow batches — the driver
+    never sees a row."""
+    import json as _json
+
+    import pandas as pd
+
+    from feast_spark.core.keys import serialize_entity_key
+
+    feature_cols = [c for c in df.columns if c not in set(join_keys) | {ts_col}]
+
+    def run(batches):
+        for pdf in batches:
+            keys = [
+                serialize_entity_key(
+                    {k: (v.item() if hasattr(v, "item") else v)
+                     for k, v in zip(join_keys, row)}
+                )
+                for row in zip(*[pdf[k] for k in join_keys])
+            ]
+            vals = [
+                _json.dumps(
+                    {c: (None if pd.isna(row[i]) else
+                         (row[i].item() if hasattr(row[i], "item") else row[i]))
+                     for i, c in enumerate(feature_cols)},
+                    sort_keys=True,
+                ).encode("utf-8")
+                for row in zip(*[pdf[c] for c in feature_cols])
+            ] if feature_cols else [b"{}"] * len(pdf)
+            yield pd.DataFrame(
+                {
+                    "entity_key": keys,
+                    "value": vals,
+                    "event_ts": pdf[ts_col].values,
+                }
+            )
+
+    out = df.mapInPandas(run, "entity_key binary, value binary, event_ts timestamp")
+    out.write.mode("overwrite").parquet(path)

@@ -84,3 +84,36 @@ def test_feature_logging_partitioned(spark, tmp_path):
     # physically partitioned by __log_date
     parts = [d for d in os.listdir(path) if d.startswith("__log_date=")]
     assert parts
+
+
+def test_online_kv_export_v3_keys(spark, tmp_path):
+    import json
+
+    import pandas as pd
+
+    from feast_spark.core.keys import deserialize_entity_key
+    from feast_spark.sources.sinks import online_kv_export
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [7, 8],
+            "region": ["eu", "us"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]).astype("datetime64[us]"),
+            "score": [1.5, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "kv")
+    online_kv_export(df, ["user_id", "region"], "ts", path)
+    got = spark.read.parquet(path).toPandas()
+    assert len(got) == 2
+    keys = [deserialize_entity_key(bytes(b)) for b in got.entity_key]
+    assert {"user_id": 7, "region": "eu"} in keys
+    assert {"user_id": 8, "region": "us"} in keys
+    row7 = got[got.entity_key.map(
+        lambda b: deserialize_entity_key(bytes(b))["user_id"] == 7)]
+    val = json.loads(bytes(row7.value.iloc[0]).decode())
+    assert val == {"score": 1.5}
+    row8 = got[got.entity_key.map(
+        lambda b: deserialize_entity_key(bytes(b))["user_id"] == 8)]
+    assert json.loads(bytes(row8.value.iloc[0]).decode()) == {"score": None}
