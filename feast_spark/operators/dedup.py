@@ -152,6 +152,23 @@ def _scale_partitions(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingle_only_table(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, shingles) — used to RECOMPUTE shingle sets for the (small)
+    candidate subset at verification time; the full-corpus pass only ever
+    materializes signatures (caching every shingle set would be ~16 TB at
+    10^9 docs x 2k shingles)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "shingles": _shingle_hash_batch(pdf[text_col], k)}
+            )
+
+    return df.mapInPandas(run, "id long, shingles array<long>")
+
+
 def _shingle_sig_table(
     df: DataFrame,
     id_col: str,
@@ -159,6 +176,7 @@ def _shingle_sig_table(
     k: int,
     num_hashes: int,
     seed: int,
+    include_shingles: bool = True,
 ) -> DataFrame:
     """(id, shingles, sig) in ONE map-side pass — shingle hashing AND the
     num_hashes permutation minima computed in the same numpy batch.
@@ -189,11 +207,19 @@ def _shingle_sig_table(
                         axis=1
                     )
                 )
-            yield pd.DataFrame({"id": pdf[id_col], "shingles": sh, "sig": sigs})
+            if include_shingles:
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "shingles": sh, "sig": sigs}
+                )
+            else:
+                yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
-    return _scale_partitions(df).mapInPandas(
-        run, "id long, shingles array<long>, sig array<long>"
+    schema = (
+        "id long, shingles array<long>, sig array<long>"
+        if include_shingles
+        else "id long, sig array<long>"
     )
+    return _scale_partitions(df).mapInPandas(run, schema)
 
 
 def minhash_signatures(
@@ -239,10 +265,15 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if release_previous_caches:
         release_dedup_caches()
-    # (id, shingles, sig) persisted: the python hashing pass runs once,
-    # reused by banding and by the verify joins.
-    sh = _scoped_persist(
-        _shingle_sig_table(df, id_col, text_col, shingle_k, num_hashes, seed)
+    # full-corpus pass materializes SIGNATURES ONLY (id, 32 longs — ~260B/
+    # row): shingle sets are never cached corpus-wide (at 10^9 docs x 2k
+    # shingles that cache would be terabytes); they are recomputed below
+    # for just the candidate docs.
+    sigs = _scoped_persist(
+        _shingle_sig_table(
+            df, id_col, text_col, shingle_k, num_hashes, seed,
+            include_shingles=False,
+        )
     )
 
     band_structs = ",".join(
@@ -255,14 +286,16 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     )
-    # NARROW bucket rows: ids only — the shingle arrays never enter the
-    # candidate shuffle (they re-attach by id at verification)
-    buckets = sh.filter(F.col("sig").isNotNull()).select(
+    # NARROW bucket rows: ids only — neither shingles nor sigs enter the
+    # candidate shuffle
+    buckets = sigs.filter(F.col("sig").isNotNull()).select(
         "id", F.explode(F.expr(f"array({band_structs})")).alias("b")
     ).select("id", F.col("b.band"), F.col("b.bh"))
     buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket_size)
 
-    cand = (
+    # candidate pairs persisted: reused by the gate AND by the
+    # candidate-id projection feeding the verify-side shingle recompute
+    cand = _scoped_persist(
         buckets.alias("l")
         .join(
             buckets.alias("r"),
@@ -281,7 +314,6 @@ def minhash_lsh_pairs(
     # t=0.5, shrinking exponentially in n. The driver oracle replicates
     # the gate bit-for-bit, so the operator's contract stays deterministic.
     min_matches = -(-num_hashes * jaccard_threshold // 2)  # ceil
-    sigs = sh.select("id", "sig")
     gated = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -294,7 +326,17 @@ def minhash_lsh_pairs(
         )
         .select("id_a", "id_b")
     )
-    shing = sh.select("id", "shingles")
+    # verify-side shingle sets: recomputed for CANDIDATE docs only (the
+    # python pass reruns on a corpus fraction ~ |cand ids| / N)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    small = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).join(
+        cand_ids, "id"
+    )
+    shing = _shingle_only_table(small, "id", "__t", shingle_k)
     verified = (
         gated.join(shing.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shing.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
