@@ -130,6 +130,24 @@ def q_pit_ttl_1h(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "ts", F.col("value").alias("last_click_value"))
 
 
+def q_pit_entityless(spark: SparkSession, sf: str) -> DataFrame:
+    # non-entity mode / DUMMY_ENTITY (dask.py:298-302): zero join keys —
+    # each purchase gets the globally-latest click value as-of its ts
+    from feast_spark.operators import point_in_time_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "ts", "value", "event_id"
+    )
+    out = point_in_time_join(
+        purchases, clicks, [],
+        feature_ts_col="ts", entity_ts_col="ts",
+        features=["value", "event_id"], tiebreak_cols=["event_id"],
+    )
+    return out.select("user_id", "ts", F.col("value").alias("global_last_click"))
+
+
 def q_two_role_join(spark: SparkSession, sf: str) -> DataFrame:
     # self-join w/ key remap: one dim table (nation) under two roles
     # (feature_view.py:447-480 with_join_key_map)
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_mapping_scan": q_field_mapping_scan,
         "pit_last_click": q_pit_last_click,
         "pit_ttl_1h": q_pit_ttl_1h,
+        "pit_entityless": q_pit_entityless,
         "two_role_join": q_two_role_join,
         "entity_union": q_entity_union,
         "cross_join_share": q_cross_join_share,
@@ -1055,6 +1074,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.ts, l.value AS last_click_value
             FROM entity e LEFT JOIN latest l
               ON e.user_id = l.user_id AND e.ts = l.ts AND l.rn = 1
+        """,
+        "pit_entityless": """
+            WITH entity AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT ts AS fts, value, event_id FROM events
+              WHERE event_type = 'click'
+            ), latest AS (
+              -- one global as-of pick per distinct entity ts
+              SELECT e.ts, f.value, ROW_NUMBER() OVER (
+                  PARTITION BY e.ts
+                  ORDER BY f.fts DESC, f.event_id DESC) AS rn
+              FROM (SELECT DISTINCT ts FROM entity) e
+              JOIN feat f ON f.fts <= e.ts
+            )
+            SELECT e.user_id, e.ts, l.value AS global_last_click
+            FROM entity e LEFT JOIN latest l ON e.ts = l.ts AND l.rn = 1
         """,
         "two_role_join": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

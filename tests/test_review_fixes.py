@@ -187,3 +187,33 @@ def test_pit_created_cutoff_all_too_new_blanks(spark):
         created_ts_col="created", created_cutoff=True,
     ).toPandas()
     assert len(out) == 1 and pd.isna(out.v.iloc[0])
+
+
+def test_pit_join_entityless_dummy_entity(spark):
+    # non-entity mode (dask.py:298-302 DUMMY_ENTITY): zero join keys ->
+    # every entity row gets the latest feature row as-of its timestamp
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fts": pd.to_datetime(["2024-01-01", "2024-02-01"]).astype(
+                    "datetime64[us]"
+                ),
+                "v": [1.0, 2.0],
+            }
+        )
+    )
+    entity = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ets": pd.to_datetime(
+                    ["2023-12-01", "2024-01-15", "2024-03-01"]
+                ).astype("datetime64[us]")
+            }
+        )
+    )
+    out = (
+        point_in_time_join(entity, feats, [], feature_ts_col="fts", entity_ts_col="ets")
+        .orderBy("ets")
+        .toPandas()
+    )
+    assert pd.isna(out.v.iloc[0]) and out.v.iloc[1] == 1.0 and out.v.iloc[2] == 2.0
