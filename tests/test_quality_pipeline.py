@@ -108,3 +108,35 @@ def test_distributed_generator_matches_local(spark, transcripts_pdf):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pipeline_rerun_idempotent_labels(spark, tmp_path):
+    """Re-running the pipeline against the SAME feature table (the resume/
+    retry scenario) appends a second conv-feature snapshot; the as-of join's
+    created-ts tie-break picks the newest and the labels are unchanged —
+    north_rule 'resumable from checkpoint' at pipeline granularity."""
+    from datetime import datetime, timezone
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    path = str(tmp_path / "conv_features")
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def run(run_id):
+        res = run_quality_pipeline(
+            spark, transcripts_spark(spark, 30, seed=21), QualityConfig(),
+            run_id=run_id, decision_ts=dts, feature_table_path=path,
+        )
+        out = res.labels.orderBy("conv_id", "turn_idx").toPandas()
+        res.scored.unpersist()
+        return out
+
+    l1 = run("attempt-1")
+    l2 = run("attempt-2")  # retry against the same table
+    for c in ["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text"]:
+        assert l1[c].tolist() == l2[c].tolist(), c
+    # both snapshots live in the feature table (append-only history)
+    hist = spark.read.parquet(path)
+    n_convs = l1.conv_id.nunique()
+    assert hist.count() == 2 * n_convs
