@@ -439,6 +439,9 @@ def q_doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
+    # single-file table -> one partition -> the scoring pass would run on
+    # one core; widen to the session's parallelism first
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     out = score_transcripts(d, QualityConfig())
     # ppl is emitted RAW: the oracle is the same numpy kernel run on the
     # driver (oracles.quality_scores_pdf), so doubles match bit-for-bit
