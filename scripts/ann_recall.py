@@ -42,9 +42,10 @@ def main() -> None:
     from feast_spark.session import get_spark
 
     spark = get_spark("ann_recall", cpus=int(os.environ.get("ANN_CPUS", "16")))
+    # method "ivf": num_bits = n_clusters, num_tables = n_probe
     configs = [
-        (256, [(8, "sql", 1), (12, "sql", 1), (12, "sql", 4), (12, "sql", 8)]),
-        (1024, [(12, "pandas", 4), (16, "pandas", 1)]),
+        (256, [(12, "sql", 4), (256, "ivf", 8), (256, "ivf", 16)]),
+        (1024, [(12, "pandas", 4), (256, "ivf", 16)]),
     ]
     for dim, variants in configs:
         vecs = make_vectors(N, dim, clusters=256, seed=dim)
@@ -67,16 +68,29 @@ def main() -> None:
 
         for num_bits, method, num_tables in variants:
             t0 = time.time()
-            approx = (
-                lsh_topk(
-                    corpus, queries, K, dim=dim, num_bits=num_bits,
-                    bucket_method=method, multiprobe=True,
-                    num_tables=num_tables,
+            if method == "ivf":
+                from feast_spark.operators.similarity import ivf_topk
+
+                approx = (
+                    ivf_topk(
+                        corpus, queries, K,
+                        n_clusters=num_bits, n_probe=num_tables,
+                    )
+                    .toPandas()
+                    .groupby("query_id")["neighbor_id"]
+                    .apply(set)
                 )
-                .toPandas()
-                .groupby("query_id")["neighbor_id"]
-                .apply(set)
-            )
+            else:
+                approx = (
+                    lsh_topk(
+                        corpus, queries, K, dim=dim, num_bits=num_bits,
+                        bucket_method=method, multiprobe=True,
+                        num_tables=num_tables,
+                    )
+                    .toPandas()
+                    .groupby("query_id")["neighbor_id"]
+                    .apply(set)
+                )
             t_lsh = time.time() - t0
             recalls = [
                 len(exact.get(q, set()) & approx.get(q, set())) / K
