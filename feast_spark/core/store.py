@@ -62,6 +62,23 @@ class FeatureStore:
             elif isinstance(obj, FeatureService):
                 self._services[obj.name] = obj
 
+    # -- introspection (feature_store.py list_*/get_* surface) -----------------
+    def list_feature_views(self) -> list[FeatureView]:
+        return list(self._views.values())
+
+    def list_on_demand_feature_views(self) -> list[OnDemandFeatureView]:
+        return list(self._odfvs.values())
+
+    def get_feature_view(self, name: str) -> FeatureView:
+        if name not in self._views:
+            raise ValueError(f"unknown feature view: {name}")
+        return self._views[name]
+
+    def get_feature_service(self, name: str) -> FeatureService:
+        if name not in self._services:
+            raise ValueError(f"unknown feature service: {name}")
+        return self._services[name]
+
     # -- historical retrieval (PIT) -------------------------------------------
     def get_historical_features(
         self,

@@ -165,3 +165,19 @@ def test_materialize_incremental_resumes(spark, repo):
     out = store.materialize_incremental("driver_stats", _mk("2024-01-03"))
     assert len(out.toPandas()) == 5
     assert store.registry.most_recent_end_time("driver_stats") == _mk("2024-01-03")
+
+
+def test_store_introspection(spark, repo):
+    from feast_spark.core import FeatureService
+
+    store, _feats = repo
+    store.apply([FeatureService("svc", ("driver_stats:conv_rate",))])
+    names = [v.name for v in store.list_feature_views()]
+    assert len(names) == 1
+    assert store.get_feature_view(names[0]).name == names[0]
+    assert len(store.list_on_demand_feature_views()) == 1
+    assert store.get_feature_service("svc").features == ("driver_stats:conv_rate",)
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.get_feature_view("nope")

@@ -115,3 +115,43 @@ def test_winnow_and_bpe_crash_free_on_arbitrary_unicode(texts):
     for t, f in zip(texts, fps):
         if len(t) >= 5:
             assert len(f) >= 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_equals_union_find(spark, edges):
+    from feast_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    )
+    got = dict(
+        connected_components(pairs).toPandas()[["id", "component"]].itertuples(
+            index=False, name=None
+        )
+    )
+    # naive union-find ground truth
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    exp = {n: find(n) for n in nodes}
+    assert got == exp
