@@ -1,18 +1,25 @@
 """Benchmark harness. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
- "sf": ..., "pipeline": {...}, "scaling": {...}}
+ "sf": ..., "pipeline": {...}, "scaling": {...}, "docs_large": {...}}
 
 - Headline queries run on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
   at local[$SPARK_GRAFT_CPUS]; each timed to full materialization via the
-  noop sink (no driver collect).
+  noop sink (no driver collect). Every query is sampled in TWO interleaved
+  passes and the per-query MIN is recorded (external load only ever slows a
+  run, so the fastest observation is closest to the machine's true wall);
+  per-pass external CPU (non-bench processes, measured from /proc/stat
+  minus this process tree) is recorded alongside so a contaminated window
+  is visible in the artifact, not an after-the-fact explanation.
 - The transcript quality pipeline is benchmarked on a deterministic
-  generated corpus (cached parquet), reporting turns/sec.
+  generated corpus (cached parquet), reporting turns/sec (min of 2 runs).
+- docs_large: the pair/near-dup queries at a 50k-doc corpus with planted
+  near-dup clusters (10x the sf0.1 documents table) — walls there measure
+  the algorithms, not per-job fixed overhead.
 - Scaling evidence (BASELINE.md "N vs 4N executors" rule, sandboxed): the
   same pipeline job at local[N/4] and local[N] on identical input, each in
-  a FRESH subprocess (no JIT cross-contamination), timing the second of
-  two runs (steady-state, not JVM warm-up). Corpus is sized so Python
-  scoring dominates fixed overhead (~2M turns). Disable with
-  SPARK_GRAFT_SCALING=0.
+  a FRESH subprocess (no JIT cross-contamination), min over interleaved
+  samples. Corpus is sized so Python scoring dominates fixed overhead
+  (~2M turns). Disable with SPARK_GRAFT_SCALING=0.
 
 Usage: python bench.py            # full benchmark, one JSON line
        python bench.py --scale-run CPUS CORPUS_PATH   # internal helper
@@ -33,6 +40,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+DOCS_LARGE = int(os.environ.get("SPARK_GRAFT_DOCS_LARGE", "50000"))
 SCALE_TURN_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "2000000"))
 
 HEADLINE = [
@@ -69,6 +77,66 @@ N_CONVS = {"sf0.001": 150, "sf0.01": 1000, "sf0.1": 8000}.get(
 SCALE_CONVS = max(SCALE_TURN_TARGET // 12, 1000)
 
 
+# ---------------------------------------------------------------------------
+# external-load instrumentation: CPU consumed by processes OUTSIDE this
+# bench's process tree during a window. Jiffies from /proc/stat (whole
+# host) minus the sum over /proc/<pid>/stat of this process and its live
+# descendants (driver + JVM + python workers). Workers that exit inside a
+# window undercount "own" time, which OVERSTATES external load — the
+# conservative direction for a "the window was clean" claim.
+# ---------------------------------------------------------------------------
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _host_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return sum(v) - v[3] - v[4]  # minus idle + iowait
+
+
+def _own_tree_jiffies() -> int:
+    procs: dict[int, tuple[int, int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        rest = st[st.rindex(")") + 2 :].split()
+        procs[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        x = stack.pop()
+        if x in seen or x not in procs:
+            continue
+        seen.add(x)
+        total += procs[x][1]
+        stack.extend(kids.get(x, []))
+    return total
+
+
+class _Window:
+    """Context manager: external cores (avg) used during the window."""
+
+    def __enter__(self):
+        self.t0 = time.time()
+        self.h0, self.o0 = _host_busy_jiffies(), _own_tree_jiffies()
+        return self
+
+    def __exit__(self, *exc):
+        wall = max(time.time() - self.t0, 1e-9)
+        ext = (_host_busy_jiffies() - self.h0) - (_own_tree_jiffies() - self.o0)
+        self.wall = wall
+        self.external_cores = round(max(ext, 0) / _CLK / wall, 2)
+        return False
+
+
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -93,6 +161,19 @@ def _corpus(spark, n_convs: int, files: int) -> str:
     return path
 
 
+def _docs_corpus(spark, n_docs: int) -> str:
+    path = f"/tmp/feast_spark_bench/documents_{n_docs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from feast_spark.fixtures import documents_spark
+
+        (
+            documents_spark(spark, n_docs, seed=42)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
 def _run_pipeline(spark, path: str) -> tuple[float, int]:
     from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
 
@@ -109,6 +190,72 @@ def _run_pipeline(spark, path: str) -> tuple[float, int]:
     return wall, n_turns
 
 
+def _bench_docs_large(spark) -> dict:
+    """Pair/near-dup queries at 50k docs (planted 3-clusters, 10k-token
+    vocab): walls here are algorithm-dominated, not job-overhead-dominated.
+    Pair counts are reported as evidence the planted structure was found."""
+    from feast_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        release_dedup_caches,
+        simhash_dup_pairs,
+        winnow_overlap_pairs,
+    )
+
+    path = _docs_corpus(spark, DOCS_LARGE)
+    docs = spark.read.parquet(path)
+    out: dict = {"n_docs": DOCS_LARGE}
+
+    release_dedup_caches()
+    with _Window() as w:
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8,
+            jaccard_threshold=0.5, max_bucket_size=200,
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+    release_dedup_caches()
+    out["minhash_pairs"] = {
+        "wall_sec": round(w.wall, 3), "pairs": n_pairs,
+        "external_cores": w.external_cores,
+    }
+
+    with _Window() as w:
+        comp = connected_components(pairs)
+        n_dup_docs = comp.filter("id != component").count()
+    out["dup_clusters"] = {
+        "wall_sec": round(w.wall, 3), "dup_docs": n_dup_docs,
+        "external_cores": w.external_cores,
+    }
+
+    # max_fingerprint_df=10: the synthetic random-token vocab has a uniform
+    # accidental-overlap floor (shared token + one coinciding context
+    # letter = shared k-gram, df ~ token_df/26 ~ 37 at 50k docs) that
+    # natural text's Zipfian df profile doesn't; capping below that floor
+    # keeps the pair list dup-dominated (planted dup fingerprints have
+    # df=3) while the measured work — fingerprint equi-join + pair
+    # groupBy — is unchanged in shape.
+    with _Window() as w:
+        n_win = winnow_overlap_pairs(
+            docs, "doc_id", "text", k=5, window=4, min_shared=2,
+            max_fingerprint_df=10,
+        ).count()
+    out["winnow_pairs"] = {
+        "wall_sec": round(w.wall, 3), "pairs": n_win,
+        "external_cores": w.external_cores,
+    }
+
+    with _Window() as w:
+        n_sim = simhash_dup_pairs(
+            docs, "doc_id", "text", hamming_threshold=4, max_bucket_size=200,
+        ).count()
+    release_dedup_caches()
+    out["simhash_pairs"] = {
+        "wall_sec": round(w.wall, 3), "pairs": n_sim,
+        "external_cores": w.external_cores,
+    }
+    return out
+
+
 def scale_run(cpus: int, corpus: str) -> None:
     """Subprocess entry: warm once (JIT, codegen, python workers), then
     time one steady-state run. The caller aggregates min across repeated
@@ -116,14 +263,17 @@ def scale_run(cpus: int, corpus: str) -> None:
     fastest observation is closest to the machine's true throughput."""
     spark = _session(cpus)
     _run_pipeline(spark, corpus)          # warm: JIT, codegen, python workers
-    wall1, n_turns = _run_pipeline(spark, corpus)
-    wall2, _ = _run_pipeline(spark, corpus)
+    with _Window() as w1:
+        wall1, n_turns = _run_pipeline(spark, corpus)
+    with _Window() as w2:
+        wall2, _ = _run_pipeline(spark, corpus)
     with open("/proc/loadavg") as f:
         load = float(f.read().split()[0])
     # min of two steady-state runs: external load only ever slows a run
     print(json.dumps({
         "cpus": cpus, "wall_sec": min(wall1, wall2), "n_turns": n_turns,
         "loadavg": load,
+        "external_cores_per_run": [w1.external_cores, w2.external_cores],
     }))
     spark.stop()
 
@@ -155,14 +305,34 @@ def main() -> None:
         lambda it: (pdf.assign(x=1.0) for pdf in it), "id long, x double"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _noop_write(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+    # two interleaved passes over the headline list; per-query min. Each
+    # pass clears the entry-layer memo so the shared minhash pair table is
+    # recomputed (and charged to doc_minhash_pairs) exactly once per pass.
+    samples: list[dict[str, float]] = []
+    pass_meta: list[dict] = []
+    for _ in range(2):
+        entry_mod.clear_query_memo()
+        t: dict[str, float] = {}
+        with _Window() as w:
+            for name in HEADLINE:
+                t0 = time.time()
+                _noop_write(qs[name](spark, SF_DIR))
+                t[name] = round(time.time() - t0, 3)
+        samples.append(t)
+        pass_meta.append(
+            {"wall_sec": round(w.wall, 3), "external_cores": w.external_cores}
+        )
+    timings = {
+        name: min(s[name] for s in samples) for name in HEADLINE
+    }
 
     tpath = _corpus(spark, N_CONVS, files=CPUS * 2)
-    pipe_wall, n_turns = _run_pipeline(spark, tpath)
+    pipe_walls = []
+    n_turns = 0
+    for _ in range(2):
+        wall, n_turns = _run_pipeline(spark, tpath)
+        pipe_walls.append(wall)
+    pipe_wall = min(pipe_walls)
     pipeline = {
         "n_turns": n_turns,
         "wall_sec": round(pipe_wall, 3),
@@ -171,24 +341,24 @@ def main() -> None:
     }
     timings["transcript_pipeline"] = round(pipe_wall, 3)
 
+    docs_large = _bench_docs_large(spark) if DOCS_LARGE else None
+
     scaling = None
     if SCALING and CPUS >= 4:
         scale_corpus = _corpus(spark, SCALE_CONVS, files=max(CPUS * 4, 128))
         spark.stop()
         # N -> 4N evidence at 2 -> 8 cores: this sandbox shares its host
-        # with other tenants (loadavg 7-11 from outside the container), so
-        # a local[32] run is descheduled unpredictably while 2- and 8-core
-        # runs both fit under the host's free capacity — the pair isolates
-        # the ENGINE's scaling from host contention. Override with
+        # with other tenants (external bursts observed up to loadavg 7-11),
+        # so a local[32] run is descheduled unpredictably while 2- and
+        # 8-core runs both fit under the host's free capacity — the pair
+        # isolates the ENGINE's scaling from host contention. Override with
         # SPARK_GRAFT_SCALE_SMALL.
         small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
         big = small * 4
-        # Both configs are noise-sensitive on this shared host (external
-        # tenant bursts measured at loadavg 0-7 within minutes). Sample
-        # each config in TWO fresh subprocesses, interleaved, and keep the
-        # min wall per config — a burst landing in any one window is
-        # discarded; each subprocess additionally mins over two internal
-        # steady-state runs.
+        # Sample each config in TWO fresh subprocesses, interleaved, and
+        # keep the min wall per config — a burst landing in any one window
+        # is discarded; each subprocess additionally mins over two internal
+        # steady-state runs and reports external (non-bench) CPU per run.
         r_big_1 = _scale_subprocess(big, scale_corpus)
         r_small_1 = _scale_subprocess(small, scale_corpus)
         r_big_2 = _scale_subprocess(big, scale_corpus)
@@ -205,6 +375,10 @@ def main() -> None:
             "turns_per_sec_big": round(tput_big, 1),
             "speedup": round(tput_big / tput_small, 3),
             "efficiency": round(tput_big / (tput_small * (big / small)), 3),
+            "external_cores_per_window": [
+                r.get("external_cores_per_run")
+                for r in (r_big_1, r_small_1, r_big_2, r_small_2)
+            ],
             "host_loadavg_per_window": [
                 r.get("loadavg")
                 for r in (r_big_1, r_small_1, r_big_2, r_small_2)
@@ -217,7 +391,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
+        "headline_passes": pass_meta,
         "pipeline": pipeline,
+        "docs_large": docs_large,
         "scaling": scaling,
     }
     print(json.dumps(out))

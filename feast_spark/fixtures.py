@@ -192,3 +192,77 @@ def transcripts_spark(
                 yield pd.concat(frames, ignore_index=True)
 
     return base.mapInPandas(gen, TRANSCRIPT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# large documents corpus (scale evidence for the pair/near-dup queries)
+# ---------------------------------------------------------------------------
+
+DOCUMENT_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# 10k-token synthetic vocab of random letter strings: keeps accidental
+# n-gram/fingerprint collisions between unrelated docs negligible (bigram
+# space 10^8) while cross-token character k-grams stay PAIR-specific (a
+# shared-prefix vocab like "tokNNNN" would make every 5-gram a function of
+# one token, collapsing winnowing fingerprints to token-level df)
+_vocab_rng = np.random.default_rng(20240701)
+_DOC_VOCAB = np.array(
+    [
+        "".join(chr(97 + c) for c in _vocab_rng.integers(0, 26, int(n)))
+        for n in _vocab_rng.integers(4, 9, 10_000)
+    ],
+    dtype=object,
+)
+_DOC_SOURCES = np.array(["web", "wiki", "forum", "code"], dtype=object)
+
+
+def _gen_document_group(group_id: int, group_size: int, seed: int) -> pd.DataFrame:
+    """One group of ``group_size`` docs: members 0..size-3 are independent;
+    the last TWO are near-duplicate mutations of member 0 (a few words
+    swapped), planting a transitive 3-cluster {0, size-2, size-1} per group
+    so minhash/CC at scale exercise real candidate volume. Deterministic
+    from (seed, group_id) regardless of partitioning."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, group_id]))
+    base_ids = group_id * group_size + np.arange(group_size)
+    texts: list[str] = []
+    base_words = None
+    for m in range(group_size):
+        if m < group_size - 2 or group_size < 3:
+            n = int(rng.integers(80, 300))
+            words = _DOC_VOCAB[rng.integers(0, len(_DOC_VOCAB), n)]
+            if m == 0:
+                base_words = words.copy()
+            texts.append(" ".join(words))
+        else:
+            # near-dup of member 0: mutate ~3% of words
+            words = base_words.copy()
+            k = max(1, int(len(words) * 0.03))
+            pos = rng.integers(0, len(words), k)
+            words[pos] = _DOC_VOCAB[rng.integers(0, len(_DOC_VOCAB), k)]
+            texts.append(" ".join(words))
+    return pd.DataFrame(
+        {
+            "doc_id": base_ids,
+            "text": texts,
+            "lang": "en",
+            "source": _DOC_SOURCES[rng.integers(0, len(_DOC_SOURCES), group_size)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+def documents_spark(spark, n_docs: int, seed: int = 42, group_size: int = 10,
+                    partitions: int | None = None):
+    """Distributed deterministic documents corpus with planted near-dup
+    clusters (2 near-dups of member 0 per ``group_size`` block)."""
+    assert n_docs % group_size == 0
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs // group_size, numPartitions=parts)
+
+    def gen(batches):
+        for pdf in batches:
+            frames = [_gen_document_group(int(g), group_size, seed) for g in pdf["id"]]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(gen, DOCUMENT_SCHEMA)

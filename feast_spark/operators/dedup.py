@@ -36,15 +36,20 @@ from feast_spark import textkit
 _MERSENNE = (1 << 31) - 1
 
 # cache lifecycle: every persist() issued by a dedup operator is registered
-# here; release_dedup_caches() (or the next operator call, which releases
-# the previous pass automatically) unpersists them. Bounds cached storage
-# to at most ONE pass's tables in long-lived drivers (round-1 finding #3).
+# here; callers drop a finished pass with release_dedup_caches() after
+# consuming its result. Bounds cached storage in long-lived drivers
+# (round-1 finding #3). Lock-guarded: concurrent drivers sharing the
+# session register/release without racing the list (round-2 ADVICE).
+import threading as _threading
+
 _ACTIVE_CACHES: list[DataFrame] = []
+_CACHE_LOCK = _threading.Lock()
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _ACTIVE_CACHES.append(df)
+    with _CACHE_LOCK:
+        _ACTIVE_CACHES.append(df)
     return df
 
 
@@ -52,11 +57,11 @@ def release_dedup_caches() -> int:
     """Unpersist every cache registered by dedup operators; returns the
     number released. Safe to call while results are still lazy — Spark
     recomputes instead of erroring (you lose the reuse, not correctness)."""
-    n = len(_ACTIVE_CACHES)
-    for df in _ACTIVE_CACHES:
+    with _CACHE_LOCK:
+        drop, _ACTIVE_CACHES[:] = _ACTIVE_CACHES[:], []
+    for df in drop:
         df.unpersist(blocking=False)
-    _ACTIVE_CACHES.clear()
-    return n
+    return len(drop)
 
 
 def _cap_buckets(
@@ -247,19 +252,28 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: int | None = None,
-    release_previous_caches: bool = True,
+    release_previous_caches: bool = False,
+    gate_factor: float | None = 0.5,
 ) -> DataFrame:
     """Candidate generation via banded LSH + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Jaccard is exact over the distinct shingle-hash sets (array_intersect /
-    array_union sizes) — the MinHash estimate only gates candidates.
+    array_union sizes) for every pair that reaches verification.
+
+    Recall contract: beyond the inherent banding recall (a >=threshold pair
+    may land in no common band bucket), the signature-estimate GATE below
+    can additionally reject a true >=threshold pair that reached a bucket —
+    with probability P(Binom(num_hashes, j) < num_hashes*threshold*
+    gate_factor), ~0.4% at num_hashes=32, threshold=0.5, gate_factor=0.5,
+    shrinking exponentially in num_hashes. Pass ``gate_factor=None`` to
+    disable the gate and verify every banded candidate exactly.
 
     ``max_bucket_size`` caps degenerate band buckets (see
-    :func:`_cap_buckets`); caches from the previous dedup pass are released
-    on entry unless ``release_previous_caches=False`` — call
-    :func:`release_dedup_caches` after consuming the result to drop this
-    pass's cache too.
+    :func:`_cap_buckets`); ``release_previous_caches=True`` drops caches
+    left by a previous dedup pass on entry (only safe once that pass's
+    result was consumed) — default is explicit management via
+    :func:`release_dedup_caches`.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -308,24 +322,26 @@ def minhash_lsh_pairs(
     )
     # signature-estimate gate before the exact verify: matching sig
     # components / num_hashes is an unbiased jaccard estimate; gating at
-    # half the threshold cuts the dense-bucket candidate flood (measured
-    # 59k -> a few hundred at sf0.1) while a true-threshold pair fails the
-    # gate with probability P(Binom(n, t) < n*t/2) — ~0.4% at n=32,
-    # t=0.5, shrinking exponentially in n. The driver oracle replicates
-    # the gate bit-for-bit, so the operator's contract stays deterministic.
-    min_matches = -(-num_hashes * jaccard_threshold // 2)  # ceil
-    gated = (
-        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-        .filter(
-            F.expr(
-                "aggregate(zip_with(sig_a, sig_b, (x, y) -> int(x = y)), 0,"
-                " (acc, v) -> acc + v)"
+    # gate_factor * threshold cuts the dense-bucket candidate flood
+    # (measured 59k -> a few hundred at sf0.1) at the small recall cost
+    # quantified in the docstring. The driver oracle replicates the gate
+    # bit-for-bit, so the operator's contract stays deterministic.
+    if gate_factor is not None:
+        min_matches = -(-num_hashes * jaccard_threshold * gate_factor // 1)  # ceil
+        gated = (
+            cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+            .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+            .filter(
+                F.expr(
+                    "aggregate(zip_with(sig_a, sig_b, (x, y) -> int(x = y)), 0,"
+                    " (acc, v) -> acc + v)"
+                )
+                >= F.lit(int(min_matches))
             )
-            >= F.lit(int(min_matches))
+            .select("id_a", "id_b")
         )
-        .select("id_a", "id_b")
-    )
+    else:
+        gated = cand.select("id_a", "id_b")
     # verify-side shingle sets: recomputed for CANDIDATE docs only (the
     # python pass reruns on a corpus fraction ~ |cand ids| / N)
     cand_ids = (
@@ -349,6 +365,24 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+# round count of the most recent connected_components() call — read by
+# tests asserting the O(log n) convergence bound (Kiveris et al. Thm 2)
+last_cc_rounds: int = 0
+
+
+def _edge_fingerprint(e: DataFrame):
+    """Cheap set-equality fingerprint of a DISTINCT edge list: (count,
+    bit_xor of xxhash64(u, v)). One scan of the checkpointed edges — no
+    shuffle, no set-difference joins. bit_xor is order/partitioning
+    independent and cannot overflow under ANSI arithmetic (a sum could).
+    Collision probability for two different sets is ~2^-64 per round."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+    ).first()
+    return (row["n"], row["x"])
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -361,10 +395,17 @@ def connected_components(
     round is two hash aggregations + a localCheckpoint to cut lineage
     (iterative plans otherwise grow exponentially in Catalyst).
 
+    Convergence is detected by an edge-set fingerprint (count + bit_xor of
+    edge hashes, :func:`_edge_fingerprint`) — one cheap scan per round
+    instead of the two shuffled ``exceptAll`` anti-joins a literal
+    set-equality check costs (round-2 finding #2). The number of rounds the
+    last call took is published as :data:`last_cc_rounds`.
+
     Not in the reference (its dedup is exact-key only, ``dask.py:930``);
     required so transitive near-dup chains (A~B~C with A≁C) collapse to
     one cluster.
     """
+    global last_cc_rounds
     # materialize the pair table ONCE: the symmetrizing union below has two
     # branches over `pairs`, and an unmaterialized upstream (e.g. the whole
     # minhash pipeline) would execute twice — Spark does not share common
@@ -384,7 +425,10 @@ def connected_components(
     # partitions (the count is free — the checkpoint above materialized e).
     if e.count() < 200_000:
         e = e.coalesce(4).localCheckpoint()
+    sig = _edge_fingerprint(e)
+    last_cc_rounds = 0
     for _ in range(max_iter):
+        last_cc_rounds += 1
         # each round works on the symmetrized edge list (the paper's map
         # emits both (u,v) and (v,u))
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -411,14 +455,13 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
         )
         new_e = large.union(small).distinct().localCheckpoint()
-        # converged when the edge set is stable (star graphs are fixpoints)
-        if (
-            new_e.exceptAll(e).isEmpty()
-            and e.exceptAll(new_e).isEmpty()
-        ):
-            e = new_e
-            break
+        # converged when the edge set is stable (star graphs are fixpoints);
+        # fingerprint equality on distinct sets == set equality (w.h.p.)
+        new_sig = _edge_fingerprint(new_e)
         e = new_e
+        if new_sig == sig:
+            break
+        sig = new_sig
     # star edges point node -> component min; add the roots themselves
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = comp.select(F.col("component").alias("id")).distinct().join(
@@ -552,7 +595,7 @@ def simhash_dup_pairs(
     text_col: str,
     hamming_threshold: int = 3,
     max_bucket_size: int | None = None,
-    release_previous_caches: bool = True,
+    release_previous_caches: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) with hamming <= threshold — EXACT.
 
@@ -567,7 +610,9 @@ def simhash_dup_pairs(
     buckets — ``max_bucket_size`` caps the degenerate ones (recall
     tradeoff, documented in :func:`_cap_buckets`). The (id, simhash)
     table is persisted so the Python hashing pass runs once, not once per
-    join side; the cache is registered for :func:`release_dedup_caches`.
+    join side; the cache is registered for :func:`release_dedup_caches`
+    (``release_previous_caches=True`` additionally drops a previous
+    pass's caches on entry — only safe once that pass was consumed).
     """
     if hamming_threshold < 0 or hamming_threshold > 32:
         raise ValueError("hamming_threshold must be in [0, 32]")

@@ -173,8 +173,12 @@ def test_dedup_cache_lifecycle_no_growth(spark):
     release_dedup_caches()
     base = n_cached()
     for _ in range(5):
-        minhash_lsh_pairs(docs, "doc_id", "text").count()
-        simhash_dup_pairs(docs, "doc_id", "text").count()
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", release_previous_caches=True
+        ).count()
+        simhash_dup_pairs(
+            docs, "doc_id", "text", release_previous_caches=True
+        ).count()
     # each call releases the previous pass: at most one pass's caches live
     assert n_cached() - base <= 2
     release_dedup_caches()

@@ -155,3 +155,61 @@ def test_connected_components_equals_union_find(spark, edges):
     nodes = {n for e in edges for n in e}
     exp = {n: find(n) for n in nodes}
     assert got == exp
+
+
+def test_connected_components_adversarial_scale(spark):
+    """10^5-edge random graph vs union-find, plus the long-chain worst
+    case; round count must respect the Kiveris et al. O(log n) bound
+    (asserted as <= 2*ceil(log2(n_nodes)) with the cheap fingerprint
+    convergence check — round-2 VERDICT Next #9)."""
+    import math
+
+    import numpy as np
+
+    from feast_spark.operators import dedup
+    from feast_spark.operators.dedup import connected_components
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edges for n in e}
+        return {n: find(n) for n in nodes}
+
+    # -- random graph: 100k edges over 30k nodes (many mid-size components)
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 30_000, 100_000)
+    b = rng.integers(0, 30_000, 100_000)
+    keep = a != b
+    edges = list(zip(a[keep].tolist(), b[keep].tolist()))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [x for x, _ in edges], "id_b": [y for _, y in edges]})
+    )
+    got = dict(
+        connected_components(pairs).toPandas()[["id", "component"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == union_find(edges)
+    n_nodes = len({n for e in edges for n in e})
+    assert dedup.last_cc_rounds <= 2 * math.ceil(math.log2(n_nodes))
+
+    # -- long chain: the diameter-n worst case for label propagation;
+    # star-contraction must still converge logarithmically
+    m = 1024
+    chain = [(i, i + 1) for i in range(m - 1)]
+    cpairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [x for x, _ in chain], "id_b": [y for _, y in chain]})
+    )
+    cgot = connected_components(cpairs).toPandas()
+    assert set(cgot["component"]) == {0} and len(cgot) == m
+    assert dedup.last_cc_rounds <= 2 * math.ceil(math.log2(m))
