@@ -106,43 +106,59 @@ def online_kv_export(
 
     Keys are the reference v3 binary encoding (``core/keys.py``,
     byte-for-byte ``key_encoding_utils.py:131-190``), so rows are directly
-    loadable into any store that reads feast v3 keys. Values are
-    JSON-encoded feature dicts with the event timestamp. All
-    serialization happens ON EXECUTORS over Arrow batches — the driver
-    never sees a row."""
-    import json as _json
+    loadable into any store that reads feast v3 keys. Values are the
+    columnar tag/len/payload feature blob of
+    :mod:`feast_spark.core.kv_codec` (scalars, timestamps and numeric
+    lists/embeddings; NULL -> tag 0). All serialization happens ON
+    EXECUTORS over whole Arrow batches via numpy scatter arithmetic —
+    zero per-row Python (round-2 finding #1) and the driver never sees a
+    row. Unsupported feature dtypes (struct/map/nested lists) fail fast
+    on the DRIVER with a clear error before any job launches."""
+    import pyarrow as pa
 
-    import pandas as pd
-
-    from feast_spark.core.keys import serialize_entity_key
+    from feast_spark.core.kv_codec import encode_keys_batch, encode_values_batch
 
     feature_cols = [c for c in df.columns if c not in set(join_keys) | {ts_col}]
 
-    def run(batches):
-        for pdf in batches:
-            keys = [
-                serialize_entity_key(
-                    {k: (v.item() if hasattr(v, "item") else v)
-                     for k, v in zip(join_keys, row)}
-                )
-                for row in zip(*[pdf[k] for k in join_keys])
-            ]
-            vals = [
-                _json.dumps(
-                    {c: (None if pd.isna(row[i]) else
-                         (row[i].item() if hasattr(row[i], "item") else row[i]))
-                     for i, c in enumerate(feature_cols)},
-                    sort_keys=True,
-                ).encode("utf-8")
-                for row in zip(*[pdf[c] for c in feature_cols])
-            ] if feature_cols else [b"{}"] * len(pdf)
-            yield pd.DataFrame(
-                {
-                    "entity_key": keys,
-                    "value": vals,
-                    "event_ts": pdf[ts_col].values,
-                }
+    # fail fast on dtypes the blob cannot carry (ADVICE round 2: the
+    # scalar restriction was neither documented nor validated)
+    dtypes = dict(df.dtypes)
+    _OK_SCALAR = {"string", "binary", "int", "bigint", "float", "double",
+                  "boolean", "timestamp"}
+    _OK_LIST = {"array<int>", "array<bigint>", "array<float>", "array<double>"}
+    for c in feature_cols:
+        if dtypes[c] not in _OK_SCALAR and dtypes[c] not in _OK_LIST:
+            raise TypeError(
+                f"online_kv_export: feature column {c!r} has unsupported "
+                f"dtype {dtypes[c]!r} (supported: {sorted(_OK_SCALAR)} and "
+                f"{sorted(_OK_LIST)})"
+            )
+    for k in join_keys:
+        if dtypes[k] not in {"string", "binary", "int", "bigint", "timestamp"}:
+            raise TypeError(
+                f"online_kv_export: entity key column {k!r} has dtype "
+                f"{dtypes[k]!r}; v3 keys support string/binary/int/bigint/"
+                "timestamp (reference key_encoding_utils.py:12-28)"
             )
 
-    out = df.mapInPandas(run, "entity_key binary, value binary, event_ts timestamp")
+    out_schema = pa.schema(
+        [
+            pa.field("entity_key", pa.binary()),
+            pa.field("value", pa.binary()),
+            pa.field("event_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            keys = encode_keys_batch(batch, join_keys)
+            vals = encode_values_batch(batch, feature_cols)
+            ts = batch.column(batch.schema.get_field_index(ts_col)).cast(
+                pa.timestamp("us")
+            )
+            yield pa.RecordBatch.from_arrays(
+                [keys, vals, ts], schema=out_schema
+            )
+
+    out = df.mapInArrow(run, "entity_key binary, value binary, event_ts timestamp")
     out.write.mode("overwrite").parquet(path)

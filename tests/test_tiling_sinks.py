@@ -87,11 +87,10 @@ def test_feature_logging_partitioned(spark, tmp_path):
 
 
 def test_online_kv_export_v3_keys(spark, tmp_path):
-    import json
-
     import pandas as pd
 
-    from feast_spark.core.keys import deserialize_entity_key
+    from feast_spark.core.keys import deserialize_entity_key, serialize_entity_key
+    from feast_spark.core.kv_codec import decode_value
     from feast_spark.sources.sinks import online_kv_export
 
     pdf = pd.DataFrame(
@@ -110,10 +109,91 @@ def test_online_kv_export_v3_keys(spark, tmp_path):
     keys = [deserialize_entity_key(bytes(b)) for b in got.entity_key]
     assert {"user_id": 7, "region": "eu"} in keys
     assert {"user_id": 8, "region": "us"} in keys
+    # byte-for-byte v3 parity with the per-row reference encoder
+    assert set(map(bytes, got.entity_key)) == {
+        serialize_entity_key({"user_id": 7, "region": "eu"}),
+        serialize_entity_key({"user_id": 8, "region": "us"}),
+    }
     row7 = got[got.entity_key.map(
         lambda b: deserialize_entity_key(bytes(b))["user_id"] == 7)]
-    val = json.loads(bytes(row7.value.iloc[0]).decode())
-    assert val == {"score": 1.5}
+    assert decode_value(bytes(row7.value.iloc[0]), ["score"]) == {"score": 1.5}
     row8 = got[got.entity_key.map(
         lambda b: deserialize_entity_key(bytes(b))["user_id"] == 8)]
-    assert json.loads(bytes(row8.value.iloc[0]).decode()) == {"score": None}
+    assert decode_value(bytes(row8.value.iloc[0]), ["score"]) == {"score": None}
+
+
+def test_online_kv_export_arrays_timestamps_and_dtype_gate(spark, tmp_path):
+    """ADVICE round 2: array/timestamp features must serialize (not crash
+    on pd.isna ambiguity), and unsupported dtypes must fail fast."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from feast_spark.core.keys import deserialize_entity_key
+    from feast_spark.core.kv_codec import decode_value
+    from feast_spark.sources.sinks import online_kv_export
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 0.25], "a", 10, True,
+             datetime(2024, 3, 1, 12, 0, 0, 123456)),
+            (2, None, None, None, None, None),
+        ],
+        "user_id long, emb array<double>, tag string, cnt long, ok boolean, "
+        "seen timestamp",
+    )
+    path = str(tmp_path / "kv2")
+    online_kv_export(df, ["user_id"], "seen", path)
+    got = spark.read.parquet(path).toPandas()
+    feature_cols = ["emb", "tag", "cnt", "ok"]
+    by_key = {
+        deserialize_entity_key(bytes(k))["user_id"]: decode_value(
+            bytes(v), feature_cols
+        )
+        for k, v in zip(got.entity_key, got.value)
+    }
+    assert by_key[1] == {"emb": [0.5, 0.25], "tag": "a", "cnt": 10, "ok": True}
+    assert by_key[2] == {"emb": None, "tag": None, "cnt": None, "ok": None}
+
+    bad = spark.createDataFrame(
+        [(1, {"a": 1}, datetime(2024, 1, 1))],
+        "user_id long, m map<string,int>, ts timestamp",
+    )
+    with pytest.raises(TypeError, match="unsupported"):
+        online_kv_export(bad, ["user_id"], "ts", str(tmp_path / "kv3"))
+
+
+def test_kv_codec_key_parity_randomized(spark):
+    """encode_keys_batch == serialize_entity_key per row across mixed
+    dtypes, batch-split independent."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from feast_spark.core.keys import UnixTimestamp, serialize_entity_key
+    from feast_spark.core.kv_codec import encode_keys_batch
+
+    rng = np.random.default_rng(3)
+    n = 257
+    pdf = pd.DataFrame(
+        {
+            "b_str": ["k" * int(i % 7) + str(rng.integers(1e6)) for i in range(n)],
+            "a_int": rng.integers(-(2**62), 2**62, n),
+            "c_ts": pd.to_datetime(
+                rng.integers(0, 2**31, n), unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    batch = pa.RecordBatch.from_pandas(pdf)
+    enc = encode_keys_batch(batch, ["a_int", "b_str", "c_ts"])
+    for i in range(n):
+        expected = serialize_entity_key(
+            {
+                "a_int": int(pdf.a_int[i]),
+                "b_str": pdf.b_str[i],
+                "c_ts": UnixTimestamp(int(pdf.c_ts[i].timestamp())),
+            }
+        )
+        assert enc[i].as_py() == expected, i
