@@ -148,23 +148,63 @@ class FeatureStore:
     def _serving_dir(self, view: str) -> str:
         return os.path.join(self.repo_path, "serving", view)
 
-    def _latest_snapshot(self, view: str) -> str | None:
+    def _snapshot_names(self, view: str) -> list[str]:
         d = self._serving_dir(view)
-        ptr = os.path.join(d, "LATEST")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            return os.path.join(d, f.read().strip())
+        if not os.path.isdir(d):
+            return []
+        return sorted(s for s in os.listdir(d) if s.startswith("snap-"))
 
-    def _commit_snapshot(self, view: str, df: DataFrame) -> str:
+    def _latest_snapshot(self, view: str) -> str | None:
+        """Latest COMMITTED snapshot — the max snap-N directory. The
+        directory listing (not the LATEST file) is the source of truth:
+        committed dirs appear atomically via rename, so two concurrent
+        committers can never make a reader observe a half-written
+        snapshot or a pointer to an older one (round-2 finding #5)."""
+        snaps = self._snapshot_names(view)
+        return os.path.join(self._serving_dir(view), snaps[-1]) if snaps else None
+
+    def _try_commit_snapshot(
+        self, view: str, df: DataFrame, base: str | None
+    ) -> str | None:
+        """Optimistic commit: write to a tmp dir, then CAS the next
+        snapshot id with os.rename — POSIX rename onto an existing
+        non-empty directory fails, so exactly one concurrent writer wins
+        snap-(base+1). Returns the snapshot name, or None when another
+        writer committed since ``base`` was read (caller re-reads the new
+        latest, re-merges, retries — serializable read-merge-commit, the
+        sandbox analogue of the reference's registry locking + engine
+        MERGE INTO, spark.py:763-774)."""
+        import uuid as _uuid
+
         d = self._serving_dir(view)
         os.makedirs(d, exist_ok=True)
-        existing = [s for s in os.listdir(d) if s.startswith("snap-")]
-        snap = f"snap-{len(existing):05d}"
-        df.write.mode("overwrite").parquet(os.path.join(d, snap))
-        with open(os.path.join(d, "LATEST"), "w") as f:
-            f.write(snap)
-        return snap
+        base_idx = -1 if base is None else int(os.path.basename(base)[5:])
+        target = os.path.join(d, f"snap-{base_idx + 1:05d}")
+        tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
+        # LATEST file kept as a human-readable convenience pointer only
+        # (best effort; _latest_snapshot never reads it)
+        try:
+            with open(os.path.join(d, "LATEST"), "w") as f:
+                f.write(self._snapshot_names(view)[-1])
+        except OSError:
+            pass
+        return os.path.basename(target)
+
+    def _commit_snapshot(self, view: str, df: DataFrame) -> str:
+        """Unconditional commit (no concurrent-merge semantics needed):
+        retries the CAS until a fresh id wins."""
+        while True:
+            snap = self._try_commit_snapshot(view, df, self._latest_snapshot(view))
+            if snap is not None:
+                return snap
 
     def materialize(
         self,
@@ -187,22 +227,27 @@ class FeatureStore:
             start=start,
             end=end,
         )
-        prev = self._latest_snapshot(view_name)
-        if prev:
-            old = self.spark.read.parquet(prev)
-            merged = latest_per_key(
-                fresh.unionByName(old),
-                fv.join_keys,
-                fv.timestamp_field,
-                created_ts_col=created,
-            )
-        else:
-            merged = fresh
-        snap = self._commit_snapshot(view_name, merged)
+        while True:  # serializable read-merge-commit (see _try_commit_snapshot)
+            prev = self._latest_snapshot(view_name)
+            if prev:
+                old = self.spark.read.parquet(prev)
+                merged = latest_per_key(
+                    fresh.unionByName(old),
+                    fv.join_keys,
+                    fv.timestamp_field,
+                    created_ts_col=created,
+                )
+            else:
+                merged = fresh
+            snap = self._try_commit_snapshot(view_name, merged, prev)
+            if snap is not None:
+                break
         self.registry.apply_materialization(
             view_name, start, end, run_id=run_id or snap
         )
-        return self.spark.read.parquet(self._latest_snapshot(view_name))
+        return self.spark.read.parquet(
+            os.path.join(self._serving_dir(view_name), snap)
+        )
 
     def list_snapshots(self, view_name: str) -> list[str]:
         d = self._serving_dir(view_name)
@@ -316,14 +361,16 @@ class FeatureStore:
     def push(self, view_name: str, df: DataFrame) -> None:
         """Synchronous push: merge rows straight into the serving table."""
         fv = self._views[view_name]
-        prev = self._latest_snapshot(view_name)
-        merged = df
-        if prev:
-            old = self.spark.read.parquet(prev)
-            merged = latest_per_key(
-                df.unionByName(old),
-                fv.join_keys,
-                fv.timestamp_field,
-                created_ts_col=fv.created_timestamp_column,
-            )
-        self._commit_snapshot(view_name, merged)
+        while True:  # serializable read-merge-commit
+            prev = self._latest_snapshot(view_name)
+            merged = df
+            if prev:
+                old = self.spark.read.parquet(prev)
+                merged = latest_per_key(
+                    df.unionByName(old),
+                    fv.join_keys,
+                    fv.timestamp_field,
+                    created_ts_col=fv.created_timestamp_column,
+                )
+            if self._try_commit_snapshot(view_name, merged, prev) is not None:
+                break

@@ -181,3 +181,74 @@ def test_store_introspection(spark, repo):
 
     with pytest.raises(ValueError):
         store.get_feature_view("nope")
+
+
+def test_concurrent_materialize_serializable(spark, tmp_path):
+    """Two writers materialize DISJOINT intervals of the same view
+    concurrently: the CAS snapshot commit + locked registry must yield
+    serializable snapshots — no lost update (round-2 VERDICT Next #3).
+    Repeated across barriers via threads racing on the same store."""
+    import threading
+
+    root = tmp_path / "conc_repo"
+    rows = []
+    for d in range(40):
+        rows.append(
+            {
+                "driver_id": d,
+                "event_timestamp": _mk("2024-01-01 12:00:00")
+                if d < 20
+                else _mk("2024-01-02 12:00:00"),
+                "created": _mk("2024-01-03"),
+                "conv_rate": float(d),
+            }
+        )
+    feats = pd.DataFrame(rows)
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")
+    fpath = str(root / "src.parquet")
+    root.mkdir()
+    feats.to_parquet(fpath)
+
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="conc",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+
+    errs: list[Exception] = []
+
+    def run(start: str, end: str) -> None:
+        try:
+            store.materialize("conc", _mk(start), _mk(end))
+        except Exception as e:  # surface in main thread
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=("2024-01-01", "2024-01-02"))
+    t2 = threading.Thread(target=run, args=("2024-01-02", "2024-01-03"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+
+    # serializable: two distinct committed snapshots, and the latest one
+    # contains BOTH writers' keys (the later committer re-merged)
+    snaps = store.list_snapshots("conc")
+    assert len(snaps) == 2 and snaps == sorted(snaps)
+    final = store.read_snapshot("conc").toPandas()
+    assert sorted(final.driver_id) == list(range(40))
+    # registry recorded both intervals (locked read-modify-write)
+    iv = store.registry.materialization_intervals("conc")
+    assert len(iv) == 2
+    assert {x["start"][:10] for x in iv} == {"2024-01-01", "2024-01-02"}
+
+    # deterministic CAS check: committing against a stale base must lose
+    stale = store._try_commit_snapshot(
+        "conc", store.read_snapshot("conc"), base=None
+    )
+    assert stale is None  # snap-00000 already exists -> caller must retry
+    assert len(store.list_snapshots("conc")) == 2  # nothing extra committed
