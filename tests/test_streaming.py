@@ -207,3 +207,112 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(str(out)).toPandas().sort_values("k")
     assert got.k.tolist() == [1, 2]
     assert got.v.tolist() == [1.0, 7.0]  # k=1 re-occurrence suppressed
+
+
+def test_stream_feature_view_store_materialize_windowed(spark, tmp_path):
+    """Store-level StreamFeatureView (round-2 VERDICT Next #2): apply a
+    declarative stream view, drive materialize_stream from its spec, and
+    assert the streamed windowed aggregation equals the batch F.window
+    aggregation over the same data (cross-micro-batch state exercised by
+    maxFilesPerTrigger=1 over 4 files)."""
+    from feast_spark.core import Entity, FeatureStore
+    from feast_spark.operators import Aggregation, apply_aggregations
+    from feast_spark.streaming.views import StreamFeatureView, StreamSource
+
+    rng = np.random.default_rng(5)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 8, n),
+            "value": rng.random(n).round(3),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "sv_src"
+    spark.createDataFrame(pdf).repartition(4).write.parquet(str(src))
+
+    store = FeatureStore(spark, str(tmp_path / "sv_repo"))
+    sv = StreamFeatureView(
+        name="user_hourly",
+        entities=[Entity("user", "user_id")],
+        source=StreamSource(
+            path=str(src),
+            schema="user_id long, value double, ts timestamp",
+            timestamp_field="ts",
+            max_files_per_trigger=1,
+        ),
+        aggregations=[
+            Aggregation("value", "sum", 3600),
+            Aggregation("value", "count", 3600),
+        ],
+        watermark="3650 days",  # test corpus: nothing may be dropped late
+    )
+    store.apply([sv])
+    assert store.registry.get_view("user_hourly")["stream"] is True
+    assert store.get_stream_feature_view("user_hourly").feature_names == [
+        "sum_value_3600s", "count_value_3600s",
+    ]
+
+    q = store.materialize_stream("user_hourly", str(tmp_path / "sv_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        store.read_snapshot("user_hourly")
+        .drop("__batch_id")
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        apply_aggregations(
+            spark.read.parquet(str(src)),
+            ["user_id"],
+            [Aggregation("value", "sum", 3600), Aggregation("value", "count", 3600)],
+            ts_col="ts",
+        )
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_stream_feature_view_ingest_latest_dedup(spark, tmp_path):
+    """No aggregations -> per-batch latest-per-key dedup + snapshot merge
+    across micro-batches (the reference processor's ingest path, driven
+    from the declarative spec)."""
+    from feast_spark.core import Entity, FeatureStore
+    from feast_spark.streaming.views import StreamFeatureView, StreamSource
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "v": [1.0, 5.0, 2.0, 9.0, 3.0],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 02:00", "2024-01-01 01:00",
+                 "2024-01-01 00:30", "2024-01-01 03:00"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    src = tmp_path / "ing_src"
+    spark.createDataFrame(pdf).repartition(3).write.parquet(str(src))
+
+    store = FeatureStore(spark, str(tmp_path / "ing_repo"))
+    sv = StreamFeatureView(
+        name="kv_latest",
+        entities=[Entity("k")],
+        source=StreamSource(
+            path=str(src), schema="k long, v double, ts timestamp",
+            timestamp_field="ts", max_files_per_trigger=1,
+        ),
+    )
+    store.apply([sv])
+    q = store.materialize_stream("kv_latest", str(tmp_path / "ing_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = store.read_snapshot("kv_latest").toPandas().sort_values("k")
+    assert got.k.tolist() == [1, 2, 3]
+    assert got.v.tolist() == [5.0, 2.0, 3.0]  # latest ts per key wins
