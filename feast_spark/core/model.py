@@ -36,9 +36,14 @@ from feast_spark.operators.aggregate import Aggregation  # noqa: F401 (re-export
 
 @dataclass(frozen=True)
 class Entity:
+    """``dtype`` (optional, Spark DDL or numpy-ish string) is validated
+    against the source column at ``apply()`` time (entity.py value_type +
+    feature_view.py:296-305 inferred-type check)."""
+
     name: str
     join_key: str | None = None
     description: str = ""
+    dtype: str | None = None
 
     @property
     def key(self) -> str:

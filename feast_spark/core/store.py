@@ -73,6 +73,9 @@ class FeatureStore:
                     },
                 )
             elif isinstance(obj, FeatureView):
+                from feast_spark.core.inference import infer_and_validate
+
+                infer_and_validate(obj, self.spark)
                 self._views[obj.name] = obj
                 self.registry.apply_view(
                     obj.name,

@@ -85,7 +85,7 @@ def test_retrieve_online_documents(spark, tmp_path):
         SparkSqlSource("SELECT * FROM __docs_vec", timestamp_field="ts"),
         schema=[
             Field("doc_id", "int64"),
-            Field("embedding", "array<float>"),
+            Field("embedding", "array<double>"),
             Field("title", "string"),
         ],
     )
