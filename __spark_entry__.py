@@ -165,6 +165,64 @@ def q_pit_ttl_1h(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "ts", F.col("value").alias("last_click_value"))
 
 
+def q_odfv_post_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # post-retrieval aggregation (utils._apply_aggregations_to_response,
+    # utils.py:671-726): the PIT response re-grouped per entity with the
+    # view's aggregation specs — the last pytest-only relational operator
+    # from round 2 (coverage row #35), now oracle-checked
+    from feast_spark.operators import point_in_time_join
+    from feast_spark.operators.aggregate import (
+        Aggregation,
+        apply_aggregations_to_response,
+    )
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    resp = point_in_time_join(
+        purchases, clicks, ["user_id"],
+        feature_ts_col="ts", entity_ts_col="ts",
+    ).select("user_id", "ts", F.col("value").alias("last_click_value"))
+    agg = apply_aggregations_to_response(
+        resp,
+        [
+            Aggregation("last_click_value", "avg"),
+            Aggregation("last_click_value", "count"),
+            Aggregation("last_click_value", "max"),
+        ],
+        group_keys=["user_id"],
+    )
+    return agg.select(
+        "user_id",
+        F.round("avg_last_click_value", 6).alias("avg_last_click"),
+        F.col("count_last_click_value").alias("n_last_click"),
+        F.col("max_last_click_value").alias("max_last_click"),
+    )
+
+
+def q_label_majority_vote(spark: SparkSession, sf: str) -> DataFrame:
+    # store-level LabelView with majority-vote conflict policy
+    # (labeling/label_view.py:28, conflict_resolver.py:19-102)
+    import uuid as _uuid
+
+    from feast_spark.core import Entity, FeatureStore, ParquetSource
+    from feast_spark.operators.labels import LabelView
+
+    repo = f"/tmp/feast_spark_label_q/repo_{_uuid.uuid4().hex}"
+    store = FeatureStore(spark, repo)
+    lv = LabelView(
+        name="user_modal_event",
+        entities=[Entity("user", "user_id")],
+        source=ParquetSource(path=f"{sf}/events.parquet", timestamp_field="ts"),
+        label_col="event_type",
+        conflict_policy="majority_vote",
+    )
+    store.apply([lv])
+    return store.get_labels("user_modal_event")
+
+
 def q_pit_entityless(spark: SparkSession, sf: str) -> DataFrame:
     # non-entity mode / DUMMY_ENTITY (dask.py:298-302): zero join keys —
     # each purchase gets the globally-latest click value as-of its ts
@@ -951,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pull_latest_events": q_pull_latest_events,
         "field_mapping_scan": q_field_mapping_scan,
         "pit_last_click": q_pit_last_click,
+        "odfv_post_agg": q_odfv_post_agg,
+        "label_majority_vote": q_label_majority_vote,
         "pit_ttl_1h": q_pit_ttl_1h,
         "pit_entityless": q_pit_entityless,
         "two_role_join": q_two_role_join,
@@ -1139,6 +1199,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.ts, l.value AS last_click_value
             FROM entity e LEFT JOIN latest l
               ON e.user_id = l.user_id AND e.ts = l.ts AND l.rn = 1
+        """,
+        "odfv_post_agg": """
+            WITH entity AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ), feat AS (
+              SELECT user_id, ts AS fts, value FROM events WHERE event_type = 'click'
+            ), base AS (
+              SELECT e.user_id, e.ts, f.fts, f.value
+              FROM entity e JOIN feat f
+                ON e.user_id = f.user_id AND f.fts <= e.ts
+            ), latest AS (
+              SELECT user_id, ts, value, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, ts ORDER BY fts DESC) AS rn
+              FROM base
+            ), resp AS (
+              SELECT e.user_id, e.ts, l.value AS last_click_value
+              FROM entity e LEFT JOIN latest l
+                ON e.user_id = l.user_id AND e.ts = l.ts AND l.rn = 1
+            )
+            SELECT user_id,
+                   ROUND(AVG(last_click_value), 6) AS avg_last_click,
+                   COUNT(last_click_value) AS n_last_click,
+                   MAX(last_click_value) AS max_last_click
+            FROM resp GROUP BY 1
+        """,
+        "label_majority_vote": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT user_id, event_type, cnt,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+                     ) AS rn,
+                     SUM(cnt) OVER (PARTITION BY user_id) AS n_votes
+              FROM c
+            )
+            SELECT user_id, event_type, n_votes FROM r WHERE rn = 1
         """,
         "pit_ttl_1h": """
             WITH entity AS (

@@ -44,14 +44,27 @@ class FeatureStore:
         self._odfvs: dict[str, OnDemandFeatureView] = {}
         self._services: dict[str, FeatureService] = {}
         self._stream_views: dict = {}
+        self._label_views: dict = {}
 
     # -- apply ---------------------------------------------------------------
     def apply(self, objs: list) -> None:
+        from feast_spark.operators.labels import LabelView
         from feast_spark.streaming.views import StreamFeatureView
 
         for obj in objs:
             if isinstance(obj, OnDemandFeatureView):
                 self._odfvs[obj.name] = obj
+            elif isinstance(obj, LabelView):
+                self._label_views[obj.name] = obj
+                self.registry.apply_view(
+                    obj.name,
+                    {
+                        "entities": obj.join_keys,
+                        "label": obj.label_col,
+                        "conflict_policy": obj.conflict_policy,
+                        "ttl_seconds": obj.ttl_seconds,
+                    },
+                )
             elif isinstance(obj, StreamFeatureView):
                 self._stream_views[obj.name] = obj
                 self.registry.apply_view(
@@ -87,6 +100,19 @@ class FeatureStore:
                 )
             elif isinstance(obj, FeatureService):
                 self._services[obj.name] = obj
+
+    def get_label_view(self, name: str):
+        if name not in self._label_views:
+            raise ValueError(f"unknown label view: {name}")
+        return self._label_views[name]
+
+    def get_labels(self, view_name: str) -> DataFrame:
+        """Conflict-resolved labels for offline reads — the reference
+        enforces ``conflict_policy`` on every batch/offline read while the
+        online store stays last-write-wins (label_view.py enforcement
+        scope note)."""
+        lv = self.get_label_view(view_name)
+        return lv.resolve(lv.source.read(self.spark))
 
     def get_stream_feature_view(self, name: str):
         if name not in self._stream_views:

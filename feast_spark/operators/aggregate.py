@@ -95,6 +95,24 @@ def apply_aggregations(
     )
 
 
+def apply_aggregations_to_response(
+    df: DataFrame,
+    aggregations: list[Aggregation],
+    group_keys: list[str] | None = None,
+) -> DataFrame:
+    """Post-retrieval aggregation over a (historical/online) response
+    frame — ``utils._apply_aggregations_to_response`` (utils.py:671-726):
+    the retrieval result is grouped by ``group_keys`` (or aggregated
+    whole) with the view's aggregation specs; time windows are rejected
+    exactly like the reference ("Time window aggregation is not supported
+    in online serving")."""
+    if any(a.time_window_seconds for a in aggregations):
+        raise ValueError(
+            "Time window aggregation is not supported in online serving."
+        )
+    return apply_aggregations(df, group_keys or [], aggregations)
+
+
 def numeric_stats(
     df: DataFrame,
     column: str,

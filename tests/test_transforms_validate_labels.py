@@ -125,3 +125,60 @@ def test_majority_vote_exact_lexicographic_tiebreak(spark):
     )
     assert out.label.tolist() == ["a", "1", "x"]
     assert out.n_votes.tolist() == [2, 2, 3]
+
+
+def test_label_view_store_level_resolution(spark, tmp_path):
+    """LabelView (round-2 VERDICT Next #6): registrable view binding a
+    conflict policy; store.get_labels() resolves offline reads."""
+    import pandas as pd
+
+    from feast_spark.core import Entity, FeatureStore, ParquetSource
+    from feast_spark.operators.labels import LabelView
+
+    raw = pd.DataFrame(
+        {
+            "item_id": [1, 1, 1, 2, 2],
+            "label": ["safe", "unsafe", "safe", "unsafe", "safe"],
+            "labeler": ["human", "model", "model", "model", "human"],
+            "priority": [2, 1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-01", "2024-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    path = str(tmp_path / "labels.parquet")
+    raw.to_parquet(path)
+    store = FeatureStore(spark, str(tmp_path / "repo"))
+    src = ParquetSource(path=path, timestamp_field="ts")
+    ent = [Entity("item", "item_id")]
+
+    lww = LabelView(name="lww", entities=ent, source=src, label_col="label")
+    pri = LabelView(
+        name="pri", entities=ent, source=src, label_col="label",
+        conflict_policy="labeler_priority", priority_col="priority",
+    )
+    maj = LabelView(
+        name="maj", entities=ent, source=src, label_col="label",
+        conflict_policy="majority_vote",
+    )
+    store.apply([lww, pri, maj])
+    assert store.registry.get_view("maj")["conflict_policy"] == "majority_vote"
+
+    got_lww = store.get_labels("lww").toPandas().set_index("item_id").label
+    assert got_lww[1] == "safe" and got_lww[2] == "safe"  # latest ts wins
+
+    got_pri = store.get_labels("pri").toPandas().set_index("item_id").label
+    assert got_pri[1] == "safe"  # human (priority 2) beats later model rows
+    assert got_pri[2] == "safe"
+
+    got_maj = store.get_labels("maj").toPandas().set_index("item_id")
+    assert got_maj.label[1] == "safe" and got_maj.n_votes[1] == 3
+    # tie at item 2 (1 safe, 1 unsafe) -> lexicographically smallest
+    assert got_maj.label[2] == "safe" and got_maj.n_votes[2] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown conflict_policy"):
+        LabelView(name="x", entities=ent, source=src, label_col="label",
+                  conflict_policy="nope")
