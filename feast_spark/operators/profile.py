@@ -191,16 +191,24 @@ def validate_dataset(
                         f"{got.p50:.6g}",
                     )
                 )
-        if (
-            not allow_new_categories
-            and ref.categories is not None
-            and got.categories is not None
-        ):
-            new = sorted(set(got.categories) - set(ref.categories))
-            if new:
+        if not allow_new_categories and ref.categories is not None:
+            if got.categories is None:
+                # bounded reference exploding past max_categories distinct
+                # values is the STRONGEST categorical drift — an error,
+                # not a skip (round-2 ADVICE, medium)
                 errors.append(
                     ValidationError(
-                        c, "value_set", f"subset of {ref.categories}", f"new: {new}"
+                        c, "value_set", f"subset of {ref.categories}",
+                        "unbounded (> max_categories distinct)",
                     )
                 )
+            else:
+                new = sorted(set(got.categories) - set(ref.categories))
+                if new:
+                    errors.append(
+                        ValidationError(
+                            c, "value_set", f"subset of {ref.categories}",
+                            f"new: {new}",
+                        )
+                    )
     return ValidationReport(ok=not errors, errors=errors)

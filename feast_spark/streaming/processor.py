@@ -133,14 +133,17 @@ def streaming_stateful_dedup(
             state.remove()
             yield pd.DataFrame(columns=out_schema.names)
             return
-        already = state.exists
+        # track the running min-ts row across ALL Arrow chunks of the
+        # group: a key with more rows than arrow.maxRecordsPerBatch spans
+        # several chunks, and the first chunk's min need not be the
+        # batch's min (round-2 ADVICE, low)
         first = None
         for pdf in pdf_iter:
-            if already or len(pdf) == 0:
+            if state.exists or len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            first = pdf.iloc[:1]
-            already = True
+            cand = pdf.sort_values(ts_col, kind="mergesort").iloc[:1]
+            if first is None or cand[ts_col].iloc[0] < first[ts_col].iloc[0]:
+                first = cand
         if not state.exists and first is not None:
             state.update((first[ts_col].iloc[0].to_pydatetime(),))
             if ttl:

@@ -121,3 +121,25 @@ def test_retrieval_job_validation_gate(spark, tmp_path, clean_df):
         RetrievalJob(bad).persist(bad_path, validation_reference=prof)
     import os
     assert not os.path.exists(bad_path)
+
+
+def test_validate_flags_unbounded_categorical_explosion(spark):
+    """Bounded reference value_set vs a candidate exceeding max_categories
+    distinct values must FAIL validation (round-2 ADVICE, medium)."""
+    import pandas as pd
+
+    from feast_spark.operators.profile import profile_dataset, validate_dataset
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"cat": ["a", "b", "c"] * 10})
+    )
+    prof = profile_dataset(ref, max_categories=25)
+    assert prof.columns["cat"].categories == ["a", "b", "c"]
+
+    exploded = spark.createDataFrame(
+        pd.DataFrame({"cat": [f"v{i}" for i in range(60)]})
+    )
+    report = validate_dataset(exploded, prof)
+    assert not report.ok
+    errs = [e for e in report.errors if e.check == "value_set"]
+    assert errs and "unbounded" in errs[0].observed

@@ -316,3 +316,46 @@ def test_stream_feature_view_ingest_latest_dedup(spark, tmp_path):
     got = store.read_snapshot("kv_latest").toPandas().sort_values("k")
     assert got.k.tolist() == [1, 2, 3]
     assert got.v.tolist() == [5.0, 2.0, 3.0]  # latest ts per key wins
+
+
+def test_streaming_stateful_dedup_min_across_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch rows span several Arrow chunks must emit
+    the batch's GLOBAL min-ts row, not the first chunk's (round-2 ADVICE:
+    the old code stopped scanning after the first non-empty chunk)."""
+    import json
+
+    from feast_spark.functions.codecs import decode_json
+    from feast_spark.streaming.processor import streaming_stateful_dedup
+
+    src = tmp_path / "mc_src"
+    out = tmp_path / "mc_out"
+    ckpt = tmp_path / "mc_ckpt"
+    src.mkdir()
+    # 6 rows, one key; the min-ts row is LAST so it lands in a later chunk
+    rows = [
+        {"k": 1, "ts": f"2024-01-01 0{h}:00:00", "v": float(h)}
+        for h in (5, 4, 6, 7, 3, 1)
+    ]
+    (src / "b0.txt").write_text("\n".join(json.dumps(r) for r in rows))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        raw = spark.readStream.format("text").option(
+            "maxFilesPerTrigger", 1
+        ).load(str(src))
+        decoded = decode_json(raw, "k long, ts timestamp, v double")
+        deduped = streaming_stateful_dedup(decoded, ["k"], "ts")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.read.parquet(str(out)).toPandas()
+    assert len(got) == 1
+    assert got.v.iloc[0] == 1.0  # global min ts (01:00), from the last chunk
