@@ -1003,6 +1003,68 @@ def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return res.labels
 
 
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # C4-style corpus-wide span dedup: every distinct 10-word span keeps
+    # its first (doc_id, span_idx) occurrence; later copies are cut and
+    # the surviving text reconstructed per doc.
+    from feast_spark.operators.selection import span_dedup
+
+    return span_dedup(_t(spark, sf, "documents"), span_words=10)
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    # benchmark decontamination: 8-gram overlap vs a benchmark derived
+    # deterministically from the corpus (every 41st doc's first 12 words
+    # = one benchmark item), so contaminated docs provably exist.
+    from feast_spark.operators.selection import contamination_check
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    return contamination_check(d, bench, n=8)
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    # DSIR hashed-bigram importance weights; target domain = sources
+    # src1/src2/src3. Integer micro-log-ratio scores (order-independent
+    # sums -> engine-portable).
+    from feast_spark.operators.selection import dsir_weights
+
+    d = _t(spark, sf, "documents")
+    return dsir_weights(d, F.col("source").isin("src1", "src2", "src3"))
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic md5-bucket sampling for data mixing: even-numbered
+    # sources keep ~70%, odd ~30%; re-runs select the same rows.
+    from feast_spark.operators.selection import deterministic_sample
+
+    d = _t(spark, sf, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.7)
+    ).otherwise(F.lit(0.3))
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    return deterministic_sample(d.select("doc_id", "source"), key, rate)
+
+
+def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    # corpus-level boilerplate mining: 20 most frequent 5-grams.
+    from feast_spark.operators.selection import top_ngrams
+
+    return top_ngrams(_t(spark, sf, "documents"), n=5, k=20)
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup: k-means clusters (shared IVF quantizer) + within-cluster
+    # greedy cosine pruning. Threshold 0.4 so duplicates exist on the
+    # near-random fixture vectors (cf. embedding_neardup's 0.35).
+    from feast_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pull_all_window": q_pull_all_window,
@@ -1056,6 +1118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odfv_request_scale": q_odfv_request_scale,
         "dqm_profile": q_dqm_profile,
         "transcript_pipeline": q_transcript_pipeline,
+        "span_dedup": q_span_dedup,
+        "contamination_check": q_contamination_check,
+        "dsir_weights": q_dsir_weights,
+        "stratified_sample": q_stratified_sample,
+        "top_ngrams": q_top_ngrams,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1080,6 +1148,106 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _rp("dup_clusters"),
         "embedding_neardup_lsh": _rp("embedding_neardup_lsh"),
         "transcript_pipeline": _rp("transcript_pipeline"),
+        "semantic_dedup": _rp("semantic_dedup"),
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), spans AS (
+              SELECT doc_id, g.i AS span_idx,
+                     CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_spans_total,
+                     array_to_string(w[(g.i*10+1):(g.i*10+10)], ' ') AS span
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(
+                    0, CAST(ceil(len(w)/10.0) AS BIGINT) - 1)) AS i) g
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+              FROM spans
+            )
+            SELECT doc_id,
+                   string_agg(span, ' ' ORDER BY span_idx) AS dedup_text,
+                   COUNT(*) AS n_spans_kept,
+                   MIN(n_spans_total) AS n_spans_total
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), bw AS (
+              SELECT string_split(array_to_string(w[1:12], ' '), ' ') AS w
+              FROM toks WHERE doc_id % 41 = 0
+            ), bgrams AS (
+              SELECT DISTINCT array_to_string(w[g.i:g.i+7], ' ') AS gram
+              FROM bw, LATERAL (
+                SELECT unnest(generate_series(1, len(w)-7)) AS i) g
+            ), dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[g.i:g.i+7], ' ') AS gram
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w)-7)) AS i) g
+            ), hits AS (
+              SELECT doc_id, COUNT(*) AS n_hit_grams
+              FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+                   COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, source IN ('src1','src2','src3') AS tgt,
+                     substr(md5(array_to_string(w[g.i:g.i+1], ' ')), 1, 3) AS bucket
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w)-1)) AS i) g
+            ), bucket_counts AS (
+              SELECT bucket, COUNT(*) AS raw_cnt,
+                     CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+              FROM grams GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_total,
+                     CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_total
+              FROM bucket_counts
+            ), scores AS (
+              SELECT bucket,
+                     CAST(FLOOR(1000000.0 * LN(
+                         ((CAST(tgt_cnt AS DOUBLE) + 0.5) / (CAST(tgt_total AS DOUBLE) + 2048.0))
+                         / ((CAST(raw_cnt AS DOUBLE) + 0.5) / (CAST(raw_total AS DOUBLE) + 2048.0))
+                     )) AS BIGINT) AS bscore
+              FROM bucket_counts, tot
+            ), doc_scores AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     CAST(SUM(bscore) AS BIGINT) AS dsir_score
+              FROM grams JOIN scores USING (bucket) GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.dsir_score, 0) AS dsir_score
+            FROM documents d LEFT JOIN doc_scores s ON d.doc_id = s.doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source,
+                   substr(md5(concat(CAST(doc_id AS VARCHAR), ':', source)), 1, 4)
+                       AS sample_bucket
+            FROM documents
+            WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':', source)), 1, 4) <
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 'b333' ELSE '4ccc' END
+        """,
+        "top_ngrams": """
+            WITH toks AS (
+              SELECT string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT array_to_string(w[g.i:g.i+4], ' ') AS gram
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w)-4)) AS i) g
+            ), counted AS (
+              SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram
+            )
+            SELECT gram, cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS INT) AS "rank"
+            FROM counted ORDER BY cnt DESC, gram LIMIT 20
+        """,
         "derived_view_historical": """
             WITH entity AS (
               SELECT user_id, ts AS event_timestamp FROM events

@@ -1,0 +1,328 @@
+"""Training-data selection operators: corpus-wide span dedup (C4-style),
+benchmark decontamination, DSIR-style hashed n-gram importance weights,
+deterministic stratified sampling, and corpus-level n-gram mining.
+
+These extend the reference's data-processing surface (feast has no
+corpus-selection operators; its closest analogue is the row-level
+transformation pass, ``transformation/pandas_transformation.py``) with
+the operations a 100 TB training-data pipeline runs between ingest and
+materialization. Design rules shared by every operator here:
+
+- **JVM-side only.** Tokenization, n-gram expansion, hashing, and scoring
+  are built-in Spark SQL functions (``split`` / ``transform`` / ``slice``
+  / ``array_join`` / ``md5``) — no Python in the hot path, so the whole
+  plan stays inside whole-stage codegen.
+- **Portable hashing.** Where a DuckDB oracle must recompute the hash
+  1:1, the md5 hex prefix is the bucket key (both engines emit identical
+  lowercase hex); the 8-byte ``xxhash64`` form is the scale path where
+  noted.
+- **One shuffle per logical regroup.** Span dedup shuffles once on the
+  span and once on the doc; DSIR reduces the gram stream to a
+  fixed-size (≤ ``16**bucket_chars``-row) bucket table that is
+  broadcast back — the gram stream itself is never joined wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# tokenization helpers (single-space word streams — the documents fixture)
+# ---------------------------------------------------------------------------
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (with multiplicity) of ``words``.
+
+    Pure built-ins: ``transform(sequence(0, size-n), i ->
+    array_join(slice(words, i+1, n), ' '))``; empty when the document has
+    fewer than ``n`` words (``sequence`` would otherwise count DOWN for a
+    negative span — the guard is load-bearing).
+    """
+    gen = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.when(F.size(words) >= n, gen).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-wide span dedup
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact span dedup: split every document into consecutive
+    ``span_words``-word spans, keep each distinct span's FIRST occurrence
+    (ordered by ``(doc_id, span_idx)``), drop every later copy, and
+    reconstruct the surviving text per document.
+
+    This is C4's "deduplicate repeated three-sentence spans across the
+    corpus" rewritten for word-stream documents (C4 uses sentence
+    boundaries; the fixture corpus is a flat word stream, so the span is
+    a fixed word window). Returns one row per document that retains at
+    least one span: ``(doc_id, dedup_text, n_spans_kept, n_spans_total)``
+    — a fully-duplicated document disappears, which IS the C4 semantic.
+
+    Scale shape: two shuffles total. The first-occurrence choice is a
+    ``row_number`` window partitioned by the span itself (shuffle #1 on
+    the span — the only correct key); reconstruction is a hash
+    aggregation on ``doc_id`` (shuffle #2) that re-orders spans with
+    ``array_sort`` over ``(span_idx, span)`` structs, so output text is
+    deterministic without a global sort. At 100 TB you'd key the window
+    on ``xxhash64(span)`` (8 bytes moves through the shuffle comparator
+    instead of the full span string) and accept the collision odds C4
+    accepts; this portable form keys on the string so the DuckDB oracle
+    is exact.
+    """
+    w = _words(text_col)
+    n_total = F.ceil(F.size(w) / F.lit(span_words)).cast("bigint")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), (n_total - 1).cast("int")),
+        lambda i: F.array_join(F.slice(w, i * span_words + 1, span_words), " "),
+    )
+    spans = docs.select(
+        F.col(id_col),
+        n_total.alias("n_spans_total"),
+        F.posexplode(spans_arr).alias("span_idx", "span"),
+    )
+    first = Window.partitionBy("span").orderBy(id_col, "span_idx")
+    kept = (
+        spans.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.first("n_spans_total").alias("n_spans_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "bench_text",
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation benchmark: a
+    document is contaminated when any word ``n``-gram of its text appears
+    verbatim in any benchmark item (the standard n-gram decontamination
+    rule used for pre-training corpora).
+
+    Returns one row per input document: ``(doc_id, n_hit_grams,
+    contaminated)`` where ``n_hit_grams`` counts the document's DISTINCT
+    n-grams found in the benchmark.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are MBs; the corpus is TBs), so it is broadcast — the
+    corpus-side gram stream is never shuffled, and the per-doc distinct +
+    count collapses into one hash aggregation keyed on ``doc_id``. The
+    corpus side stays in whole-stage codegen end to end.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(_words(text_col), n)).alias("gram"),
+    ).dropDuplicates([id_col, "gram"])
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(_words(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+# fixed smoothing so the score expression is identical character-for-
+# character in the Spark plan and the DuckDB oracle (bucket count B and
+# 0.5*B are compile-time constants, not runtime-derived)
+_DSIR_BUCKET_CHARS = 3  # 16^3 = 4096 hashed feature buckets
+_DSIR_B = 16 ** _DSIR_BUCKET_CHARS
+
+# exact expression shared with the oracle SQL: floor() of a scaled log
+# likelihood ratio makes the per-doc reduction an INTEGER sum — order
+# independent, so engines may aggregate in any order and still hash-match.
+# The CASTs to DOUBLE are load-bearing: without them Spark promotes the
+# 0.5 literal to DECIMAL and evaluates the whole ratio in truncated
+# decimal arithmetic (~8 significant digits), silently diverging from
+# DuckDB's IEEE doubles by ~1e-8 relative
+DSIR_SCORE_EXPR = (
+    "CAST(FLOOR(1000000.0 * LN("
+    "((CAST(tgt_cnt AS DOUBLE) + 0.5) / (CAST(tgt_total AS DOUBLE) + {half_b})) "
+    "/ ((CAST(raw_cnt AS DOUBLE) + 0.5) / (CAST(raw_total AS DOUBLE) + {half_b}))"
+    ")) AS BIGINT)"
+).format(half_b=float(_DSIR_B) / 2)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed bigram features under the
+    TARGET distribution (rows where ``is_target``) vs the RAW corpus
+    distribution. High scores = documents that look like the target
+    domain; downstream selection keeps the top slice or samples
+    proportionally.
+
+    Hashed features: each word bigram maps to one of 4096 buckets via the
+    md5 hex prefix (portable — the oracle recomputes it 1:1; swap in
+    ``xxhash64(gram) % B`` at scale for an 8-byte code). Per-bucket score
+    is ``floor(1e6 * ln(p_target(b) / p_raw(b)))`` with add-0.5
+    smoothing, quantized to an integer so the per-document sum is exact
+    integer arithmetic — aggregation order cannot perturb the result (a
+    float sum would hash-differ between engines).
+
+    Returns ``(doc_id, n_bigrams, dsir_score)`` for every input document
+    (0/0 for docs shorter than a bigram).
+
+    Scale shape: this is the reason DSIR works at 100 TB — the gram
+    stream reduces to a FIXED-SIZE bucket table (≤4096 rows, one
+    map-side-combined shuffle), the scored table is broadcast back onto
+    the gram stream (zero corpus-side shuffle), and the per-doc integer
+    sum is one hash aggregation. Corpus data is shuffled exactly once,
+    keyed on ``doc_id``.
+    """
+    w = _words(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        F.explode(word_ngrams(w, 2)).alias("gram"),
+    ).withColumn(
+        "bucket", F.substring(F.md5(F.col("gram")), 1, _DSIR_BUCKET_CHARS)
+    )
+    bucket_counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    scores = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.expr(DSIR_SCORE_EXPR).alias("bscore")
+    )
+    doc_scores = (
+        grams.join(F.broadcast(scores), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bscore").alias("dsir_score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(doc_scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("dsir_score", F.lit(0)).alias("dsir_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, rate: Column, bucket_col: str = "sample_bucket"
+) -> DataFrame:
+    """Keep a row iff ``md5(key)``'s first 16 bits fall below
+    ``rate * 65536`` — deterministic, key-stable sampling for data mixing
+    (re-running the job, or running it on a different cluster/partition
+    layout, selects the SAME rows; ``df.sample`` does not).
+
+    The comparison is done on fixed-width lowercase hex STRINGS (4 md5
+    hex chars vs the rate threshold rendered in hex) so an ANSI-SQL
+    oracle reproduces it without any engine-specific int-parsing of hex.
+    ``rate`` is clamped to ``65535/65536`` — use a filter-free path for
+    rate >= 1. Map-only: no shuffle, survives any scale.
+    """
+    bucket = F.substring(F.md5(key), 1, 4)
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.least(F.floor(rate * 65536), F.lit(65535)).cast("int")),
+            4,
+            "0",
+        )
+    )
+    return df.where(bucket < thr).withColumn(bucket_col, bucket)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level n-gram mining (boilerplate discovery)
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ``k`` most frequent word ``n``-grams corpus-wide, with counts —
+    the standard boilerplate-discovery pass (headers/footers/license
+    blurbs surface as improbably frequent long n-grams). Ties break on
+    the gram string so the cut at rank ``k`` is deterministic.
+
+    Scale shape: one map-side-combined hash aggregation on the gram,
+    then Spark's ``TakeOrderedAndProject`` (per-partition top-k merged on
+    the driver — never a global sort of the gram table).
+    """
+    grams = docs.select(F.explode(word_ngrams(_words(text_col), n)).alias("gram"))
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # driver merge of k-row heaps) — a global rank window here would drag
+    # the whole gram table through one partition
+    topk = counted.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("gram"))),
+    ).select("gram", "cnt", "rank")

@@ -366,3 +366,100 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic near-dup pruning
+# ---------------------------------------------------------------------------
+
+
+def greedy_semantic_keep(ids, mat, threshold: float):
+    """Greedy within-cluster semantic dedup kernel (SemDeDup, Abbas et
+    al. 2023): visit vectors in ascending id order; a vector is DROPPED
+    when its cosine to any already-kept vector reaches ``threshold``
+    (``dup_of`` = the smallest such kept id — not the argmax, so float
+    ties cannot flip the attribution). Returns (is_kept bool array,
+    dup_of float array with NaN for kept rows).
+
+    Shared VERBATIM by the driver oracle (same discipline as
+    ``spherical_kmeans``) so keep/drop decisions are bit-identical: both
+    sides normalize in float64 and compare the same BLAS matvec output.
+    Cost is O(n_c * kept) matvecs per cluster — the point of SemDeDup is
+    that clustering bounds n_c, never the corpus size.
+    """
+    x = mat.astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    order = np.argsort(np.asarray(ids), kind="stable")
+    kept_rows: list[int] = []
+    is_kept = np.zeros(len(ids), dtype=bool)
+    dup_of = np.full(len(ids), np.nan)
+    for i in order:
+        if kept_rows:
+            sims = x[kept_rows] @ x[i]
+            hits = np.nonzero(sims >= threshold)[0]
+            if len(hits):
+                dup_of[i] = ids[kept_rows[int(hits[0])]]
+                continue
+        is_kept[i] = True
+        kept_rows.append(int(i))
+    return is_kept, dup_of
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pruning over an embedding column.
+    Coarse-cluster the corpus with the SAME deterministic spherical
+    k-means quantizer IVF uses, then greedily keep one representative per
+    semantic duplicate group WITHIN each cluster (cosine >= threshold =>
+    duplicate). Cross-cluster duplicates are missed by construction —
+    that is SemDeDup's stated recall trade for never comparing across
+    clusters.
+
+    Returns one row per vector: ``(vec_id, cluster, is_kept, dup_of)``.
+
+    Scale shape: assignment is one map-side matmul pass (centroids travel
+    in the task closure); the only shuffle keys on ``cluster``, and the
+    quadratic-ish greedy pass is confined to one cluster per task
+    (``applyInPandas``) — with n_clusters sized so clusters fit a task
+    (the published recipe: ~sqrt(n) clusters), no task ever sees the
+    corpus. The quantizer trains on a bounded driver-side sample exactly
+    like ``ivf_topk``.
+    """
+    sample_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    n_clusters = min(n_clusters, len(sample))
+    centroids = spherical_kmeans(sample, n_clusters, kmeans_iters)
+    assign = _assign_udf(centroids, 1)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+    )
+
+    schema = "vec_id long, cluster int, is_kept boolean, dup_of double"
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        is_kept, dup_of = greedy_semantic_keep(ids, mat, threshold)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "is_kept": is_kept,
+                "dup_of": dup_of,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema)

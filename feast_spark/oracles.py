@@ -388,6 +388,60 @@ def embedding_neardup_pdf(
     )
 
 
+def semantic_dedup_pdf(
+    sf_dir: str,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> pd.DataFrame:
+    """Naive SemDeDup: retrain the shared quantizer kernel on the same
+    sorted sample, replicate the assignment matmul (identical numpy ops),
+    then run the shared greedy kernel per cluster via a plain dict loop —
+    the relational scaffolding (cluster partitioning) re-derived naively,
+    only the two leaf kernels shared."""
+    from feast_spark.operators.similarity import (
+        greedy_semantic_keep,
+        spherical_kmeans,
+    )
+
+    ids, vecs = _load_vectors(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    sample = vecs[order[:sample_size]]
+    n_clusters = min(n_clusters, len(sample))
+    cent = spherical_kmeans(sample, n_clusters, kmeans_iters)
+
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cluster = np.argsort(-((vecs / norms) @ cent.T), axis=1, kind="stable")[:, 0]
+
+    members: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(cluster):
+        members[int(c)].append(i)
+    frames = []
+    for c, idx in members.items():
+        is_kept, dup_of = greedy_semantic_keep(
+            ids[idx], vecs[idx], threshold
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "vec_id": ids[idx],
+                    "cluster": c,
+                    "is_kept": is_kept,
+                    "dup_of": dup_of,
+                }
+            )
+        )
+    return (
+        pd.concat(frames)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "cluster": "int32", "is_kept": "bool",
+                 "dup_of": "float64"})
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + ensure
 # ---------------------------------------------------------------------------
@@ -402,6 +456,7 @@ _RELATIONS = {
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
+    "semantic_dedup": lambda sf: semantic_dedup_pdf(sf),
 }
 
 

@@ -1,0 +1,228 @@
+"""Semantic tests for the training-data selection operators
+(feast_spark/operators/selection.py + similarity.semantic_dedup) — the
+oracle-parity evidence lives in test_entry_oracle.py; these pin the
+operator CONTRACTS on hand-built corpora where the right answer is
+known by construction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.selection import (
+    contamination_check,
+    deterministic_sample,
+    dsir_weights,
+    span_dedup,
+    top_ngrams,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# span_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_cuts_later_copies_and_reconstructs(spark):
+    # doc 0: spans [A, B]; doc 1 repeats span A then adds unique C;
+    # doc 2 is doc 0 verbatim -> fully deduplicated away.
+    A = "a b c"
+    B = "d e f"
+    C = "x y z"
+    d = _docs(spark, [(0, f"{A} {B}"), (1, f"{A} {C}"), (2, f"{A} {B}")])
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(d, span_words=3).collect()
+    }
+    assert out[0]["dedup_text"] == f"{A} {B}"
+    assert out[0]["n_spans_kept"] == 2 and out[0]["n_spans_total"] == 2
+    # doc 1 lost its copy of A but keeps C (reconstruction preserves order)
+    assert out[1]["dedup_text"] == C
+    assert out[1]["n_spans_kept"] == 1 and out[1]["n_spans_total"] == 2
+    # doc 2 contributed nothing new -> no row (the C4 semantic)
+    assert 2 not in out
+
+
+def test_span_dedup_first_occurrence_is_doc_then_span_ordered(spark):
+    # the same span appears at doc 0 span 1 and doc 1 span 0: the winner
+    # is (doc 0, span 1) — ordering is (doc_id, span_idx), not span_idx.
+    dup = "p q"
+    d = _docs(spark, [(0, f"a b {dup}"), (1, f"{dup} c d")])
+    out = {r["doc_id"]: r["dedup_text"] for r in span_dedup(d, span_words=2).collect()}
+    assert out[0] == f"a b {dup}"
+    assert out[1] == "c d"
+
+
+def test_span_dedup_tail_span_shorter_than_window(spark):
+    d = _docs(spark, [(0, "a b c d e")])  # spans: "a b", "c d", "e"
+    row = span_dedup(d, span_words=2).collect()[0]
+    assert row["dedup_text"] == "a b c d e"
+    assert row["n_spans_total"] == 3
+
+
+# ---------------------------------------------------------------------------
+# contamination_check
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    bench_text = "q1 q2 q3 q4"
+    d = _docs(
+        spark,
+        [
+            (0, f"intro {bench_text} outro pad pad2"),  # contains the 4-gram
+            (1, "totally unrelated words here pad pad2"),
+            (2, f"{bench_text} dup of benchmark pad"),
+        ],
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"bench_text": [bench_text]}))
+    out = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in contamination_check(d, bench, n=4).collect()
+    }
+    assert out[0] == (1, True)
+    assert out[1] == (0, False)
+    assert out[2] == (1, True)
+    # every input doc gets a row, hit or not
+    assert set(out) == {0, 1, 2}
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    d = _docs(spark, [(0, "a b c d e f g h i")])
+    bench = spark.createDataFrame(pd.DataFrame({"bench_text": ["a b c d e f g h"]}))
+    plan = contamination_check(d, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    d = _docs(spark, [(0, "one two")])
+    got = d.select(F.size(word_ngrams(F.split("text", " "), 8)).alias("n")).collect()
+    assert got[0]["n"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_domain_higher(spark):
+    # target docs speak vocab {t*}, raw docs vocab {r*}; held-out docs of
+    # each vocab must score on the right side of each other.
+    rows = []
+    for i in range(20):
+        rows.append((i, "t1 t2 t3 t4 t5 t1 t2 t3", "tgt"))
+    for i in range(20, 60):
+        rows.append((i, "r1 r2 r3 r4 r5 r1 r2 r3", "raw"))
+    # held-out probes (not in the target mask):
+    rows.append((100, "t1 t2 t3 t4 t5", "raw"))
+    rows.append((101, "r1 r2 r3 r4 r5", "raw"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "dom"]))
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_weights(df, F.col("dom") == "tgt").collect()
+    }
+    assert out[100] > out[101]
+    # per-gram average for the target-vocab probe is positive LLR
+    assert out[100] > 0 > out[101]
+
+
+def test_dsir_zero_bigram_doc_scores_zero(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["solo", "a b c"], "dom": ["x", "x"]})
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(df, F.lit(False)).collect()}
+    assert out[0]["n_bigrams"] == 0 and out[0]["dsir_score"] == 0
+    assert out[1]["n_bigrams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# deterministic_sample
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_is_stable_and_rate_accurate(spark):
+    n = 4000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    key = F.col("k").cast("string")
+    got1 = sorted(r["k"] for r in deterministic_sample(df, key, F.lit(0.3)).collect())
+    got2 = sorted(r["k"] for r in deterministic_sample(df, key, F.lit(0.3)).collect())
+    assert got1 == got2  # re-run selects the SAME rows
+    assert abs(len(got1) / n - 0.3) < 0.03  # md5 is uniform
+    # smaller rate selects a SUBSET (nested samples — the property data
+    # mixing relies on when rates are tuned)
+    got_small = set(r["k"] for r in deterministic_sample(df, key, F.lit(0.1)).collect())
+    assert got_small <= set(got1)
+
+
+def test_deterministic_sample_rate_one_clamps(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    kept = deterministic_sample(df, F.col("k"), F.lit(1.0)).count()
+    assert kept >= 99  # 65535/65536 of the space
+
+
+def test_deterministic_sample_is_map_only(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    plan = (
+        deterministic_sample(df, F.col("k"), F.lit(0.5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: pure filter
+
+
+# ---------------------------------------------------------------------------
+# top_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngrams_counts_and_deterministic_ties(spark):
+    d = _docs(spark, [(0, "a b c a b c x y"), (1, "a b c q r")])
+    out = top_ngrams(d, n=3, k=3).collect()
+    assert out[0]["gram"] == "a b c" and out[0]["cnt"] == 3 and out[0]["rank"] == 1
+    # all remaining grams have cnt 1 -> tie broken by gram string asc
+    assert [r["gram"] for r in out[1:]] == sorted(r["gram"] for r in out[1:])
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_near_duplicates(spark):
+    from feast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant: 100..104 are near-copies of vec 3 (tiny perturbation)
+    for j in range(5):
+        rows.append((100 + j, (base[3] + 0.001 * rng.normal(size=16).astype(np.float32)).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_clusters=4, threshold=0.95).collect()}
+    assert len(out) == 45
+    assert out[3]["is_kept"]  # smallest id of the duplicate group survives
+    for j in range(5):
+        r = out[100 + j]
+        assert not r["is_kept"]
+        assert r["dup_of"] == 3.0  # attributed to the smallest kept id
+    # distinct random gaussians at threshold .95: everyone else kept
+    kept = sum(1 for r in out.values() if r["is_kept"])
+    assert kept == 40
+
+
+def test_semantic_dedup_dup_of_null_for_kept(spark):
+    from feast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).astype(np.float32).tolist()) for i in range(10)]
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    for r in semantic_dedup(emb, n_clusters=2, threshold=0.99).collect():
+        assert r["is_kept"] and r["dup_of"] is None
