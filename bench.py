@@ -67,6 +67,11 @@ HEADLINE = [
     "odfv_request_scale",
     "ann_ivf_topk",
     "doc_winnow_pairs",
+    # round 3 additions: training-data selection operators
+    "span_dedup",
+    "dsir_weights",
+    "contamination_check",
+    "semantic_dedup",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -149,21 +149,30 @@ def contamination_check(
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(word_ngrams(_words(text_col), n)).alias("gram"),
-    ).dropDuplicates([id_col, "gram"])
+    )
     bench_grams = (
         benchmark.select(
             F.explode(word_ngrams(_words(bench_text_col), n)).alias("gram")
         )
         .distinct()
     )
+    # per-doc distinct runs AFTER the broadcast join: the join shrinks the
+    # corpus gram stream to hit rows map-side, so the dedup shuffle only
+    # ever sees hits — a pre-join dropDuplicates would shuffle every gram
+    # of the corpus
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
+        .dropDuplicates([id_col, "gram"])
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
+    # the hit set is small by assumption (contamination is the rare case),
+    # so the zero-fill left join broadcasts it — without the hint Spark
+    # would sort-merge the full corpus against a relation that is almost
+    # always a few thousand rows
     return (
         docs.select(id_col)
-        .join(hits, id_col, "left")
+        .join(F.broadcast(hits), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
@@ -202,6 +211,7 @@ def dsir_weights(
     is_target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "md5",
 ) -> DataFrame:
     """DSIR-style data-selection weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -228,15 +238,24 @@ def dsir_weights(
     the gram stream (zero corpus-side shuffle), and the per-doc integer
     sum is one hash aggregation. Corpus data is shuffled exactly once,
     keyed on ``doc_id``.
+
+    ``method``: ``'md5'`` (default) is the portable form the DuckDB
+    oracle recomputes 1:1; ``'xxhash64'`` is the scale form (one 8-byte
+    JVM hash per gram instead of a 16-byte cryptographic digest +
+    substring — same fixed-size bucket table, same plan shape).
     """
     w = _words(text_col)
+    if method == "md5":
+        bucket = F.substring(F.md5(F.col("gram")), 1, _DSIR_BUCKET_CHARS)
+    elif method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("gram")), F.lit(_DSIR_B))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown method {method!r}")
     grams = docs.select(
         F.col(id_col),
         is_target.alias("__tgt"),
         F.explode(word_ngrams(w, 2)).alias("gram"),
-    ).withColumn(
-        "bucket", F.substring(F.md5(F.col("gram")), 1, _DSIR_BUCKET_CHARS)
-    )
+    ).withColumn("bucket", bucket)
     bucket_counts = grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_cnt"),
@@ -255,15 +274,16 @@ def dsir_weights(
             F.sum("bscore").alias("dsir_score"),
         )
     )
-    return (
-        docs.select(id_col)
-        .join(doc_scores, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("dsir_score", F.lit(0)).alias("dsir_score"),
-        )
+    # zero-fill for gramless docs WITHOUT a corpus-wide join: a doc is
+    # absent from doc_scores iff it has fewer than 2 words, which is
+    # decidable map-side — union beats left-joining two corpus-sized
+    # relations just to add zeros
+    short = docs.filter(F.size(w) < 2).select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(0).cast("bigint").alias("dsir_score"),
     )
+    return doc_scores.select(id_col, "n_bigrams", "dsir_score").unionByName(short)
 
 
 # ---------------------------------------------------------------------------

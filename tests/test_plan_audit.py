@@ -136,3 +136,48 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert store.read_snapshot("tt").toPandas().v.tolist() == [2.0]
     with pytest.raises(ValueError, match="unknown snapshot"):
         store.read_snapshot("tt", "snap-99999")
+
+
+def test_span_dedup_plan_two_exchanges_with_group_limit(spark):
+    import __spark_entry__ as e
+
+    df = e.q_span_dedup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # first-occurrence rank window prunes map-side before the shuffle
+    assert "WindowGroupLimit" in plan
+    # exactly the two semantic regroups: by span, then by doc
+    assert plan.count("Exchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_plan_broadcasts_and_never_joins_corpus_wide(spark):
+    import __spark_entry__ as e
+
+    df = e.q_dsir_weights(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fixed-size bucket-score table comes back as a broadcast; the
+    # zero-fill is a union, so no sort-merge join of corpus-sized sides
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_plan_broadcasts_both_small_sides(spark):
+    import __spark_entry__ as e
+
+    df = e.q_contamination_check(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # benchmark grams AND the hit set are broadcast — the corpus side is
+    # never shuffled for a join
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semantic_dedup_plan_single_cluster_shuffle(spark):
+    import __spark_entry__ as e
+
+    df = e.q_semantic_dedup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side centroid assignment; the only exchange keys on the cluster
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan

@@ -226,3 +226,17 @@ def test_semantic_dedup_dup_of_null_for_kept(spark):
     emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
     for r in semantic_dedup(emb, n_clusters=2, threshold=0.99).collect():
         assert r["is_kept"] and r["dup_of"] is None
+
+
+def test_dsir_xxhash64_scale_method_same_ranking(spark):
+    rows = [(i, "t1 t2 t3 t4 t1 t2", "tgt") for i in range(10)]
+    rows += [(i + 10, "r1 r2 r3 r4 r1 r2", "raw") for i in range(10)]
+    rows += [(100, "t1 t2 t3", "raw"), (101, "r1 r2 r3", "raw")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "dom"]))
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, F.col("dom") == "tgt", method="xxhash64").collect()
+    }
+    # different bucketing, same decision: target-vocab probe outranks
+    assert out[100]["dsir_score"] > out[101]["dsir_score"]
+    assert out[100]["n_bigrams"] == 2
