@@ -1065,6 +1065,19 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(emb, n_clusters=16, threshold=0.4)
 
 
+def q_doc_curation(spark: SparkSession, sf: str) -> DataFrame:
+    # five-stage corpus curation flagship: span dedup -> quality ->
+    # decontamination -> DSIR selection -> stratified sampling; returns
+    # the per-doc audit table (first-failing stage wins).
+    from feast_spark.pipeline.curation import run_curation
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    return run_curation(spark, d, bench).decisions
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pull_all_window": q_pull_all_window,
@@ -1124,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
+        "doc_curation": q_doc_curation,
     }
 
 
@@ -1149,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _rp("embedding_neardup_lsh"),
         "transcript_pipeline": _rp("transcript_pipeline"),
         "semantic_dedup": _rp("semantic_dedup"),
+        "doc_curation": _rp("doc_curation"),
         "span_dedup": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

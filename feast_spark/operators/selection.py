@@ -212,6 +212,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "md5",
+    center: bool = False,
 ) -> DataFrame:
     """DSIR-style data-selection weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -264,7 +265,7 @@ def dsir_weights(
         F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
     )
     scores = bucket_counts.crossJoin(F.broadcast(totals)).select(
-        "bucket", F.expr(DSIR_SCORE_EXPR).alias("bscore")
+        "bucket", "raw_cnt", F.expr(DSIR_SCORE_EXPR).alias("bscore")
     )
     doc_scores = (
         grams.join(F.broadcast(scores), "bucket")
@@ -274,6 +275,26 @@ def dsir_weights(
             F.sum("bscore").alias("dsir_score"),
         )
     )
+    if center:
+        # subtract the corpus-weighted mean bucket score so 0 means "as
+        # target-like as the average gram" — without this the add-0.5
+        # smoothing prior gives the whole corpus a negative offset whose
+        # magnitude depends on corpus size, and any absolute cutoff stops
+        # being scale-independent. One agg over the <=4096-row bucket
+        # table; per-doc adjustment is sum - n * c (still exact ints).
+        totals_center = scores.agg(
+            F.floor(
+                F.sum(F.col("raw_cnt") * F.col("bscore"))
+                / F.sum("raw_cnt")
+            ).cast("bigint").alias("__c")
+        )
+        doc_scores = doc_scores.crossJoin(F.broadcast(totals_center)).select(
+            id_col,
+            "n_bigrams",
+            (F.col("dsir_score") - F.col("n_bigrams") * F.col("__c")).alias(
+                "dsir_score"
+            ),
+        )
     # zero-fill for gramless docs WITHOUT a corpus-wide join: a doc is
     # absent from doc_scores iff it has fewer than 2 words, which is
     # decidable map-side — union beats left-joining two corpus-sized

@@ -442,6 +442,128 @@ def semantic_dedup_pdf(
     )
 
 
+def curation_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive five-stage curation (pipeline/curation.py defaults): span
+    dedup via one global seen-set walk in doc order, quality via the
+    shared rules kernel, decontamination / DSIR / sampling via dict
+    buckets + hashlib md5 — every relational step re-derived naively;
+    only the scoring kernel is shared."""
+    import hashlib
+    import math
+
+    from feast_spark import rules
+
+    docs = (
+        pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # stage 1: global span dedup, first occurrence by (doc_id, span_idx)
+    seen: set[str] = set()
+    dedup_text: dict[int, str] = {}
+    n_kept: dict[int, int] = {}
+    for _, row in docs.iterrows():
+        w = row["text"].split(" ")
+        kept_spans = []
+        for i in range(0, (len(w) + 9) // 10):
+            span = " ".join(w[i * 10 : i * 10 + 10])
+            if span not in seen:
+                seen.add(span)
+                kept_spans.append(span)
+        if kept_spans:
+            dedup_text[int(row["doc_id"])] = " ".join(kept_spans)
+            n_kept[int(row["doc_id"])] = len(kept_spans)
+
+    # stage 2: shared scoring kernel on the deduped text
+    ids1 = sorted(dedup_text)
+    scored = rules.score_turns(
+        pd.Series([dedup_text[i] for i in ids1]), rules.RuleConfig()
+    )
+    q_keep = {i: bool(k) for i, k in zip(ids1, scored["keep"])}
+
+    # stage 3: benchmark 8-gram overlap (benchmark from RAW text)
+    bench_grams: set[str] = set()
+    for _, row in docs[docs["doc_id"] % 41 == 0].iterrows():
+        bw = row["text"].split(" ")[:12]
+        for i in range(len(bw) - 7):
+            bench_grams.add(" ".join(bw[i : i + 8]))
+
+    def grams(text: str, n: int) -> list[str]:
+        w = text.split(" ")
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    contaminated = {
+        i: any(g in bench_grams for g in grams(dedup_text[i], 8))
+        for i in ids1
+        if q_keep[i]
+    }
+
+    # stage 4: DSIR over survivors of 1-3
+    ids3 = [i for i in ids1 if q_keep[i] and not contaminated[i]]
+    src = dict(zip(docs["doc_id"].astype(int), docs["source"]))
+    raw_cnt: dict[str, int] = defaultdict(int)
+    tgt_cnt: dict[str, int] = defaultdict(int)
+    doc_bigrams: dict[int, list[str]] = {}
+    for i in ids3:
+        bs = [
+            hashlib.md5(g.encode()).hexdigest()[:3]
+            for g in grams(dedup_text[i], 2)
+        ]
+        doc_bigrams[i] = bs
+        is_t = src[i] in ("src1", "src2", "src3")
+        for b in bs:
+            raw_cnt[b] += 1
+            if is_t:
+                tgt_cnt[b] += 1
+    R = sum(raw_cnt.values())
+    T = sum(tgt_cnt.values())
+    bscore = {
+        b: math.floor(
+            1000000.0
+            * math.log(
+                ((tgt_cnt[b] + 0.5) / (T + 2048.0))
+                / ((raw_cnt[b] + 0.5) / (R + 2048.0))
+            )
+        )
+        for b in raw_cnt
+    }
+    # centered (curation runs dsir_weights(center=True)): subtract the
+    # corpus-weighted mean bucket score so the 0 cutoff is scale-free
+    center = math.floor(
+        sum(raw_cnt[b] * bscore[b] for b in raw_cnt) / R
+    )
+    dsir_score = {
+        i: sum(bscore[b] for b in doc_bigrams[i]) - len(doc_bigrams[i]) * center
+        for i in ids3
+    }
+
+    # stage 5: deterministic sampling by source parity
+    def sampled(i: int) -> bool:
+        thr = "b333" if int(src[i][3:]) % 2 == 0 else "4ccc"
+        return hashlib.md5(f"{i}:{src[i]}".encode()).hexdigest()[:4] < thr
+
+    rows = []
+    for i in docs["doc_id"].astype(int):
+        if i not in dedup_text:
+            stage, score = "span_dup", 0
+        elif not q_keep[i]:
+            stage, score = "quality", 0
+        elif contaminated[i]:
+            stage, score = "contaminated", 0
+        elif dsir_score[i] < 0:
+            stage, score = "dsir", dsir_score[i]
+        elif not sampled(i):
+            stage, score = "sampled_out", dsir_score[i]
+        else:
+            stage, score = None, dsir_score[i]
+        rows.append((i, n_kept.get(i, 0), score, stage is None, stage))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_spans_kept", "dsir_score", "kept", "drop_stage"]
+    ).astype({"doc_id": "int64", "n_spans_kept": "int64", "dsir_score": "int64",
+              "kept": "bool", "drop_stage": object})
+
+
 # ---------------------------------------------------------------------------
 # registry + ensure
 # ---------------------------------------------------------------------------
@@ -457,6 +579,7 @@ _RELATIONS = {
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
     "semantic_dedup": lambda sf: semantic_dedup_pdf(sf),
+    "doc_curation": lambda sf: curation_pdf(sf),
 }
 
 

@@ -1,0 +1,203 @@
+"""Corpus curation pipeline: the document-side analogue of the
+transcript quality pipeline (``pipeline/quality.py``), composing the
+training-data selection operators into one staged filter chain:
+
+    1. span_dedup        — C4-style corpus-wide span dedup (a fully
+                           duplicated document drops here)
+    2. quality           — heuristic keep/drop on the DEDUPED text
+                           (shared ``rules`` kernel — same scorer as the
+                           transcript pipeline)
+    3. decontamination   — drop documents overlapping the benchmark
+    4. DSIR selection    — drop documents whose hashed-bigram importance
+                           score (estimated over the documents that
+                           survived stages 1-3) falls below the cutoff
+    5. stratified sample — deterministic md5 sampling by strata
+
+Two outputs with different cost contracts:
+
+- ``kept`` — the production path: a pure filter chain over the corpus.
+  Stage predicates are map-side (quality, contamination flag, sampling)
+  or a LEFT SEMI join against an id-only table (DSIR pass set — one
+  shuffle of ``(doc_id)`` longs, never a corpus x corpus row join).
+- ``decisions`` — the audit table: one row per INPUT document with the
+  stage that dropped it and the stage metrics. This path is allowed
+  diagnostic left joins; it is what the correctness oracle checks.
+
+Reference analogy: feast's materialization is also a staged
+source->filter->transform->sink chain driven by a config object
+(``batch_materialization_engine.py``); here the stages are corpus-level
+selection operators instead of per-row transforms.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.operators.selection import (
+    contamination_check,
+    deterministic_sample,
+    dsir_weights,
+    span_dedup,
+)
+
+STAGES = ["span_dup", "quality", "contaminated", "dsir", "sampled_out"]
+
+
+@dataclass
+class CurationConfig:
+    span_words: int = 10
+    contamination_n: int = 8
+    # DSIR target mask: documents whose source is in this set define the
+    # target distribution; the cutoff keeps docs at least this target-like
+    target_sources: tuple = ("src1", "src2", "src3")
+    min_dsir: int = 0
+    # per-strata sampling rates on the 'source' column; sources whose
+    # numeric suffix is even keep even_rate, odd keep odd_rate
+    even_rate: float = 0.7
+    odd_rate: float = 0.3
+
+
+def _sample_rate(cfg: CurationConfig) -> Column:
+    return F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(cfg.even_rate)
+    ).otherwise(F.lit(cfg.odd_rate))
+
+
+def _quality_keep(spark: SparkSession, deduped: DataFrame) -> DataFrame:
+    """Score the deduped text with the SAME rules kernel the transcript
+    pipeline uses (``rules.score_turns``, vectorized Arrow batches),
+    carrying the curation columns through; returns
+    (doc_id, source, dedup_text, n_spans_kept, quality_keep)."""
+    import pandas as pd
+
+    from feast_spark import rules
+
+    rule_cfg = rules.RuleConfig()
+
+    def score_batches(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "source", "dedup_text", "n_spans_kept"]].reset_index(
+                drop=True
+            )
+            out["quality_keep"] = rules.score_turns(pdf["dedup_text"], rule_cfg)[
+                "keep"
+            ]
+            yield out
+
+    return deduped.mapInPandas(
+        score_batches,
+        "doc_id long, source string, dedup_text string, "
+        "n_spans_kept long, quality_keep boolean",
+    )
+
+
+@dataclass
+class CurationResult:
+    kept: DataFrame
+    decisions: DataFrame
+    config: CurationConfig = field(default_factory=CurationConfig)
+    _cached: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame,
+    cfg: CurationConfig | None = None,
+    materialize: bool = True,
+) -> CurationResult:
+    """Run the five-stage curation chain over ``docs`` (``doc_id``,
+    ``text``, ``source``). ``benchmark`` carries one ``bench_text`` row
+    per evaluation item.
+
+    ``materialize`` persists the scored table (the fan-out point: four
+    downstream branches would otherwise re-run span dedup + scoring
+    each) with an eager count() barrier — persist alone is not enough,
+    because a branch whose broadcast subquery fires before the cache
+    fills re-executes the whole subtree (the double-execution trap the
+    transcript pipeline documents). Call ``result.release()`` after
+    consuming the outputs."""
+    cfg = cfg or CurationConfig()
+
+    # ---- stage 1: corpus span dedup (keeps source via join on the
+    # surviving ids — span_dedup's 2-shuffle shape, then one id join to
+    # re-attach the strata column)
+    deduped = span_dedup(docs, span_words=cfg.span_words).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+
+    # ---- stage 2: quality on the deduped text (map-side Arrow scoring)
+    scored = _quality_keep(spark, deduped)
+    cached: list = []
+    if materialize:
+        scored = scored.persist()
+        scored.count()  # cache-fill barrier
+        cached.append(scored)
+    q_pass = scored.filter(F.col("quality_keep"))
+
+    # ---- stage 3: decontamination (benchmark grams + hit set broadcast)
+    contam = contamination_check(
+        q_pass, benchmark, n=cfg.contamination_n, text_col="dedup_text"
+    ).select("doc_id", "contaminated")
+    c_pass = q_pass.join(F.broadcast(contam.filter("contaminated")),
+                         "doc_id", "left_anti")
+
+    # ---- stage 4: DSIR over the cleaned corpus; the pass set is an
+    # id-only table -> LEFT SEMI join (one long-key shuffle, no row join)
+    dsir = dsir_weights(
+        c_pass,
+        F.col("source").isin(*cfg.target_sources),
+        text_col="dedup_text",
+        center=True,  # 0-cutoff = "more target-like than the average gram"
+    )
+    dsir_pass_ids = dsir.filter(F.col("dsir_score") >= cfg.min_dsir).select("doc_id")
+    d_pass = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
+
+    # ---- stage 5: deterministic stratified sampling (map-only)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    kept = deterministic_sample(d_pass, key, _sample_rate(cfg)).select(
+        "doc_id", "source", "dedup_text", "n_spans_kept", "sample_bucket"
+    )
+
+    # ---- audit table: one row per input doc, first-failing stage wins
+    decisions = (
+        docs.select("doc_id", "source")
+        .join(scored.select("doc_id", "n_spans_kept", "quality_keep"),
+              "doc_id", "left")
+        .join(F.broadcast(contam.filter("contaminated")), "doc_id", "left")
+        .join(dsir.select("doc_id", "dsir_score"), "doc_id", "left")
+        .join(kept.select("doc_id", F.lit(True).alias("__sampled")),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            F.coalesce("dsir_score", F.lit(0)).alias("dsir_score"),
+            F.coalesce("__sampled", F.lit(False)).alias("kept"),
+            F.when(F.col("n_spans_kept").isNull(), "span_dup")
+            .when(~F.col("quality_keep"), "quality")
+            .when(F.col("contaminated"), "contaminated")
+            .when(F.col("dsir_score").isNull() | (F.col("dsir_score") < cfg.min_dsir),
+                  "dsir")
+            .when(~F.coalesce("__sampled", F.lit(False)), "sampled_out")
+            .alias("drop_stage"),
+        )
+    )
+    return CurationResult(kept=kept, decisions=decisions, config=cfg,
+                          _cached=cached)
+
+
+def stage_counts(decisions: DataFrame) -> DataFrame:
+    """Per-stage drop counters (the curation analogue of the transcript
+    pipeline's rule_hit_counters lineage field)."""
+    return (
+        decisions.groupBy(F.coalesce("drop_stage", F.lit("kept")).alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("stage")
+    )

@@ -1,0 +1,92 @@
+"""Behavioral tests for the corpus curation pipeline
+(pipeline/curation.py) — oracle parity lives in test_entry_oracle.py
+(`doc_curation`); these pin the staged-filter contract on the fixture
+corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.pipeline.curation import (
+    CurationConfig,
+    run_curation,
+    stage_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    res = run_curation(spark, docs, bench)
+    yield res
+    res.release()
+
+
+def test_kept_equals_decisions_kept_ids(spark, result):
+    kept_ids = sorted(r["doc_id"] for r in result.kept.select("doc_id").collect())
+    dec_ids = sorted(
+        r["doc_id"]
+        for r in result.decisions.filter("kept").select("doc_id").collect()
+    )
+    # the production filter chain and the audit table agree exactly
+    assert kept_ids == dec_ids and len(kept_ids) > 0
+
+
+def test_every_input_doc_gets_exactly_one_decision(spark, result):
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    dec = result.decisions
+    assert dec.count() == n_docs
+    assert dec.select("doc_id").distinct().count() == n_docs
+    # kept rows have no drop stage; dropped rows name exactly one
+    assert dec.filter("kept AND drop_stage IS NOT NULL").count() == 0
+    assert dec.filter("NOT kept AND drop_stage IS NULL").count() == 0
+
+
+def test_stage_counts_partition_the_corpus(spark, result):
+    counts = {r["stage"]: r["n_docs"] for r in stage_counts(result.decisions).collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(counts.values()) == n_docs
+    # the fixture corpus exercises dedup, quality, and dsir at minimum
+    assert counts.get("span_dup", 0) > 0
+    assert counts.get("quality", 0) > 0
+    assert counts.get("kept", 0) > 0
+
+
+def test_dropped_doc_is_absent_from_kept(spark, result):
+    a_drop = result.decisions.filter("NOT kept").select("doc_id").first()["doc_id"]
+    assert result.kept.filter(F.col("doc_id") == a_drop).count() == 0
+
+
+def test_curation_is_deterministic_across_runs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    r1 = run_curation(spark, docs, bench, materialize=False)
+    r2 = run_curation(spark, docs, bench, materialize=False)
+    d1 = r1.decisions.toPandas().sort_values("doc_id").reset_index(drop=True)
+    d2 = r2.decisions.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_config_min_dsir_tightens_selection(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    loose = run_curation(
+        spark, docs, bench, CurationConfig(min_dsir=-(10**9)), materialize=False
+    )
+    tight = run_curation(
+        spark, docs, bench, CurationConfig(min_dsir=10**9), materialize=False
+    )
+    n_loose = loose.kept.count()
+    n_tight = tight.kept.count()
+    assert n_tight == 0 and n_loose > 0
