@@ -72,6 +72,7 @@ HEADLINE = [
     "dsir_weights",
     "contamination_check",
     "semantic_dedup",
+    "doc_curation",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
