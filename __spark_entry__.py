@@ -1065,6 +1065,25 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(emb, n_clusters=16, threshold=0.4)
 
 
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # context-window chunking: 60-word chunks, 10-word overlap (stride
+    # 50). Map-only — zero shuffles.
+    from feast_spark.operators.selection import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), chunk_words=60, overlap=10)
+
+
+def q_doc_packing(spark: SparkSession, sf: str) -> DataFrame:
+    # sequence packing via distributed two-phase prefix sum (bucket_docs
+    # forced small so multiple buckets exercise the offset join even at
+    # sf0.001); the oracle is the plain single-window SQL.
+    from feast_spark.operators.selection import pack_documents
+
+    return pack_documents(
+        _t(spark, sf, "documents"), budget_words=1000, bucket_docs=64
+    )
+
+
 def q_doc_curation(spark: SparkSession, sf: str) -> DataFrame:
     # five-stage corpus curation flagship: span dedup -> quality ->
     # decontamination -> DSIR selection -> stratified sampling; returns
@@ -1138,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
         "doc_curation": q_doc_curation,
+        "doc_chunks": q_doc_chunks,
+        "doc_packing": q_doc_packing,
     }
 
 
@@ -1164,6 +1185,37 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _rp("transcript_pipeline"),
         "semantic_dedup": _rp("semantic_dedup"),
         "doc_curation": _rp("doc_curation"),
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            )
+            SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+                   array_to_string(w[(g.i*50+1):(g.i*50+60)], ' ') AS chunk_text,
+                   CAST(len(string_split(
+                       array_to_string(w[(g.i*50+1):(g.i*50+60)], ' '), ' '))
+                       AS INT) AS n_words
+            FROM toks, LATERAL (
+              SELECT unnest(generate_series(
+                  0, CAST(ceil(len(w)/50.0) AS BIGINT) - 1)) AS i) g
+        """,
+        "doc_packing": """
+            WITH sized AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_words
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_words,
+                     COALESCE(SUM(n_words) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start
+              FROM sized
+            )
+            SELECT doc_id, n_words,
+                   CAST(FLOOR(start / 1000.0) AS BIGINT) AS pack_id,
+                   CAST(start % 1000 AS BIGINT) AS pack_offset
+            FROM c
+        """,
         "span_dedup": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

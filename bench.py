@@ -259,6 +259,54 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "pairs": n_sim,
         "external_cores": w.external_cores,
     }
+
+    # corpus selection at 50k docs. Planted evidence: the two 3%-mutated
+    # copies per 10-doc group keep ~0.97^10 = 74% of their 10-word spans
+    # IDENTICAL to member 0, so span_dedup must find cut docs at roughly
+    # 2 per group.
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.selection import dsir_weights, span_dedup
+
+    with _Window() as w:
+        sd = span_dedup(docs).agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum((F.col("n_spans_kept") < F.col("n_spans_total")).cast("long")
+                  ).alias("docs_with_cuts"),
+            F.sum(F.col("n_spans_total") - F.col("n_spans_kept")).alias("spans_cut"),
+        ).collect()[0]
+    out["span_dedup"] = {
+        "wall_sec": round(w.wall, 3), "docs_out": sd["docs_out"],
+        "docs_with_cuts": sd["docs_with_cuts"], "spans_cut": sd["spans_cut"],
+        "external_cores": w.external_cores,
+    }
+
+    with _Window() as w:
+        n_dsir = dsir_weights(
+            docs, F.col("source").isin("src1", "src2", "src3")
+        ).count()
+    out["dsir_weights"] = {
+        "wall_sec": round(w.wall, 3), "docs": n_dsir,
+        "external_cores": w.external_cores,
+    }
+
+    # full curation chain (span dedup -> quality -> decontaminate -> DSIR
+    # -> sample) — the document-side pipeline flagship at 50k docs
+    from feast_spark.pipeline.curation import run_curation, stage_counts
+
+    bench_items = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    with _Window() as w:
+        res = run_curation(spark, docs, bench_items)
+        stages = {
+            r["stage"]: r["n_docs"] for r in stage_counts(res.decisions).collect()
+        }
+    res.release()
+    out["curation"] = {
+        "wall_sec": round(w.wall, 3), "stages": stages,
+        "external_cores": w.external_cores,
+    }
     return out
 
 

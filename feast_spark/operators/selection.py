@@ -367,3 +367,98 @@ def top_ngrams(
         "rank",
         F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("gram"))),
     ).select("gram", "cnt", "rank")
+
+
+# ---------------------------------------------------------------------------
+# context chunking + sequence packing (training-batch preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = 100,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed word-window chunks with optional
+    overlap (stride = chunk_words - overlap) — the context-window
+    preparation step before tokenization/packing. Map-only (explode of a
+    per-row transform), so it scales with zero shuffles; chunk_idx is the
+    0-based window index and a chunk always starts inside the document.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("require 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    w = _words(text_col)
+    # number of stride-steps whose window start lies inside the doc
+    n_chunks = (F.ceil(F.size(w) / F.lit(stride))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * stride + 1, chunk_words), " "),
+    )
+    out = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.withColumn("n_words", F.size(F.split("chunk_text", " ")))
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_words: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """Assign each document to a training-sequence pack: documents are
+    laid out in ``id`` order and cut into ``budget_words``-word bins;
+    a document belongs to the bin where it STARTS (greedy streaming
+    fill — the standard distributed approximation of sequence packing).
+    Returns ``(doc_id, n_words, pack_id, pack_offset)``.
+
+    The global running word count is a distributed two-phase prefix sum —
+    Spark has no scalable ``SUM() OVER (ORDER BY ...)`` (an unpartitioned
+    window drags the corpus through ONE task), so:
+
+    1. bucket documents by ``id div bucket_docs`` (deterministic — a
+       range repartition would re-sample boundaries between the two
+       passes over the data);
+    2. per-bucket totals (one map-side-combined shuffle of ≤ n/4096
+       rows) -> exclusive prefix offsets via a window over the TINY
+       bucket table -> broadcast back;
+    3. within-bucket running sum via a window PARTITIONED by bucket
+       (distributed) + the bucket's offset.
+
+    The oracle re-expresses it as the plain single-window SQL — same
+    numbers, different physical strategy; that is the point.
+    """
+    sized = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+        (F.col(id_col) / F.lit(bucket_docs)).cast("bigint").alias("__b"),
+    )
+    bucket_tot = sized.groupBy("__b").agg(F.sum("n_words").alias("__tot"))
+    offsets = bucket_tot.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__b", "__off")
+    inner = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        sized.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__start", F.col("__off") + F.coalesce(F.sum("n_words").over(inner), F.lit(0))
+        )
+        .select(
+            id_col,
+            "n_words",
+            (F.col("__start") / budget_words).cast("bigint").alias("pack_id"),
+            (F.col("__start") % budget_words).alias("pack_offset"),
+        )
+    )

@@ -240,3 +240,71 @@ def test_dsir_xxhash64_scale_method_same_ranking(spark):
     # different bucketing, same decision: target-vocab probe outranks
     assert out[100]["dsir_score"] > out[101]["dsir_score"]
     assert out[100]["n_bigrams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / pack_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_windows(spark):
+    from feast_spark.operators.selection import chunk_documents
+
+    d = _docs(spark, [(0, "a b c d e f g")])
+    out = sorted(
+        chunk_documents(d, chunk_words=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 2: windows start at 0,2,4,6 (every start inside the doc)
+    assert [r["chunk_text"] for r in out] == ["a b c d", "c d e f", "e f g", "g"]
+    assert [r["n_words"] for r in out] == [4, 4, 3, 1]
+
+
+def test_chunk_documents_no_overlap_covers_exactly(spark):
+    from feast_spark.operators.selection import chunk_documents
+
+    d = _docs(spark, [(0, "a b c d e")])
+    out = sorted(
+        chunk_documents(d, chunk_words=2, overlap=0).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_text"] for r in out] == ["a b", "c d", "e"]
+    # reconstruction: non-overlapping chunks concatenate to the original
+    assert " ".join(r["chunk_text"] for r in out) == "a b c d e"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from feast_spark.operators.selection import chunk_documents
+
+    d = _docs(spark, [(0, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_words=4, overlap=4)
+
+
+def test_pack_documents_matches_naive_prefix_sum(spark):
+    from feast_spark.operators.selection import pack_documents
+
+    rows = [(i, " ".join(["w"] * (7 + 3 * (i % 5)))) for i in range(50)]
+    d = _docs(spark, rows)
+    # bucket_docs=8 forces 7 buckets -> the offset join really runs
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(d, budget_words=20, bucket_docs=8).collect()
+    }
+    start = 0
+    for i in range(50):
+        n = 7 + 3 * (i % 5)
+        assert out[i]["n_words"] == n
+        assert out[i]["pack_id"] == start // 20
+        assert out[i]["pack_offset"] == start % 20
+        start += n
+
+
+def test_pack_documents_bucketing_is_invisible(spark):
+    from feast_spark.operators.selection import pack_documents
+
+    rows = [(i, " ".join(["w"] * (5 + i % 3))) for i in range(30)]
+    d = _docs(spark, rows)
+    a = sorted(map(tuple, pack_documents(d, 16, bucket_docs=4).collect()))
+    b = sorted(map(tuple, pack_documents(d, 16, bucket_docs=1000).collect()))
+    assert a == b  # bucket size is a physical knob, not a semantic one
