@@ -281,24 +281,42 @@ def _bench_docs_large(spark) -> dict:
         "external_cores": w.external_cores,
     }
 
-    with _Window() as w:
-        n_dsir = dsir_weights(
-            docs, F.col("source").isin("src1", "src2", "src3")
-        ).count()
-    out["dsir_weights"] = {
-        "wall_sec": round(w.wall, 3), "docs": n_dsir,
-        "external_cores": w.external_cores,
-    }
+    # both hash methods at 50k: md5 is the oracle-portable form, xxhash64
+    # the documented scale path — the wall gap IS the evidence
+    target = F.col("source").isin("web", "wiki")
+    for method in ("md5", "xxhash64"):
+        with _Window() as w:
+            n_dsir = dsir_weights(docs, target, method=method).count()
+        out[f"dsir_weights_{method}"] = {
+            "wall_sec": round(w.wall, 3), "docs": n_dsir,
+            "external_cores": w.external_cores,
+        }
 
     # full curation chain (span dedup -> quality -> decontaminate -> DSIR
-    # -> sample) — the document-side pipeline flagship at 50k docs
-    from feast_spark.pipeline.curation import run_curation, stage_counts
+    # -> sample) — the document-side pipeline flagship at 50k docs. The
+    # synthetic random-letter vocab carries no lid markers / stopwords /
+    # plausible 5-grams, so the natural-text quality gates are relaxed
+    # here — otherwise stage 2 drops all 50k docs and stages 3-5 measure
+    # nothing.
+    from feast_spark.pipeline.curation import (
+        CurationConfig,
+        run_curation,
+        stage_counts,
+    )
+    from feast_spark.rules import RuleConfig
 
     bench_items = docs.filter(F.col("doc_id") % 41 == 0).select(
         F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
     )
+    cur_cfg = CurationConfig(
+        rule_config=RuleConfig(
+            allowed_langs=None, min_stopword_ratio=0.0, max_perplexity=1e9
+        ),
+        target_sources=("web", "wiki"),
+        dsir_method="xxhash64",
+    )
     with _Window() as w:
-        res = run_curation(spark, docs, bench_items)
+        res = run_curation(spark, docs, bench_items, cur_cfg)
         stages = {
             r["stage"]: r["n_docs"] for r in stage_counts(res.decisions).collect()
         }

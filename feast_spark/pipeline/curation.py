@@ -58,15 +58,27 @@ class CurationConfig:
     # numeric suffix is even keep even_rate, odd keep odd_rate
     even_rate: float = 0.7
     odd_rate: float = 0.3
+    # override the shared quality-rule thresholds (None = rules defaults);
+    # e.g. a synthetic-vocab corpus needs allowed_langs=None and relaxed
+    # stopword/perplexity gates or stage 2 drops everything
+    rule_config: object | None = None
+    # 'md5' = oracle-portable hashing; 'xxhash64' = the scale path (one
+    # 8-byte JVM hash per gram — use it when no DuckDB oracle re-runs it)
+    dsir_method: str = "md5"
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
+    # TRY_CAST: sources without a numeric suffix (e.g. 'web', 'wiki')
+    # yield NULL and fall to odd_rate — a plain cast throws under ANSI
     return F.when(
-        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(cfg.even_rate)
+        F.expr("TRY_CAST(substring(source, 4, 10) AS INT)") % 2 == 0,
+        F.lit(cfg.even_rate),
     ).otherwise(F.lit(cfg.odd_rate))
 
 
-def _quality_keep(spark: SparkSession, deduped: DataFrame) -> DataFrame:
+def _quality_keep(
+    spark: SparkSession, deduped: DataFrame, rule_cfg=None
+) -> DataFrame:
     """Score the deduped text with the SAME rules kernel the transcript
     pipeline uses (``rules.score_turns``, vectorized Arrow batches),
     carrying the curation columns through; returns
@@ -75,7 +87,7 @@ def _quality_keep(spark: SparkSession, deduped: DataFrame) -> DataFrame:
 
     from feast_spark import rules
 
-    rule_cfg = rules.RuleConfig()
+    rule_cfg = rule_cfg or rules.RuleConfig()
 
     def score_batches(batches):
         for pdf in batches:
@@ -134,7 +146,7 @@ def run_curation(
     )
 
     # ---- stage 2: quality on the deduped text (map-side Arrow scoring)
-    scored = _quality_keep(spark, deduped)
+    scored = _quality_keep(spark, deduped, cfg.rule_config)
     cached: list = []
     if materialize:
         scored = scored.persist()
@@ -142,21 +154,35 @@ def run_curation(
         cached.append(scored)
     q_pass = scored.filter(F.col("quality_keep"))
 
-    # ---- stage 3: decontamination (benchmark grams + hit set broadcast)
+    # ---- stage 3: decontamination (benchmark grams + hit set broadcast).
+    # contam fans into both the kept chain and the audit table — persist
+    # it (it is one bool per q_pass doc) or both branches re-run the
+    # gram-overlap join.
     contam = contamination_check(
         q_pass, benchmark, n=cfg.contamination_n, text_col="dedup_text"
     ).select("doc_id", "contaminated")
+    if materialize:
+        contam = contam.persist()
+        contam.count()
+        cached.append(contam)
     c_pass = q_pass.join(F.broadcast(contam.filter("contaminated")),
                          "doc_id", "left_anti")
 
     # ---- stage 4: DSIR over the cleaned corpus; the pass set is an
-    # id-only table -> LEFT SEMI join (one long-key shuffle, no row join)
+    # id-only table -> LEFT SEMI join (one long-key shuffle, no row join).
+    # dsir is read by the kept chain AND the audit table — unpersisted,
+    # the two-pass gram scan would run once per consumer.
     dsir = dsir_weights(
         c_pass,
         F.col("source").isin(*cfg.target_sources),
         text_col="dedup_text",
+        method=cfg.dsir_method,
         center=True,  # 0-cutoff = "more target-like than the average gram"
     )
+    if materialize:
+        dsir = dsir.persist()
+        dsir.count()
+        cached.append(dsir)
     dsir_pass_ids = dsir.filter(F.col("dsir_score") >= cfg.min_dsir).select("doc_id")
     d_pass = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
 

@@ -414,7 +414,9 @@ class RuleConfig:
     repetition_min_words: int = 10
     max_perplexity: float = 400.0
     max_tox_ratio: float = 0.10
-    allowed_langs: frozenset[str] = field(default_factory=lambda: frozenset(ALLOWED_LANGS))
+    allowed_langs: frozenset[str] | None = field(
+        default_factory=lambda: frozenset(ALLOWED_LANGS)
+    )  # None disables the language gate
     # conversation-level thresholds (applied after the PIT join)
     conv_max_mean_perplexity: float = 600.0
     conv_max_tool_density: float = 0.8
@@ -472,7 +474,12 @@ def decide(
     fails["repetition"] = (wc >= cfg.repetition_min_words) & (
         stats["top2gram_frac"].to_numpy() > cfg.max_top2gram_frac
     )
-    fails["language"] = ~np.isin(lang_arr, list(cfg.allowed_langs))
+    # allowed_langs=None means "no language gate" (synthetic-vocab corpora
+    # where lid markers are absent by construction)
+    if cfg.allowed_langs is None:
+        fails["language"] = np.zeros(len(lang_arr), dtype=bool)
+    else:
+        fails["language"] = ~np.isin(lang_arr, list(cfg.allowed_langs))
     fails["perplexity"] = ppl > cfg.max_perplexity
     fails["toxicity"] = (stats["tox_count"].to_numpy() / np.maximum(wc, 1)) > cfg.max_tox_ratio
 

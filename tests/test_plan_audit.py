@@ -181,3 +181,16 @@ def test_semantic_dedup_plan_single_cluster_shuffle(spark):
     # map-side centroid assignment; the only exchange keys on the cluster
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_pack_documents_prefix_sum_stays_distributed(spark):
+    import __spark_entry__ as e
+
+    df = e.q_doc_packing(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-wide running sum is a window PARTITIONED by the bucket;
+    # the only unpartitioned window runs over the tiny bucket-totals
+    # table, and its offsets come back as a broadcast
+    assert "windowspecdefinition(__b" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
