@@ -335,17 +335,22 @@ def scale_run(cpus: int, corpus: str) -> None:
     fastest observation is closest to the machine's true throughput."""
     spark = _session(cpus)
     _run_pipeline(spark, corpus)          # warm: JIT, codegen, python workers
-    with _Window() as w1:
-        wall1, n_turns = _run_pipeline(spark, corpus)
-    with _Window() as w2:
-        wall2, _ = _run_pipeline(spark, corpus)
+    walls, exts, n_turns = [], [], 0
+    for _ in range(3):
+        with _Window() as w:
+            wall, n_turns = _run_pipeline(spark, corpus)
+        walls.append(wall)
+        exts.append(w.external_cores)
     with open("/proc/loadavg") as f:
         load = float(f.read().split()[0])
-    # min of two steady-state runs: external load only ever slows a run
+    # min of the steady-state runs: external load (including host-level
+    # throttling that /proc/stat cannot see — observed ±20% swings on
+    # identical builds) only ever slows a run
     print(json.dumps({
-        "cpus": cpus, "wall_sec": min(wall1, wall2), "n_turns": n_turns,
+        "cpus": cpus, "wall_sec": min(walls), "n_turns": n_turns,
+        "walls_sec": [round(x, 3) for x in walls],
         "loadavg": load,
-        "external_cores_per_run": [w1.external_cores, w2.external_cores],
+        "external_cores_per_run": exts,
     }))
     spark.stop()
 
@@ -427,16 +432,22 @@ def main() -> None:
         # SPARK_GRAFT_SCALE_SMALL.
         small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
         big = small * 4
-        # Sample each config in TWO fresh subprocesses, interleaved, and
+        # Sample each config in THREE fresh subprocesses, interleaved, and
         # keep the min wall per config — a burst landing in any one window
         # is discarded; each subprocess additionally mins over two internal
         # steady-state runs and reports external (non-bench) CPU per run.
-        r_big_1 = _scale_subprocess(big, scale_corpus)
-        r_small_1 = _scale_subprocess(small, scale_corpus)
-        r_big_2 = _scale_subprocess(big, scale_corpus)
-        r_small_2 = _scale_subprocess(small, scale_corpus)
-        r_big = min((r_big_1, r_big_2), key=lambda r: r["wall_sec"])
-        r_small = min((r_small_1, r_small_2), key=lambda r: r["wall_sec"])
+        # (Three because run-to-run variance on the big config was the
+        # largest noise source in recorded artifacts: two clean full runs
+        # drew 0.864 and 0.763 efficiency from the same build — the extra
+        # sample tightens the min.)
+        runs = []
+        for _ in range(3):
+            runs.append(("big", _scale_subprocess(big, scale_corpus)))
+            runs.append(("small", _scale_subprocess(small, scale_corpus)))
+        r_big = min((r for k, r in runs if k == "big"),
+                    key=lambda r: r["wall_sec"])
+        r_small = min((r for k, r in runs if k == "small"),
+                      key=lambda r: r["wall_sec"])
         tput_small = r_small["n_turns"] / r_small["wall_sec"]
         tput_big = r_big["n_turns"] / r_big["wall_sec"]
         scaling = {
@@ -448,12 +459,11 @@ def main() -> None:
             "speedup": round(tput_big / tput_small, 3),
             "efficiency": round(tput_big / (tput_small * (big / small)), 3),
             "external_cores_per_window": [
-                r.get("external_cores_per_run")
-                for r in (r_big_1, r_small_1, r_big_2, r_small_2)
+                r.get("external_cores_per_run") for _, r in runs
             ],
-            "host_loadavg_per_window": [
-                r.get("loadavg")
-                for r in (r_big_1, r_small_1, r_big_2, r_small_2)
+            "host_loadavg_per_window": [r.get("loadavg") for _, r in runs],
+            "samples_turns_per_sec": [
+                (k, round(r["n_turns"] / r["wall_sec"], 1)) for k, r in runs
             ],
         }
 
