@@ -325,6 +325,35 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "stages": stages,
         "external_cores": w.external_cores,
     }
+
+    # SemDeDup at 50k vectors with planted ground truth (1 near-copy of
+    # member 0 per 10-vec group, cosine ~0.999): drops must recover the
+    # planted set.
+    from feast_spark.fixtures import embeddings_spark
+    from feast_spark.operators.similarity import semantic_dedup
+
+    emb_path = "/tmp/feast_spark_bench/embeddings_50000"
+    if not os.path.exists(f"{emb_path}/_SUCCESS"):
+        embeddings_spark(spark, 50000).write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    with _Window() as w:
+        sem = semantic_dedup(emb, n_clusters=224, threshold=0.95)
+        agg = (
+            sem.join(emb.select("vec_id", "is_dup"), "vec_id")
+            .agg(
+                F.sum((~F.col("is_kept")).cast("long")).alias("dropped"),
+                F.sum((~F.col("is_kept") & F.col("is_dup")).cast("long")
+                      ).alias("dropped_planted"),
+            )
+            .collect()[0]
+        )
+    out["semantic_dedup"] = {
+        "wall_sec": round(w.wall, 3),
+        "dropped": agg["dropped"],
+        "dropped_planted": agg["dropped_planted"],
+        "planted": 5000,
+        "external_cores": w.external_cores,
+    }
     return out
 
 

@@ -266,3 +266,41 @@ def documents_spark(spark, n_docs: int, seed: int = 42, group_size: int = 10,
                 yield pd.concat(frames, ignore_index=True)
 
     return base.mapInPandas(gen, DOCUMENT_SCHEMA)
+
+
+EMBEDDING_FIXTURE_SCHEMA = "vec_id long, embedding array<float>, is_dup boolean"
+
+
+def embeddings_spark(spark, n_vecs: int, dim: int = 64, seed: int = 42,
+                     group_size: int = 10, partitions: int | None = None):
+    """Distributed deterministic embedding corpus with planted semantic
+    near-dups: per ``group_size`` block, members 0..size-2 are independent
+    gaussians and the LAST member is member 0 plus 2% noise (cosine
+    ~0.999), so SemDeDup at scale has ground truth (``is_dup`` marks the
+    planted copies). Deterministic from (seed, group_id) regardless of
+    partitioning, like ``documents_spark``."""
+    assert n_vecs % group_size == 0
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_vecs // group_size, numPartitions=parts)
+
+    def gen(batches):
+        for pdf in batches:
+            frames = []
+            for g in pdf["id"]:
+                rng = np.random.default_rng(np.random.SeedSequence([seed, int(g)]))
+                vecs = rng.normal(size=(group_size, dim)).astype(np.float32)
+                vecs[-1] = vecs[0] + 0.02 * rng.normal(size=dim).astype(np.float32)
+                ids = int(g) * group_size + np.arange(group_size)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "embedding": [v for v in vecs],
+                            "is_dup": [False] * (group_size - 1) + [True],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(gen, EMBEDDING_FIXTURE_SCHEMA)

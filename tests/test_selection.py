@@ -308,3 +308,95 @@ def test_pack_documents_bucketing_is_invisible(spark):
     a = sorted(map(tuple, pack_documents(d, 16, bucket_docs=4).collect()))
     b = sorted(map(tuple, pack_documents(d, 16, bucket_docs=1000).collect()))
     assert a == b  # bucket size is a physical knob, not a semantic one
+
+
+# ---------------------------------------------------------------------------
+# randomized invariants (seeded corpora vs pure-python references)
+# ---------------------------------------------------------------------------
+
+
+def _random_corpus(seed, n_docs=40, vocab=8, max_words=30):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]  # tiny vocab forces span collisions
+    return [
+        (i, " ".join(rng.choice(words, size=rng.integers(1, max_words + 1))))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_span_dedup_matches_python_reference(spark, seed):
+    rows = _random_corpus(seed)
+    out = {
+        r["doc_id"]: r for r in span_dedup(_docs(spark, rows), span_words=3).collect()
+    }
+    seen, expected = set(), {}
+    for doc_id, text in rows:  # ascending doc_id = first-occurrence order
+        w = text.split(" ")
+        kept = []
+        for i in range(0, (len(w) + 2) // 3):
+            span = " ".join(w[i * 3 : i * 3 + 3])
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        if kept:
+            expected[doc_id] = " ".join(kept)
+    assert {k: v["dedup_text"] for k, v in out.items()} == expected
+    # every distinct span of the input survives exactly once corpus-wide
+    assert len(seen) == sum(v["n_spans_kept"] for v in out.values())
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_pack_documents_gappy_ids_match_reference(spark, seed):
+    from feast_spark.operators.selection import pack_documents
+
+    rng = np.random.default_rng(seed)
+    ids = sorted(rng.choice(10_000, size=60, replace=False))  # sparse ids
+    rows = [(int(i), " ".join(["x"] * int(rng.integers(1, 40)))) for i in ids]
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(_docs(spark, rows), 50, bucket_docs=997).collect()
+    }
+    start = 0
+    for i, text in rows:
+        n = len(text.split(" "))
+        assert out[i]["pack_id"] == start // 50, f"doc {i}"
+        assert out[i]["pack_offset"] == start % 50
+        start += n
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_contamination_matches_python_reference(spark, seed):
+    rows = _random_corpus(seed, n_docs=30, vocab=5, max_words=20)
+    bench_rows = _random_corpus(seed + 100, n_docs=4, vocab=5, max_words=12)
+    bench = spark.createDataFrame(
+        pd.DataFrame({"bench_text": [t for _, t in bench_rows]})
+    )
+    out = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in contamination_check(_docs(spark, rows), bench, n=3).collect()
+    }
+    bg = set()
+    for _, t in bench_rows:
+        w = t.split(" ")
+        bg.update(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+    for doc_id, t in rows:
+        w = t.split(" ")
+        dg = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        assert out[doc_id] == len(dg & bg), f"doc {doc_id}"
+
+
+def test_embeddings_fixture_partitioning_invariant_with_planted_dups(spark):
+    from feast_spark.fixtures import embeddings_spark
+
+    a = embeddings_spark(spark, 100, partitions=2).toPandas().sort_values("vec_id")
+    b = embeddings_spark(spark, 100, partitions=7).toPandas().sort_values("vec_id")
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert all(
+        np.array_equal(x, y) for x, y in zip(a["embedding"], b["embedding"])
+    )
+    # planted copy has cosine ~1 to its group head
+    v0 = np.asarray(a["embedding"].iloc[0], dtype=np.float64)
+    v9 = np.asarray(a["embedding"].iloc[9], dtype=np.float64)
+    cos = v0 @ v9 / (np.linalg.norm(v0) * np.linalg.norm(v9))
+    assert cos > 0.99 and bool(a["is_dup"].iloc[9]) and not bool(a["is_dup"].iloc[0])
