@@ -169,3 +169,40 @@ def streaming_stateful_dedup(
             ),
         )
     )
+
+
+def streaming_quality_scores(stream: DataFrame, cfg=None) -> DataFrame:
+    """The quality pipeline's scoring stage applied to a STREAM: the same
+    Arrow-vectorized rules kernel (``score_transcripts``) runs unchanged
+    inside the streaming query — scoring is stateless per-row, so the
+    streamed output is row-for-row identical to the batch pipeline on the
+    same data (pinned by test). This is the stream-ingest arm of the
+    north-rule pipeline: readStream -> score/scrub -> keyed sink, with
+    the per-batch latest-dedup (:func:`streaming_materialize`) or the
+    store upsert downstream.
+    """
+    from feast_spark.pipeline.quality import QualityConfig, score_transcripts
+
+    return score_transcripts(stream, cfg or QualityConfig())
+
+
+def stream_quality_to_labels(
+    stream: DataFrame, out_path: str, checkpoint: str, cfg=None
+):
+    """Score a transcript stream and append per-turn label rows to a
+    parquet sink with exactly-once file-sink semantics (checkpointed
+    offsets + transactional file commits). Returns the StreamingQuery."""
+    scored = streaming_quality_scores(stream, cfg)
+    labels = scored.select(
+        "conv_id", "turn_idx", "ts", "lang",
+        F.col("keep_turn").alias("keep"),
+        F.col("drop_reason_turn").alias("drop_reason"),
+        "scrubbed_text",
+    )
+    return (
+        labels.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -359,3 +359,41 @@ def test_streaming_stateful_dedup_min_across_arrow_chunks(spark, tmp_path):
     got = spark.read.parquet(str(out)).toPandas()
     assert len(got) == 1
     assert got.v.iloc[0] == 1.0  # global min ts (01:00), from the last chunk
+
+
+def test_streaming_quality_scores_match_batch_exactly(spark, tmp_path):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import QualityConfig, score_transcripts
+    from feast_spark.streaming.processor import (
+        stream_quality_to_labels,
+        stream_source,
+    )
+
+    t = transcripts_spark(spark, 30, seed=5)
+    src = str(tmp_path / "turns")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    t.coalesce(2).write.parquet(src)
+
+    stream = stream_source(spark, src, t.schema, max_files_per_trigger=1)
+    out = str(tmp_path / "labels")
+    q = stream_quality_to_labels(stream, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        score_transcripts(spark.read.parquet(src), QualityConfig())
+        .select("conv_id", "turn_idx", "ts", "lang",
+                F.col("keep_turn").alias("keep"),
+                F.col("drop_reason_turn").alias("drop_reason"),
+                "scrubbed_text")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
