@@ -232,6 +232,9 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "dup_docs": n_dup_docs,
         "external_cores": w.external_cores,
     }
+    # the localCheckpoint pins its blocks in executor memory; release
+    # before the later sections or their windows pay the GC pressure
+    pairs.unpersist()
 
     # max_fingerprint_df=10: the synthetic random-token vocab has a uniform
     # accidental-overlap floor (shared token + one coinciding context
