@@ -198,26 +198,77 @@ def _shingle_sig_table(
     no rows."""
     a, b = _perm_params(num_hashes, seed)
 
+    def _sigs_from_segments(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """(num_hashes, n_segments) permutation minima — vectorized over
+        the whole batch: loop over the num_hashes permutations (reduceat
+        passes on the flat shingle stream), never over the docs. The old
+        per-doc 32 x n_shingles broadcast was 50k tiny numpy calls per
+        50k-doc corpus and dominated the signature pass; same int64
+        arithmetic, bit-identical minima."""
+        xm = np.mod(flat, _MERSENNE)  # pmod: non-negative
+        mat = np.empty((num_hashes, len(starts)), dtype=np.int64)
+        for j in range(num_hashes):
+            mat[j] = np.minimum.reduceat(
+                np.mod(a[j] * xm + b[j], _MERSENNE), starts
+            )
+        return mat
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sh = _shingle_hash_batch(pdf[text_col], k)
-            sigs: list[np.ndarray | None] = []
-            for arr in sh:
-                if len(arr) == 0:
-                    sigs.append(None)
-                    continue
-                xm = np.mod(arr, _MERSENNE)  # pmod: non-negative
-                sigs.append(
-                    np.mod(a[:, None] * xm[None, :] + b[:, None], _MERSENNE).min(
-                        axis=1
-                    )
-                )
             if include_shingles:
+                sh = _shingle_hash_batch(pdf[text_col], k)
+                counts = np.array([len(x) for x in sh], dtype=np.int64)
+                nz = np.nonzero(counts)[0]
+                sigs: list[np.ndarray | None] = [None] * len(sh)
+                if len(nz):
+                    flat = np.concatenate([sh[i] for i in nz])
+                    starts = np.zeros(len(nz), dtype=np.int64)
+                    np.cumsum(counts[nz][:-1], out=starts[1:])
+                    cols = _sigs_from_segments(flat, starts).T
+                    for pos, i in enumerate(nz):
+                        sigs[int(i)] = cols[pos]
                 yield pd.DataFrame(
                     {"id": pdf[id_col], "shingles": sh, "sig": sigs}
                 )
-            else:
-                yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+                continue
+            # signature-only fast path: min over a multiset equals min
+            # over its distinct set, so the per-doc distinct (a lexsort
+            # of the whole rolling-hash stream) is skipped entirely —
+            # rolling_kgram_hashes already emits doc-contiguous segments,
+            # so reduceat runs on the raw stream with NO sort at all
+            codes, lens = textkit.flat_codes(pdf[text_col])
+            n = len(lens)
+            h_u, gdoc = textkit.rolling_kgram_hashes(codes, lens, k)
+            h = h_u.view(np.int64) if len(h_u) else np.empty(0, np.int64)
+            counts = np.bincount(gdoc, minlength=n) if len(gdoc) else np.zeros(
+                n, dtype=np.int64
+            )
+            nz = np.nonzero(counts)[0]
+            sigs = [None] * n
+            if len(nz):
+                starts = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(counts[nz][:-1], out=starts[1:])
+                cols = _sigs_from_segments(h, starts).T
+                for pos, i in enumerate(nz):
+                    sigs[int(i)] = cols[pos]
+            # short texts (0 < len < k): single whole-text hash, same
+            # fallback contract as _shingle_hash_batch
+            short = np.nonzero((lens > 0) & (lens < k))[0]
+            if len(short):
+                doc = np.repeat(np.arange(n), lens)
+                codes64 = codes.astype(np.uint64)
+                for i in short:
+                    s, e = doc.searchsorted(i, "left"), doc.searchsorted(i, "right")
+                    c = codes64[s:e]
+                    hh = c[0] if len(c) else np.uint64(0)
+                    for x in c[1:]:
+                        hh = hh * textkit.HASH_BASE + x
+                    x1 = np.int64(
+                        (hh * textkit.HASH_MIX).astype(np.uint64).view(np.int64)
+                    )
+                    xm1 = np.mod(np.int64(x1), _MERSENNE)
+                    sigs[int(i)] = np.mod(a * xm1 + b, _MERSENNE)
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
     schema = (
         "id long, shingles array<long>, sig array<long>"
@@ -352,7 +403,9 @@ def minhash_lsh_pairs(
     small = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).join(
         cand_ids, "id"
     )
-    shing = _shingle_only_table(small, "id", "__t", shingle_k)
+    # joined twice below (id_a side and id_b side) — without the persist
+    # the candidate-shingle python pass runs once per join
+    shing = _scoped_persist(_shingle_only_table(small, "id", "__t", shingle_k))
     verified = (
         gated.join(shing.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shing.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
