@@ -728,21 +728,47 @@ def _winnow_batch(texts: pd.Series, k: int, window: int) -> list[np.ndarray]:
     if len(h) == 0:
         return out
     hv = h.view(np.int64)
+    N = len(hv)
     bounds = np.searchsorted(gdoc, np.arange(n + 1))
-    for i in range(n):
+    m_per = np.diff(bounds)
+    # batch-wide window selection over the FLAT hash stream (windows
+    # crossing a doc boundary masked out): rolling min via ``window``
+    # CONTIGUOUS shifted-slice minimum passes, rightmost tie-break by
+    # overwriting the offset in ascending order — every pass is a SIMD
+    # friendly dense vector op (an argmin over a reversed strided window
+    # view computes the same thing ~9x slower; a per-doc loop building
+    # (m, window) index matrices was the original wall)
+    sel_mask = np.zeros(N, dtype=bool)
+    if N >= window:
+        n_win = N - window + 1
+        winmin = hv[:n_win].copy()
+        for j in range(1, window):
+            np.minimum(winmin, hv[j : j + n_win], out=winmin)
+        sel_off = np.zeros(n_win, dtype=np.int64)
+        for j in range(1, window):
+            np.copyto(sel_off, j, where=hv[j : j + n_win] == winmin)
+        starts_ok = gdoc[:n_win] == gdoc[window - 1 :]
+        pos = np.nonzero(starts_ok)[0]
+        sel_mask[pos + sel_off[pos]] = True
+    # docs shorter than one window: rightmost min of the whole doc
+    for i in np.nonzero((m_per > 0) & (m_per <= window))[0]:
         s, e = bounds[i], bounds[i + 1]
-        m = e - s
-        if m == 0:
-            continue
         doc_h = hv[s:e]
-        if m <= window:
-            sel = np.array([int(np.flatnonzero(doc_h == doc_h.min())[-1])])
-        else:
-            idx = np.arange(m - window + 1)[:, None] + np.arange(window)
-            w = doc_h[idx]
-            rev_arg = window - 1 - np.argmin(w[:, ::-1], axis=1)  # rightmost min
-            sel = np.unique(np.arange(m - window + 1) + rev_arg)
-        out[i] = np.unique(doc_h[sel])
+        sel_mask[s + int(np.flatnonzero(doc_h == doc_h.min())[-1])] = True
+    sel_pos = np.nonzero(sel_mask)[0]
+    if len(sel_pos) == 0:
+        return out
+    # per-doc distinct + ascending, flat (same idiom as _shingle_hash_batch)
+    sg, sh_v = gdoc[sel_pos], hv[sel_pos]
+    order = np.lexsort((sh_v, sg))
+    sg, sh_v = sg[order], sh_v[order]
+    keep = np.ones(len(sg), dtype=bool)
+    keep[1:] = (sg[1:] != sg[:-1]) | (sh_v[1:] != sh_v[:-1])
+    sg, sh_v = sg[keep], sh_v[keep]
+    b2 = np.searchsorted(sg, np.arange(n + 1))
+    for i in range(n):
+        if b2[i] < b2[i + 1]:
+            out[i] = sh_v[b2[i] : b2[i + 1]]
     return out
 
 
