@@ -1065,6 +1065,17 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(emb, n_clusters=16, threshold=0.4)
 
 
+def q_doc_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACT trigram-Jaccard join via PPJoin-style prefix filtering — the
+    # scale path for what doc_bigram_jaccard computes quadratically; the
+    # oracle is the brute-force all-pairs SQL.
+    from feast_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    out = prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     # context-window chunking: 60-word chunks, 10-word overlap (stride
     # 50). Map-only — zero shuffles.
@@ -1159,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": q_doc_curation,
         "doc_chunks": q_doc_chunks,
         "doc_packing": q_doc_packing,
+        "doc_jaccard_prefix": q_doc_jaccard_prefix,
     }
 
 
@@ -1185,6 +1197,31 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _rp("transcript_pipeline"),
         "semantic_dedup": _rp("semantic_dedup"),
         "doc_curation": _rp("doc_curation"),
+        "doc_jaccard_prefix": """
+            WITH docs AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+              FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1
+            ), co AS (
+              SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS inter
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT co.id_a, co.id_b,
+                   ROUND(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard_r
+            FROM co
+            JOIN sizes sa ON co.id_a = sa.doc_id
+            JOIN sizes sb ON co.id_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.4
+        """,
         "doc_chunks": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

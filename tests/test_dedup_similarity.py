@@ -256,3 +256,50 @@ def test_winnowing_guarantee_shared_substring(spark):
     ).toPandas()
     assert ((pairs.id_a == 0) & (pairs.id_b == 1)).any()
     assert not ((pairs.id_b == 2) | (pairs.id_a == 2)).any()
+
+
+@pytest.mark.parametrize("seed,n,t", [(1, 2, 0.3), (2, 3, 0.5), (3, 2, 0.7)])
+def test_prefix_jaccard_equals_quadratic_join(spark, seed, n, t):
+    # the prefix filter must lose NOTHING: identical pair set + values
+    # vs the all-pairs form, on corpora dense enough to have many pairs
+    import numpy as np
+    import pandas as pd
+
+    from feast_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(n, 25))))
+        for i in range(60)
+    ]
+    # plant guaranteed high-jaccard pairs (copy + one appended word) so
+    # even the t=0.7 case has pairs to compare
+    for j in range(5):
+        rows.append((100 + j, rows[j][1] + " " + vocab[0]))
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exact = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=n, threshold=t).collect()
+    )
+    fast = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_pairs(d, "doc_id", "text", n=n, threshold=t).collect()
+    )
+    assert fast == exact and len(exact) > 0
+
+
+def test_prefix_jaccard_planted_near_dup(spark):
+    import pandas as pd
+
+    from feast_spark.operators.dedup import prefix_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base + " extra"), (2, "totally different words here now")]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {(r["id_a"], r["id_b"]) for r in
+           prefix_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5).collect()}
+    assert (0, 1) in got and len(got) == 1
