@@ -641,7 +641,13 @@ def prefix_jaccard_pairs(
     grams) the plain join is simply not runnable. Natural corpora are
     the second case.
     """
-    grams = _distinct_word_grams(df, id_col, text_col, n)
+    # carry 8-byte gram hashes, not the gram strings, through every
+    # shuffle/sort/intersect (the same representation the minhash verify
+    # uses — a within-doc xxhash64 collision, |G|^2/2^64, is negligible
+    # at any corpus size and only that could perturb one pair's count)
+    grams = _distinct_word_grams(df, id_col, text_col, n).select(
+        "id", F.xxhash64("gram").alias("gram")
+    )
     gdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = grams.join(gdf, "gram").withColumn(
         "rank",
