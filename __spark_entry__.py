@@ -42,6 +42,14 @@ _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_query_memo() -> None:
+    # unpersist the checkpointed pair tables too — clearing only the dict
+    # leaves their blocks pinned in executor memory until JVM GC, which
+    # inflates later bench sections (ADVICE r3)
+    for df in _PAIRS_MEMO.values():
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped
     _PAIRS_MEMO.clear()
 
 
@@ -1508,7 +1516,8 @@ def oracle_sql() -> dict[str, str]:
                      SUM(cnt) OVER (PARTITION BY user_id) AS n_votes
               FROM c
             )
-            SELECT user_id, event_type, n_votes FROM r WHERE rn = 1
+            SELECT user_id, event_type, CAST(n_votes AS BIGINT) AS n_votes
+            FROM r WHERE rn = 1
         """,
         "pit_ttl_1h": """
             WITH entity AS (

@@ -510,7 +510,35 @@ def main() -> None:
         "docs_large": docs_large,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # Full detail (per-sample arrays, per-window external-core traces) goes
+    # to a side file; the printed line is COMPACT and keeps only the
+    # summary numbers, so the driver's stdout-tail capture always gets one
+    # complete parseable JSON line (r3 lesson: the verbose line outgrew the
+    # tail and BENCH_r03 recorded "parsed": null).
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    slim = dict(out)
+    if scaling:
+        slim["scaling"] = {
+            k: v
+            for k, v in scaling.items()
+            if k
+            not in (
+                "external_cores_per_window",
+                "host_loadavg_per_window",
+                "samples_turns_per_sec",
+            )
+        }
+    if docs_large:
+        slim["docs_large"] = {
+            k: (v if not isinstance(v, dict) else {
+                kk: vv for kk, vv in v.items() if not isinstance(vv, (list, dict))
+            })
+            for k, v in docs_large.items()
+            if not isinstance(v, list)
+        }
+    slim.pop("headline_passes", None)
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -231,6 +231,15 @@ def _assemble(n: int, prefix: bytes, pieces) -> pa.BinaryArray:
             dst = np.repeat(cur, lens) + np.arange(off[-1]) - np.repeat(off[:-1], lens)
             out[dst] = flat
         cur += lens
+    if row_off[-1] >= 2**31:
+        # pa.binary() offsets are int32; a batch whose encoded payload
+        # crosses 2 GiB would silently wrap them. Arrow batches from Spark
+        # are bounded by maxRecordsPerBatch, so this only trips on
+        # pathological rows — fail loudly instead of corrupting blobs.
+        raise ValueError(
+            f"encoded batch payload {int(row_off[-1])} bytes overflows int32 "
+            "binary offsets; lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     return pa.BinaryArray.from_buffers(
         pa.binary(),
         n,
