@@ -1116,73 +1116,307 @@ def q_doc_curation(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench).decisions
 
 
+def q_label_resolve_recency(spark: SparkSession, sf: str) -> DataFrame:
+    # reference-fidelity majority vote (conflict_resolver.py:102-157):
+    # every label column resolved INDEPENDENTLY, count ties broken by
+    # recency (latest ts among rows holding a tied value), resolved row
+    # stamped with the group-max timestamp. event_type exercises the
+    # modal path (3 values, real majorities); value is near-unique so
+    # nearly every group resolves through the recency tie-break.
+    import uuid as _uuid
+
+    from feast_spark.core import Entity, FeatureStore, ParquetSource
+    from feast_spark.operators.labels import LabelView
+
+    repo = f"/tmp/feast_spark_label_q/repo_{_uuid.uuid4().hex}"
+    store = FeatureStore(spark, repo)
+    lv = LabelView(
+        name="user_labels_ref",
+        entities=[Entity("user", "user_id")],
+        source=ParquetSource(path=f"{sf}/events.parquet", timestamp_field="ts"),
+        label_col=["event_type", "value"],
+        conflict_policy="majority_vote",
+        tie_break="recency",
+    )
+    store.apply([lv])
+    return store.get_labels("user_labels_ref")
+
+
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    # trained model-based quality filter (DCLM/FineWeb-style): hashed-
+    # bigram logistic regression, distributed full-batch training with
+    # integer-quantized gradients (order-independent => engine-portable);
+    # the oracle replays the identical kernel in pure numpy. The portable
+    # md5 arm is oracle-matched; the xxhash64 string-free arm is the
+    # scale path (benched + pytest-verified separately).
+    from feast_spark.operators.classifier import (
+        hashed_bigram_features,
+        score_with_classifier,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf, "documents")
+    feats = hashed_bigram_features(
+        d, F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=1024, method="portable",
+    )
+    model = train_quality_classifier(spark, feats, n_buckets=1024, n_iter=6)
+    out = score_with_classifier(model, feats)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# merged queries — the driver evaluates at most 50 queries() entries
+# (CORRECTNESS_r03 recorded exactly the first 50 of 61), so families of
+# small scalar/grouping queries are unioned into one frame each with a
+# `kind` discriminator column. The original single-purpose forms stay in
+# extra_queries() for the pytest gate.
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_exprs(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.8 scalar surface in one frame: CONCAT/sha row-id synthesis,
+    # interval arithmetic + FLOOR, JSON extraction.
+    from feast_spark.functions import row_id
+
+    o = _t(spark, sf, "orders")
+    ev = _t(spark, sf, "events")
+    # sentinels instead of NULLs for the not-applicable columns: mixed
+    # null/int64 would coerce the whole pandas column to float64 and NaT
+    # handling differs between comparison layers
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    r1 = o.filter(F.col("o_orderkey") < 100).select(
+        F.lit("row_id").alias("kind"),
+        F.col("o_orderkey").alias("id"),
+        row_id(["o_custkey", "o_orderkey"]).alias("s"),
+        epoch.alias("t1"),
+        epoch.alias("t2"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    r2 = ev.filter(F.col("event_id") < 1000).select(
+        F.lit("interval").alias("kind"),
+        F.col("event_id").alias("id"),
+        F.lit("").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+        (F.col("ts") - F.expr("INTERVAL 90 SECONDS")).alias("t2"),
+        F.floor("value").cast("long").alias("n"),
+    )
+    r3 = ev.filter(F.col("event_id") < 1000).select(
+        F.lit("json").alias("kind"),
+        F.col("event_id").alias("id"),
+        F.lit("").alias("s"),
+        epoch.alias("t1"),
+        epoch.alias("t2"),
+        F.get_json_object("props", "$.k").cast("long").alias("n"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+def q_rollup_cube(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.4 rollup + cube in one frame (reference gaps, free in Spark).
+    o = _t(spark, sf, "orders")
+    ev = _t(spark, sf, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    r = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lit("rollup_orders").alias("kind"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "n",
+            "total",
+        )
+    )
+    c = (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.lit("cube_events").alias("kind"),
+            F.col("event_type").alias("g1"),
+            F.col("user_bucket").cast("string").alias("g2"),
+            "n",
+            "total",
+        )
+    )
+    return r.unionByName(c)
+
+
+def q_pull_scan(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.1 pull_all time-range scan + pull_latest latest-per-key scan.
+    from feast_spark.operators import pull_all, pull_latest
+
+    ev = _t(spark, sf, "events")
+    r1 = pull_all(
+        ev, ["user_id"], ["value"], "ts",
+        start="2024-01-10 00:00:00", end="2024-01-20 00:00:00",
+    ).select(
+        F.lit("all").alias("kind"),
+        "user_id",
+        F.lit("").alias("last_type"),
+        "value",
+        "ts",
+    )
+    r2 = pull_latest(
+        ev, ["user_id"], ["event_type", "value"], "ts", tiebreak_cols=["event_id"],
+    ).select(
+        F.lit("latest").alias("kind"),
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        "value",
+        "ts",
+    )
+    return r1.unionByName(r2)
+
+
+def q_setops(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.3 semi/anti joins + §2.7 EXCEPT in one frame.
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    ev = _t(spark, sf, "events")
+    has_order = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    r1 = (
+        has_order.join(big, has_order.c_custkey == big.o_custkey, "left_anti")
+        .select(
+            F.lit("semi_anti").alias("kind"),
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("s"),
+        )
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+    )
+    errors = (
+        ev.filter("event_type = 'error'")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+    )
+    r2 = clicks.subtract(errors).select(
+        F.lit("except").alias("kind"),
+        F.col("user_id").alias("id"),
+        F.col("d").alias("s"),
+    )
+    return r1.unionByName(r2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver correctness window: AT MOST 50 entries (the driver records
+    only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
+    operator family added in the latest round lands a driver row. Rotated
+    stable queries and the pre-merge single-purpose forms live in
+    :func:`extra_queries`, which the pytest gate unions in.
+    ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
+    cap."""
     return {
-        "pull_all_window": q_pull_all_window,
-        "pull_latest_events": q_pull_latest_events,
-        "field_mapping_scan": q_field_mapping_scan,
-        "pit_last_click": q_pit_last_click,
-        "odfv_post_agg": q_odfv_post_agg,
-        "label_majority_vote": q_label_majority_vote,
-        "pit_ttl_1h": q_pit_ttl_1h,
-        "pit_entityless": q_pit_entityless,
-        "two_role_join": q_two_role_join,
-        "entity_union": q_entity_union,
-        "cross_join_share": q_cross_join_share,
-        "tpch_q1": q_tpch_q1,
-        "agg_spec": q_agg_spec,
-        "hourly_window_agg": q_hourly_window_agg,
-        "sliding_window_agg": q_sliding_window_agg,
-        "stream_window_parity": q_stream_window_parity,
-        "numeric_stats": q_numeric_stats,
-        "histogram": q_histogram,
-        "top_event_types": q_top_event_types,
-        "latest_dedup": q_latest_dedup,
-        "row_id_synthesis": q_row_id_synthesis,
-        "interval_arithmetic": q_interval_arithmetic,
-        "json_extract": q_json_extract,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_bigram_jaccard": q_doc_bigram_jaccard,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
-        "doc_quality_scores": q_doc_quality_scores,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "session_window_agg": q_session_window_agg,
-        "pivot_event_types": q_pivot_event_types,
-        "semi_anti_join": q_semi_anti_join,
-        "intersect_except": q_intersect_except,
-        "rollup_orders": q_rollup_orders,
-        "cube_events": q_cube_events,
-        "pit_created_cutoff": q_pit_created_cutoff,
-        "embedding_neardup": q_embedding_neardup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "image_metadata": q_image_metadata,
-        "dup_clusters": q_dup_clusters,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "historical_two_views": q_historical_two_views,
-        "derived_view_historical": q_derived_view_historical,
-        "odfv_request_scale": q_odfv_request_scale,
-        "dqm_profile": q_dqm_profile,
+        # round 4: reference-fidelity label resolution + trained classifier
+        "label_resolve_recency": q_label_resolve_recency,
+        "quality_classifier": q_quality_classifier,
+        # flagship + round-3 selection family
         "transcript_pipeline": q_transcript_pipeline,
+        "doc_curation": q_doc_curation,
         "span_dedup": q_span_dedup,
         "contamination_check": q_contamination_check,
         "dsir_weights": q_dsir_weights,
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
-        "doc_curation": q_doc_curation,
         "doc_chunks": q_doc_chunks,
         "doc_packing": q_doc_packing,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
+        # merged families (originals in extra_queries)
+        "scalar_exprs": q_scalar_exprs,
+        "rollup_cube": q_rollup_cube,
+        "pull_scan": q_pull_scan,
+        "setops": q_setops,
+        # round 2-3 operators
+        "label_majority_vote": q_label_majority_vote,
+        "stream_window_parity": q_stream_window_parity,
+        "odfv_post_agg": q_odfv_post_agg,
+        "dup_clusters": q_dup_clusters,
+        "historical_two_views": q_historical_two_views,
+        "derived_view_historical": q_derived_view_historical,
+        "odfv_request_scale": q_odfv_request_scale,
+        "dqm_profile": q_dqm_profile,
+        # core relational / PIT surface
+        "field_mapping_scan": q_field_mapping_scan,
+        "pit_last_click": q_pit_last_click,
+        "pit_ttl_1h": q_pit_ttl_1h,
+        "pit_entityless": q_pit_entityless,
+        "pit_created_cutoff": q_pit_created_cutoff,
+        "two_role_join": q_two_role_join,
+        "entity_union": q_entity_union,
+        "agg_spec": q_agg_spec,
+        "sliding_window_agg": q_sliding_window_agg,
+        "session_window_agg": q_session_window_agg,
+        "histogram": q_histogram,
+        "top_event_types": q_top_event_types,
+        "latest_dedup": q_latest_dedup,
+        # documents / embeddings operators
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_quality_scores": q_doc_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "image_metadata": q_image_metadata,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked queries OUTSIDE the driver's 50-entry window: rotated
+    stable queries plus the single-purpose originals of the merged
+    families. pytest runs queries() ∪ extra_queries() against
+    oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
+    driver artifact is capped."""
+    return {
+        "pull_all_window": q_pull_all_window,
+        "pull_latest_events": q_pull_latest_events,
+        "cross_join_share": q_cross_join_share,
+        "tpch_q1": q_tpch_q1,
+        "hourly_window_agg": q_hourly_window_agg,
+        "numeric_stats": q_numeric_stats,
+        "row_id_synthesis": q_row_id_synthesis,
+        "interval_arithmetic": q_interval_arithmetic,
+        "json_extract": q_json_extract,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_bigram_jaccard": q_doc_bigram_jaccard,
+        "pivot_event_types": q_pivot_event_types,
+        "semi_anti_join": q_semi_anti_join,
+        "intersect_except": q_intersect_except,
+        "rollup_orders": q_rollup_orders,
+        "cube_events": q_cube_events,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracles for the driver window — keys ⊆ queries() keys."""
+    qs = queries()
+    return {k: v for k, v in _all_oracle_sql().items() if k in qs}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the rotated/pre-merge queries (pytest gate only)."""
+    qs = queries()
+    return {k: v for k, v in _all_oracle_sql().items() if k not in qs}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     # hash/model-based relations get an INDEPENDENT driver-side naive
     # recomputation (numpy/pandas, no Spark) materialized to parquet —
     # see feast_spark/oracles.py for the method and bit-exactness notes.
@@ -1194,6 +1428,96 @@ def oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM read_parquet('{derived[name]}')"
 
     return {
+        "quality_classifier": _rp("quality_classifier"),
+        "label_resolve_recency": """
+            WITH spine AS (
+              SELECT user_id, MAX(ts) AS ts FROM events GROUP BY 1
+            ), c1 AS (
+              SELECT user_id, event_type AS v, COUNT(*) AS cnt, MAX(ts) AS mts
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ), r1 AS (
+              SELECT user_id, v, ROW_NUMBER() OVER (
+                  PARTITION BY user_id
+                  ORDER BY cnt DESC, mts DESC, v ASC) AS rn
+              FROM c1
+            ), c2 AS (
+              SELECT user_id, value AS v, COUNT(*) AS cnt, MAX(ts) AS mts
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), r2 AS (
+              SELECT user_id, v, ROW_NUMBER() OVER (
+                  PARTITION BY user_id
+                  ORDER BY cnt DESC, mts DESC, v ASC) AS rn
+              FROM c2
+            )
+            SELECT s.ts, s.user_id, a.v AS event_type, b.v AS value
+            FROM spine s
+            LEFT JOIN r1 a ON a.user_id = s.user_id AND a.rn = 1
+            LEFT JOIN r2 b ON b.user_id = s.user_id AND b.rn = 1
+        """,
+        "scalar_exprs": """
+            SELECT 'row_id' AS kind, o_orderkey AS id,
+                   sha256(concat_ws(chr(31),
+                          CAST(o_custkey AS VARCHAR),
+                          CAST(o_orderkey AS VARCHAR))) AS s,
+                   TIMESTAMP '1970-01-01 00:00:00' AS t1,
+                   TIMESTAMP '1970-01-01 00:00:00' AS t2,
+                   CAST(-1 AS BIGINT) AS n
+            FROM orders WHERE o_orderkey < 100
+            UNION ALL
+            SELECT 'interval', event_id, '',
+                   ts + INTERVAL 1 HOUR, ts - INTERVAL 90 SECONDS,
+                   CAST(FLOOR(value) AS BIGINT)
+            FROM events WHERE event_id < 1000
+            UNION ALL
+            SELECT 'json', event_id, '',
+                   TIMESTAMP '1970-01-01 00:00:00',
+                   TIMESTAMP '1970-01-01 00:00:00',
+                   CAST(json_extract(props, '$.k') AS BIGINT)
+            FROM events WHERE event_id < 1000
+        """,
+        "rollup_cube": """
+            SELECT 'rollup_orders' AS kind,
+                   o_orderstatus AS g1, o_orderpriority AS g2,
+                   COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT 'cube_events', event_type,
+                   CAST(user_id % 10 AS VARCHAR),
+                   COUNT(*), ROUND(SUM(value), 2)
+            FROM events
+            GROUP BY CUBE (event_type, (user_id % 10))
+        """,
+        "pull_scan": """
+            SELECT 'all' AS kind, user_id, '' AS last_type,
+                   value, ts
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+            UNION ALL
+            SELECT 'latest', user_id, event_type, value, ts
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "setops": """
+            SELECT 'semi_anti' AS kind, c_custkey AS id, c_name AS s
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            UNION ALL
+            SELECT 'except', user_id, d FROM (
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d
+              FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d
+              FROM events WHERE event_type = 'error'
+            )
+        """,
         "doc_minhash_pairs": _rp("doc_minhash_pairs"),
         "doc_simhash_pairs": _rp("doc_simhash_pairs"),
         "doc_winnow_pairs": _rp("doc_winnow_pairs"),

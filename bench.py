@@ -406,7 +406,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = _session(CPUS)
-    qs = entry_mod.queries()
+    # headline list spans the driver window and the rotated pytest-only
+    # queries (the bench measures operators, not the driver cap)
+    qs = {**entry_mod.extra_queries(), **entry_mod.queries()}
 
     # warm the JVM/Arrow paths AND the python-UDF workers once
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()

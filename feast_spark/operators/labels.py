@@ -67,14 +67,20 @@ class LabelView:
     name: str
     entities: list  # list[Entity]
     source: object  # ParquetSource | SparkSqlSource
-    label_col: str
+    label_col: str | list  # one column, or a list resolved independently
     conflict_policy: str = "last_write_wins"
     labeler_field: str = "labeler"
     priority_col: str | None = None
     ttl_seconds: int | None = None
     description: str = ""
+    # majority-vote tie-break: "lexicographic" (engine default — stable
+    # under any partitioning) or "recency" (reference fidelity:
+    # conflict_resolver.py:133-141 — latest-timestamp row among tied
+    # values wins, plus resolved-row ts/labeler stamping)
+    tie_break: str = "lexicographic"
 
     _POLICIES = ("last_write_wins", "labeler_priority", "majority_vote")
+    _TIE_BREAKS = ("lexicographic", "recency")
 
     def __post_init__(self) -> None:
         if self.conflict_policy not in self._POLICIES:
@@ -84,6 +90,20 @@ class LabelView:
             )
         if self.conflict_policy == "labeler_priority" and not self.priority_col:
             raise ValueError("labeler_priority requires priority_col")
+        if self.tie_break not in self._TIE_BREAKS:
+            raise ValueError(
+                f"unknown tie_break {self.tie_break!r} "
+                f"(supported: {self._TIE_BREAKS})"
+            )
+        if (
+            isinstance(self.label_col, (list, tuple))
+            and self.conflict_policy == "majority_vote"
+            and self.tie_break != "recency"
+        ):
+            raise ValueError(
+                "multi-column majority_vote requires tie_break='recency' "
+                "(the reference-fidelity path)"
+            )
 
     @property
     def join_keys(self) -> list[str]:
@@ -106,6 +126,15 @@ class LabelView:
             return resolve_labeler_priority(
                 df, keys, self.label_col, self.priority_col, self.timestamp_field
             )
+        if self.tie_break == "recency":
+            cols = (
+                list(self.label_col)
+                if isinstance(self.label_col, (list, tuple))
+                else [self.label_col]
+            )
+            return resolve_majority_vote_reference(
+                df, keys, cols, self.timestamp_field, self.labeler_field
+            )
         return resolve_majority_vote(df, keys, self.label_col)
 
 
@@ -120,7 +149,11 @@ def resolve_majority_vote(
     then smallest label) because struct comparison is field-ordered.
     -cnt keeps the whole comparison a single MIN (no translate tricks —
     the round-1 reverse-alphabet tie-break was wrong for prefix pairs and
-    non-letter labels)."""
+    non-letter labels).
+
+    This is the engine's deterministic default. For the reference's exact
+    semantics (recency tie-break, multi-column resolution, resolved-row
+    stamping) use :func:`resolve_majority_vote_reference`."""
     counts = df.groupBy(*keys, label_col).agg(F.count(F.lit(1)).alias("cnt"))
     out = counts.groupBy(*keys).agg(
         F.min_by(
@@ -129,3 +162,64 @@ def resolve_majority_vote(
         F.sum("cnt").alias("n_votes"),
     )
     return out
+
+
+def resolve_majority_vote_reference(
+    df: DataFrame,
+    keys: list[str],
+    label_cols: list[str],
+    ts_col: str,
+    labeler_field: str | None = "labeler",
+) -> DataFrame:
+    """Reference-fidelity majority vote (``conflict_resolver.py:102-157``):
+
+    - EVERY feature column resolves independently (the winning value of
+      one column may come from a different source row than another's);
+    - the modal value wins; count ties break by RECENCY — among the rows
+      holding a tied value, the latest ``ts_col`` row's value wins
+      (``conflict_resolver.py:133-141``);
+    - null values never win (pandas ``value_counts`` drops NaN); a group
+      whose column is entirely null resolves to null;
+    - the resolved row is stamped with the group's max ``ts_col`` and
+      ``labeler='majority_vote'`` (``conflict_resolver.py:144-147``).
+
+    One determinism refinement over the reference: when two tied values
+    ALSO share the same max timestamp, the reference keeps whichever row
+    pandas' stable sort saw first (input-order-dependent); here the
+    lexicographically smallest value wins, so output is stable under any
+    partitioning.
+
+    Shape: per label column, two hash aggregations (per-(key,value)
+    counts+max-ts, then a min_by over a struct ordered (cnt desc, ts
+    desc, value asc)) — map-side partial combine throughout, no window
+    sorts; the per-column resolved frames (≤ |distinct keys| rows each)
+    join back on the keys, where Catalyst reuses the aggregation's hash
+    partitioning instead of re-shuffling."""
+    spine = df.groupBy(*keys).agg(F.max(ts_col).alias(ts_col))
+    out = spine
+    for c in label_cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(*keys, c)
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max(ts_col).alias("mts"))
+        )
+        resolved = counts.groupBy(*keys).agg(
+            F.min_by(
+                c,
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    # parquet timestamps may load as TIMESTAMP_NTZ; the
+                    # session is pinned to UTC so the LTZ cast is identity
+                    (-F.unix_micros(F.col("mts").cast("timestamp"))).alias(
+                        "neg_ts"
+                    ),
+                    F.col(c).alias("v"),
+                ),
+            ).alias(c)
+        )
+        out = out.join(resolved, keys, "left")
+    if labeler_field and labeler_field in df.columns and labeler_field not in keys:
+        out = out.withColumn(labeler_field, F.lit("majority_vote"))
+    # preserve the source frame's column order (conflict_resolver.py:155)
+    ordered = [c for c in df.columns if c in out.columns]
+    return out.select(*ordered)

@@ -568,7 +568,22 @@ def curation_pdf(sf_dir: str) -> pd.DataFrame:
 # registry + ensure
 # ---------------------------------------------------------------------------
 
+def classifier_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of the hashed-bigram quality classifier's portable
+    arm: Python/Counter feature extraction + the shared integer-quantized
+    training kernel (classifier.py arithmetic contract) — bit-exact
+    because every cross-document reduction is an int64 sum."""
+    from feast_spark.operators.classifier import naive_classifier_pdf
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    y = docs["source"].isin(["src1", "src2", "src3"]).astype(int)
+    return naive_classifier_pdf(
+        docs["text"], docs["doc_id"], y, n_buckets=1024, n_iter=6, lr=1.0
+    )
+
+
 _RELATIONS = {
+    "quality_classifier": lambda sf: classifier_pdf(sf),
     "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),
     "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf, hamming_threshold=4),
     "dup_clusters": lambda sf: dup_clusters_pdf(sf),

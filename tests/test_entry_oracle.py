@@ -53,15 +53,30 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-ORACLE_NAMES = sorted(entry_mod.oracle_sql())
-ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+# the pytest gate covers the driver window AND the rotated/pre-merge
+# queries — coverage identical to round 3, only the driver artifact is
+# capped at 50
+ALL_QUERIES = {**entry_mod.extra_queries(), **entry_mod.queries()}
+ALL_ORACLES = {**entry_mod.extra_oracle_sql(), **entry_mod.oracle_sql()}
+ORACLE_NAMES = sorted(ALL_ORACLES)
+ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ALL_ORACLES))
+
+
+def test_driver_query_window():
+    # CORRECTNESS_r03 recorded exactly the first 50 of 61 registered
+    # queries: anything past 50 silently loses its driver correctness row
+    assert len(entry_mod.queries()) <= 50
+    # every driver query with an oracle must expose it under the same key
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+    # rotated queries must not shadow driver-window names
+    assert not set(entry_mod.extra_queries()) & set(entry_mod.queries())
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
+    q = ALL_QUERIES[name]
     got = _canon(q(spark, SF_DIR).toPandas())
-    exp = _canon(duck.execute(entry_mod.oracle_sql()[name]).df())
+    exp = _canon(duck.execute(ALL_ORACLES[name]).df())
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
@@ -76,7 +91,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
-    q = entry_mod.queries()[name]
+    q = ALL_QUERIES[name]
     df = q(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema) > 0

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from feast_spark.functions.transforms import (
     infer_output_schema,
@@ -182,3 +183,111 @@ def test_label_view_store_level_resolution(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown conflict_policy"):
         LabelView(name="x", entities=ent, source=src, label_col="label",
                   conflict_policy="nope")
+
+
+# ---------------------------------------------------------------------------
+# reference-fidelity majority vote (conflict_resolver.py:102-157):
+# per-column independent resolution, recency tie-break, ts/labeler stamping
+# ---------------------------------------------------------------------------
+
+
+def test_majority_vote_reference_semantics(spark):
+    from feast_spark.operators.labels import resolve_majority_vote_reference
+
+    df = spark.createDataFrame(
+        [
+            # e1: 'a' majority (2 vs 1) on col1 even though 'b' is latest;
+            #     col2 winners come from DIFFERENT rows than col1's
+            (1, "a", 10.0, "lab1", "2024-01-01 00:00:00"),
+            (1, "a", 20.0, "lab2", "2024-01-02 00:00:00"),
+            (1, "b", 20.0, "lab3", "2024-01-03 00:00:00"),
+            # e2: count tie a/b on col1 -> recency: b's latest row is newer
+            (2, "a", 1.0, "lab1", "2024-01-01 00:00:00"),
+            (2, "b", 2.0, "lab2", "2024-01-05 00:00:00"),
+            # e3: col1 all null -> resolves to null; col2 single value
+            (3, None, 7.0, "lab1", "2024-01-01 00:00:00"),
+        ],
+        "entity_id long, l1 string, l2 double, labeler string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = (
+        resolve_majority_vote_reference(
+            df, ["entity_id"], ["l1", "l2"], "ts", "labeler"
+        )
+        .toPandas()
+        .set_index("entity_id")
+    )
+    # column order follows the source frame (conflict_resolver.py:155)
+    assert list(out.reset_index().columns) == [
+        "entity_id", "l1", "l2", "labeler", "ts"
+    ]
+    assert out.l1[1] == "a"          # majority beats recency
+    assert out.l2[1] == 20.0         # col2 resolved independently (2 votes)
+    assert out.l1[2] == "b"          # count tie -> latest ts row wins
+    assert out.l1[3] is None or out.l1[3] != out.l1[3]  # all-null -> null
+    assert out.l2[3] == 7.0
+    # resolved row stamped with group max ts + labeler='majority_vote'
+    assert str(out.ts[1]) == "2024-01-03 00:00:00"
+    assert set(out.labeler) == {"majority_vote"}
+
+
+def test_majority_vote_reference_double_tie_lexicographic(spark):
+    # count tie AND identical max ts -> deterministic refinement: smallest
+    # value wins (the reference is input-order-dependent here)
+    from feast_spark.operators.labels import resolve_majority_vote_reference
+
+    df = spark.createDataFrame(
+        [
+            (1, "z", "2024-01-02 00:00:00"),
+            (1, "m", "2024-01-02 00:00:00"),
+        ],
+        "entity_id long, l1 string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resolve_majority_vote_reference(df, ["entity_id"], ["l1"], "ts")
+    assert out.collect()[0]["l1"] == "m"
+
+
+def test_label_view_recency_multi_column(spark, tmp_path):
+    import pandas as pd
+
+    from feast_spark.core import Entity, FeatureStore, ParquetSource
+    from feast_spark.operators.labels import LabelView
+
+    raw = pd.DataFrame(
+        {
+            "item_id": [1, 1, 1, 2, 2],
+            "label": ["safe", "unsafe", "safe", "unsafe", "safe"],
+            "score": [0.1, 0.9, 0.9, 0.5, 0.4],
+            "labeler": ["m1", "m2", "m3", "m1", "m2"],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-01", "2024-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    path = str(tmp_path / "labels_r.parquet")
+    raw.to_parquet(path)
+    store = FeatureStore(spark, str(tmp_path / "repo_r"))
+    src = ParquetSource(path=path, timestamp_field="ts")
+    lv = LabelView(
+        name="ref_maj", entities=[Entity("item", "item_id")], source=src,
+        label_col=["label", "score"], conflict_policy="majority_vote",
+        tie_break="recency",
+    )
+    store.apply([lv])
+    got = store.get_labels("ref_maj").toPandas().set_index("item_id")
+    assert got.label[1] == "safe"      # 2 votes vs 1
+    assert got.score[1] == 0.9         # independent column: 2 votes for 0.9
+    assert got.label[2] == "safe"      # tie -> later ts wins
+    assert set(got.labeler) == {"majority_vote"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tie_break"):
+        LabelView(name="x2", entities=[Entity("item", "item_id")],
+                  source=src, label_col="label",
+                  conflict_policy="majority_vote", tie_break="nope")
+    with _pytest.raises(ValueError, match="recency"):
+        LabelView(name="x3", entities=[Entity("item", "item_id")],
+                  source=src, label_col=["a", "b"],
+                  conflict_policy="majority_vote")
