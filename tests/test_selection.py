@@ -400,3 +400,34 @@ def test_embeddings_fixture_partitioning_invariant_with_planted_dups(spark):
     v9 = np.asarray(a["embedding"].iloc[9], dtype=np.float64)
     cos = v0 @ v9 / (np.linalg.norm(v0) * np.linalg.norm(v9))
     assert cos > 0.99 and bool(a["is_dup"].iloc[9]) and not bool(a["is_dup"].iloc[0])
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_span_dedup_xxhash64_arm_parity(spark, seed):
+    # the 8-byte-keyed scale arm must produce exactly the portable arm's
+    # output (64-bit collisions are ~impossible on these corpora)
+    rows = _random_corpus(seed)
+    d = _docs(spark, rows)
+    a = sorted(map(tuple, span_dedup(d, span_words=3).collect()))
+    b = sorted(
+        map(tuple, span_dedup(d, span_words=3, method="xxhash64").collect())
+    )
+    assert a == b
+
+
+def test_span_dedup_xxhash64_plan_carries_no_strings(spark):
+    # shuffle #1 of the scale arm must not move the span text: the
+    # exchange below the first-occurrence window reads only
+    # (doc_id, span_idx, h)
+    rows = _random_corpus(11)
+    plan = span_dedup(
+        _docs(spark, rows), span_words=3, method="xxhash64"
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    win = plan.find("WindowGroupLimit")
+    assert win != -1 or "window" in plan.lower()
+    # the window's input exchange partitions by the hash column, and no
+    # string-typed span attribute appears between scan and first window
+    first_exchange = plan.find("Exchange hashpartitioning(h#")
+    assert first_exchange != -1, plan
