@@ -258,6 +258,34 @@ class FeatureStore:
             pass
         return os.path.basename(target)
 
+    def vacuum_serving(self, view: str, max_age_sec: float = 3600.0) -> int:
+        """Crashed-writer recovery: remove ``.tmp-*`` staging dirs older
+        than ``max_age_sec``. A writer that died between its parquet
+        write and the rename CAS leaves an orphan staging dir — invisible
+        to readers (``_snapshot_names`` only lists ``snap-*``) but
+        leaking disk. Age-gated so a LIVE concurrent writer's staging dir
+        is never swept (its mtime is recent while it streams parquet).
+        Returns the number of dirs removed."""
+        import shutil
+        import time as _time
+
+        d = self._serving_dir(view)
+        if not os.path.isdir(d):
+            return 0
+        removed = 0
+        now = _time.time()
+        for name in os.listdir(d):
+            if not name.startswith(".tmp-"):
+                continue
+            p = os.path.join(d, name)
+            try:
+                if now - os.path.getmtime(p) > max_age_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+            except OSError:
+                continue  # racing writer renamed/removed it — fine
+        return removed
+
     def _commit_snapshot(self, view: str, df: DataFrame) -> str:
         """Unconditional commit (no concurrent-merge semantics needed):
         retries the CAS until a fresh id wins."""

@@ -252,3 +252,126 @@ def test_concurrent_materialize_serializable(spark, tmp_path):
     )
     assert stale is None  # snap-00000 already exists -> caller must retry
     assert len(store.list_snapshots("conc")) == 2  # nothing extra committed
+
+
+def test_concurrent_materialize_overlapping_intervals(spark, tmp_path):
+    """Round-3 verdict Next #8: the disjoint-interval pair proves no lost
+    update; OVERLAPPING intervals additionally race the same KEYS through
+    the re-merge, so the final snapshot must resolve every key to its
+    latest (ts, created) row regardless of commit order."""
+    import threading
+
+    root = tmp_path / "conc_overlap"
+    rows = []
+    for d in range(30):
+        # every key has one row on day 1 and one on day 2; both writers'
+        # windows include day 2, so both observe the same latest rows
+        for day, rate in (("2024-01-01 10:00:00", 1.0), ("2024-01-02 10:00:00", 2.0)):
+            rows.append(
+                {
+                    "driver_id": d,
+                    "event_timestamp": _mk(day),
+                    "created": _mk("2024-01-03"),
+                    "conv_rate": rate + d,
+                }
+            )
+    feats = pd.DataFrame(rows)
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")
+    root.mkdir()
+    fpath = str(root / "src.parquet")
+    feats.to_parquet(fpath)
+
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="ovl",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+
+    errs: list[Exception] = []
+
+    def run(start: str, end: str) -> None:
+        try:
+            store.materialize("ovl", _mk(start), _mk(end))
+        except Exception as e:
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=("2024-01-01", "2024-01-03"))
+    t2 = threading.Thread(target=run, args=("2024-01-01 12:00:00", "2024-01-03"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    snaps = store.list_snapshots("ovl")
+    assert len(snaps) == 2 and snaps == sorted(snaps)
+    final = store.read_snapshot("ovl").toPandas().set_index("driver_id")
+    assert sorted(final.index) == list(range(30))
+    # every key resolved to its day-2 (latest) row in the final snapshot
+    assert all(final.conv_rate[d] == 2.0 + d for d in range(30))
+    iv = store.registry.materialization_intervals("ovl")
+    assert len(iv) == 2
+
+
+def test_crashed_writer_tmp_dir_recovery(spark, tmp_path):
+    """A writer that died after its parquet write but before the rename
+    CAS leaves an orphaned .tmp-* staging dir: readers never see it, the
+    next materialize commits cleanly past it, and vacuum_serving removes
+    it once stale — while sparing RECENT staging dirs (a live writer)."""
+    import os
+    import time
+
+    root = tmp_path / "crash_repo"
+    feats = pd.DataFrame(
+        {
+            "driver_id": [1, 2],
+            "event_timestamp": pd.to_datetime(
+                ["2024-01-01 10:00:00"] * 2
+            ).astype("datetime64[us]"),
+            "created": pd.to_datetime(["2024-01-02"] * 2).astype("datetime64[us]"),
+            "conv_rate": [0.5, 0.6],
+        }
+    )
+    root.mkdir()
+    fpath = str(root / "src.parquet")
+    feats.to_parquet(fpath)
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="crash",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+
+    # simulate the crash: stale staging dir with old mtime + a fresh one
+    d = store._serving_dir("crash")
+    os.makedirs(d, exist_ok=True)
+    stale = os.path.join(d, ".tmp-deadwriter")
+    fresh = os.path.join(d, ".tmp-livewriter")
+    for p in (stale, fresh):
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0.parquet"), "wb") as f:
+            f.write(b"partial garbage")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    # readers and committers ignore staging dirs entirely
+    assert store.list_snapshots("crash") == []
+    store.materialize("crash", _mk("2024-01-01"), _mk("2024-01-02"))
+    assert store.list_snapshots("crash") == ["snap-00000"]
+    got = store.read_snapshot("crash").toPandas()
+    assert sorted(got.driver_id) == [1, 2]
+
+    # vacuum removes only the stale dir
+    assert store.vacuum_serving("crash", max_age_sec=3600) == 1
+    left = {n for n in os.listdir(d) if n.startswith(".tmp-")}
+    assert left == {".tmp-livewriter"}
+    # a second vacuum with age 0 sweeps the rest
+    assert store.vacuum_serving("crash", max_age_sec=0) == 1
