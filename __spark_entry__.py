@@ -1162,6 +1162,9 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
     model = train_quality_classifier(spark, feats, n_buckets=1024, n_iter=6)
     out = score_with_classifier(model, feats)
+    # the persisted feature table is released with the rest of the query
+    # layer's caches (clear_query_memo) once the result is consumed
+    _PAIRS_MEMO[("clf_feats", spark.sparkContext.applicationId, sf)] = feats
     return out
 
 

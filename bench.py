@@ -73,6 +73,10 @@ HEADLINE = [
     "contamination_check",
     "semantic_dedup",
     "doc_curation",
+    # round 4 additions
+    "doc_jaccard_prefix",
+    "label_resolve_recency",
+    "quality_classifier",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -240,18 +240,18 @@ def train_quality_classifier(
                     pdf["y"].to_numpy(np.int64),
                     n_buckets,
                 )
-            nz = np.nonzero(grad)[0]
-            yield pd.DataFrame({"bucket": nz.astype(np.int32), "g": grad[nz]})
+            yield pd.DataFrame({"g": [grad.tolist()]})
 
-        rows = (
-            feats.mapInPandas(grad_pass, "bucket int, g long")
-            .groupBy("bucket")
-            .agg(F.sum("g").alias("g"))
-            .collect()
-        )
+        # each partition emits its DENSE int64 gradient as one array row
+        # (8·n_buckets bytes); the final reduction over partitions
+        # happens on the driver — one Spark stage per iteration, no
+        # shuffle at all. 10k partitions x 32 KB = a 320 MB collect at
+        # the extreme; past that, reinstate a groupBy partial reduction
+        # (the int64 sums commute either way).
+        pdf = feats.mapInPandas(grad_pass, "g array<long>").toPandas()
         total_grad = np.zeros(n_buckets, np.int64)
-        for r in rows:
-            total_grad[r["bucket"]] = r["g"]
+        for g in pdf["g"]:
+            total_grad += np.asarray(g, np.int64)
         w = _apply_grad(w, total_grad, lr, n_docs)
     return QualityClassifier(w, n_buckets, n_iter, lr, n_docs)
 

@@ -645,22 +645,29 @@ def prefix_jaccard_pairs(
     # shuffle/sort/intersect (the same representation the minhash verify
     # uses — a within-doc xxhash64 collision, |G|^2/2^64, is negligible
     # at any corpus size and only that could perturb one pair's count)
-    grams = _distinct_word_grams(df, id_col, text_col, n).select(
-        "id", F.xxhash64("gram").alias("gram")
+    # persisted: four consumers (df counts, rank window, sizes, verify
+    # arrays) would otherwise each re-run the text pass AND the distinct
+    # shuffle — measured 10.2s -> ~4s at sf0.1 with the shared table
+    grams = _scoped_persist(
+        _distinct_word_grams(df, id_col, text_col, n).select(
+            "id", F.xxhash64("gram").alias("gram")
+        )
     )
+    grams.count()  # materialization barrier (round-1 double-execution lesson)
     gdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = grams.join(gdf, "gram").withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("gram"))
         ),
+    ).withColumn(
+        # |G| computed inside the same doc-keyed window pass — no extra
+        # sizes aggregation/join over the gram table
+        "ng", F.count(F.lit(1)).over(Window.partitionBy("id")),
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
-    prefix = (
-        ranked.join(sizes, "id")
-        .filter(F.col("rank") <= F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")) + 1)
-        .select("id", "gram")
-    )
+    prefix = ranked.filter(
+        F.col("rank") <= F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")) + 1
+    ).select("id", "gram")
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
