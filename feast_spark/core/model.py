@@ -264,6 +264,19 @@ class OnDemandFeatureView:
     schema: list[Field] = field(default_factory=list)
     mode: str = "pandas"
     sources: list = field(default_factory=list)
+    # reference parity (on_demand_feature_view.py:316-319): the UDF sees
+    # one row as a dict of scalars; requires mode='python'. Batched
+    # transport, per-row user-fn calls — a compatibility surface, never
+    # the hot path (use the batch python/pandas modes for that).
+    singleton: bool = False
+
+    def __post_init__(self) -> None:
+        if self.singleton and self.mode != "python":
+            raise ValueError(
+                "singleton mode requires the 'python' transformation mode "
+                f"but mode={self.mode!r} was specified (either disable "
+                "singleton or change mode to 'python')"
+            )
 
     @property
     def request_fields(self) -> list[str]:
@@ -286,8 +299,15 @@ class OnDemandFeatureView:
         if self.mode == "spark":
             return self.udf(df)
         if self.mode == "python":
-            from feast_spark.functions.transforms import python_transform
+            from feast_spark.functions.transforms import (
+                python_transform,
+                python_transform_singleton,
+            )
 
+            if self.singleton:
+                return python_transform_singleton(
+                    df, self.udf, self._out_schema(df)
+                )
             return python_transform(df, self.udf, self._out_schema(df))
         if self.mode != "pandas":
             raise ValueError(f"unsupported ODFV mode: {self.mode}")

@@ -46,6 +46,47 @@ def python_transform(
     return df.mapInArrow(run, output_schema)
 
 
+def python_transform_singleton(
+    df: DataFrame, udf: Callable[[dict], dict], output_schema: str
+) -> DataFrame:
+    """The reference's ``singleton=True`` python mode
+    (on_demand_feature_view.py:316-319 validation,
+    python_transformation.py:91-97 execution): the UDF receives ONE ROW
+    as a dict of scalars and returns a dict of scalars, which is merged
+    over the input row (``{**input, **output}``).
+
+    This is inherently a per-row Python call — the reference loops rows
+    the same way — so it can never be a hot-path operator here (the
+    north rule forbids per-row Python in the pipeline; the batch
+    :func:`python_transform` is the performant twin). What IS kept
+    batched is the transport: rows move through Arrow record batches,
+    and the per-row loop runs inside the executor over materialized
+    numpy scalars, not through Spark's row serializer.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_names = [f.split()[0] for f in output_schema.split(",")]
+        for batch in batches:
+            cols = {
+                name: batch.column(i).to_pylist()
+                for i, name in enumerate(batch.schema.names)
+            }
+            names = list(cols)
+            merged: list[dict] = []
+            for j in range(batch.num_rows):
+                row = {k: cols[k][j] for k in names}
+                out = udf(row)
+                merged.append({**row, **out})
+            yield pa.RecordBatch.from_pydict(
+                {
+                    k: pa.array([m.get(k) for m in merged], from_pandas=True)
+                    for k in out_names
+                }
+            )
+
+    return df.mapInArrow(run, output_schema)
+
+
 def spark_sql_transform(
     spark: SparkSession,
     udf: Callable[..., str],

@@ -291,3 +291,63 @@ def test_label_view_recency_multi_column(spark, tmp_path):
         LabelView(name="x3", entities=[Entity("item", "item_id")],
                   source=src, label_col=["a", "b"],
                   conflict_policy="majority_vote")
+
+
+# ---------------------------------------------------------------------------
+# ODFV singleton mode (reference on_demand_feature_view.py:316-319 +
+# python_transformation.py:91-97)
+# ---------------------------------------------------------------------------
+
+
+def test_python_singleton_transform(spark):
+    from feast_spark.functions.transforms import (
+        python_transform,
+        python_transform_singleton,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+
+    def one_row(row: dict) -> dict:
+        # scalars in, scalars out — NULL arrives as None, not NaN
+        assert not isinstance(row["k"], list)
+        return {"doubled": None if row["v"] is None else row["v"] * 2}
+
+    out = python_transform_singleton(
+        df, one_row, "k long, v double, doubled double"
+    ).toPandas().sort_values("k").reset_index(drop=True)
+    assert out.doubled.tolist()[0] == 20.0
+    assert pd.isna(out.doubled.tolist()[1])
+    assert out.doubled.tolist()[2] == 60.0
+    # input columns are merged through, reference transform() semantics
+    assert out.k.tolist() == [1, 2, 3]
+
+    # parity with the batch python mode on the same logic
+    def batch(cols: dict) -> dict:
+        return {"k": cols["k"], "v": cols["v"], "doubled": cols["v"] * 2}
+
+    b = python_transform(
+        df, batch, "k long, v double, doubled double"
+    ).toPandas().sort_values("k").reset_index(drop=True)
+    assert b.doubled.fillna(-1).tolist() == out.doubled.fillna(-1).tolist()
+
+
+def test_odfv_singleton_validation_and_apply(spark):
+    from feast_spark.core.model import Field, OnDemandFeatureView
+
+    with pytest.raises(ValueError, match="singleton mode requires"):
+        OnDemandFeatureView(
+            name="bad", udf=lambda r: r, mode="pandas", singleton=True
+        )
+
+    odfv = OnDemandFeatureView(
+        name="single",
+        udf=lambda row: {"plus1": row["x"] + 1},
+        schema=[Field("plus1", "long")],
+        mode="python",
+        singleton=True,
+    )
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    got = odfv.apply(df).toPandas().sort_values("x")
+    assert got.plus1.tolist() == [2, 3]
