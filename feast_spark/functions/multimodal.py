@@ -59,19 +59,21 @@ def _decode_one(buf: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     return w, h, rng.integers(0, 256, (min(h, 8), min(w, 8)), dtype=np.uint8)
 
 
-def _headers_vectorized(bufs: pd.Series) -> tuple[np.ndarray, ...]:
-    """(width, height, n_bytes, valid) for a Series of binary payloads —
-    O(1) Python calls per batch: the Series converts to ONE Arrow
-    BinaryArray whose offsets/data buffers are viewed as numpy arrays;
-    header fields come from a fancy-indexed (n, 16) gather
-    (round-1 finding #4: this replaced a per-row unpack loop)."""
+def _gather_headers(
+    bufs: pd.Series, magic: bytes, header_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(header_matrix (n, header_size) uint8, n_bytes, valid) for a
+    Series of binary payloads — O(1) Python calls per batch: the Series
+    converts to ONE Arrow BinaryArray whose offsets/data buffers are
+    viewed as numpy arrays; header fields come from a fancy-indexed
+    gather (round-1 finding #4: this replaced a per-row unpack loop)."""
     import pyarrow as pa
 
     arr = pa.array(bufs, type=pa.large_binary())
     n = len(arr)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z.astype(np.int32), z.astype(np.int32), z, np.zeros(0, dtype=bool)
+        return np.zeros((0, header_size), np.uint8), z, np.zeros(0, dtype=bool)
     null_mask = np.asarray(arr.is_null())
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
         arr.offset : arr.offset + n + 1
@@ -83,18 +85,27 @@ def _headers_vectorized(bufs: pd.Series) -> tuple[np.ndarray, ...]:
     )
     lens = offsets[1:] - offsets[:-1]
     n_bytes = np.where(null_mask, 0, lens)
-    long_enough = (~null_mask) & (lens >= HEADER_SIZE)
-    # gather the first 16 bytes per row (data zero-padded by one header so
-    # short rows never index out of bounds; their values are masked anyway)
-    padded = np.concatenate([data, np.zeros(HEADER_SIZE, dtype=np.uint8)])
-    hdr = padded[offsets[:-1, None] + np.arange(HEADER_SIZE)]
-    magic = np.frombuffer(MAGIC, dtype=np.uint8)
-    valid = long_enough & (hdr[:, :4] == magic).all(axis=1)
-    w = hdr[:, 4:8].copy().view(np.uint32).ravel().astype(np.int64)
-    h = hdr[:, 8:12].copy().view(np.uint32).ravel().astype(np.int64)
-    w = np.where(valid, w, 0).astype(np.int32)
-    h = np.where(valid, h, 0).astype(np.int32)
-    return w, h, n_bytes.astype(np.int64), valid
+    long_enough = (~null_mask) & (lens >= header_size)
+    # gather the first header_size bytes per row (data zero-padded by one
+    # header so short rows never index out of bounds; masked anyway)
+    padded = np.concatenate([data, np.zeros(header_size, dtype=np.uint8)])
+    hdr = padded[offsets[:-1, None] + np.arange(header_size)]
+    mg = np.frombuffer(magic, dtype=np.uint8)
+    valid = long_enough & (hdr[:, : len(mg)] == mg).all(axis=1)
+    return hdr, n_bytes.astype(np.int64), valid
+
+
+def _u32(hdr: np.ndarray, off: int, valid: np.ndarray) -> np.ndarray:
+    v = hdr[:, off : off + 4].copy().view(np.uint32).ravel().astype(np.int64)
+    return np.where(valid, v, 0)
+
+
+def _headers_vectorized(bufs: pd.Series) -> tuple[np.ndarray, ...]:
+    """(width, height, n_bytes, valid) for image payloads."""
+    hdr, n_bytes, valid = _gather_headers(bufs, MAGIC, HEADER_SIZE)
+    w = _u32(hdr, 4, valid).astype(np.int32)
+    h = _u32(hdr, 8, valid).astype(np.int32)
+    return w, h, n_bytes, valid
 
 
 def image_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
@@ -200,3 +211,164 @@ def image_resize(
             )
 
     return df.mapInPandas(run, "id long, data binary, valid boolean")
+
+
+# ---------------------------------------------------------------------------
+# audio: opaque binary waveform column (reference types.py:75-99 ships
+# typed bytes with no decoders; the ASR/audio-LM curation shape is the
+# same partition-parallel one as images)
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FSAU"
+AUDIO_HEADER_FMT = "<4sIIII"  # magic, sample_rate, channels, n_samples, seed
+AUDIO_HEADER_SIZE = struct.calcsize(AUDIO_HEADER_FMT)
+
+AUDIO_META_SCHEMA = (
+    "sample_rate int, channels int, n_samples long, duration_sec double, "
+    "n_bytes long, format string, valid boolean"
+)
+
+
+def encode_fake_audio(
+    sample_rate: int, channels: int, n_samples: int, seed: int
+) -> bytes:
+    """Deterministic fake waveform payload (fixture side): int16 PCM,
+    payload truncated at 8192 samples — headers stay truthful, which is
+    all the header-only operators read."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(
+        -(2**15), 2**15, min(n_samples * channels, 8192), dtype=np.int16
+    )
+    return (
+        struct.pack(
+            AUDIO_HEADER_FMT, AUDIO_MAGIC, sample_rate, channels, n_samples, seed
+        )
+        + pcm.tobytes()
+    )
+
+
+def _decode_audio_one(buf: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
+    """The audio codec boundary. Real impl: soundfile/librosa/ffmpeg."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library (soundfile/ffmpeg) "
+            "not present in this environment; pass fake=True for the "
+            "deterministic test codec"
+        )
+    magic, sr, ch, n, _seed = struct.unpack_from(AUDIO_HEADER_FMT, buf)
+    if magic != AUDIO_MAGIC:
+        raise ValueError("not a fake-audio payload")
+    pcm = np.frombuffer(buf, dtype=np.int16, offset=AUDIO_HEADER_SIZE)
+    return sr, ch, pcm
+
+
+def audio_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Header-only metadata pass over audio payloads — the same
+    vectorized Arrow-buffer gather as images, no decode, no per-row
+    Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdr, n_bytes, valid = _gather_headers(
+                pdf[binary_col], AUDIO_MAGIC, AUDIO_HEADER_SIZE
+            )
+            sr = _u32(hdr, 4, valid)
+            ch = _u32(hdr, 8, valid)
+            ns = _u32(hdr, 12, valid)
+            dur = np.divide(
+                ns, sr, out=np.zeros(len(ns), np.float64), where=sr > 0
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sample_rate": sr.astype(np.int32),
+                    "channels": ch.astype(np.int32),
+                    "n_samples": ns,
+                    "duration_sec": dur,
+                    "n_bytes": n_bytes,
+                    "format": np.where(valid, "fsau", "unknown"),
+                    "valid": valid,
+                }
+            )
+
+    return df.mapInPandas(run, f"id long, {AUDIO_META_SCHEMA}")
+
+
+def audio_chunks(
+    df: DataFrame, binary_col: str, id_col: str, chunk_seconds: float = 30.0
+) -> DataFrame:
+    """ASR/audio-LM training prep: fixed-duration chunk windows per clip,
+    computed from the HEADER alone (duration = n_samples / rate) — one
+    input row explodes to ceil(duration / chunk) rows carrying
+    (start_sec, dur_sec) offsets for a downstream decoder. Vectorized:
+    per batch, chunk counts come from the header gather and the explode
+    is one np.repeat/np.arange construction — no per-row Python, no
+    decode, and the binary payload itself is NOT duplicated per chunk
+    (offsets only — the decode stage re-reads payload bytes by range,
+    the way a real object-store video pipeline slices by byte range)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdr, _n_bytes, valid = _gather_headers(
+                pdf[binary_col], AUDIO_MAGIC, AUDIO_HEADER_SIZE
+            )
+            sr = _u32(hdr, 4, valid)
+            ns = _u32(hdr, 12, valid)
+            dur = np.divide(
+                ns, sr, out=np.zeros(len(ns), np.float64), where=sr > 0
+            )
+            n_chunks = np.where(
+                valid & (dur > 0), np.ceil(dur / chunk_seconds), 0
+            ).astype(np.int64)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_chunks)
+            total = int(n_chunks.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {"id": np.zeros(0, np.int64), "chunk_idx": [],
+                     "start_sec": [], "dur_sec": []}
+                )
+                continue
+            # per-clip chunk ordinals via global-arange minus repeated starts
+            starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+            idx = np.arange(total) - np.repeat(starts, n_chunks)
+            start_sec = idx * chunk_seconds
+            dur_rep = np.repeat(dur, n_chunks)
+            dur_sec = np.minimum(chunk_seconds, dur_rep - start_sec)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "chunk_idx": idx.astype(np.int32),
+                    "start_sec": start_sec,
+                    "dur_sec": dur_sec,
+                }
+            )
+
+    return df.mapInPandas(
+        run, "id long, chunk_idx int, start_sec double, dur_sec double"
+    )
+
+
+def audio_features(
+    df: DataFrame, binary_col: str, id_col: str, fake: bool = False
+) -> DataFrame:
+    """Decode + waveform features (RMS / peak) per batch — the decode is
+    the stubbed codec boundary, the batch shape is the production
+    plumbing (mirrors image_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                sr, ch, pcm = _decode_audio_one(bytes(b), fake)
+                x = pcm.astype(np.float64)
+                rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+                peak = float(np.abs(x).max()) if len(x) else 0.0
+                rows.append((int(i), sr, ch, rms, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "channels", "rms", "peak"],
+            )
+
+    return df.mapInPandas(
+        run, "id long, sample_rate int, channels int, rms double, peak double"
+    )

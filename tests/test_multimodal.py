@@ -89,3 +89,75 @@ def test_image_resize_roundtrip(spark):
 
     with pytest.raises(Exception):
         image_resize(imgs, "data", "img_id", 8, 6, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# audio surface
+# ---------------------------------------------------------------------------
+
+
+def _audio_df(spark, specs):
+    # specs: list of (id, sample_rate, channels, n_samples) or (id, None)
+    import pandas as pd
+
+    from feast_spark.functions.multimodal import encode_fake_audio
+
+    rows = []
+    for spec in specs:
+        if spec[1] is None:
+            rows.append((spec[0], b"garbage-not-audio"))
+        else:
+            i, sr, ch, ns = spec
+            rows.append((i, encode_fake_audio(sr, ch, ns, seed=i)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "data"])
+    )
+
+
+def test_audio_metadata_header_only(spark):
+    from feast_spark.functions.multimodal import audio_metadata
+
+    df = _audio_df(
+        spark,
+        [(0, 16000, 1, 16000 * 65), (1, 44100, 2, 44100), (2, None)],
+    )
+    got = {
+        r["id"]: r for r in audio_metadata(df, "data", "clip_id").collect()
+    }
+    assert got[0]["sample_rate"] == 16000 and got[0]["duration_sec"] == 65.0
+    assert got[1]["channels"] == 2 and got[1]["duration_sec"] == 1.0
+    assert got[1]["format"] == "fsau"
+    assert got[2]["valid"] is False and got[2]["format"] == "unknown"
+
+
+def test_audio_chunks_windowing(spark):
+    from feast_spark.functions.multimodal import audio_chunks
+
+    df = _audio_df(
+        spark,
+        [
+            (0, 16000, 1, 16000 * 65),  # 65s -> 3 chunks of (30, 30, 5)
+            (1, 16000, 1, 16000 * 30),  # exactly one chunk
+            (2, None),                   # invalid -> no chunks
+        ],
+    )
+    out = audio_chunks(df, "data", "clip_id", chunk_seconds=30.0).toPandas()
+    c0 = out[out.id == 0].sort_values("chunk_idx")
+    assert c0.chunk_idx.tolist() == [0, 1, 2]
+    assert c0.start_sec.tolist() == [0.0, 30.0, 60.0]
+    assert c0.dur_sec.tolist() == [30.0, 30.0, 5.0]
+    assert out[out.id == 1].dur_sec.tolist() == [30.0]
+    assert (out.id == 2).sum() == 0
+
+
+def test_audio_features_codec_boundary(spark):
+    import pytest as _pytest
+
+    from feast_spark.functions.multimodal import audio_features
+
+    df = _audio_df(spark, [(0, 8000, 1, 8000)])
+    got = audio_features(df, "data", "clip_id", fake=True).collect()[0]
+    assert got["sample_rate"] == 8000 and got["rms"] > 0
+    # without the fake codec, the declared NotImplementedError boundary
+    with _pytest.raises(Exception):
+        audio_features(df, "data", "clip_id", fake=False).collect()
