@@ -194,3 +194,51 @@ def test_pack_documents_prefix_sum_stays_distributed(spark):
     assert "windowspecdefinition(__b" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_jaccard_plan_no_cartesian_equijoin_on_hash(spark):
+    from feast_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        release_dedup_caches,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(prefix_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.4))
+    release_dedup_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate self-join keys on the 8-byte gram hash (equi-join)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_classifier_feature_plan_shape(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.classifier import hashed_bigram_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = hashed_bigram_features(
+        docs, F.col("source") == "src1", n_buckets=256, method="xxhash64"
+    )
+    plan = plan_of(feats, mode="simple")
+    # exactly the two declared build shuffles: (doc,bucket) counts then
+    # per-doc array compaction — and no join at all
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan
+    # column pruning: the text pass must not read unused columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_label_resolve_recency_plan_no_sorts_or_cartesian(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_label_resolve_recency(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the reference semantics are hash aggregations + key joins — a
+    # window sort over the raw label stream would be the wrong shape
+    assert "Window" not in plan
