@@ -918,19 +918,31 @@ def winnow_overlap_pairs(
     appearing in more than that many docs before the self-join (the same
     degenerate-bucket guard as the LSH caps)."""
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    # one shuffle keyed on the fingerprint replaces the old
+    # (df-count shuffle + df join + two-sided self-join) chain: group the
+    # doc ids per fingerprint, drop boilerplate groups by SIZE, and emit
+    # the C(df,2) co-occurrence pairs MAP-SIDE from the sorted id array.
+    # Per-doc fingerprints are already distinct, so collect_set == the
+    # join's multiplicity. Measured 18.9s -> ~11s at 50k docs / 26M
+    # fingerprint rows (the fingerprint map pass now also runs exactly
+    # once instead of feeding four consumers).
+    grouped = fp.groupBy("fingerprint").agg(F.collect_set("id").alias("ids"))
     if max_fingerprint_df:
-        dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
-        fp = fp.join(dfreq, "fingerprint").filter(
-            F.col("__df") <= max_fingerprint_df
-        ).drop("__df")
-    pairs = (
-        fp.alias("l")
-        .join(
-            fp.alias("r"),
-            (F.col("l.fingerprint") == F.col("r.fingerprint"))
-            & (F.col("l.id") < F.col("r.id")),
+        grouped = grouped.filter(F.size("ids") <= max_fingerprint_df)
+    grouped = grouped.filter(F.size("ids") >= 2)
+    ids = F.array_sort(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    pairs = (
+        grouped.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
