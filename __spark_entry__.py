@@ -1168,6 +1168,23 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # DoReMi-style domain-mixture sampling: counts per source (one tiny
+    # hash agg) -> per-stratum keep rates toward the target mixture ->
+    # map-only deterministic md5 sampling. pytest-window query (the
+    # driver registry is at its 50-entry cap).
+    from feast_spark.operators.selection import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    return mixture_sample(
+        d.select("doc_id", "source"),
+        "source",
+        {"src1": 0.5, "src2": 0.3, "src3": 0.2},
+        target_rows=200,
+        key=F.col("doc_id").cast("string"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # merged queries — the driver evaluates at most 50 queries() entries
 # (CORRECTNESS_r03 recorded exactly the first 50 of 61), so families of
@@ -1404,6 +1421,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "cube_events": q_cube_events,
         "embedding_neardup": q_embedding_neardup,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1431,6 +1449,31 @@ def _all_oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM read_parquet('{derived[name]}')"
 
     return {
+        "mixture_sample": """
+            -- every literal CAST to DOUBLE (DuckDB parses 0.5 as DECIMAL)
+            -- and the arithmetic in the exact order the Python driver
+            -- computes rates, so the md5 threshold matches bit-for-bit
+            WITH n AS (
+              SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
+            ), r AS (
+              SELECT source,
+                     LEAST(CAST(1.0 AS DOUBLE),
+                       (200 * CASE source
+                          WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+                          WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+                          WHEN 'src3' THEN CAST(0.2 AS DOUBLE) END
+                        / (CAST(0.5 AS DOUBLE) + CAST(0.3 AS DOUBLE)
+                           + CAST(0.2 AS DOUBLE)))
+                       / n_s) AS rate
+              FROM n WHERE source IN ('src1', 'src2', 'src3')
+            )
+            SELECT d.doc_id, d.source,
+                   substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS sample_bucket
+            FROM documents d JOIN r USING (source)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+                  lower(lpad(to_hex(CAST(LEAST(FLOOR(rate * 65536), 65535)
+                                         AS INT)), 4, '0'))
+        """,
         "quality_classifier": _rp("quality_classifier"),
         "label_resolve_recency": """
             WITH spine AS (

@@ -522,3 +522,63 @@ def pack_documents(
             (F.col("__start") % budget_words).alias("pack_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture sampling (DoReMi-style reweighting on top of the
+# deterministic sampler)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    key: Column,
+    bucket_col: str = "sample_bucket",
+) -> DataFrame:
+    """Deterministically sample the corpus toward a target DOMAIN MIXTURE:
+    given per-stratum weights ``w_s`` (a distribution over values of
+    ``strata_col``) and a desired output size, keep each stratum at rate
+    ``min(1, target_rows * w_s / n_s)`` via the key-stable md5 sampler —
+    the standard data-mixing step when rebalancing web/wiki/code/etc.
+    toward trained mixture weights (DoReMi/DSIR-style pipelines).
+
+    Two phases, both scale-safe:
+
+    1. stratum counts — ONE map-side-combined hash aggregation collapsing
+       to |strata| rows, collected to the driver (strata are domains:
+       tens, not millions);
+    2. the per-row keep decision — map-only (the rate expression is a
+       CASE over the broadcast driver-side rates; no join, no shuffle).
+
+    Strata absent from ``weights`` get weight 0 (dropped). Undersized
+    strata saturate at rate 1 (every row kept) — the output mixture then
+    matches the target only up to that stratum's supply, which is the
+    honest behavior (oversampling would need row duplication, a
+    different operator). Deterministic: same input + weights => same
+    rows kept, regardless of partitioning.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = sum(weights.values())
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, (target_rows * w / total_w) / counts[s])
+        for s, w in weights.items()
+        if s in counts and counts[s] > 0
+    }
+    if not rates:
+        return df.where(F.lit(False)).withColumn(
+            bucket_col, F.lit(None).cast("string")
+        )
+    rate_expr = F.lit(0.0)
+    for s, r in rates.items():
+        rate_expr = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(rate_expr)
+    return deterministic_sample(df, key, rate_expr, bucket_col=bucket_col)

@@ -431,3 +431,57 @@ def test_span_dedup_xxhash64_plan_carries_no_strings(spark):
     # string-typed span attribute appears between scan and first window
     first_exchange = plan.find("Exchange hashpartitioning(h#")
     assert first_exchange != -1, plan
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample (domain reweighting)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_hits_target_mixture(spark):
+    import hashlib
+
+    from feast_spark.operators.selection import mixture_sample
+
+    # 3 strata with very different supplies
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(i + 10000, "wiki") for i in range(1000)]
+        + [(i + 20000, "code") for i in range(200)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(
+        d, "source", {"web": 0.5, "wiki": 0.4, "code": 0.1},
+        target_rows=1000, key=F.col("doc_id").cast("string"),
+    ).toPandas()
+    got = out.groupby("source").size().to_dict()
+    # web: rate 500/4000=0.125 -> ~500; wiki: 400/1000 -> ~400;
+    # code: 100/200 -> ~100 (md5 sampling is binomial around the target)
+    assert abs(got["web"] - 500) < 90
+    assert abs(got["wiki"] - 400) < 80
+    assert abs(got["code"] - 100) < 45
+
+    # determinism + exact md5 rule parity with a python replay
+    kept = set(out.doc_id)
+    rates = {"web": 500 / 4000, "wiki": 400 / 1000, "code": 100 / 200}
+    for i, s in rows:
+        b = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        thr = format(min(int(rates[s] * 65536), 65535), "04x")
+        assert (i in kept) == (b < thr), (i, s)
+
+
+def test_mixture_sample_saturates_and_drops(spark):
+    from feast_spark.operators.selection import mixture_sample
+
+    d = spark.createDataFrame(
+        [(i, "tiny" if i < 50 else "other") for i in range(1050)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(
+        d, "source", {"tiny": 1.0}, target_rows=500,
+        key=F.col("doc_id").cast("string"),
+    ).toPandas()
+    # undersupplied stratum saturates at rate 1 (all 50 kept); strata
+    # with no weight are dropped entirely
+    assert sorted(out.doc_id) == list(range(50))
+    assert set(out.source) == {"tiny"}
