@@ -11,10 +11,17 @@ so when ``from_avro`` is unusable it falls back to
 :func:`avro_decode_python`: a from-scratch decoder of the Avro BINARY
 spec (zigzag varints, length-prefixed strings/bytes, IEEE little-endian
 floats — spec §"Binary Encoding") for FLAT record schemas, run as an
-Arrow-batched pandas UDF. Per-row parsing is inherent to a varint format
-in Python — this is the documented fallback path, not the hot path; in
-production add the spark-avro jar and the JVM arm takes over with no code
-change.
+Arrow-batched pandas UDF. The batch kernel is VECTORIZED
+(:func:`_decode_batch_vectorized`): the whole Arrow binary column is
+viewed as one flat uint8 buffer and every field is decoded for all rows
+at once — varints via a dense masked scan bounded by 10 passes (the max
+varint width), fixed-width floats via a 2-D gather, strings/bytes
+rebuilt zero-copy as one Arrow array from computed offsets. Python cost
+is O(fields × varint-width) calls per BATCH, not per row. The scalar
+:func:`_decode_record` remains as the independent reference the tests
+compare against, and exotic schemas (nested records, unions beyond
+``["null", T]``) fall back to it. In production add the spark-avro jar
+and the JVM arm takes over with no code change.
 """
 
 from __future__ import annotations
@@ -104,16 +111,162 @@ def _parse_avro_schema(schema_json: str) -> tuple[list[tuple[str, object]], str]
     return fields, ", ".join(ddl_parts)
 
 
+def _vectorizable(fields: list[tuple[str, object]]) -> bool:
+    prims = {"null", "long", "int", "boolean", "double", "float", "string",
+             "bytes"}
+    for _name, t in fields:
+        if isinstance(t, list):
+            if len(t) != 2 or t[0] != "null" or t[1] not in prims:
+                return False
+        elif t not in prims:
+            return False
+    return True
+
+
+def _read_varints(data, pos):
+    """Zigzag varints at ``pos`` (int64 positions into ``data``) for all
+    rows at once: a masked dense scan, at most 10 passes (max varint
+    width). Returns (values int64, positions after)."""
+    import numpy as np
+
+    n = len(pos)
+    acc = np.zeros(n, np.uint64)
+    shift = np.zeros(n, np.uint64)
+    cur = pos.copy()
+    active = np.arange(n)
+    while len(active):
+        b = data[cur[active]].astype(np.uint64)
+        acc[active] |= (b & np.uint64(0x7F)) << shift[active]
+        cur[active] += 1
+        shift[active] += np.uint64(7)
+        active = active[(b & np.uint64(0x80)) != 0]
+    val = (acc >> np.uint64(1)).astype(np.int64) ^ -(
+        (acc & np.uint64(1)).astype(np.int64)
+    )
+    return val, cur
+
+
+def _gather_var(data, starts, lens):
+    """Flat gather of variable-length slices + exclusive offsets."""
+    import numpy as np
+
+    total = int(lens.sum())
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if total == 0:
+        return np.zeros(0, np.uint8), offs
+    src = np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs[:-1], lens))
+    return data[src], offs
+
+
+def _decode_batch_vectorized(bufs: pd.Series, fields) -> pd.DataFrame:
+    """All rows of an Arrow binary column decoded field-by-field in numpy
+    (see module docstring). Bit-equivalent to mapping
+    :func:`_decode_record` over the rows — pinned by tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pa.array(bufs, type=pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return pd.DataFrame({name: [] for name, _ in fields})
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    pos = offsets[:-1].copy()
+    out: dict[str, object] = {}
+    for name, ftype in fields:
+        t = ftype
+        null_mask = np.zeros(n, dtype=bool)
+        if isinstance(t, list):  # ["null", T]
+            idx, pos = _read_varints(data, pos)
+            null_mask = idx == 0
+            t = t[1]
+        live = np.nonzero(~null_mask)[0]
+        if t == "null":
+            out[name] = pd.Series([None] * n, dtype=object)
+            continue
+        if t in ("long", "int"):
+            vals = np.zeros(n, np.int64)
+            v, newpos = _read_varints(data, pos[live])
+            vals[live] = v
+            pos[live] = newpos
+            if null_mask.any():
+                col = pd.Series(vals, dtype=object)
+                col[null_mask] = None
+            else:
+                col = pd.Series(vals)
+            out[name] = col
+        elif t == "boolean":
+            vals = np.zeros(n, dtype=bool)
+            vals[live] = data[pos[live]] != 0
+            pos[live] += 1
+            col = pd.Series(vals, dtype=object) if null_mask.any() else pd.Series(vals)
+            if null_mask.any():
+                col[null_mask] = None
+            out[name] = col
+        elif t in ("double", "float"):
+            w = 8 if t == "double" else 4
+            dt = np.float64 if t == "double" else np.float32
+            vals = np.full(n, np.nan, dt)
+            if len(live):
+                raw = data[pos[live, None] + np.arange(w)].copy()
+                vals[live] = raw.view(dt).ravel()
+                pos[live] += w
+            if null_mask.any():
+                # null must stay NULL, not NaN (a decoded NaN is a value)
+                col = pd.Series(vals, dtype=object)
+                col[null_mask] = None
+                out[name] = col
+            else:
+                out[name] = pd.Series(vals)
+        elif t in ("string", "bytes"):
+            lens = np.zeros(n, np.int64)
+            ln, newpos = _read_varints(data, pos[live])
+            lens[live] = ln
+            pos[live] = newpos
+            flat, voffs = _gather_var(data, pos, lens)
+            pos += lens
+            validity = None
+            if null_mask.any():
+                validity = pa.py_buffer(
+                    np.packbits(~null_mask, bitorder="little").tobytes()
+                )
+            col_arr = pa.Array.from_buffers(
+                pa.utf8() if t == "string" else pa.binary(),
+                n,
+                [validity, pa.py_buffer(voffs.astype(np.int32).tobytes()),
+                 pa.py_buffer(flat.tobytes())],
+            )
+            out[name] = col_arr.to_pandas()
+        else:  # pragma: no cover — gated by _vectorizable
+            raise ValueError(f"unsupported avro type: {t!r}")
+    return pd.DataFrame(out)
+
+
 def avro_decode_python(
     df: DataFrame, schema_json: str, value_col: str = "value"
 ) -> DataFrame:
-    """Pure-Python Avro binary decode of flat records (fallback arm)."""
+    """From-scratch Avro binary decode of flat records (fallback arm when
+    the spark-avro jar is absent). Vectorized per Arrow batch for flat
+    primitive schemas; exotic schemas take the scalar reference path."""
     fields, ddl = _parse_avro_schema(schema_json)
+    vectorized = _vectorizable(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_decode_record(bytes(b), fields) for b in pdf[value_col]]
-            yield pd.DataFrame(rows, columns=[n for n, _ in fields])
+            if vectorized:
+                yield _decode_batch_vectorized(pdf[value_col], fields)
+            else:
+                rows = [
+                    _decode_record(bytes(b), fields) for b in pdf[value_col]
+                ]
+                yield pd.DataFrame(rows, columns=[n for n, _ in fields])
 
     return df.mapInPandas(run, ddl)
 

@@ -397,3 +397,89 @@ def test_streaming_quality_scores_match_batch_exactly(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_avro_vectorized_matches_scalar_reference():
+    """The vectorized batch decoder must be bit-equivalent to mapping the
+    scalar spec decoder over the rows — randomized payloads covering
+    unions with nulls, negative/large varints, multibyte utf-8, empty
+    strings, bytes, floats and booleans."""
+    import struct as st
+
+    import numpy as np
+    import pandas as pd
+
+    from feast_spark.functions.codecs import (
+        _decode_batch_vectorized,
+        _decode_record,
+        _parse_avro_schema,
+        _vectorizable,
+    )
+
+    def zz(n: int) -> bytes:
+        u = (n << 1) ^ (n >> 63)
+        u &= (1 << 64) - 1
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    schema = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"k","type":"long"},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"score","type":["null","double"]},'
+        '{"name":"f","type":"float"},'
+        '{"name":"ok","type":"boolean"},'
+        '{"name":"raw","type":"bytes"}]}'
+    )
+    fields, _ = _parse_avro_schema(schema)
+    assert _vectorizable(fields)
+
+    rng = np.random.default_rng(11)
+    names = [None, "", "héllo wörld", "x" * 300, "短い文字列"]
+    payloads = []
+    for i in range(500):
+        buf = bytearray()
+        k = int(rng.integers(-(2**62), 2**62))
+        buf += zz(k)
+        nm = names[i % len(names)]
+        buf += zz(0) if nm is None else zz(1) + zz(len(nm.encode())) + nm.encode()
+        if i % 3 == 0:
+            buf += zz(0)
+        else:
+            buf += zz(1) + st.pack("<d", float(rng.normal()))
+        buf += st.pack("<f", float(rng.normal()))
+        buf += b"\x01" if i % 2 else b"\x00"
+        rb = bytes(rng.integers(0, 256, i % 7, dtype=np.uint8))
+        buf += zz(len(rb)) + rb
+        payloads.append(bytes(buf))
+
+    got = _decode_batch_vectorized(pd.Series(payloads), fields)
+    exp = pd.DataFrame([_decode_record(b, fields) for b in payloads])
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        for i, (a, b) in enumerate(zip(got[c].tolist(), exp[c].tolist())):
+            if a is None or (isinstance(a, float) and pd.isna(a)):
+                assert b is None or (isinstance(b, float) and pd.isna(b)), (c, i)
+            elif isinstance(a, float):
+                assert a == b or (np.isnan(a) and np.isnan(b)), (c, i, a, b)
+            else:
+                assert a == b, (c, i, a, b)
+
+
+def test_avro_non_vectorizable_schema_falls_back():
+    from feast_spark.functions.codecs import _parse_avro_schema, _vectorizable
+
+    # a 3-branch union is outside the vectorized subset
+    schema = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"u","type":["null","long","string"]}]}'
+    )
+    fields, _ = _parse_avro_schema(schema)
+    assert not _vectorizable(fields)
