@@ -83,6 +83,54 @@ def _cap_buckets(
     )
 
 
+def _bucket_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    id_col: str = "id",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct co-bucket candidate pairs ``(id_a < id_b)`` via ONE
+    shuffle: group the ids per bucket (ids are unique within a bucket by
+    construction in every caller), drop degenerate buckets by SIZE — the
+    same guard `_cap_buckets` applied, without its count+join chain —
+    and emit each bucket's C(n,2) pairs MAP-SIDE from the sorted id
+    array. Replaces the two-sided bucket self-join (round-4: the same
+    rewrite cut winnow 18.9s -> 12.9s at 50k).
+
+    ``payload_cols`` ride along per id (e.g. the simhash value a verifier
+    needs) as ``<col>_a`` / ``<col>_b`` — carrying a few bytes through
+    the one shuffle beats re-joining the corpus-sized table twice."""
+    payload = payload_cols or []
+    elem = F.struct(
+        F.col(id_col).alias("id"), *[F.col(c) for c in payload]
+    )
+    grouped = buckets.groupBy(*bucket_cols).agg(
+        F.collect_set(elem).alias("ids")
+    )
+    if max_bucket_size:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    grouped = grouped.filter(F.size("ids") >= 2)
+    # struct ordering compares fields in declaration order: id first
+    ids = F.array_sort(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out = grouped.select(F.explode(combos).alias("p")).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in payload],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload],
+    )
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """dropDuplicates — reference upsert-pk dedup (dask.py:930)."""
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
@@ -356,20 +404,13 @@ def minhash_lsh_pairs(
     buckets = sigs.filter(F.col("sig").isNotNull()).select(
         "id", F.explode(F.expr(f"array({band_structs})")).alias("b")
     ).select("id", F.col("b.band"), F.col("b.bh"))
-    buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket_size)
 
     # candidate pairs persisted: reused by the gate AND by the
-    # candidate-id projection feeding the verify-side shingle recompute
+    # candidate-id projection feeding the verify-side shingle recompute.
+    # One bucket-keyed shuffle with map-side pair explosion (size cap
+    # included) — see _bucket_pairs.
     cand = _scoped_persist(
-        buckets.alias("l")
-        .join(
-            buckets.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _bucket_pairs(buckets, ["band", "bh"], max_bucket_size)
     )
     # signature-estimate gate before the exact verify: matching sig
     # components / num_hashes is an unbiased jaccard estimate; gating at
@@ -788,25 +829,13 @@ def simhash_dup_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.blk", "b.bkey")
-    blocks = _cap_buckets(blocks, ["blk", "bkey"], max_bucket_size)
-    cand = (
-        blocks.alias("l")
-        .join(
-            blocks.alias("r"),
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # one block-keyed shuffle with map-side pair explosion; the simhash
+    # value rides along so verification never re-joins the corpus table
+    cand = _bucket_pairs(
+        blocks, ["blk", "bkey"], max_bucket_size, payload_cols=["simhash"]
     )
     return (
-        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        cand.withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
         .filter(F.col("hamming") <= hamming_threshold)
         .select("id_a", "id_b", "hamming")
     )
