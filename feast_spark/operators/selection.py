@@ -582,3 +582,29 @@ def mixture_sample(
     for s, r in rates.items():
         rate_expr = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(rate_expr)
     return deterministic_sample(df, key, rate_expr, bucket_col=bucket_col)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: Column,
+    num_partitions: int | None = None,
+    salt: str = "",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global shuffle for training-example ordering: rows are
+    globally ordered by ``md5(salt || key)`` — same input + salt gives
+    the SAME order on any cluster, any partitioning, any rerun (unlike
+    ``df.orderBy(rand())``), and a new ``salt`` gives an independent
+    permutation per epoch.
+
+    Distributed shape: ``repartitionByRange`` on the hash (a range
+    exchange — each output partition owns a contiguous hash interval, so
+    partition files written in order concatenate to the global order) +
+    a within-partition sort. This is the scale-safe form of
+    ``ORDER BY md5(key)`` — the naive global sort funnels nothing here
+    beyond Spark's own range sampling, and no single-task window is
+    involved.
+    """
+    out = df.withColumn(key_col, F.md5(F.concat(F.lit(salt), key)))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, key_col).sortWithinPartitions(key_col)

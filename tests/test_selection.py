@@ -485,3 +485,45 @@ def test_mixture_sample_saturates_and_drops(spark):
     # with no weight are dropped entirely
     assert sorted(out.doc_id) == list(range(50))
     assert set(out.source) == {"tiny"}
+
+
+def test_deterministic_shuffle_order_and_reproducibility(spark):
+    import hashlib
+
+    from feast_spark.operators.selection import deterministic_shuffle
+
+    d = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    out = deterministic_shuffle(
+        d, F.col("doc_id").cast("string"), num_partitions=8, salt="ep0"
+    )
+    # partition-major concatenation == the global hash order
+    rows = []
+    for pidx, part in enumerate(
+        out.select("doc_id", "shuffle_key", F.spark_partition_id().alias("p"))
+        .collect()
+    ):
+        rows.append((part["p"], part["shuffle_key"], part["doc_id"]))
+    # ranges are contiguous per partition: sorting by (partition, key)
+    # must equal sorting by key alone
+    by_part = [r[2] for r in sorted(rows, key=lambda r: (r[0], r[1]))]
+    by_key = [r[2] for r in sorted(rows, key=lambda r: r[1])]
+    assert by_part == by_key
+    # exact order replay in python
+    exp = sorted(range(500), key=lambda i: hashlib.md5(f"ep0{i}".encode()).hexdigest())
+    assert by_key == exp
+    # a different salt is an (almost surely) different permutation; the
+    # same salt reproduces exactly
+    out2 = deterministic_shuffle(
+        d.repartition(3), F.col("doc_id").cast("string"),
+        num_partitions=8, salt="ep0",
+    )
+    rows2 = out2.select("doc_id", "shuffle_key",
+                        F.spark_partition_id().alias("p")).collect()
+    by_part2 = [
+        r["doc_id"] for r in sorted(rows2, key=lambda r: (r["p"], r["shuffle_key"]))
+    ]
+    assert by_part2 == by_part  # input partitioning is irrelevant
+    exp1 = sorted(range(500), key=lambda i: hashlib.md5(f"ep1{i}".encode()).hexdigest())
+    assert exp1 != exp
