@@ -42,12 +42,19 @@ _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_query_memo() -> None:
-    # unpersist the checkpointed pair tables too — clearing only the dict
-    # leaves their blocks pinned in executor memory until JVM GC, which
-    # inflates later bench sections (ADVICE r3)
+    # release the memoized frames' blocks — clearing only the dict leaves
+    # them pinned in executor memory until JVM GC, which inflates later
+    # bench sections (ADVICE r3). DataFrame.unpersist() frees plain
+    # persisted frames but is a NO-OP for localCheckpoint() results (the
+    # blocks belong to the internal checkpoint RDD inside the LogicalRDD
+    # plan node, not to a CacheManager entry) — unpersist that RDD
+    # directly (verified: RDDStorageInfo drops to empty).
     for df in _PAIRS_MEMO.values():
         try:
             df.unpersist(blocking=False)
+            node = df._jdf.queryExecution().analyzed()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                node.rdd().unpersist(False)
         except Exception:
             pass  # context already stopped
     _PAIRS_MEMO.clear()
@@ -228,7 +235,13 @@ def q_label_majority_vote(spark: SparkSession, sf: str) -> DataFrame:
         conflict_policy="majority_vote",
     )
     store.apply([lv])
-    return store.get_labels("user_modal_event")
+    out = store.get_labels("user_modal_event")
+    # the plan reads events.parquet directly; the throwaway registry dir
+    # is not needed at execution time — don't leak one per invocation
+    import shutil as _shutil
+
+    _shutil.rmtree(repo, ignore_errors=True)
+    return out
 
 
 def q_pit_entityless(spark: SparkSession, sf: str) -> DataFrame:
@@ -1139,7 +1152,11 @@ def q_label_resolve_recency(spark: SparkSession, sf: str) -> DataFrame:
         tie_break="recency",
     )
     store.apply([lv])
-    return store.get_labels("user_labels_ref")
+    out = store.get_labels("user_labels_ref")
+    import shutil as _shutil
+
+    _shutil.rmtree(repo, ignore_errors=True)  # see q_label_majority_vote
+    return out
 
 
 def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
@@ -1471,8 +1488,10 @@ def _all_oracle_sql() -> dict[str, str]:
                    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS sample_bucket
             FROM documents d JOIN r USING (source)
             WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
-                  lower(lpad(to_hex(CAST(LEAST(FLOOR(rate * 65536), 65535)
-                                         AS INT)), 4, '0'))
+                  CASE WHEN rate >= CAST(1.0 AS DOUBLE) THEN 'g'
+                       ELSE lower(lpad(to_hex(CAST(LEAST(FLOOR(rate * 65536),
+                                                         65535) AS INT)),
+                                       4, '0')) END
         """,
         "quality_classifier": _rp("quality_classifier"),
         "label_resolve_recency": """

@@ -315,14 +315,17 @@ def _bench_docs_large(spark) -> dict:
     assert tuple(sd_stats["portable"]) == tuple(sd_stats["xxhash64"]), (
         "span_dedup arms diverged", sd_stats)
     # round-trip invariant: docs that lost no span reconstruct to their
-    # whitespace-normalized text exactly (sampled partition, not full scan)
+    # whitespace-normalized text exactly. Runs on a 1/97 corpus SAMPLE so
+    # the untimed check doesn't re-pay the full dedup a third time (the
+    # reconstruction property is per-doc; dedup over the subset exercises
+    # the identical code path).
+    sub = docs.filter(F.col("doc_id") % 97 == 0)
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-    sample = span_dedup(docs, method="xxhash64").filter(
-        (F.col("n_spans_kept") == F.col("n_spans_total"))
-        & (F.col("doc_id") % 97 == 0)
+    sample = span_dedup(sub, method="xxhash64").filter(
+        F.col("n_spans_kept") == F.col("n_spans_total")
     )
     mism = (
-        sample.join(docs.select("doc_id", "text"), "doc_id")
+        sample.join(sub.select("doc_id", "text"), "doc_id")
         .filter(F.col("dedup_text") != norm)
         .count()
     )

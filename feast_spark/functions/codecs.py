@@ -134,12 +134,23 @@ def _read_varints(data, pos):
     shift = np.zeros(n, np.uint64)
     cur = pos.copy()
     active = np.arange(n)
-    while len(active):
+    for _ in range(10):  # a 64-bit zigzag varint is at most 10 bytes
+        if not len(active):
+            break
+        if cur[active].max() >= len(data):
+            raise ValueError(
+                "malformed avro payload: varint runs past the buffer"
+            )
         b = data[cur[active]].astype(np.uint64)
         acc[active] |= (b & np.uint64(0x7F)) << shift[active]
         cur[active] += 1
         shift[active] += np.uint64(7)
         active = active[(b & np.uint64(0x80)) != 0]
+    else:
+        if len(active):
+            raise ValueError(
+                "malformed avro payload: varint exceeds 10 bytes"
+            )
     val = (acc >> np.uint64(1)).astype(np.int64) ^ -(
         (acc & np.uint64(1)).astype(np.int64)
     )
@@ -236,6 +247,13 @@ def _decode_batch_vectorized(bufs: pd.Series, fields) -> pd.DataFrame:
             if null_mask.any():
                 validity = pa.py_buffer(
                     np.packbits(~null_mask, bitorder="little").tobytes()
+                )
+            if voffs[-1] >= 2**31:
+                # int32 Arrow offsets would silently wrap (same guard as
+                # kv_codec._assemble) — lower maxRecordsPerBatch instead
+                raise ValueError(
+                    f"decoded {t} payload of {int(voffs[-1])} bytes "
+                    "overflows int32 Arrow offsets in one batch"
                 )
             col_arr = pa.Array.from_buffers(
                 pa.utf8() if t == "string" else pa.binary(),

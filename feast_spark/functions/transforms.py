@@ -64,8 +64,13 @@ def python_transform_singleton(
     numpy scalars, not through Spark's row serializer.
     """
 
+    # parse the DDL properly — a naive comma-split breaks on
+    # struct<a:int,b:int> / map<...> / decimal(10,2) field types
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_names = _parse_datatype_string(output_schema).fieldNames()
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        out_names = [f.split()[0] for f in output_schema.split(",")]
         for batch in batches:
             cols = {
                 name: batch.column(i).to_pylist()

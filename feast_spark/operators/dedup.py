@@ -100,16 +100,23 @@ def _bucket_pairs(
 
     ``payload_cols`` ride along per id (e.g. the simhash value a verifier
     needs) as ``<col>_a`` / ``<col>_b`` — carrying a few bytes through
-    the one shuffle beats re-joining the corpus-sized table twice."""
+    the one shuffle beats re-joining the corpus-sized table twice.
+
+    With a cap, degenerate buckets are dropped by :func:`_cap_buckets`
+    BEFORE the collect — a count never materializes the bucket, so a
+    boilerplate bucket shared by millions of docs costs a count, not a
+    multi-million-element aggregation buffer on one executor (filtering
+    on ``size(ids)`` after collecting would OOM exactly the case the cap
+    exists for). The count shuffles on the same key as the collect, so
+    AQE coalesces the exchanges."""
     payload = payload_cols or []
+    buckets = _cap_buckets(buckets, bucket_cols, max_bucket_size)
     elem = F.struct(
         F.col(id_col).alias("id"), *[F.col(c) for c in payload]
     )
     grouped = buckets.groupBy(*bucket_cols).agg(
         F.collect_set(elem).alias("ids")
     )
-    if max_bucket_size:
-        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     grouped = grouped.filter(F.size("ids") >= 2)
     # struct ordering compares fields in declaration order: id first
     ids = F.array_sort(F.col("ids"))
@@ -955,9 +962,14 @@ def winnow_overlap_pairs(
     # join's multiplicity. Measured 18.9s -> ~11s at 50k docs / 26M
     # fingerprint rows (the fingerprint map pass now also runs exactly
     # once instead of feeding four consumers).
-    grouped = fp.groupBy("fingerprint").agg(F.collect_set("id").alias("ids"))
+    # degenerate fingerprints are dropped by a COUNT before the collect
+    # (a count never materializes the bucket — see _bucket_pairs); the
+    # fingerprint table is scope-persisted so the Python fingerprint
+    # pass feeds the count and the collect without re-running
     if max_fingerprint_df:
-        grouped = grouped.filter(F.size("ids") <= max_fingerprint_df)
+        fp = _scoped_persist(fp)
+        fp = _cap_buckets(fp, ["fingerprint"], max_fingerprint_df)
+    grouped = fp.groupBy("fingerprint").agg(F.collect_set("id").alias("ids"))
     grouped = grouped.filter(F.size("ids") >= 2)
     ids = F.array_sort(F.col("ids"))
     combos = F.flatten(

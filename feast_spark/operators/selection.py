@@ -383,15 +383,19 @@ def deterministic_sample(
     The comparison is done on fixed-width lowercase hex STRINGS (4 md5
     hex chars vs the rate threshold rendered in hex) so an ANSI-SQL
     oracle reproduces it without any engine-specific int-parsing of hex.
-    ``rate`` is clamped to ``65535/65536`` — use a filter-free path for
-    rate >= 1. Map-only: no shuffle, survives any scale.
+    ``rate >= 1`` keeps EVERY row (the threshold string becomes 'g',
+    lexicographically above any hex bucket — without this, a saturated
+    stratum would silently drop the ~1/65536 of keys whose bucket is
+    'ffff'). Map-only: no shuffle, survives any scale.
     """
     bucket = F.substring(F.md5(key), 1, 4)
-    thr = F.lower(
-        F.lpad(
-            F.hex(F.least(F.floor(rate * 65536), F.lit(65535)).cast("int")),
-            4,
-            "0",
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(
+                F.hex(F.least(F.floor(rate * 65536), F.lit(65535)).cast("int")),
+                4,
+                "0",
+            )
         )
     )
     return df.where(bucket < thr).withColumn(bucket_col, bucket)
