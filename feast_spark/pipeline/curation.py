@@ -43,7 +43,8 @@ from feast_spark.operators.selection import (
     span_dedup,
 )
 
-STAGES = ["span_dup", "quality", "contaminated", "dsir", "sampled_out"]
+STAGES = ["span_dup", "quality", "contaminated", "dsir", "classifier",
+          "sampled_out"]
 
 
 @dataclass
@@ -65,6 +66,18 @@ class CurationConfig:
     # 'md5' = oracle-portable hashing; 'xxhash64' = the scale path (one
     # 8-byte JVM hash per gram — use it when no DuckDB oracle re-runs it)
     dsir_method: str = "md5"
+    # OPT-IN stage 4b (DCLM-style model-based filtering): train the
+    # hashed-bigram classifier ON the DSIR-surviving corpus (labels =
+    # target_sources membership — distilling the domain signal into a
+    # text model) and keep documents it scores target-like
+    # (margin_units > min_margin; 0 == the classifier's own decision
+    # boundary). Off by default: the oracle-checked five-stage chain is
+    # unchanged unless requested.
+    use_classifier: bool = False
+    clf_buckets: int = 1024
+    clf_iters: int = 6
+    clf_method: str = "xxhash64"
+    min_margin: int = 0
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
@@ -186,14 +199,55 @@ def run_curation(
     dsir_pass_ids = dsir.filter(F.col("dsir_score") >= cfg.min_dsir).select("doc_id")
     d_pass = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
 
+    # ---- stage 4b (opt-in): model-based filter — train the hashed-bigram
+    # classifier on the surviving corpus (feature build = 2 hash-agg
+    # shuffles once; each iteration = one Arrow map pass, no shuffle) and
+    # keep documents scored target-like. The pass set is again an id-only
+    # LEFT SEMI join.
+    clf_scores = None
+    if cfg.use_classifier:
+        from feast_spark.operators.classifier import (
+            hashed_bigram_features,
+            score_with_classifier,
+            train_quality_classifier,
+        )
+
+        feats = hashed_bigram_features(
+            d_pass,
+            F.col("source").isin(*cfg.target_sources),
+            n_buckets=cfg.clf_buckets,
+            text_col="dedup_text",
+            method=cfg.clf_method,
+        )
+        model = train_quality_classifier(
+            spark, feats, n_buckets=cfg.clf_buckets, n_iter=cfg.clf_iters
+        )
+        cached.append(feats)  # train() persisted it; release() frees it
+        clf_scores = score_with_classifier(model, feats).select(
+            "doc_id", "margin_units"
+        )
+        if materialize:
+            clf_scores = clf_scores.persist()
+            clf_scores.count()
+            cached.append(clf_scores)
+        clf_pass_ids = clf_scores.filter(
+            F.col("margin_units") > cfg.min_margin
+        ).select("doc_id")
+        e_pass = d_pass.join(clf_pass_ids, "doc_id", "left_semi")
+    else:
+        e_pass = d_pass
+
     # ---- stage 5: deterministic stratified sampling (map-only)
     key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
-    kept = deterministic_sample(d_pass, key, _sample_rate(cfg)).select(
+    kept = deterministic_sample(e_pass, key, _sample_rate(cfg)).select(
         "doc_id", "source", "dedup_text", "n_spans_kept", "sample_bucket"
     )
 
-    # ---- audit table: one row per input doc, first-failing stage wins
-    decisions = (
+    # ---- audit table: one row per input doc, first-failing stage wins.
+    # With the classifier stage enabled the table gains a margin_units
+    # column and a 'classifier' drop_stage value; the default five-stage
+    # schema (what the oracle checks) is unchanged.
+    audit = (
         docs.select("doc_id", "source")
         .join(scored.select("doc_id", "n_spans_kept", "quality_keep"),
               "doc_id", "left")
@@ -201,19 +255,36 @@ def run_curation(
         .join(dsir.select("doc_id", "dsir_score"), "doc_id", "left")
         .join(kept.select("doc_id", F.lit(True).alias("__sampled")),
               "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
-            F.coalesce("dsir_score", F.lit(0)).alias("dsir_score"),
-            F.coalesce("__sampled", F.lit(False)).alias("kept"),
-            F.when(F.col("n_spans_kept").isNull(), "span_dup")
-            .when(~F.col("quality_keep"), "quality")
-            .when(F.col("contaminated"), "contaminated")
-            .when(F.col("dsir_score").isNull() | (F.col("dsir_score") < cfg.min_dsir),
-                  "dsir")
-            .when(~F.coalesce("__sampled", F.lit(False)), "sampled_out")
-            .alias("drop_stage"),
+    )
+    stage = (
+        F.when(F.col("n_spans_kept").isNull(), "span_dup")
+        .when(~F.col("quality_keep"), "quality")
+        .when(F.col("contaminated"), "contaminated")
+        .when(F.col("dsir_score").isNull() | (F.col("dsir_score") < cfg.min_dsir),
+              "dsir")
+    )
+    extra_cols = []
+    if cfg.use_classifier:
+        audit = audit.join(clf_scores, "doc_id", "left")
+        # a doc that reached stage 4b always has a score; NULL here can
+        # only mean an earlier stage dropped it, which the prior whens
+        # already caught — the <= branch is the real classifier drop
+        stage = stage.when(
+            F.col("margin_units").isNull()
+            | (F.col("margin_units") <= cfg.min_margin),
+            "classifier",
         )
+        extra_cols.append(
+            F.coalesce("margin_units", F.lit(0)).alias("margin_units")
+        )
+    stage = stage.when(~F.coalesce("__sampled", F.lit(False)), "sampled_out")
+    decisions = audit.select(
+        "doc_id",
+        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        F.coalesce("dsir_score", F.lit(0)).alias("dsir_score"),
+        F.coalesce("__sampled", F.lit(False)).alias("kept"),
+        *extra_cols,
+        stage.alias("drop_stage"),
     )
     return CurationResult(kept=kept, decisions=decisions, config=cfg,
                           _cached=cached)

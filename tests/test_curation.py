@@ -76,6 +76,46 @@ def test_curation_is_deterministic_across_runs(spark):
     pd.testing.assert_frame_equal(d1, d2)
 
 
+def test_classifier_stage_filters_and_audits(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    base_cfg = CurationConfig()
+    clf_cfg = CurationConfig(use_classifier=True, clf_iters=4)
+    base = run_curation(spark, docs, bench, base_cfg, materialize=False)
+    res = run_curation(spark, docs, bench, clf_cfg)
+    try:
+        kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+        base_ids = {r["doc_id"] for r in base.kept.select("doc_id").collect()}
+        # stage 4b only ever removes documents relative to the default chain
+        assert kept_ids <= base_ids
+        dec = res.decisions
+        # audit schema gains margin_units; every input doc still has a row
+        assert "margin_units" in dec.columns
+        assert dec.count() == docs.count()
+        counts = {
+            r["stage"]: r["n_docs"] for r in stage_counts(dec).collect()
+        }
+        assert sum(counts.values()) == docs.count()
+        # classifier drops are attributed to their own stage, and each
+        # such doc scored at or below the margin and survived dsir
+        clf_dropped = dec.filter("drop_stage = 'classifier'")
+        if counts.get("classifier", 0):
+            bad = clf_dropped.filter(
+                (F.col("margin_units") > clf_cfg.min_margin)
+                | (F.col("dsir_score") < clf_cfg.min_dsir)
+            ).count()
+            assert bad == 0
+        # kept docs all cleared the margin
+        kept_dec = dec.filter("kept")
+        assert kept_dec.filter(
+            F.col("margin_units") <= clf_cfg.min_margin
+        ).count() == 0
+    finally:
+        res.release()
+
+
 def test_config_min_dsir_tightens_selection(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 41 == 0).select(
