@@ -1202,6 +1202,32 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_export_shards(spark: SparkSession, sf: str) -> DataFrame:
+    # Training-shard export (pipeline/export.py): key-stable md5 shard
+    # assignment -> one repartition(shard) exchange -> partitionBy write
+    # -> manifest computed from the PUBLISHED files. The query returns
+    # the manifest, so the oracle checks the whole write-read path.
+    # pytest-window query (the driver registry is at its 50-entry cap).
+    from feast_spark.pipeline.export import export_training_shards
+
+    out = f"/tmp/feast_spark_export/{os.path.basename(sf.rstrip('/'))}"
+    res = export_training_shards(
+        spark,
+        _t(spark, sf, "documents").select("doc_id", "text", "source"),
+        F.col("doc_id").cast("string"),
+        out,
+        n_shards=8,
+        salt="e0",
+        overwrite=True,
+    )
+    return res.manifest.select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("n_tokens").alias("n_tokens"),
+        F.col("fingerprint").alias("fingerprint"),
+    ).orderBy("shard_id")
+
+
 # ---------------------------------------------------------------------------
 # merged queries — the driver evaluates at most 50 queries() entries
 # (CORRECTNESS_r03 recorded exactly the first 50 of 61), so families of
@@ -1439,6 +1465,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": q_cube_events,
         "embedding_neardup": q_embedding_neardup,
         "mixture_sample": q_mixture_sample,
+        "export_shards": q_export_shards,
     }
 
 
@@ -1494,6 +1521,7 @@ def _all_oracle_sql() -> dict[str, str]:
                                        4, '0')) END
         """,
         "quality_classifier": _rp("quality_classifier"),
+        "export_shards": _rp("export_shards"),
         "label_resolve_recency": """
             WITH spine AS (
               SELECT user_id, MAX(ts) AS ts FROM events GROUP BY 1

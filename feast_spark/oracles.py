@@ -582,7 +582,33 @@ def classifier_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def export_manifest_pdf(sf_dir: str, n_shards: int = 8, salt: str = "e0") -> pd.DataFrame:
+    """Naive replay of export_training_shards' md5 arm: per-shard doc and
+    whitespace-token counts plus the order-independent xor fingerprint
+    (pipeline/export.py shard_manifest) — int64 throughout, bit-exact."""
+    import hashlib
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    h = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(f"{salt}{d}".encode()).hexdigest()[:8], 16)
+    ).to_numpy(dtype=np.int64)
+    shard = h % n_shards
+    n_tok = docs["text"].map(lambda t: len(t.split(" "))).to_numpy(dtype=np.int64)
+    rows = []
+    for s in range(n_shards):
+        m = shard == s
+        if not m.any():
+            continue
+        rows.append((s, int(m.sum()), int(n_tok[m].sum()),
+                     int(np.bitwise_xor.reduce(h[m]))))
+    return pd.DataFrame(
+        rows, columns=["shard_id", "n_docs", "n_tokens", "fingerprint"]
+    ).astype({"shard_id": "int64", "n_docs": "int64",
+              "n_tokens": "int64", "fingerprint": "int64"})
+
+
 _RELATIONS = {
+    "export_shards": lambda sf: export_manifest_pdf(sf),
     "quality_classifier": lambda sf: classifier_pdf(sf),
     "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),
     "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf, hamming_threshold=4),

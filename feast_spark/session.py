@@ -29,6 +29,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a local SparkSession with engine defaults.
 
@@ -36,12 +37,15 @@ def get_spark(
     master/deploy-mode comes from spark-submit and these builder calls are
     inert. Shuffle partitions default to ``2 × cores`` locally — enough to
     keep all threads busy through AQE coalescing without tiny-partition
-    overhead.
+    overhead. ``master`` overrides the master URL (e.g.
+    ``local-cluster[4,4,3072]`` for a multi-JVM executor harness — real
+    cross-process shuffle and Python-worker shipping; ``cpus`` then means
+    total cores across executors and sizes shuffle partitions only).
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(cpus * 2, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
