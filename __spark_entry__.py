@@ -1129,6 +1129,22 @@ def q_doc_curation(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench).decisions
 
 
+def q_doc_curation_clf(spark: SparkSession, sf: str) -> DataFrame:
+    # classifier-arm curation (DCLM-style stage 4b): the five-stage chain
+    # plus the hashed-bigram classifier trained on the DSIR survivors
+    # (md5 portable arm so the naive int64 oracle replays it bit-exactly);
+    # returns the audit table with margin_units + the classifier stage.
+    # pytest-window query (the driver registry is at its 50-entry cap).
+    from feast_spark.pipeline.curation import CurationConfig, run_curation
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    cfg = CurationConfig(use_classifier=True, clf_method="portable")
+    return run_curation(spark, d, bench, cfg).decisions
+
+
 def q_label_resolve_recency(spark: SparkSession, sf: str) -> DataFrame:
     # reference-fidelity majority vote (conflict_resolver.py:102-157):
     # every label column resolved INDEPENDENTLY, count ties broken by
@@ -1466,6 +1482,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "mixture_sample": q_mixture_sample,
         "export_shards": q_export_shards,
+        "doc_curation_clf": q_doc_curation_clf,
     }
 
 
@@ -1522,6 +1539,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),
+        "doc_curation_clf": _rp("doc_curation_clf"),
         "label_resolve_recency": """
             WITH spine AS (
               SELECT user_id, MAX(ts) AS ts FROM events GROUP BY 1

@@ -442,12 +442,13 @@ def semantic_dedup_pdf(
     )
 
 
-def curation_pdf(sf_dir: str) -> pd.DataFrame:
-    """Naive five-stage curation (pipeline/curation.py defaults): span
-    dedup via one global seen-set walk in doc order, quality via the
-    shared rules kernel, decontamination / DSIR / sampling via dict
+def _curation_core(sf_dir: str) -> dict:
+    """Stages 1-4 of the naive curation replay (pipeline/curation.py
+    defaults): span dedup via one global seen-set walk in doc order,
+    quality via the shared rules kernel, decontamination / DSIR via dict
     buckets + hashlib md5 — every relational step re-derived naively;
-    only the scoring kernel is shared."""
+    only the scoring kernel is shared. Returns the per-stage state the
+    default and classifier-arm oracles both consume."""
     import hashlib
     import math
 
@@ -538,13 +539,25 @@ def curation_pdf(sf_dir: str) -> pd.DataFrame:
         for i in ids3
     }
 
-    # stage 5: deterministic sampling by source parity
+    # stage 5 predicate: deterministic sampling by source parity
     def sampled(i: int) -> bool:
         thr = "b333" if int(src[i][3:]) % 2 == 0 else "4ccc"
         return hashlib.md5(f"{i}:{src[i]}".encode()).hexdigest()[:4] < thr
 
+    return {
+        "docs": docs, "dedup_text": dedup_text, "n_kept": n_kept,
+        "q_keep": q_keep, "contaminated": contaminated,
+        "dsir_score": dsir_score, "src": src, "sampled": sampled,
+    }
+
+
+def curation_pdf(sf_dir: str) -> pd.DataFrame:
+    """Default five-stage audit table from the naive stage replay."""
+    c = _curation_core(sf_dir)
+    dedup_text, q_keep = c["dedup_text"], c["q_keep"]
+    contaminated, dsir_score = c["contaminated"], c["dsir_score"]
     rows = []
-    for i in docs["doc_id"].astype(int):
+    for i in c["docs"]["doc_id"].astype(int):
         if i not in dedup_text:
             stage, score = "span_dup", 0
         elif not q_keep[i]:
@@ -553,15 +566,63 @@ def curation_pdf(sf_dir: str) -> pd.DataFrame:
             stage, score = "contaminated", 0
         elif dsir_score[i] < 0:
             stage, score = "dsir", dsir_score[i]
-        elif not sampled(i):
+        elif not c["sampled"](i):
             stage, score = "sampled_out", dsir_score[i]
         else:
             stage, score = None, dsir_score[i]
-        rows.append((i, n_kept.get(i, 0), score, stage is None, stage))
+        rows.append((i, c["n_kept"].get(i, 0), score, stage is None, stage))
     return pd.DataFrame(
         rows, columns=["doc_id", "n_spans_kept", "dsir_score", "kept", "drop_stage"]
     ).astype({"doc_id": "int64", "n_spans_kept": "int64", "dsir_score": "int64",
               "kept": "bool", "drop_stage": object})
+
+
+def curation_clf_pdf(sf_dir: str) -> pd.DataFrame:
+    """Classifier-arm audit table (CurationConfig(use_classifier=True,
+    clf_method='md5')): stages 1-4 from the shared naive replay, then the
+    hashed-bigram classifier trained naively (classifier.py's bit-exact
+    int64 kernel) on the DSIR survivors' DEDUPED text with target-source
+    membership labels, margin-gated before the sampling stage."""
+    from feast_spark.operators.classifier import naive_classifier_pdf
+
+    c = _curation_core(sf_dir)
+    dedup_text, q_keep = c["dedup_text"], c["q_keep"]
+    contaminated, dsir_score, src = c["contaminated"], c["dsir_score"], c["src"]
+    d_pass = sorted(
+        i for i in dsir_score if dsir_score[i] >= 0
+    )
+    clf = naive_classifier_pdf(
+        pd.Series([dedup_text[i] for i in d_pass]),
+        pd.Series(d_pass),
+        pd.Series([int(src[i] in ("src1", "src2", "src3")) for i in d_pass]),
+        n_buckets=1024, n_iter=6, lr=1.0,
+    )
+    margin = dict(zip(clf["doc_id"].astype(int), clf["margin_units"].astype(int)))
+    rows = []
+    for i in c["docs"]["doc_id"].astype(int):
+        m = margin.get(i, 0)
+        if i not in dedup_text:
+            stage, score = "span_dup", 0
+        elif not q_keep[i]:
+            stage, score = "quality", 0
+        elif contaminated[i]:
+            stage, score = "contaminated", 0
+        elif dsir_score[i] < 0:
+            stage, score = "dsir", dsir_score[i]
+        elif m <= 0:
+            stage, score = "classifier", dsir_score[i]
+        elif not c["sampled"](i):
+            stage, score = "sampled_out", dsir_score[i]
+        else:
+            stage, score = None, dsir_score[i]
+        rows.append((i, c["n_kept"].get(i, 0), score, stage is None, m, stage))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_spans_kept", "dsir_score", "kept",
+                 "margin_units", "drop_stage"],
+    ).astype({"doc_id": "int64", "n_spans_kept": "int64",
+              "dsir_score": "int64", "kept": "bool",
+              "margin_units": "int64", "drop_stage": object})
 
 
 # ---------------------------------------------------------------------------
@@ -621,6 +682,7 @@ _RELATIONS = {
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
     "semantic_dedup": lambda sf: semantic_dedup_pdf(sf),
     "doc_curation": lambda sf: curation_pdf(sf),
+    "doc_curation_clf": lambda sf: curation_clf_pdf(sf),
 }
 
 
