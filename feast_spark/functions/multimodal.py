@@ -348,6 +348,169 @@ def audio_chunks(
     )
 
 
+# ---------------------------------------------------------------------------
+# video: opaque binary column; the header-only operators mirror the audio
+# kernel (vectorized Arrow-buffer gather, explode by np.repeat — the
+# payload itself is never duplicated per frame; a real pipeline's decode
+# stage range-reads the container by frame offset)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"FSVI"
+VIDEO_HEADER_FMT = "<4sIIIII"  # magic, width, height, fps, n_frames, seed
+VIDEO_HEADER_SIZE = struct.calcsize(VIDEO_HEADER_FMT)
+
+VIDEO_META_SCHEMA = (
+    "width int, height int, fps int, n_frames long, duration_sec double, "
+    "n_bytes long, format string, valid boolean"
+)
+
+
+def encode_fake_video(
+    width: int, height: int, fps: int, n_frames: int, seed: int
+) -> bytes:
+    """Deterministic fake video payload (fixture side): header + a
+    truncated byte payload — headers stay truthful, which is all the
+    header-only operators read."""
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(
+        0, 256, min(width * height * n_frames, 8192), dtype=np.uint8
+    )
+    return (
+        struct.pack(
+            VIDEO_HEADER_FMT, VIDEO_MAGIC, width, height, fps, n_frames, seed
+        )
+        + payload.tobytes()
+    )
+
+
+def _decode_video_one(buf: bytes, fake: bool) -> tuple[int, int, int, np.ndarray]:
+    """The video codec boundary. Real impl: pyav/ffmpeg frame iterator."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires a container/codec library (pyav/ffmpeg) "
+            "not present in this environment; pass fake=True for the "
+            "deterministic test codec"
+        )
+    magic, w, h, fps, n, seed = struct.unpack_from(VIDEO_HEADER_FMT, buf)
+    if magic != VIDEO_MAGIC:
+        raise ValueError("not a fake-video payload")
+    rng = np.random.default_rng(seed)
+    frame = rng.integers(0, 256, (min(h, 8), min(w, 8)), dtype=np.uint8)
+    return w, h, fps, frame
+
+
+def video_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Header-only metadata pass over video payloads — vectorized Arrow
+    gather, no decode, no per-row Python (mirrors audio_metadata)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdr, n_bytes, valid = _gather_headers(
+                pdf[binary_col], VIDEO_MAGIC, VIDEO_HEADER_SIZE
+            )
+            w = _u32(hdr, 4, valid)
+            h = _u32(hdr, 8, valid)
+            fps = _u32(hdr, 12, valid)
+            nf = _u32(hdr, 16, valid)
+            dur = np.divide(
+                nf, fps, out=np.zeros(len(nf), np.float64), where=fps > 0
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "fps": fps.astype(np.int32),
+                    "n_frames": nf,
+                    "duration_sec": dur,
+                    "n_bytes": n_bytes,
+                    "format": np.where(valid, "fsvi", "unknown"),
+                    "valid": valid,
+                }
+            )
+
+    return df.mapInPandas(run, f"id long, {VIDEO_META_SCHEMA}")
+
+
+def video_frame_sample(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_sec: float = 1.0,
+) -> DataFrame:
+    """Vision-LM training prep: sample one frame every ``every_sec``
+    seconds per clip, computed from the HEADER alone — one input row
+    explodes to its sampled-frame rows carrying ``(frame_idx,
+    timestamp_sec)`` for a downstream decoder. Vectorized like
+    audio_chunks: counts from the header gather, the explode is one
+    np.repeat/np.arange construction, the payload is NOT duplicated
+    per frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdr, _n_bytes, valid = _gather_headers(
+                pdf[binary_col], VIDEO_MAGIC, VIDEO_HEADER_SIZE
+            )
+            fps = _u32(hdr, 12, valid)
+            nf = _u32(hdr, 16, valid)
+            step = np.maximum((fps * every_sec).astype(np.int64), 1)
+            n_samp = np.where(
+                valid & (nf > 0), (nf + step - 1) // step, 0
+            ).astype(np.int64)
+            total = int(n_samp.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {"id": np.zeros(0, np.int64),
+                     "frame_idx": np.zeros(0, np.int64),
+                     "timestamp_sec": np.zeros(0, np.float64)}
+                )
+                continue
+            ids = np.repeat(pdf[id_col].to_numpy(), n_samp)
+            starts = np.concatenate([[0], np.cumsum(n_samp)[:-1]])
+            ordinal = np.arange(total) - np.repeat(starts, n_samp)
+            frame_idx = ordinal * np.repeat(step, n_samp)
+            fps_rep = np.repeat(fps, n_samp)
+            ts = np.divide(
+                frame_idx, fps_rep,
+                out=np.zeros(total, np.float64), where=fps_rep > 0,
+            )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": frame_idx, "timestamp_sec": ts}
+            )
+
+    return df.mapInPandas(
+        run, "id long, frame_idx long, timestamp_sec double"
+    )
+
+
+def video_features(
+    df: DataFrame, binary_col: str, id_col: str, fake: bool = False
+) -> DataFrame:
+    """Decode + per-clip frame features (mean/std of the first decoded
+    frame) — the decode is the stubbed codec boundary, the batch shape is
+    the production plumbing (mirrors image/audio_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                w, h, fps, frame = _decode_video_one(bytes(b), fake)
+                x = frame.astype(np.float64)
+                rows.append(
+                    (int(i), w, h, fps, float(x.mean()), float(x.std()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "fps", "px_mean", "px_std"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "id long, width int, height int, fps int, px_mean double, "
+        "px_std double",
+    )
+
+
 def audio_features(
     df: DataFrame, binary_col: str, id_col: str, fake: bool = False
 ) -> DataFrame:

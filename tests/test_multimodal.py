@@ -161,3 +161,75 @@ def test_audio_features_codec_boundary(spark):
     # without the fake codec, the declared NotImplementedError boundary
     with _pytest.raises(Exception):
         audio_features(df, "data", "clip_id", fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# video surface
+# ---------------------------------------------------------------------------
+
+
+def _video_df(spark, specs):
+    # specs: (id, width, height, fps, n_frames) or (id, None)
+    import pandas as pd
+
+    from feast_spark.functions.multimodal import encode_fake_video
+
+    rows = []
+    for spec in specs:
+        if spec[1] is None:
+            rows.append((spec[0], b"garbage-not-video"))
+        else:
+            i, w, h, fps, nf = spec
+            rows.append((i, encode_fake_video(w, h, fps, nf, seed=i)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "data"])
+    )
+
+
+def test_video_metadata_header_only(spark):
+    from feast_spark.functions.multimodal import video_metadata
+
+    df = _video_df(
+        spark,
+        [(0, 1920, 1080, 30, 30 * 65), (1, 640, 480, 24, 24), (2, None)],
+    )
+    got = {r["id"]: r for r in video_metadata(df, "data", "clip_id").collect()}
+    assert got[0]["width"] == 1920 and got[0]["n_frames"] == 30 * 65
+    assert got[0]["duration_sec"] == 65.0 and got[0]["format"] == "fsvi"
+    assert got[1]["fps"] == 24 and got[1]["duration_sec"] == 1.0
+    assert got[2]["valid"] is False and got[2]["format"] == "unknown"
+
+
+def test_video_frame_sample_header_only(spark):
+    from feast_spark.functions.multimodal import video_frame_sample
+
+    df = _video_df(
+        spark,
+        [
+            (0, 64, 64, 30, 91),   # 91 frames @ 30fps, 1s step -> 0,30,60,90
+            (1, 64, 64, 10, 5),    # shorter than one step -> frame 0 only
+            (2, None),             # invalid -> no rows
+        ],
+    )
+    out = video_frame_sample(df, "data", "clip_id", every_sec=1.0).toPandas()
+    by_id = {i: g for i, g in out.groupby("id")}
+    assert sorted(by_id[0]["frame_idx"]) == [0, 30, 60, 90]
+    assert sorted(by_id[0]["timestamp_sec"]) == [0.0, 1.0, 2.0, 3.0]
+    assert sorted(by_id[1]["frame_idx"]) == [0]
+    assert 2 not in by_id
+    # sub-second sampling multiplies rows
+    dense = video_frame_sample(df, "data", "clip_id", every_sec=0.5).toPandas()
+    assert len(dense[dense["id"] == 0]) == 7  # step 15: 0,15,...,90
+
+
+def test_video_features_codec_boundary(spark):
+    import pytest as _pytest
+
+    from feast_spark.functions.multimodal import video_features
+
+    df = _video_df(spark, [(0, 320, 240, 30, 30)])
+    got = video_features(df, "data", "clip_id", fake=True).collect()[0]
+    assert got["width"] == 320 and got["fps"] == 30
+    assert 0.0 <= got["px_mean"] <= 255.0
+    with _pytest.raises(Exception):
+        video_features(df, "data", "clip_id", fake=False).collect()
