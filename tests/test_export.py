@@ -172,6 +172,27 @@ def test_within_shard_order_is_deterministic(spark, exported, tmp_path):
         assert a == b and len(a) > 0
 
 
+def test_export_plan_has_single_exchange(spark):
+    """The sharded-write plan shuffles exactly once (the explicit
+    repartition on shard_id); assignment and ordering add no further
+    exchanges — at 100 TB the write is one shuffle wide, period."""
+    from feast_spark.pipeline.export import assign_shards
+
+    docs = _docs(spark)
+    key = F.col("doc_id").cast("string")
+    sharded = assign_shards(docs, key, N_SHARDS, salt="e0")
+    plan = (
+        sharded.repartition(N_SHARDS, "shard_id")
+        .sortWithinPartitions("shard_id", key)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    # and the sort is partition-local, not global (Sort [...], false, 0)
+    import re
+
+    assert re.search(r"Sort \[[^\]]*\], false, 0", plan)
+
+
 def test_curation_to_shards_end_to_end(spark, tmp_path):
     """The full training-data story: raw corpus -> staged curation ->
     reproducible shard export whose manifest accounts for exactly the
