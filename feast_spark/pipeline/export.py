@@ -167,10 +167,16 @@ def export_training_shards(
     writer.parquet(f"{staging}/shards")
 
     # manifest from the files a trainer will read, not the in-flight plan
-    written = spark.read.parquet(f"{staging}/shards")
-    shard_manifest(
+    # (explicit schema: an empty corpus writes zero data files, and an
+    # export of nothing should publish an empty manifest, not crash on
+    # schema inference)
+    written = spark.read.schema(sharded.schema).parquet(f"{staging}/shards")
+    manifest_df = shard_manifest(
         written, key, salt=salt, method=method, token_col=token_col
-    ).coalesce(1).write.mode("errorifexists").parquet(f"{staging}/manifest")
+    )
+    manifest_df.coalesce(1).write.mode("errorifexists").parquet(
+        f"{staging}/manifest"
+    )
 
     if os.path.exists(out_dir):  # overwrite=True: swap after a full stage
         old = f"{out_dir}.old-{os.getpid()}"
@@ -182,5 +188,7 @@ def export_training_shards(
     return ExportResult(
         path=out_dir,
         n_shards=n_shards,
-        manifest=spark.read.parquet(f"{out_dir}/manifest"),
+        manifest=spark.read.schema(manifest_df.schema).parquet(
+            f"{out_dir}/manifest"
+        ),
     )

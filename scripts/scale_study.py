@@ -1,0 +1,125 @@
+"""Corpus-size scaling study: the same selection/curation operators at
+50k vs 500k documents (10x), local[32].
+
+The per-round bench pins absolute walls at 50k (`bench.py docs_large`);
+this script answers the 100x question directly: does the wall grow
+~linearly with corpus size, or is something super-linear hiding below
+the test scale? Operators covered: the curation flagship (span dedup ->
+quality -> decontaminate -> DSIR -> sample), span_dedup's xxhash64 scale
+arm alone, minhash LSH pair generation + connected components, and the
+training-shard export.
+
+Run:  cd /root/repo && python3 scripts/scale_study.py [n_small n_big]
+Emits one compact JSON line: per-operator walls at both sizes + the
+wall ratio vs the 10x size ratio (ratio/10 <= ~1.3 reads as linear with
+log factors; >> that flags a super-linear term).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _corpus(spark, n_docs: int) -> str:
+    import bench
+
+    return bench._docs_corpus(spark, n_docs)
+
+
+def _one_size(spark, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        release_dedup_caches,
+    )
+    from feast_spark.operators.selection import span_dedup
+    from feast_spark.pipeline.curation import CurationConfig, run_curation
+    from feast_spark.pipeline.export import export_training_shards
+
+    docs = spark.read.parquet(_corpus(spark, n_docs)).persist()
+    docs.count()
+    out: dict = {"n_docs": n_docs}
+
+    t0 = time.time()
+    n_span = span_dedup(docs, span_words=10, method="xxhash64").count()
+    out["span_dedup_xx"] = {"wall_sec": round(time.time() - t0, 2),
+                            "docs_kept": n_span}
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").localCheckpoint()
+    n_pairs = pairs.count()
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    n_dup = comp.filter(F.col("id") != F.col("component")).count()
+    out["minhash_cc"] = {"wall_sec": round(time.time() - t0, 2),
+                         "pairs": n_pairs, "dups_dropped": n_dup}
+    release_dedup_caches()
+
+    bench_df = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    # same config bench.py's docs_large section uses: the synthetic-vocab
+    # fixture needs relaxed language/stopword/perplexity gates or stage 2
+    # drops every document
+    from feast_spark.rules import RuleConfig
+
+    cfg = CurationConfig(
+        rule_config=RuleConfig(
+            allowed_langs=None, min_stopword_ratio=0.0, max_perplexity=1e9
+        ),
+        target_sources=("web", "wiki"),
+        dsir_method="xxhash64",
+    )
+    t0 = time.time()
+    res = run_curation(spark, docs, bench_df, cfg)
+    n_kept = res.kept.count()
+    out["curation"] = {"wall_sec": round(time.time() - t0, 2), "kept": n_kept}
+
+    t0 = time.time()
+    exp = export_training_shards(
+        spark, res.kept.withColumnRenamed("dedup_text", "text"),
+        F.col("doc_id").cast("string"),
+        f"/tmp/feast_spark_scale_export_{n_docs}", n_shards=32,
+        method="xxhash64", overwrite=True,
+    )
+    n_exp = exp.manifest.agg(F.sum("n_docs")).first()[0]
+    out["shard_export"] = {"wall_sec": round(time.time() - t0, 2),
+                           "docs_exported": int(n_exp)}
+    assert n_exp == n_kept
+    res.release()
+    docs.unpersist()
+    return out
+
+
+def main() -> None:
+    import bench
+
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    spark = bench._session(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    small = _one_size(spark, n_small)
+    big = _one_size(spark, n_big)
+    size_ratio = n_big / n_small
+    summary = {
+        "n_small": n_small, "n_big": n_big, "size_ratio": size_ratio,
+        "small": small, "big": big,
+        "wall_ratio_over_size_ratio": {
+            k: round(big[k]["wall_sec"] / max(small[k]["wall_sec"], 1e-9)
+                     / size_ratio, 3)
+            for k in ("span_dedup_xx", "minhash_cc", "curation",
+                      "shard_export")
+        },
+    }
+    print(json.dumps(summary, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -172,6 +172,16 @@ def test_within_shard_order_is_deterministic(spark, exported, tmp_path):
         assert a == b and len(a) > 0
 
 
+def test_empty_export_publishes_empty_manifest(spark, tmp_path):
+    out = str(tmp_path / "empty")
+    res = export_training_shards(
+        spark, _docs(spark).filter("doc_id < 0"),
+        F.col("doc_id").cast("string"), out, 4,
+    )
+    assert res.manifest.count() == 0
+    assert os.path.exists(f"{out}/manifest")
+
+
 def test_export_plan_has_single_exchange(spark):
     """The sharded-write plan shuffles exactly once (the explicit
     repartition on shard_id); assignment and ordering add no further
