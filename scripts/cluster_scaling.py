@@ -33,7 +33,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_LC_CORES", "2"))
-EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_LC_MEM", "2048"))
+# 2 GB/core: at 1 GB/core the 8-executor config GC-throttles to ~140k
+# turns/s on the 7M-turn corpus; at 2 GB/core it runs ~209k (+49%) and
+# N->4N efficiency goes 0.68 -> ~1.0 — size executor memory to the
+# shuffle working set before reading any scaling number
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_LC_MEM", "4096"))
 # 2 -> 8 executors: BOTH configs are multi-JVM, so both pay cross-process
 # shuffle serialization — this isolates executor-count scaling from the
 # single-JVM -> cluster transition cost (a 1-executor baseline does no
