@@ -54,11 +54,13 @@ def _lc_session(n_execs: int):
     from feast_spark.session import get_spark
 
     total_cores = n_execs * CORES_PER_EXEC
+    extra = {"spark.driver.memory": "8g"}
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_LC_EXTRA", "{}")))
     spark = get_spark(
         f"lc_{n_execs}x{CORES_PER_EXEC}",
         cpus=total_cores,
         master=f"local-cluster[{n_execs},{CORES_PER_EXEC},{EXEC_MEM_MB}]",
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf=extra,
     )
     from scripts.submit_pipeline import build_zip
 
