@@ -1145,6 +1145,27 @@ def q_doc_curation_clf(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench, cfg).decisions
 
 
+def q_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    # RefinedWeb-style per-source frequency cap: at most 17 docs per
+    # source, chosen by ascending md5(doc_id) — key-stable. At sf0.01
+    # every source holds 25 docs (all over cap → window branch); at
+    # sf0.001 sources sit under the cap (map-side anti-join branch).
+    from feast_spark.operators.selection import source_cap
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return source_cap(d, group_col="source", cap=17)
+
+
+def q_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    # FineWeb-style threshold calibration: keep docs whose n_chars is at
+    # or above the corpus-wide exact 30th percentile; the broadcast
+    # threshold rides along so the oracle pins the interpolated value too.
+    from feast_spark.operators.selection import quantile_filter
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return quantile_filter(d, F.col("n_chars"), 0.3, keep="upper")
+
+
 def q_label_resolve_recency(spark: SparkSession, sf: str) -> DataFrame:
     # reference-fidelity majority vote (conflict_resolver.py:102-157):
     # every label column resolved INDEPENDENTLY, count ties broken by
@@ -1397,7 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
-        # round 4: reference-fidelity label resolution + trained classifier
+        # round 4: source cap + quantile calibration + reference-fidelity
+        # label resolution + trained classifier
+        "source_cap": q_source_cap,
+        "quality_calibrate": q_quality_calibrate,
         "label_resolve_recency": q_label_resolve_recency,
         "quality_classifier": q_quality_classifier,
         # flagship + round-3 selection family
@@ -1435,9 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_role_join": q_two_role_join,
         "entity_union": q_entity_union,
         "agg_spec": q_agg_spec,
-        "sliding_window_agg": q_sliding_window_agg,
         "session_window_agg": q_session_window_agg,
-        "histogram": q_histogram,
         "top_event_types": q_top_event_types,
         "latest_dedup": q_latest_dedup,
         # documents / embeddings operators
@@ -1463,6 +1485,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "sliding_window_agg": q_sliding_window_agg,
+        "histogram": q_histogram,
         "pull_all_window": q_pull_all_window,
         "pull_latest_events": q_pull_latest_events,
         "cross_join_share": q_cross_join_share,
@@ -1540,6 +1564,24 @@ def _all_oracle_sql() -> dict[str, str]:
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),
         "doc_curation_clf": _rp("doc_curation_clf"),
+        "source_cap": """
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                  CAST(doc_id AS VARCHAR)) AS rk
+              FROM documents)
+            SELECT doc_id, source FROM ranked WHERE rk <= 17
+        """,
+        "quality_calibrate": """
+            WITH t AS (
+              SELECT quantile_cont(n_chars, CAST(0.3 AS DOUBLE)) AS thr
+              FROM documents)
+            SELECT d.doc_id, d.n_chars, CAST(t.thr AS DOUBLE) AS thr
+            FROM documents d, t
+            WHERE d.n_chars >= t.thr
+        """,
         "label_resolve_recency": """
             WITH spine AS (
               SELECT user_id, MAX(ts) AS ts FROM events GROUP BY 1

@@ -612,3 +612,79 @@ def deterministic_shuffle(
     out = df.withColumn(key_col, F.md5(F.concat(F.lit(salt), key)))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
+
+
+def source_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    key: Column | None = None,
+    cap: int = 1000,
+) -> DataFrame:
+    """RefinedWeb-style per-source frequency cap: keep at most ``cap``
+    rows per ``group_col``, chosen deterministically by ascending
+    ``md5(key)`` (key-stable — re-runs, other clusters, and other
+    partition layouts keep the SAME rows, unlike a LIMIT-per-group over
+    input order).
+
+    Scale shape (the 100 TB plan): a tiny map-side-combined count
+    aggregate finds the groups that EXCEED the cap; that over-cap list is
+    broadcast, so the under-cap complement — at web scale the long tail
+    of domains, i.e. almost every row — is kept by a map-side broadcast
+    anti join and never shuffles. Only over-cap rows enter the ranking
+    window, and the ``row_number() <= cap`` filter compiles to
+    WindowGroupLimit, so each map task forwards at most ``cap`` rows per
+    over-cap group into the exchange rather than the group's full
+    contents (a mega-domain costs ``cap × n_map_partitions`` shuffle
+    rows, not its row count). Reference analogue: none — feast has no
+    corpus-curation operators; this extends the dedup/sampling family
+    (SURVEY §2.7) the way ``deterministic_sample`` does.
+    """
+    if key is None:
+        key = F.col("doc_id").cast("string")
+    bucket = F.md5(key)
+    over = (
+        df.groupBy(group_col)
+        .count()
+        .where(F.col("count") > cap)
+        .select(group_col)
+    )
+    under_kept = df.join(F.broadcast(over), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), key.asc())
+    capped = (
+        df.join(F.broadcast(over), group_col, "left_semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return under_kept.unionByName(capped)
+
+
+def quantile_filter(
+    df: DataFrame,
+    score: Column,
+    q: float,
+    keep: str = "upper",
+    thr_col: str = "thr",
+) -> DataFrame:
+    """FineWeb-style quality-threshold calibration: compute the exact
+    ``q``-quantile of ``score`` over the corpus and keep rows at or above
+    it (``keep="upper"``) or at or below it (``keep="lower"``), carrying
+    the threshold in ``thr_col``.
+
+    Shape: one aggregate reduces the corpus to a single scalar — Spark's
+    exact ``percentile``, which matches ANSI ``quantile_cont``
+    interpolation bit-for-bit (pinned by the ``numeric_stats`` oracle
+    since round 1) — broadcast back over a single-row cross join; the
+    filter itself is map-only. Two scans, zero wide shuffles:
+    calibrating on 100 TB costs one numeric reduction, not a sort.
+
+    Exact ``percentile`` aggregates a per-partition (value → count) map,
+    so its state is bounded by the number of DISTINCT scores — fine for
+    the integer-quantized scores this engine emits everywhere (rules
+    micro-units, token counts, char counts). For unbounded continuous
+    scores at scale, swap in ``approx_percentile`` — same plan shape.
+    """
+    thr = df.agg(F.percentile(score, F.lit(q)).alias(thr_col))
+    out = df.crossJoin(F.broadcast(thr))
+    cond = score >= F.col(thr_col) if keep == "upper" else score <= F.col(thr_col)
+    return out.where(cond)

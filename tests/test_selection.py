@@ -527,3 +527,66 @@ def test_deterministic_shuffle_order_and_reproducibility(spark):
     assert by_part2 == by_part  # input partitioning is irrelevant
     exp1 = sorted(range(500), key=lambda i: hashlib.md5(f"ep1{i}".encode()).hexdigest())
     assert exp1 != exp
+
+
+# ---------------------------------------------------------------------------
+# source_cap / quantile_filter
+# ---------------------------------------------------------------------------
+
+
+def test_source_cap_keeps_under_cap_groups_whole(spark):
+    import hashlib as _h
+
+    from feast_spark.operators.selection import source_cap
+
+    # source "tail" has 3 docs (under cap=5) -> kept verbatim via the
+    # broadcast anti-join branch; "mega" has 12 (over cap) -> exactly 5
+    # kept, chosen by ascending md5(doc_id).
+    rows = [(i, "tail") for i in range(3)] + [(100 + i, "mega") for i in range(12)]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = source_cap(d, group_col="source", cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["tail"]) == [0, 1, 2]
+    exp = sorted(
+        (100 + i for i in range(12)),
+        key=lambda i: _h.md5(str(i).encode()).hexdigest(),
+    )[:5]
+    assert sorted(by_src["mega"]) == sorted(exp)
+
+
+def test_source_cap_key_stable_under_repartition(spark):
+    from feast_spark.operators.selection import source_cap
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    a = sorted(r["doc_id"] for r in source_cap(d, cap=10).collect())
+    b = sorted(
+        r["doc_id"] for r in source_cap(d.repartition(17), cap=10).collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_quantile_filter_upper_and_lower(spark):
+    from feast_spark.operators.selection import quantile_filter
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(11), "score": range(11)})
+    )
+    up = quantile_filter(d, F.col("score"), 0.5, keep="upper").collect()
+    lo = quantile_filter(d, F.col("score"), 0.5, keep="lower").collect()
+    # exact median of 0..10 is 5; threshold rides along
+    assert sorted(r["score"] for r in up) == list(range(5, 11))
+    assert sorted(r["score"] for r in lo) == list(range(0, 6))
+    assert all(r["thr"] == 5.0 for r in up)
+
+
+def test_quantile_filter_interpolated_threshold(spark):
+    from feast_spark.operators.selection import quantile_filter
+
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "score": [0.0, 1.0]}))
+    out = quantile_filter(d, F.col("score"), 0.3, keep="upper").collect()
+    # quantile_cont interpolation: thr = 0.3 -> only score=1.0 survives
+    assert len(out) == 1 and out[0]["score"] == 1.0
+    assert abs(out[0]["thr"] - 0.3) < 1e-12
