@@ -1145,6 +1145,22 @@ def q_doc_curation_clf(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench, cfg).decisions
 
 
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    # corpus-trained stupid-backoff 5-gram LM (the north-star "hashed
+    # 5-gram KenLM-style perplexity scorer"): train on the src1-3
+    # in-domain slice, score every document — the CCNet shape. Portable
+    # md5 arm so the naive Counter/python oracle replays it bit-exactly;
+    # the xxhash64 scale arm is parity-pinned in tests/test_lm.py.
+    from feast_spark.operators.lm import lm_perplexity, train_ngram_lm
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    model = train_ngram_lm(
+        d.where(F.col("source").isin("src1", "src2", "src3")),
+        method="portable", order=5,
+    )
+    return lm_perplexity(d, model)
+
+
 def q_source_cap(spark: SparkSession, sf: str) -> DataFrame:
     # RefinedWeb-style per-source frequency cap: at most 17 docs per
     # source, chosen by ascending md5(doc_id) — key-stable. At sf0.01
@@ -1418,8 +1434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
-        # round 4: source cap + quantile calibration + reference-fidelity
-        # label resolution + trained classifier
+        # round 4: trained LM + source cap + quantile calibration +
+        # reference-fidelity label resolution + trained classifier
+        "lm_perplexity": q_lm_perplexity,
         "source_cap": q_source_cap,
         "quality_calibrate": q_quality_calibrate,
         "label_resolve_recency": q_label_resolve_recency,
@@ -1460,7 +1477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_union": q_entity_union,
         "agg_spec": q_agg_spec,
         "session_window_agg": q_session_window_agg,
-        "top_event_types": q_top_event_types,
         "latest_dedup": q_latest_dedup,
         # documents / embeddings operators
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1487,6 +1503,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sliding_window_agg": q_sliding_window_agg,
         "histogram": q_histogram,
+        "top_event_types": q_top_event_types,
         "pull_all_window": q_pull_all_window,
         "pull_latest_events": q_pull_latest_events,
         "cross_join_share": q_cross_join_share,
@@ -1561,6 +1578,7 @@ def _all_oracle_sql() -> dict[str, str]:
                                                          65535) AS INT)),
                                        4, '0')) END
         """,
+        "lm_perplexity": _rp("lm_perplexity"),
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),
         "doc_curation_clf": _rp("doc_curation_clf"),

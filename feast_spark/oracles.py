@@ -668,7 +668,23 @@ def export_manifest_pdf(sf_dir: str, n_shards: int = 8, salt: str = "e0") -> pd.
               "n_tokens": "int64", "fingerprint": "int64"})
 
 
+def lm_perplexity_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of the stupid-backoff n-gram LM (portable arm):
+    Counter tables over gram tuples + a per-doc python scoring loop,
+    trained on the src1-3 in-domain slice and scoring the whole corpus
+    (operators/lm.py arithmetic contract — int64 log-quanta sums,
+    numpy-libm log/exp on both sides)."""
+    from feast_spark.operators.lm import naive_lm_pdf
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = docs.loc[docs["source"].isin(["src1", "src2", "src3"]), "text"]
+    return naive_lm_pdf(
+        docs["text"], docs["doc_id"], order=5, train_texts=train
+    )
+
+
 _RELATIONS = {
+    "lm_perplexity": lambda sf: lm_perplexity_pdf(sf),
     "export_shards": lambda sf: export_manifest_pdf(sf),
     "quality_classifier": lambda sf: classifier_pdf(sf),
     "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),

@@ -1,0 +1,144 @@
+"""Contract tests for the corpus-trained stupid-backoff n-gram LM
+(feast_spark/operators/lm.py) — oracle-parity evidence lives in
+test_entry_oracle.py (lm_perplexity); these pin the training/scoring
+contracts on corpora where the right answer is known by construction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.lm import (
+    NgramLM,
+    lm_perplexity,
+    naive_lm_pdf,
+    train_ngram_lm,
+)
+
+
+def _corpus(spark, seed=7, n_docs=40, vocab_size=60, min_w=3, max_w=40):
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "".join(rng.choice(list("abcdefghijklmnop"), 5)) for _ in range(vocab_size)
+    ]
+    texts = [
+        " ".join(rng.choice(vocab, int(rng.integers(min_w, max_w))))
+        for _ in range(n_docs)
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": [str(i) for i in range(n_docs)], "text": texts}
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_lm_arms_agree_when_collision_free(spark):
+    # distinct random 5-char tokens -> 64-bit keys collision-free in both
+    # arms with overwhelming probability -> identical integer log sums
+    df, pdf = _corpus(spark)
+    out = {}
+    for method in ("portable", "xxhash64"):
+        m = train_ngram_lm(df, method=method, order=5)
+        out[method] = (
+            lm_perplexity(df, m)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert (
+        out["portable"]["lp_sum"].to_numpy()
+        == out["xxhash64"]["lp_sum"].to_numpy()
+    ).all()
+    assert (
+        out["portable"]["n_tokens"].to_numpy()
+        == out["xxhash64"]["n_tokens"].to_numpy()
+    ).all()
+
+
+def test_lm_in_domain_scores_lower(spark):
+    # train on fluent in-domain docs; a verbatim in-domain doc must score
+    # (much) lower perplexity than out-of-vocabulary gibberish
+    df, pdf = _corpus(spark)
+    model = train_ngram_lm(df, method="xxhash64", order=5)
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["seen", "gibberish"],
+                "text": [pdf["text"][0], "zz qq xx vv kk ww yy uu tt ss"],
+            }
+        )
+    )
+    r = {x["doc_id"]: x["ppl"] for x in lm_perplexity(probe, model).collect()}
+    assert r["seen"] < r["gibberish"]
+    # every 5-gram of the seen doc has count 1 over its context -> every
+    # position scores ~ln(1)=0 except early sentinel windows -> ppl ~ 1
+    assert r["seen"] < 1.6 < r["gibberish"]
+
+
+def test_lm_bucketed_model_is_bounded_and_deterministic(spark):
+    df, _ = _corpus(spark, n_docs=30)
+    m = train_ngram_lm(df, method="xxhash64", order=5, n_buckets=64)
+    for name, (keys, cnts) in m.tables.items():
+        assert len(keys) <= 64, name
+        assert keys.min() >= 0 and keys.max() < 64
+    a = lm_perplexity(df, m).toPandas().sort_values("doc_id")
+    b = (
+        lm_perplexity(df.repartition(13), m)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert (a["lp_sum"].to_numpy() == b["lp_sum"].to_numpy()).all()
+    assert (a["ppl"].to_numpy() == b["ppl"].to_numpy()).all()
+
+
+def test_lm_context_counts_are_consistent(spark):
+    # sum_w count_k(ctx, w) == count(ctx): gram-table total of order k
+    # equals context-table total of order k-1 equals total token count
+    df, _ = _corpus(spark, n_docs=20)
+    m = train_ngram_lm(df, method="xxhash64", order=4)
+    totals = {t: int(c.sum()) for t, (k, c) in m.tables.items()}
+    assert (
+        totals["g1"]
+        == totals["g2"]
+        == totals["g3"]
+        == totals["g4"]
+        == totals["x1"]
+        == totals["x2"]
+        == totals["x3"]
+        == m.n_tokens
+    )
+
+
+def test_lm_token_counts_match_split(spark):
+    df, pdf = _corpus(spark, n_docs=15)
+    m = train_ngram_lm(df, method="xxhash64", order=3)
+    out = (
+        lm_perplexity(df, m)
+        .toPandas()
+        .set_index("doc_id")["n_tokens"]
+        .to_dict()
+    )
+    for _, row in pdf.iterrows():
+        assert out[row["doc_id"]] == len(row["text"].split(" "))
+
+
+def test_lm_train_slice_vs_score_all_matches_naive(spark):
+    # the CCNet shape the driver query uses: train on a slice, score all
+    df, pdf = _corpus(spark, n_docs=30)
+    train = df.where(F.col("doc_id").cast("int") < 10)
+    m = train_ngram_lm(train, method="portable", order=5)
+    got = (
+        lm_perplexity(df, m)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = naive_lm_pdf(
+        pdf["text"],
+        pdf["doc_id"],
+        order=5,
+        train_texts=pdf.loc[pdf["doc_id"].astype(int) < 10, "text"],
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert (got["lp_sum"].to_numpy() == exp["lp_sum"].to_numpy()).all()
+    assert (got["ppl"].to_numpy() == exp["ppl"].to_numpy()).all()
