@@ -1145,6 +1145,33 @@ def q_doc_curation_clf(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench, cfg).decisions
 
 
+def q_langid_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    # fastText-lid-style multiclass classifier: hashed char-trigram
+    # features + multinomial logistic regression trained distributed with
+    # integer-exact determinism, labels = the lang column on even
+    # doc_ids. The fixture's labels are not text-derived, so this row
+    # verifies the TRAINING KERNEL against the naive per-doc python
+    # replay bit-for-bit; planted-corpus accuracy lives in test_langid.py.
+    from feast_spark.operators.langid import (
+        char_ngram_features,
+        predict_langid,
+        train_langid,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    classes = sorted(r["lang"] for r in d.select("lang").distinct().collect())
+    lab = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array_position(F.lit(classes), F.col("lang")) - 1,
+    ).otherwise(F.lit(-1))
+    feats = char_ngram_features(d, lab).persist()
+    feats.count()  # materialization barrier
+    model = train_langid(spark, feats, classes, n_iter=6)
+    out = predict_langid(model, feats)
+    feats.unpersist()
+    return out
+
+
 def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # corpus-trained stupid-backoff 5-gram LM (the north-star "hashed
     # 5-gram KenLM-style perplexity scorer"): train on the src1-3
@@ -1434,8 +1461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
-        # round 4: trained LM + source cap + quantile calibration +
-        # reference-fidelity label resolution + trained classifier
+        # round 4: trained langid + LM + source cap + quantile calibration
+        # + reference-fidelity label resolution + trained classifier
+        "langid_classifier": q_langid_classifier,
         "lm_perplexity": q_lm_perplexity,
         "source_cap": q_source_cap,
         "quality_calibrate": q_quality_calibrate,
@@ -1485,7 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_quality_scores": q_doc_quality_scores,
-        "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1504,6 +1531,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_agg": q_sliding_window_agg,
         "histogram": q_histogram,
         "top_event_types": q_top_event_types,
+        "doc_fingerprint": q_doc_fingerprint,
         "pull_all_window": q_pull_all_window,
         "pull_latest_events": q_pull_latest_events,
         "cross_join_share": q_cross_join_share,
@@ -1578,6 +1606,7 @@ def _all_oracle_sql() -> dict[str, str]:
                                                          65535) AS INT)),
                                        4, '0')) END
         """,
+        "langid_classifier": _rp("langid_classifier"),
         "lm_perplexity": _rp("lm_perplexity"),
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),

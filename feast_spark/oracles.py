@@ -683,7 +683,27 @@ def lm_perplexity_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def langid_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of the multiclass hashed char-trigram language
+    classifier: per-doc Counter features over the shared trigram leaf
+    kernel + a dense per-doc python training loop (operators/langid.py
+    arithmetic contract — int64 margins/gradients, quantized softmax
+    errors). The fixture's lang labels are NOT text-derived (all
+    languages share one vocabulary), so this verifies the TRAINING
+    KERNEL bit-for-bit; semantic accuracy evidence lives in
+    tests/test_langid.py on a planted multilingual corpus."""
+    from feast_spark.operators.langid import naive_langid_pdf
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    classes = sorted(docs["lang"].unique())
+    labels = docs["lang"].where(docs["doc_id"] % 2 == 0)
+    return naive_langid_pdf(
+        docs["text"], docs["doc_id"], labels, classes, n_iter=6
+    )
+
+
 _RELATIONS = {
+    "langid_classifier": lambda sf: langid_pdf(sf),
     "lm_perplexity": lambda sf: lm_perplexity_pdf(sf),
     "export_shards": lambda sf: export_manifest_pdf(sf),
     "quality_classifier": lambda sf: classifier_pdf(sf),
