@@ -1145,6 +1145,22 @@ def q_doc_curation_clf(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench, cfg).decisions
 
 
+def q_doc_curation_lm(spark: SparkSession, sf: str) -> DataFrame:
+    # LM-arm curation (CCNet-style stage 2b): the staged chain plus the
+    # stupid-backoff 5-gram LM trained on the target-source quality
+    # survivors (portable md5 arm so the naive Counter/python oracle
+    # replays it bit-exactly); drops the high-perplexity tail above the
+    # 0.7 corpus quantile; audit table gains lm_ppl + the lm_ppl stage.
+    from feast_spark.pipeline.curation import CurationConfig, run_curation
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    cfg = CurationConfig(use_lm=True, lm_method="portable")
+    return run_curation(spark, d, bench, cfg).decisions
+
+
 def q_langid_classifier(spark: SparkSession, sf: str) -> DataFrame:
     # fastText-lid-style multiclass classifier: hashed char-trigram
     # features + multinomial logistic regression trained distributed with
@@ -1465,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
         "lm_perplexity": q_lm_perplexity,
+        "doc_curation_lm": q_doc_curation_lm,
         "source_cap": q_source_cap,
         "quality_calibrate": q_quality_calibrate,
         "label_resolve_recency": q_label_resolve_recency,
@@ -1508,7 +1525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_dedup": q_latest_dedup,
         # documents / embeddings operators
         "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_winnow_pairs": q_doc_winnow_pairs,
@@ -1532,6 +1548,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "top_event_types": q_top_event_types,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
         "pull_all_window": q_pull_all_window,
         "pull_latest_events": q_pull_latest_events,
         "cross_join_share": q_cross_join_share,
@@ -1607,6 +1624,7 @@ def _all_oracle_sql() -> dict[str, str]:
                                        4, '0')) END
         """,
         "langid_classifier": _rp("langid_classifier"),
+        "doc_curation_lm": _rp("doc_curation_lm"),
         "lm_perplexity": _rp("lm_perplexity"),
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),

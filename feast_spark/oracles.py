@@ -442,13 +442,17 @@ def semantic_dedup_pdf(
     )
 
 
-def _curation_core(sf_dir: str) -> dict:
+def _curation_core(sf_dir: str, lm_quantile: float | None = None) -> dict:
     """Stages 1-4 of the naive curation replay (pipeline/curation.py
     defaults): span dedup via one global seen-set walk in doc order,
     quality via the shared rules kernel, decontamination / DSIR via dict
     buckets + hashlib md5 — every relational step re-derived naively;
     only the scoring kernel is shared. Returns the per-stage state the
-    default and classifier-arm oracles both consume."""
+    default and classifier-arm oracles both consume. ``lm_quantile``
+    inserts the CCNet perplexity stage 2b (naive_lm_pdf on the quality
+    survivors, trained on the target-source slice; threshold = the exact
+    interpolated corpus quantile, the Spark ``percentile`` /
+    ``quantile_cont`` formula)."""
     import hashlib
     import math
 
@@ -494,15 +498,47 @@ def _curation_core(sf_dir: str) -> dict:
         w = text.split(" ")
         return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
 
+    src = dict(zip(docs["doc_id"].astype(int), docs["source"]))
+
+    # stage 2b (LM arm only): stupid-backoff LM trained on the
+    # target-source quality survivors, scored over all survivors; keep
+    # at or below the interpolated corpus quantile of ppl
+    ids_q = [i for i in ids1 if q_keep[i]]
+    lm_ppl: dict[int, float] = {}
+    lm_thr = None
+    if lm_quantile is not None:
+        from feast_spark.operators.lm import naive_lm_pdf
+
+        texts_q = pd.Series([dedup_text[i] for i in ids_q])
+        train_q = pd.Series(
+            [
+                dedup_text[i]
+                for i in ids_q
+                if src[i] in ("src1", "src2", "src3")
+            ]
+        )
+        lm = naive_lm_pdf(
+            texts_q, pd.Series(ids_q), order=5, train_texts=train_q
+        )
+        lm_ppl = dict(zip(lm["doc_id"].astype(int), lm["ppl"]))
+        v = np.sort(np.array([lm_ppl[i] for i in ids_q], np.float64))
+        pos = np.float64(lm_quantile) * (len(v) - 1)
+        lo = int(np.floor(pos))
+        g = pos - np.float64(lo)
+        lm_thr = (
+            v[lo]
+            if lo + 1 >= len(v) or g == 0
+            else v[lo] + (v[lo + 1] - v[lo]) * g
+        )
+        ids_q = [i for i in ids_q if lm_ppl[i] <= lm_thr]
+
     contaminated = {
         i: any(g in bench_grams for g in grams(dedup_text[i], 8))
-        for i in ids1
-        if q_keep[i]
+        for i in ids_q
     }
 
     # stage 4: DSIR over survivors of 1-3
-    ids3 = [i for i in ids1 if q_keep[i] and not contaminated[i]]
-    src = dict(zip(docs["doc_id"].astype(int), docs["source"]))
+    ids3 = [i for i in ids_q if not contaminated[i]]
     raw_cnt: dict[str, int] = defaultdict(int)
     tgt_cnt: dict[str, int] = defaultdict(int)
     doc_bigrams: dict[int, list[str]] = {}
@@ -548,6 +584,7 @@ def _curation_core(sf_dir: str) -> dict:
         "docs": docs, "dedup_text": dedup_text, "n_kept": n_kept,
         "q_keep": q_keep, "contaminated": contaminated,
         "dsir_score": dsir_score, "src": src, "sampled": sampled,
+        "lm_ppl": lm_ppl, "lm_thr": lm_thr,
     }
 
 
@@ -623,6 +660,43 @@ def curation_clf_pdf(sf_dir: str) -> pd.DataFrame:
     ).astype({"doc_id": "int64", "n_spans_kept": "int64",
               "dsir_score": "int64", "kept": "bool",
               "margin_units": "int64", "drop_stage": object})
+
+
+def curation_lm_pdf(sf_dir: str) -> pd.DataFrame:
+    """LM-arm audit table (CurationConfig(use_lm=True,
+    lm_method='portable')): the CCNet perplexity stage 2b between
+    quality and decontamination — LM trained naively on the
+    target-source quality survivors, every survivor scored, the
+    high-perplexity tail above the 0.7 corpus quantile dropped."""
+    c = _curation_core(sf_dir, lm_quantile=0.7)
+    dedup_text, q_keep = c["dedup_text"], c["q_keep"]
+    contaminated, dsir_score = c["contaminated"], c["dsir_score"]
+    lm_ppl, lm_thr = c["lm_ppl"], c["lm_thr"]
+    rows = []
+    for i in c["docs"]["doc_id"].astype(int):
+        p = float(lm_ppl.get(i, 0.0))
+        if i not in dedup_text:
+            stage, score = "span_dup", 0
+        elif not q_keep[i]:
+            stage, score = "quality", 0
+        elif p > lm_thr:
+            stage, score = "lm_ppl", 0
+        elif contaminated[i]:
+            stage, score = "contaminated", 0
+        elif dsir_score[i] < 0:
+            stage, score = "dsir", dsir_score[i]
+        elif not c["sampled"](i):
+            stage, score = "sampled_out", dsir_score[i]
+        else:
+            stage, score = None, dsir_score[i]
+        rows.append((i, c["n_kept"].get(i, 0), score, stage is None, p, stage))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_spans_kept", "dsir_score", "kept",
+                 "lm_ppl", "drop_stage"],
+    ).astype({"doc_id": "int64", "n_spans_kept": "int64",
+              "dsir_score": "int64", "kept": "bool",
+              "lm_ppl": "float64", "drop_stage": object})
 
 
 # ---------------------------------------------------------------------------
@@ -703,6 +777,7 @@ def langid_pdf(sf_dir: str) -> pd.DataFrame:
 
 
 _RELATIONS = {
+    "doc_curation_lm": lambda sf: curation_lm_pdf(sf),
     "langid_classifier": lambda sf: langid_pdf(sf),
     "lm_perplexity": lambda sf: lm_perplexity_pdf(sf),
     "export_shards": lambda sf: export_manifest_pdf(sf),

@@ -43,8 +43,8 @@ from feast_spark.operators.selection import (
     span_dedup,
 )
 
-STAGES = ["span_dup", "quality", "contaminated", "dsir", "classifier",
-          "sampled_out"]
+STAGES = ["span_dup", "quality", "lm_ppl", "contaminated", "dsir",
+          "classifier", "sampled_out"]
 
 
 @dataclass
@@ -78,6 +78,15 @@ class CurationConfig:
     clf_iters: int = 6
     clf_method: str = "xxhash64"
     min_margin: int = 0
+    # OPT-IN stage 2b (CCNet-style perplexity filtering): train the
+    # stupid-backoff n-gram LM on the quality survivors whose source is
+    # in target_sources, score every survivor, and drop the
+    # high-perplexity tail above the corpus lm_keep_quantile. Off by
+    # default — the oracle-checked default chain is unchanged.
+    use_lm: bool = False
+    lm_order: int = 5
+    lm_method: str = "xxhash64"
+    lm_keep_quantile: float = 0.7
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
@@ -166,6 +175,40 @@ def run_curation(
         scored.count()  # cache-fill barrier
         cached.append(scored)
     q_pass = scored.filter(F.col("quality_keep"))
+
+    # ---- stage 2b (opt-in): CCNet-style perplexity filter — train the
+    # stupid-backoff n-gram LM on the in-domain survivors (one bounded
+    # counting shuffle), score every survivor map-side (broadcast model),
+    # and keep documents at or below the corpus perplexity quantile (one
+    # scalar aggregate broadcast back). The pass set is an id-only LEFT
+    # SEMI join, like every model stage here.
+    lm_flags = None
+    if cfg.use_lm:
+        from feast_spark.operators.lm import lm_perplexity, train_ngram_lm
+
+        lm_model = train_ngram_lm(
+            q_pass.where(F.col("source").isin(*cfg.target_sources)),
+            text_col="dedup_text",
+            order=cfg.lm_order,
+            method=cfg.lm_method,
+        )
+        lm_scores = lm_perplexity(q_pass, lm_model, text_col="dedup_text")
+        thr = lm_scores.agg(
+            F.percentile(F.col("ppl"), F.lit(cfg.lm_keep_quantile)).alias(
+                "lm_thr"
+            )
+        )
+        lm_flags = lm_scores.crossJoin(F.broadcast(thr)).select(
+            "doc_id", "ppl", "lm_thr"
+        )
+        if materialize:
+            lm_flags = lm_flags.persist()
+            lm_flags.count()
+            cached.append(lm_flags)
+        lm_pass_ids = lm_flags.where(
+            F.col("ppl") <= F.col("lm_thr")
+        ).select("doc_id")
+        q_pass = q_pass.join(lm_pass_ids, "doc_id", "left_semi")
 
     # ---- stage 3: decontamination (benchmark grams + hit set broadcast).
     # contam fans into both the kept chain and the audit table — persist
@@ -259,11 +302,21 @@ def run_curation(
     stage = (
         F.when(F.col("n_spans_kept").isNull(), "span_dup")
         .when(~F.col("quality_keep"), "quality")
-        .when(F.col("contaminated"), "contaminated")
-        .when(F.col("dsir_score").isNull() | (F.col("dsir_score") < cfg.min_dsir),
-              "dsir")
     )
     extra_cols = []
+    if cfg.use_lm:
+        audit = audit.join(lm_flags, "doc_id", "left")
+        # a doc that reached stage 2b always has a ppl; NULL can only
+        # mean an earlier stage dropped it, which the prior whens caught
+        stage = stage.when(
+            F.col("ppl").isNull() | (F.col("ppl") > F.col("lm_thr")),
+            "lm_ppl",
+        )
+        extra_cols.append(F.coalesce("ppl", F.lit(0.0)).alias("lm_ppl"))
+    stage = stage.when(F.col("contaminated"), "contaminated").when(
+        F.col("dsir_score").isNull() | (F.col("dsir_score") < cfg.min_dsir),
+        "dsir",
+    )
     if cfg.use_classifier:
         audit = audit.join(clf_scores, "doc_id", "left")
         # a doc that reached stage 4b always has a score; NULL here can

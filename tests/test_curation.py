@@ -130,3 +130,33 @@ def test_config_min_dsir_tightens_selection(spark):
     n_loose = loose.kept.count()
     n_tight = tight.kept.count()
     assert n_tight == 0 and n_loose > 0
+
+
+def test_lm_stage_filters_and_audits(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    lm_cfg = CurationConfig(use_lm=True, lm_method="xxhash64")
+    res = run_curation(spark, docs, bench, lm_cfg)
+    try:
+        dec = res.decisions
+        assert "lm_ppl" in dec.columns
+        assert dec.count() == docs.count()
+        counts = {r["stage"]: r["n_docs"] for r in stage_counts(dec).collect()}
+        assert sum(counts.values()) == docs.count()
+        # the 0.7 quantile gate must actually drop a tail on this corpus
+        assert counts.get("lm_ppl", 0) > 0
+        # every kept doc carries a real (scored) perplexity
+        kept_dec = dec.filter("kept")
+        assert kept_dec.filter(F.col("lm_ppl") <= 0).count() == 0
+        # lm-dropped docs score strictly above every kept doc's ppl floor?
+        # no — the threshold is a corpus quantile; assert the weaker exact
+        # invariant: max kept ppl <= min lm-dropped ppl
+        max_kept = kept_dec.agg(F.max("lm_ppl")).first()[0]
+        min_drop = (
+            dec.filter("drop_stage = 'lm_ppl'").agg(F.min("lm_ppl")).first()[0]
+        )
+        assert max_kept <= min_drop
+    finally:
+        res.release()
