@@ -165,7 +165,14 @@ def train_ngram_lm(
     practical vocabularies — correctness harness / in-domain LMs);
     setting ``n_buckets`` bounds both the shuffle and the model at
     ``(2*order-1) * B`` rows total, the hashed-KenLM scale form.
+
+    ``method='numpy'`` hashes inside the Arrow batches instead of in
+    SQL (prefix-product rolling hashes), which pre-aggregates counts
+    map-side in the kernel and makes SCORING shuffle-free — see the
+    numpy-arm section below.
     """
+    if method == "numpy":
+        return _train_numpy(df, text_col, order, n_buckets, alpha)
     stream = _window_stream(df, id_col, text_col, order, method, n_buckets)
     names = [f"g{k}" for k in range(1, order + 1)] + [
         f"x{k}" for k in range(1, order)
@@ -225,7 +232,11 @@ def lm_perplexity(
 ) -> DataFrame:
     """Score every document: ``(id_col, n_tokens, lp_sum, ppl)`` where
     ``lp_sum`` is the exact int64 micro-log-prob sum and
-    ``ppl = exp(-lp_sum / (1e6 * n_tokens))``."""
+    ``ppl = exp(-lp_sum / (1e6 * n_tokens))``. numpy-arm models score in
+    ONE mapInPandas pass with no shuffle; SQL-arm models stream exploded
+    positions through an Arrow kernel and aggregate by ``id_col``."""
+    if model.method == "numpy":
+        return _score_numpy(df, model, text_col, id_col)
     spark = df.sparkSession
     stream = _window_stream(
         df, id_col, text_col, model.order, model.method, model.n_buckets
@@ -263,6 +274,228 @@ def lm_perplexity(
 
     return agg.select(
         id_col, "n_tokens", "lp_sum", _ppl("lp_sum", "n_tokens").alias("ppl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy arm: hashing vectorized INSIDE the Arrow batch, zero-shuffle scoring
+# ---------------------------------------------------------------------------
+#
+# The SQL arms hash JVM-side, which forces scoring through an exploded
+# per-position stream + a doc-keyed aggregation. The numpy arm instead
+# hashes inside the pandas batch with prefix-product rolling hashes, so a
+# whole document scores within its own row: `lm_perplexity(...,
+# method="numpy")` is ONE mapInPandas with no shuffle at all, and
+# :func:`lm_score_texts` drops into any other Arrow kernel (the quality
+# pipeline's scoring pass) as a pure function of the batch.
+#
+# Span hashing trick: with odd base B, the prefix sum S_k = sum_{j<k}
+# c_j * B^j (uint64, wraparound IS mod 2^64) gives the polynomial hash of
+# ANY span [a, b) as (S_b - S_a) * B^-a — the modular inverse exists
+# because B is odd. One prefix array per level (chars -> word hashes,
+# word hashes -> gram hashes) yields every (order, position) key in O(1)
+# each, fully vectorized. Sentinel padding is spliced into the flat
+# word-hash array per document, so document boundaries never leak grams.
+
+_NB = np.uint64(1000003)  # char-level base (odd -> invertible mod 2^64)
+_NB2 = np.uint64(1000033)  # word-level base
+_NINV = np.uint64(pow(1000003, -1, 2**64))
+_NINV2 = np.uint64(pow(1000033, -1, 2**64))
+_NMIX = np.uint64(0x9E3779B97F4A7C15)
+_U1 = np.uint64(1)
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    h = v * _NMIX
+    return h ^ (h >> np.uint64(32))
+
+
+def _span_hash(prefix: np.ndarray, inv_pow: np.ndarray, a, b) -> np.ndarray:
+    """Polynomial hash of spans [a, b) from a prefix array (vectorized)."""
+    return _mix64((prefix[b] - prefix[a]) * inv_pow[a])
+
+
+def _word_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat word hashes, words-per-row) — split on single space, exactly
+    like Spark ``split(text, ' ')`` (empty words between double spaces
+    hash as the empty span, value mix(0))."""
+    filled = texts.fillna("").astype(str)
+    if len(filled) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    joined = " ".join(filled.tolist())
+    codes = np.frombuffer(
+        joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.uint64)
+    n_chars = len(codes)
+    # prefix powers/sums over the whole batch (span extraction normalizes
+    # away the absolute offset, so no per-word or per-doc reset is needed)
+    pw = np.empty(n_chars + 1, np.uint64)
+    pw[0] = _U1
+    np.cumprod(np.full(n_chars, _NB, np.uint64), out=pw[1:])
+    ipw = np.empty(n_chars + 1, np.uint64)
+    ipw[0] = _U1
+    np.cumprod(np.full(n_chars, _NINV, np.uint64), out=ipw[1:])
+    S = np.zeros(n_chars + 1, np.uint64)
+    np.cumsum(codes * pw[:n_chars], out=S[1:])
+    is_space = codes == np.uint64(32)
+    # word boundaries: starts after each space (and 0), ends before each
+    bnd = np.flatnonzero(is_space)
+    starts = np.concatenate(([0], bnd + 1))
+    ends = np.concatenate((bnd, [n_chars]))
+    w = _span_hash(S, ipw, starts, ends)
+    # words per row = in-row spaces + 1; the joining separators account
+    # for the remaining boundary words, so len(w) == n_words.sum()
+    n_words = (filled.str.count(" ") + 1).to_numpy(np.int64)
+    return w, n_words
+
+
+_SENT_H = _word_hashes(pd.Series([_SENT]))[0][0]
+
+
+def _batch_keys(
+    texts: pd.Series, order: int, n_buckets: int | None
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """All (2*order-1) key arrays for every real token of the batch, plus
+    the per-row token counts. Keys are int64 (bucketed when requested)."""
+    w, n_words = _word_hashes(texts)
+    # splice sentinel padding in front of every row's words
+    n_rows = len(n_words)
+    total = int(n_words.sum())
+    pad = order - 1
+    P = np.empty(total + pad * n_rows, np.uint64)
+    out_off = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(n_words + pad, out=out_off[1:])
+    sent_idx = (
+        out_off[:-1, None] + np.arange(pad)[None, :]
+    ).reshape(-1)
+    P[sent_idx] = _SENT_H
+    mask = np.ones(len(P), bool)
+    mask[sent_idx] = False
+    P[mask] = w
+    # word-level prefix arrays over the padded stream
+    n = len(P)
+    pw = np.empty(n + 1, np.uint64)
+    pw[0] = _U1
+    np.cumprod(np.full(n, _NB2, np.uint64), out=pw[1:])
+    ipw = np.empty(n + 1, np.uint64)
+    ipw[0] = _U1
+    np.cumprod(np.full(n, _NINV2, np.uint64), out=ipw[1:])
+    T = np.zeros(n + 1, np.uint64)
+    np.cumsum(P * pw[:n], out=T[1:])
+    # padded index of every real token
+    pos = np.flatnonzero(mask)
+    keys: dict[str, np.ndarray] = {}
+
+    def fin(h: np.ndarray) -> np.ndarray:
+        v = h.view(np.int64)
+        if n_buckets:
+            return np.mod(v, n_buckets)
+        return v.copy()
+
+    for k in range(1, order + 1):
+        keys[f"g{k}"] = fin(_span_hash(T, ipw, pos - k + 1, pos + 1))
+    for k in range(1, order):
+        keys[f"x{k}"] = fin(_span_hash(T, ipw, pos - k, pos))
+    return keys, n_words
+
+
+def _train_numpy(
+    df: DataFrame, text_col: str, order: int, n_buckets: int | None,
+    alpha: float,
+) -> NgramLM:
+    """Counting pass for the numpy arm: each partition pre-aggregates its
+    key stream with np.unique (map-side combine in the kernel), emits
+    compact (tbl, key, cnt) rows; one bounded groupBy-sum shuffle."""
+    names = [f"g{k}" for k in range(1, order + 1)] + [
+        f"x{k}" for k in range(1, order)
+    ]
+    tbl_id = {t: i for i, t in enumerate(names)}
+
+    def count_batches(batches):
+        for pdf in batches:
+            keys, _ = _batch_keys(pdf[text_col], order, n_buckets)
+            out_t, out_k, out_c = [], [], []
+            for t, arr in keys.items():
+                uk, uc = np.unique(arr, return_counts=True)
+                out_t.append(np.full(len(uk), tbl_id[t], np.int8))
+                out_k.append(uk)
+                out_c.append(uc.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "tbl": np.concatenate(out_t) if out_t else [],
+                    "key": np.concatenate(out_k) if out_k else [],
+                    "cnt": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    counts = (
+        df.select(text_col)
+        .mapInPandas(count_batches, "tbl byte, key long, cnt long")
+        .groupBy("tbl", "key")
+        .agg(F.sum("cnt").alias("cnt"))
+        .toPandas()
+    )
+    tables: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    n_tokens = 0
+    for t, i in tbl_id.items():
+        sub = counts[counts["tbl"] == i]
+        k = sub["key"].to_numpy(np.int64)
+        c = sub["cnt"].to_numpy(np.int64)
+        o = np.argsort(k, kind="stable")
+        tables[t] = (k[o], c[o])
+        if t == "g1":
+            n_tokens = int(c.sum())
+    return NgramLM(
+        order=order, method="numpy", n_buckets=n_buckets, alpha=alpha,
+        tables=tables, n_tokens=n_tokens,
+    )
+
+
+def lm_score_texts(
+    model: NgramLM, texts: pd.Series
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Score a batch of texts against a numpy-arm model INSIDE the
+    calling Arrow kernel: returns (lp_sum int64, n_tokens int64, ppl
+    float64) per row. Pure function of the batch — no Spark, no shuffle;
+    this is what the quality pipeline's opt-in LM gate calls."""
+    if model.method != "numpy":  # pragma: no cover
+        raise ValueError("lm_score_texts requires a method='numpy' model")
+    keys, n_words = _batch_keys(texts, model.order, model.n_buckets)
+    lp_q = _backoff_logq(model, keys)
+    off = np.zeros(len(n_words) + 1, np.int64)
+    np.cumsum(n_words, out=off[1:])
+    csum = np.zeros(len(lp_q) + 1, np.int64)
+    np.cumsum(lp_q, out=csum[1:])
+    lp_sum = csum[off[1:]] - csum[off[:-1]]
+    ppl = np.exp(
+        -lp_sum.astype(np.float64)
+        / (np.float64(1e6) * np.maximum(n_words, 1).astype(np.float64))
+    )
+    return lp_sum, n_words.astype(np.int64), ppl
+
+
+def _score_numpy(
+    df: DataFrame, model: NgramLM, text_col: str, id_col: str
+) -> DataFrame:
+    bc = df.sparkSession.sparkContext.broadcast(model)
+    id_type = dict(df.dtypes)[id_col]
+
+    def score(batches):
+        m = bc.value
+        for pdf in batches:
+            lp, n, ppl = lm_score_texts(m, pdf[text_col])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": n,
+                    "lp_sum": lp,
+                    "ppl": ppl,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        score,
+        schema=f"{id_col} {id_type}, n_tokens long, lp_sum long, ppl double",
     )
 
 

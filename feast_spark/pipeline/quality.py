@@ -65,6 +65,14 @@ class QualityConfig:
     rules: rules.RuleConfig = field(default_factory=rules.RuleConfig)
     feature_ttl_seconds: int | None = None  # None = unbounded as-of window
     broadcast_conv_features: bool = True    # conv table is turns/|conv| smaller
+    # OPT-IN corpus-trained LM gate (operators/lm.py, method='numpy'):
+    # when set, turns the heuristic keep into keep AND (model ppl <=
+    # lm_max_ppl), with drop_reason 'lm_perplexity' for the flips. The
+    # model is broadcast once and scored INSIDE the existing Arrow
+    # scoring pass (lm_score_texts — zero extra shuffles, no schema
+    # change); defaults leave the oracle-checked pipeline untouched.
+    lm_model: object | None = None
+    lm_max_ppl: float = float("inf")
 
 
 def dedup_latest_turns(transcripts: DataFrame) -> DataFrame:
@@ -82,8 +90,22 @@ def dedup_latest_turns(transcripts: DataFrame) -> DataFrame:
 def score_transcripts(
     transcripts: DataFrame, cfg: QualityConfig = QualityConfig()
 ) -> DataFrame:
-    """Stage 2: vectorized scoring via mapInPandas over Arrow batches."""
+    """Stage 2: vectorized scoring via mapInPandas over Arrow batches.
+
+    With ``cfg.lm_model`` set, the broadcast corpus-trained LM scores
+    each batch inside the SAME pass (``lm_score_texts`` — pure numpy,
+    no extra shuffle or schema change) and over-threshold turns flip to
+    ``keep=False`` / ``drop_reason='lm_perplexity'``; heuristic-rule
+    drops keep their original reason (rules fire first)."""
+    import numpy as np
+
     rule_cfg = cfg.rules
+    bc_model = (
+        transcripts.sparkSession.sparkContext.broadcast(cfg.lm_model)
+        if cfg.lm_model is not None
+        else None
+    )
+    lm_max = cfg.lm_max_ppl
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,8 +116,19 @@ def score_transcripts(
             out["lang"] = scored["lang"]
             out["perplexity"] = scored["perplexity"]
             out["word_count"] = scored["word_count"]
-            out["keep_turn"] = scored["keep"]
-            out["drop_reason_turn"] = scored["drop_reason"]
+            keep = scored["keep"]
+            reason = scored["drop_reason"]
+            if bc_model is not None:
+                from feast_spark.operators.lm import lm_score_texts
+
+                _, _, ppl = lm_score_texts(bc_model.value, pdf["text"])
+                over = keep.to_numpy(bool) & (ppl > lm_max)
+                keep = keep & ~over
+                reason = pd.Series(
+                    np.where(over, "lm_perplexity", reason), dtype=object
+                )
+            out["keep_turn"] = keep
+            out["drop_reason_turn"] = reason
             out["scrubbed_text"] = scored["scrubbed_text"]
             yield out
 

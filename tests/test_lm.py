@@ -142,3 +142,54 @@ def test_lm_train_slice_vs_score_all_matches_naive(spark):
     ).sort_values("doc_id").reset_index(drop=True)
     assert (got["lp_sum"].to_numpy() == exp["lp_sum"].to_numpy()).all()
     assert (got["ppl"].to_numpy() == exp["ppl"].to_numpy()).all()
+
+
+def test_lm_numpy_arm_matches_sql_arms_when_collision_free(spark):
+    # three independent hash kernels (md5, xxhash64, prefix-product
+    # numpy) -> identical counts on collision-free vocab -> identical lp
+    df, _ = _corpus(spark, seed=11)
+    out = {}
+    for method in ("portable", "numpy"):
+        m = train_ngram_lm(df, method=method, order=5)
+        out[method] = (
+            lm_perplexity(df, m).toPandas()
+            .assign(doc_id=lambda d: d["doc_id"].astype(int))
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+    a, b = out["portable"], out["numpy"]
+    assert (a["lp_sum"].to_numpy() == b["lp_sum"].to_numpy()).all()
+    assert (a["ppl"].to_numpy() == b["ppl"].to_numpy()).all()
+
+
+def test_lm_numpy_word_hash_matches_scalar_replay():
+    import numpy as np
+
+    from feast_spark.operators.lm import _word_hashes
+
+    w, n = _word_hashes(pd.Series(["abc xy abc", "", "a  b"]))
+    # words: abc, xy, abc | '' | a, '', b  (double space -> empty word,
+    # exactly like Spark split(text, ' '))
+    assert n.tolist() == [3, 1, 3]
+    assert w[0] == w[2] and w[0] != w[1]
+    assert w[3] == w[5]  # both empty words hash equal
+    B, MIX, M = 1000003, 0x9E3779B97F4A7C15, 2**64
+    v = (ord("a") + ord("b") * B + ord("c") * B * B) % M
+    h = (v * MIX) % M
+    h ^= h >> 32
+    assert int(w[0]) == h
+
+
+def test_lm_numpy_in_kernel_equals_distributed(spark):
+    from feast_spark.operators.lm import lm_score_texts
+
+    df, pdf = _corpus(spark, seed=13, n_docs=25)
+    m = train_ngram_lm(df, method="numpy", order=4, n_buckets=1 << 14)
+    dist = (
+        lm_perplexity(df.repartition(7), m).toPandas()
+        .assign(doc_id=lambda d: d["doc_id"].astype(int))
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    lp, n, ppl = lm_score_texts(m, pdf["text"])
+    assert (dist["lp_sum"].to_numpy() == lp).all()
+    assert (dist["n_tokens"].to_numpy() == n).all()
+    assert (dist["ppl"].to_numpy() == ppl).all()

@@ -140,3 +140,60 @@ def test_pipeline_rerun_idempotent_labels(spark, tmp_path):
     hist = spark.read.parquet(path)
     n_convs = l1.conv_id.nunique()
     assert hist.count() == 2 * n_convs
+
+
+def test_trained_lm_gate_flips_exactly_the_over_threshold_turns(spark, transcripts_pdf):
+    """Opt-in QualityConfig(lm_model=...): the corpus-trained LM scores
+    inside the existing Arrow pass; vs the default run, labels differ on
+    EXACTLY the kept turns whose model ppl exceeds the threshold, each
+    flipped to drop_reason='lm_perplexity'. Everything else — including
+    scrubbed text — is byte-identical."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.lm import lm_score_texts, train_ngram_lm
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    model = train_ngram_lm(
+        df.where(F.col("role") == "assistant"),
+        text_col="text",
+        method="numpy",
+        order=3,
+        n_buckets=1 << 16,
+    )
+    base = run_quality_pipeline(
+        spark, df, QualityConfig(), run_id="b", decision_ts=DECISION_TS
+    ).labels.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    thr = 3.0
+    gated = run_quality_pipeline(
+        spark, df, QualityConfig(lm_model=model, lm_max_ppl=thr),
+        run_id="g", decision_ts=DECISION_TS,
+    ).labels.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (base["conv_id"] == gated["conv_id"]).all()
+    assert (base["scrubbed_text"] == gated["scrubbed_text"]).all()
+    # driver-side replay of the SAME kernel on the deduped turn order
+    # the labels carry: join ppl onto the base frame via the raw text
+    dedup = (
+        transcripts_pdf.sort_values(["conv_id", "turn_idx", "ts", "text"])
+        .groupby(["conv_id", "turn_idx"], as_index=False)
+        .last()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    _, _, ppl = lm_score_texts(model, dedup["text"])
+    over = ppl > thr
+    # final keep = base keep minus the over-threshold turns
+    exp_keep = base["keep"].to_numpy(bool) & ~over
+    assert (gated["keep"].to_numpy(bool) == exp_keep).all()
+    flipped = base["keep"].to_numpy(bool) & over
+    assert flipped.sum() > 0  # the gate actually fires on this corpus
+    assert (gated.loc[flipped, "drop_reason"] == "lm_perplexity").all()
+    # under-threshold rows keep byte-identical reasons; over-threshold
+    # rows that the heuristic TURN rules already dropped do too (rules
+    # fire first) — only conv-level reasons yield to the turn-level gate
+    heur_dropped = base["drop_reason"].isin(
+        ["too_short", "language", "symbol_soup", "repetition"]
+    ).to_numpy()
+    same = ~over | (heur_dropped & over)
+    br = base.loc[same, "drop_reason"].fillna("")
+    gr = gated.loc[same, "drop_reason"].fillna("")
+    assert (br.to_numpy() == gr.to_numpy()).all()
