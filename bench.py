@@ -184,13 +184,18 @@ def _docs_corpus(spark, n_docs: int) -> str:
     return path
 
 
-def _run_pipeline(spark, path: str) -> tuple[float, int]:
+def _run_pipeline(spark, path: str, lm_model=None) -> tuple[float, int]:
     from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
 
     transcripts = spark.read.parquet(path)
+    cfg = (
+        QualityConfig(lm_model=lm_model, lm_max_ppl=3.0)
+        if lm_model is not None
+        else QualityConfig()
+    )
     t0 = time.time()
     res = run_quality_pipeline(
-        spark, transcripts, QualityConfig(), run_id="bench",
+        spark, transcripts, cfg, run_id="bench",
         decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
     )
     _noop_write(res.labels)

@@ -276,6 +276,26 @@ def predict_langid(model: LangIdModel, feats: DataFrame) -> DataFrame:
     )
 
 
+def langid_score_texts(
+    model: LangIdModel, texts: pd.Series
+) -> tuple[list, np.ndarray]:
+    """In-kernel scoring for use INSIDE an existing Arrow batch pass
+    (the :func:`feast_spark.operators.lm.lm_score_texts` pattern):
+    ``(pred_lang list, margin_top int64)`` for one pandas batch of raw
+    texts, pure numpy, no Spark. ``predict_langid`` composes this same
+    leaf path over a feature DataFrame; the quality pipeline calls this
+    directly so the broadcast model rides the one scoring shuffle-free
+    map pass (north star: "broadcast fastText lid.176 model ... inside
+    vectorized pandas/Arrow UDFs")."""
+    codes, lens = _codes_flat(texts)
+    bs, cs, totals = _doc_csr(codes, lens, model.n_buckets)
+    pdf = pd.DataFrame({"b": bs, "c": cs})
+    flat_b, flat_c, offsets = _flatten(pdf)
+    M = _margins_lx(model.weights_micro, flat_b, flat_c, offsets)
+    pred = M.argmax(axis=1)
+    return [model.classes[i] for i in pred], M[np.arange(len(pred)), pred]
+
+
 # ---------------------------------------------------------------------------
 # naive oracle (driver-side, per-doc python loops — no Spark)
 # ---------------------------------------------------------------------------
