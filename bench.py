@@ -419,6 +419,30 @@ def _bench_docs_large(spark) -> dict:
     # unplanted is dropped at threshold 0.95 on gaussian vectors
     assert agg["dropped_planted"] >= 4500, agg
     assert agg["dropped"] == agg["dropped_planted"], agg
+
+    # multi-probe arm (n_probe=2): every vector also joins its 2nd-nearest
+    # cluster, so base/copy pairs split across a boundary get compared —
+    # the blind-spot misses above must shrink, still zero false positives
+    with _Window() as w2:
+        sem2 = semantic_dedup(emb, n_clusters=224, threshold=0.95, n_probe=2)
+        agg2 = (
+            sem2.join(emb.select("vec_id", "is_dup"), "vec_id")
+            .agg(
+                F.sum((~F.col("is_kept")).cast("long")).alias("dropped"),
+                F.sum((~F.col("is_kept") & F.col("is_dup")).cast("long")
+                      ).alias("dropped_planted"),
+            )
+            .collect()[0]
+        )
+    out["semantic_dedup_probe2"] = {
+        "wall_sec": round(w2.wall, 3),
+        "dropped": agg2["dropped"],
+        "dropped_planted": agg2["dropped_planted"],
+        "planted": 5000,
+        "external_cores": w2.external_cores,
+    }
+    assert agg2["dropped_planted"] >= agg["dropped_planted"], (agg, agg2)
+    assert agg2["dropped"] == agg2["dropped_planted"], agg2
     return out
 
 

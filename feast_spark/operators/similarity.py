@@ -415,37 +415,50 @@ def semantic_dedup(
     vec_col: str = "embedding",
     sample_size: int = 4096,
     kmeans_iters: int = 10,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup: semantic near-duplicate pruning over an embedding column.
     Coarse-cluster the corpus with the SAME deterministic spherical
     k-means quantizer IVF uses, then greedily keep one representative per
     semantic duplicate group WITHIN each cluster (cosine >= threshold =>
-    duplicate). Cross-cluster duplicates are missed by construction —
-    that is SemDeDup's stated recall trade for never comparing across
+    duplicate). With ``n_probe=1`` (the published SemDeDup recipe,
+    Abbas et al. 2023) cross-cluster duplicates are missed by
+    construction — the stated recall trade for never comparing across
     clusters.
 
-    Returns one row per vector: ``(vec_id, cluster, is_kept, dup_of)``.
+    ``n_probe >= 2`` closes that blind spot multi-probe-style: every
+    vector joins its ``n_probe`` nearest clusters, the same greedy
+    kernel runs independently in each probed cluster, and the global
+    verdict unions the drops — a vector is dropped iff ANY probed
+    cluster dropped it, ``dup_of`` = the smallest attributed id across
+    clusters. Both reductions (bool_and / min) are order-independent, so
+    the result is deterministic regardless of cluster task order.
+    Representative guarantee: the smallest id of every duplicate group
+    survives — the greedy kernel visits ascending ids, so the only
+    vectors that can drop it hold smaller ids at cosine >= threshold,
+    i.e. members of its own group. Cost scales linearly in ``n_probe``
+    (assignment rows, shuffle volume, per-cluster work).
+
+    Returns one row per vector: ``(vec_id, cluster, is_kept, dup_of)``
+    with ``cluster`` = the primary (nearest) cluster in both arms.
 
     Scale shape: assignment is one map-side matmul pass (centroids travel
-    in the task closure); the only shuffle keys on ``cluster``, and the
-    quadratic-ish greedy pass is confined to one cluster per task
-    (``applyInPandas``) — with n_clusters sized so clusters fit a task
-    (the published recipe: ~sqrt(n) clusters), no task ever sees the
-    corpus. The quantizer trains on a bounded driver-side sample exactly
-    like ``ivf_topk``.
+    in the task closure); the only corpus shuffles key on ``cluster``
+    (plus, for n_probe>1, one hash-agg keyed on vec_id for the verdict
+    union), and the quadratic-ish greedy pass is confined to one cluster
+    per task (``applyInPandas``) — with n_clusters sized so clusters fit
+    a task (the published recipe: ~sqrt(n) clusters), no task ever sees
+    the corpus. The quantizer trains on a bounded driver-side sample
+    exactly like ``ivf_topk``.
     """
     sample_rows = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
     sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     n_clusters = min(n_clusters, len(sample))
+    n_probe = min(n_probe, n_clusters)
     centroids = spherical_kmeans(sample, n_clusters, kmeans_iters)
-    assign = _assign_udf(centroids, 1)
-    assigned = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__v"),
-        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
-    )
+    assign = _assign_udf(centroids, n_probe)
 
     schema = "vec_id long, cluster int, is_kept boolean, dup_of double"
 
@@ -462,4 +475,47 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema)
+    if n_probe == 1:
+        assigned = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__v"),
+            F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+        )
+        return assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema)
+
+    # multi-probe arm: explode each vector into its n_probe nearest
+    # clusters (probe rank rides along only to recover the primary
+    # cluster), dedup per probed cluster, then union verdicts per vector
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(assign(F.col(vec_col))).alias("__probe", "cluster"),
+    )
+    per_cluster = (
+        assigned.select("vec_id", "__v", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(dedup_cluster, schema)
+    )
+    primary = assigned.filter(F.col("__probe") == 0).select(
+        "vec_id", F.col("cluster").alias("__primary")
+    )
+    verdict = (
+        per_cluster
+        # NaN marks kept rows inside the kernel; NULL it so min() skips it
+        .withColumn(
+            "dup_of",
+            F.when(F.isnan("dup_of"), F.lit(None).cast("double")).otherwise(
+                F.col("dup_of")
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.bool_and("is_kept").alias("is_kept"),
+            F.min("dup_of").alias("dup_of"),
+        )
+    )
+    # kept rows keep NULL dup_of — the same convention the n_probe=1 arm
+    # inherits from pandas NaN -> Spark NULL in applyInPandas
+    return verdict.join(primary, "vec_id").select(
+        "vec_id", F.col("__primary").alias("cluster"), "is_kept", "dup_of"
+    )

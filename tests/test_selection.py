@@ -228,6 +228,68 @@ def test_semantic_dedup_dup_of_null_for_kept(spark):
         assert r["is_kept"] and r["dup_of"] is None
 
 
+def test_semantic_dedup_multiprobe_catches_cross_cluster_dup(spark):
+    """n_probe=1 misses a duplicate pair straddling a cluster boundary
+    (SemDeDup's documented blind spot); n_probe=2 probes both vectors into
+    the shared second-nearest cluster and drops the larger id."""
+    from feast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    e1 = np.zeros(dim); e1[0] = 1.0
+    e2 = np.zeros(dim); e2[1] = 1.0
+    rows = []
+    # first two rows seed the kmeans init -> clusters converge on e1/e2
+    rows.append((0, e1.tolist()))
+    rows.append((1, e2.tolist()))
+    for i in range(2, 20):
+        axis, other = (e1, e2) if i % 2 == 0 else (e2, e1)
+        v = axis + 0.05 * rng.normal(size=dim)
+        rows.append((i, v.tolist()))
+    # planted straddlers: both on the e1/e2 bisector, nudged to opposite
+    # sides so their PRIMARY clusters differ, cosine(a, b) ~ 1
+    bis = (e1 + e2) / np.linalg.norm(e1 + e2)
+    a = bis + 0.01 * e1
+    b = bis + 0.01 * e2
+    assert float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))) > 0.998
+    rows.append((100, a.tolist()))
+    rows.append((101, b.tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    one = {r["vec_id"]: r for r in semantic_dedup(emb, n_clusters=2, threshold=0.998).collect()}
+    assert one[100]["cluster"] != one[101]["cluster"]  # genuinely straddling
+    assert one[100]["is_kept"] and one[101]["is_kept"]  # blind spot: missed
+
+    two = {r["vec_id"]: r
+           for r in semantic_dedup(emb, n_clusters=2, threshold=0.998, n_probe=2).collect()}
+    assert len(two) == len(rows)  # still one row per vector
+    assert two[100]["is_kept"]
+    assert not two[101]["is_kept"] and two[101]["dup_of"] == 100.0
+    # primary cluster column matches the single-probe assignment
+    assert all(two[i]["cluster"] == one[i]["cluster"] for i in one)
+    # min id of every duplicate group survives; non-dups untouched
+    assert all(two[i]["is_kept"] for i in range(20))
+
+
+def test_semantic_dedup_multiprobe_matches_single_when_clusters_clean(spark):
+    """With no cross-cluster structure, n_probe=2 must agree with n_probe=1
+    on every verdict (probing a second cluster can only ADD drops, and
+    clean gaussians at threshold .95 have none to add)."""
+    from feast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for j in range(5):
+        rows.append((100 + j, (base[3] + 0.001 * rng.normal(size=16).astype(np.float32)).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    one = {r["vec_id"]: (r["is_kept"], r["dup_of"])
+           for r in semantic_dedup(emb, n_clusters=4, threshold=0.95).collect()}
+    two = {r["vec_id"]: (r["is_kept"], r["dup_of"])
+           for r in semantic_dedup(emb, n_clusters=4, threshold=0.95, n_probe=2).collect()}
+    assert one == two
+
+
 def test_dsir_xxhash64_scale_method_same_ranking(spark):
     rows = [(i, "t1 t2 t3 t4 t1 t2", "tgt") for i in range(10)]
     rows += [(i + 10, "r1 r2 r3 r4 r1 r2", "raw") for i in range(10)]
