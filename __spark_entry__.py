@@ -1024,6 +1024,23 @@ def q_transcript_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return res.labels
 
 
+def q_transcript_pipeline_loop(spark: SparkSession, sf: str) -> DataFrame:
+    # opt-in agent-loop rule: fixtures plant 3-5 verbatim re-emissions of
+    # one turn in ~30% of conversations; later copies must drop as
+    # 'agent_loop' (first occurrence + under-threshold repeats survive)
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    transcripts = transcripts_spark(
+        spark, 100, seed=42, mega_every=50, mega_turns=200, loop_prob=0.3
+    )
+    res = run_quality_pipeline(
+        spark, transcripts, QualityConfig(loop_min_repeats=3), run_id="ql",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    return res.labels
+
+
 def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # C4-style corpus-wide span dedup: every distinct 10-word span keeps
     # its first (doc_id, span_idx) occurrence; later copies are cut and
@@ -1569,6 +1586,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "export_shards": q_export_shards,
         "doc_curation_clf": q_doc_curation_clf,
+        "transcript_pipeline_loop": q_transcript_pipeline_loop,
     }
 
 
@@ -1629,6 +1647,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),
         "doc_curation_clf": _rp("doc_curation_clf"),
+        "transcript_pipeline_loop": _rp("transcript_pipeline_loop"),
         "source_cap": """
             WITH ranked AS (
               SELECT doc_id, source,

@@ -103,8 +103,16 @@ def gen_conversation(
     mega_every: int = 500,
     mega_turns: int = 1200,
     dup_prob: float = 0.02,
+    loop_prob: float = 0.0,
 ) -> pd.DataFrame:
-    """Generate one conversation deterministically from (seed, conv_idx)."""
+    """Generate one conversation deterministically from (seed, conv_idx).
+
+    ``loop_prob`` > 0 plants an agent loop in that fraction of
+    conversations: 3-5 verbatim copies of one existing turn appended as
+    NEW turn_idx values (the agent re-emitting itself — the failure mode
+    the opt-in ``agent_loop`` rule targets). All loop RNG draws happen
+    only when loop_prob > 0, so the default output is byte-identical to
+    before the parameter existed."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, conv_idx]))
     mega = mega_every > 0 and conv_idx % mega_every == 0 and conv_idx > 0
     n_turns = mega_turns if mega else int(2 + rng.geometric(0.18))
@@ -144,6 +152,26 @@ def gen_conversation(
         dups["text"] = dups["text"] + " (edited)"
         dups["ts"] = dups["ts"] + np.timedelta64(1, "s")
         pdf = pd.concat([pdf, dups], ignore_index=True)
+    if loop_prob > 0 and rng.random() < loop_prob:
+        n_copies = int(3 + rng.integers(0, 3))
+        src = int(rng.integers(0, n_turns))
+        last_ts = pdf["ts"].max()
+        loops = pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": np.arange(
+                    n_turns, n_turns + n_copies, dtype=np.int32
+                ),
+                "role": "assistant",
+                "text": texts[src],
+                "tool": None,
+                "ts": last_ts
+                + ((np.arange(n_copies) + 1) * 30 * 1_000_000).astype(
+                    "timedelta64[us]"
+                ),
+            }
+        )
+        pdf = pd.concat([pdf, loops], ignore_index=True)
     return pdf
 
 
@@ -153,10 +181,11 @@ def generate_transcripts(
     mega_every: int = 500,
     mega_turns: int = 1200,
     dup_prob: float = 0.02,
+    loop_prob: float = 0.0,
 ) -> pd.DataFrame:
     """Local pandas generation (tests / oracle input)."""
     frames = [
-        gen_conversation(i, seed, mega_every, mega_turns, dup_prob)
+        gen_conversation(i, seed, mega_every, mega_turns, dup_prob, loop_prob)
         for i in range(n_convs)
     ]
     out = pd.concat(frames, ignore_index=True)
@@ -172,6 +201,7 @@ def transcripts_spark(
     mega_turns: int = 1200,
     dup_prob: float = 0.02,
     partitions: int | None = None,
+    loop_prob: float = 0.0,
 ):
     """Distributed generation: mapInPandas over spark.range(n_convs).
 
@@ -185,7 +215,9 @@ def transcripts_spark(
     def gen(batches):
         for pdf in batches:
             frames = [
-                gen_conversation(int(i), seed, mega_every, mega_turns, dup_prob)
+                gen_conversation(
+                    int(i), seed, mega_every, mega_turns, dup_prob, loop_prob
+                )
                 for i in pdf["id"]
             ]
             if frames:

@@ -219,15 +219,18 @@ def quality_scores_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def transcript_labels_pdf() -> pd.DataFrame:
+def transcript_labels_pdf(loop: bool = False) -> pd.DataFrame:
     from feast_spark.fixtures import generate_transcripts
     from feast_spark.pipeline.oracle import oracle_labels
     from feast_spark.pipeline.quality import QualityConfig
 
-    transcripts = generate_transcripts(100, seed=42, mega_every=50, mega_turns=200)
+    transcripts = generate_transcripts(
+        100, seed=42, mega_every=50, mega_turns=200,
+        loop_prob=0.3 if loop else 0.0,
+    )
     labels = oracle_labels(
         transcripts,
-        QualityConfig(),
+        QualityConfig(loop_min_repeats=3) if loop else QualityConfig(),
         decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
         created_ts=datetime(2025, 6, 1, tzinfo=timezone.utc),
     )
@@ -788,6 +791,7 @@ _RELATIONS = {
     "doc_winnow_pairs": lambda sf: winnow_pairs_pdf(sf),
     "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
+    "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),

@@ -36,6 +36,7 @@ def oracle_score(transcripts: pd.DataFrame, cfg: QualityConfig) -> pd.DataFrame:
     scored = rules.score_turns(out["text"], cfg.rules)
     out["lang"] = scored["lang"]
     out["perplexity"] = scored["perplexity"]
+    out["word_count"] = scored["word_count"]
     out["keep_turn"] = scored["keep"]
     out["drop_reason_turn"] = scored["drop_reason"]
     out["scrubbed_text"] = scored["scrubbed_text"]
@@ -115,11 +116,28 @@ def oracle_labels(
 
     out = scored.copy()
     cr = out["conv_id"].map(conv_reason)
+    if cfg.loop_min_repeats is not None:
+        norm = (
+            out["scrubbed_text"]
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        grp = out.assign(__norm=norm).groupby(["conv_id", "__norm"])["turn_idx"]
+        loop = (
+            (out["word_count"] >= cfg.loop_min_words)
+            & (grp.transform("size") >= cfg.loop_min_repeats)
+            & (out["turn_idx"] > grp.transform("min"))
+        )
+    else:
+        loop = pd.Series(False, index=out.index)
     out["drop_reason"] = np.where(
-        out["drop_reason_turn"].notna(), out["drop_reason_turn"], cr
+        out["drop_reason_turn"].notna(),
+        out["drop_reason_turn"],
+        np.where(loop, "agent_loop", cr),
     )
     out["drop_reason"] = out["drop_reason"].where(out["drop_reason"].notna(), None)
-    out["keep"] = out["keep_turn"] & cr.isna()
+    out["keep"] = out["keep_turn"] & ~loop & cr.isna()
     return (
         out[["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text", "ts"]]
         .sort_values(["conv_id", "turn_idx"], kind="mergesort")

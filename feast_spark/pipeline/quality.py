@@ -39,7 +39,7 @@ from datetime import datetime, timezone
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_spark import rules
@@ -73,6 +73,16 @@ class QualityConfig:
     # change); defaults leave the oracle-checked pipeline untouched.
     lm_model: object | None = None
     lm_max_ppl: float = float("inf")
+    # OPT-IN agent-loop rule: an agent stuck re-emitting the same turn is
+    # a transcript-specific failure mode no document-level rule sees.
+    # When loop_min_repeats is set, a normalized turn text appearing >=
+    # that many times within ONE conversation keeps its first occurrence
+    # and drops the later copies with drop_reason 'agent_loop'. Turns
+    # under loop_min_words words are exempt (short acks — "ok", "yes" —
+    # legitimately repeat). Defaults leave the oracle-checked pipeline
+    # byte-identical.
+    loop_min_repeats: int | None = None
+    loop_min_words: int = 3
 
 
 def dedup_latest_turns(transcripts: DataFrame) -> DataFrame:
@@ -161,6 +171,39 @@ def conversation_features(
     )
 
 
+def mark_agent_loops(
+    scored: DataFrame, min_repeats: int, min_words: int = 3
+) -> DataFrame:
+    """Flag within-conversation repeated turns (agent loops).
+
+    Adds ``__loop_drop``: true for every occurrence AFTER the first of a
+    normalized turn text (lowercased, whitespace-collapsed, hashed
+    JVM-side with xxhash64 — the text itself never keys a shuffle) that
+    appears >= ``min_repeats`` times in its conversation. First
+    occurrence survives — it carried the information; the copies are the
+    loop (same first-winner semantic as span_dedup / latest_per_key).
+
+    Scale shape: ONE shuffle keyed (conv_id, text_hash); both window
+    functions use the unordered whole-partition frame, so there is no
+    sort — and the key includes the hash, so a mega-conversation spreads
+    across its distinct texts instead of landing on one task.
+    """
+    h = F.xxhash64(
+        F.trim(F.regexp_replace(F.lower("scrubbed_text"), r"\s+", " "))
+    )
+    w = Window.partitionBy("conv_id", "__h")
+    return (
+        scored.withColumn("__h", h)
+        .withColumn(
+            "__loop_drop",
+            (F.col("word_count") >= F.lit(min_words))
+            & (F.count(F.lit(1)).over(w) >= F.lit(min_repeats))
+            & (F.col("turn_idx") > F.min("turn_idx").over(w)),
+        )
+        .drop("__h")
+    )
+
+
 def apply_conv_rules(
     scored: DataFrame,
     conv_features_df: DataFrame,
@@ -195,6 +238,10 @@ def apply_conv_rules(
     ).drop("ts", "created_ts")
     if cfg.broadcast_conv_features:
         latest_feats = F.broadcast(latest_feats)
+    if cfg.loop_min_repeats is not None:
+        scored = mark_agent_loops(scored, cfg.loop_min_repeats, cfg.loop_min_words)
+    else:
+        scored = scored.withColumn("__loop_drop", F.lit(False))
     joined = scored.join(latest_feats, "conv_id", "left")
 
     r = cfg.rules
@@ -205,12 +252,23 @@ def apply_conv_rules(
         F.col("tool_call_density") > F.lit(r.conv_max_tool_density),
         F.lit("conv_tool_spam"),
     )
+    # precedence: turn rules fire first, then the loop rule, then conv rules
     return (
         joined.withColumn("__conv_reason", conv_reason)
         .withColumn(
-            "drop_reason", F.coalesce(F.col("drop_reason_turn"), F.col("__conv_reason"))
+            "drop_reason",
+            F.coalesce(
+                F.col("drop_reason_turn"),
+                F.when(F.col("__loop_drop"), F.lit("agent_loop")),
+                F.col("__conv_reason"),
+            ),
         )
-        .withColumn("keep", F.col("keep_turn") & F.col("__conv_reason").isNull())
+        .withColumn(
+            "keep",
+            F.col("keep_turn")
+            & ~F.col("__loop_drop")
+            & F.col("__conv_reason").isNull(),
+        )
         .select(*LABEL_SCHEMA_COLS)
     )
 

@@ -197,3 +197,70 @@ def test_trained_lm_gate_flips_exactly_the_over_threshold_turns(spark, transcrip
     br = base.loc[same, "drop_reason"].fillna("")
     gr = gated.loc[same, "drop_reason"].fillna("")
     assert (br.to_numpy() == gr.to_numpy()).all()
+
+
+def test_agent_loop_rule_drops_later_copies(spark):
+    """Opt-in loop rule: a normalized turn text repeated >= loop_min_repeats
+    within one conversation keeps its FIRST occurrence and drops the later
+    copies as 'agent_loop'; twice-repeated and short-ack turns survive;
+    the default config stays byte-identical (rule fully gated)."""
+    loop_text = "let me check the file again for the answer"
+    base_ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    rows = []
+    # conv A: 4 copies of the loop text (whitespace/case variants -> same
+    # normalized hash), plus a unique turn
+    variants = [loop_text, loop_text.upper(), "  " + loop_text, loop_text + " "]
+    for i, v in enumerate(variants):
+        rows.append(("convA", i, "assistant", v, None, base_ts.replace(minute=i)))
+    rows.append(("convA", 4, "assistant", "here is the final answer now done",
+                 None, base_ts.replace(minute=10)))
+    # conv B: the same text repeated only TWICE -> under threshold, kept
+    rows.append(("convB", 0, "assistant", loop_text, None, base_ts))
+    rows.append(("convB", 1, "assistant", loop_text, None, base_ts.replace(minute=1)))
+    # conv C: short ack repeated 5 times -> exempt via loop_min_words
+    for i in range(5):
+        rows.append(("convC", i, "user", "ok sure", None, base_ts.replace(minute=i)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+    cfg = QualityConfig(loop_min_repeats=3)
+    res = run_quality_pipeline(spark, df, cfg, run_id="loop", decision_ts=DECISION_TS)
+    out = {(r["conv_id"], r["turn_idx"]): r for r in res.labels.collect()}
+    res.scored.unpersist()
+
+    looped = [(c, i) for (c, i), r in out.items() if r["drop_reason"] == "agent_loop"]
+    assert sorted(looped) == [("convA", 1), ("convA", 2), ("convA", 3)]
+    assert all(not out[k]["keep"] for k in looped)
+    # first occurrence + unique turn: not loop-dropped (may still fail
+    # other rules independently — only assert the loop reason is absent)
+    assert out[("convA", 0)]["drop_reason"] != "agent_loop"
+    assert out[("convA", 4)]["drop_reason"] != "agent_loop"
+    for k, r in out.items():
+        if k[0] in ("convB", "convC"):
+            assert r["drop_reason"] != "agent_loop"
+
+    # gated off (default config): no agent_loop reason anywhere
+    res0 = run_quality_pipeline(spark, df, QualityConfig(), run_id="loop0",
+                                decision_ts=DECISION_TS)
+    assert res0.labels.filter("drop_reason = 'agent_loop'").count() == 0
+    res0.scored.unpersist()
+
+
+def test_agent_loop_turn_rule_precedence(spark):
+    """A loop copy that ALSO fails a turn rule keeps the turn-rule reason
+    (turn rules fire first)."""
+    base_ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    short = "k k k"  # 3 words -> passes loop_min_words, fails mean_word_len rule
+    rows = [("convA", i, "assistant", short, None, base_ts.replace(minute=i))
+            for i in range(4)]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    cfg = QualityConfig(loop_min_repeats=3)
+    res = run_quality_pipeline(spark, df, cfg, run_id="prec", decision_ts=DECISION_TS)
+    reasons = {r["turn_idx"]: r["drop_reason"] for r in res.labels.collect()}
+    res.scored.unpersist()
+    assert all(v == "mean_word_len" for v in reasons.values()), reasons
