@@ -24,6 +24,8 @@ materialization. Design rules shared by every operator here:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,6 +217,130 @@ def contamination_check(
     # so the zero-fill left join broadcasts it — without the hint Spark
     # would sort-merge the full corpus against a relation that is almost
     # always a few thousand rows
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bloom_contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "bench_text",
+    m_bits: int = 1 << 22,
+    k_hashes: int = 7,
+    verify: bool = True,
+) -> DataFrame:
+    """Scale arm of :func:`contamination_check` for benchmark gram sets too
+    large to broadcast as an exact 8-byte hash set.
+
+    A Bloom filter over the benchmark grams costs ~1.44·log2(1/fpp) bits
+    per gram (~10 bits at 1% fpp) vs 64 bits for exact hashes — a 10^9-gram
+    benchmark union (every eval suite + held-out sets) broadcasts as
+    ~1.2 GB of bits instead of an 8 GB set. Build is fully distributed:
+    each benchmark partition sets bits into its own ``m_bits/8``-byte
+    array inside one ``mapInPandas`` pass, and the driver ORs the
+    per-partition arrays (bounded by #partitions, not #grams). Bit
+    positions come from Kirsch-Mitzenmacher double hashing
+    ``pos_i = h1 + i·h2 (mod m)`` over the two JVM-side xxhash64 values,
+    so executors never hash gram strings in Python.
+
+    The corpus side filters its gram stream through the broadcast bits
+    with one vectorized pandas UDF — no shuffle touches non-candidate
+    grams. ``verify=True`` (default) then joins the surviving candidates
+    (a ~fpp fraction of the corpus stream) against the exact benchmark
+    gram set WITHOUT a broadcast hint — a shuffle join both of whose
+    sides are small-to-moderate — which removes false positives and makes
+    the result EXACTLY equal to :func:`contamination_check`.
+    ``verify=False`` skips the join and over-counts by at most the false
+    positives (upper bound — the safe direction for decontamination).
+
+    ``m_bits`` must be a power of two (mod is a mask). Size it as
+    ``1.44 · |bench grams| · log2(1/fpp)``.
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    n_bytes = m_bits // 8
+    mask = np.uint64(m_bits - 1)
+    ks = np.arange(k_hashes, dtype=np.uint64)[:, None]
+
+    def _positions(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        # (k, batch) uint64 positions; wrapping uint64 arithmetic is the
+        # point (xxhash64 is signed int64 — reinterpret, don't convert)
+        return (h1[None, :] + ks * h2[None, :]) & mask
+
+    bench_hashed = (
+        benchmark.select(
+            F.explode(word_ngrams(_words(bench_text_col), n)).alias("gram")
+        )
+        .select(
+            F.xxhash64("gram").alias("h1"), F.xxhash64("gram", F.lit(1)).alias("h2")
+        )
+    )
+
+    def build_bits(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h1 = pdf["h1"].to_numpy(np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(np.int64).view(np.uint64)
+            pos = _positions(h1, h2).ravel()
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = bench_hashed.mapInPandas(build_bits, "bits binary").collect()
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:
+        bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bc_bits = docs.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+    @F.pandas_udf("boolean")
+    def bloom_hit(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        b = np.frombuffer(bc_bits.value, dtype=np.uint8)
+        h1 = h1s.to_numpy(np.int64).view(np.uint64)
+        h2 = h2s.to_numpy(np.int64).view(np.uint64)
+        pos = _positions(h1, h2)
+        hit = (
+            b[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & np.uint8(1)
+        return pd.Series(hit.all(axis=0))
+
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(_words(text_col), n)).alias("gram"),
+    )
+    candidates = doc_grams.filter(
+        bloom_hit(F.xxhash64("gram"), F.xxhash64("gram", F.lit(1)))
+    )
+    if verify:
+        bench_grams = (
+            benchmark.select(
+                F.explode(word_ngrams(_words(bench_text_col), n)).alias("gram")
+            )
+            .distinct()
+        )
+        candidates = candidates.join(bench_grams, "gram")
+    hits = (
+        candidates.dropDuplicates([id_col, "gram"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
     return (
         docs.select(id_col)
         .join(F.broadcast(hits), id_col, "left")

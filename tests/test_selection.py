@@ -652,3 +652,78 @@ def test_quantile_filter_interpolated_threshold(spark):
     # quantile_cont interpolation: thr = 0.3 -> only score=1.0 survives
     assert len(out) == 1 and out[0]["score"] == 1.0
     assert abs(out[0]["thr"] - 0.3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# bloom_contamination_check
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_contamination_verify_matches_exact_arm(spark):
+    """Bloom + exact-verify must equal the broadcast-exact operator row for
+    row (false positives removed by the verification join)."""
+    from feast_spark.operators.selection import bloom_contamination_check
+
+    bench_text = "q1 q2 q3 q4"
+    d = _docs(
+        spark,
+        [
+            (0, f"intro {bench_text} outro pad pad2"),
+            (1, "totally unrelated words here pad pad2"),
+            (2, f"{bench_text} dup of benchmark pad"),
+            (3, "more clean text with nothing shared at all"),
+        ],
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"bench_text": [bench_text]}))
+    exact = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in contamination_check(d, bench, n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in bloom_contamination_check(
+            d, bench, n=4, m_bits=1 << 16, verify=True
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_contamination_unverified_upper_bounds_exact(spark):
+    """verify=False may over-count (false positives) but never under-counts
+    — the safe direction for decontamination. At a DELIBERATELY tiny
+    filter (64 bits, 200 corpus grams) false positives are certain, so
+    this also exercises the fp path."""
+    from feast_spark.operators.selection import bloom_contamination_check
+
+    rng_words = [f"w{i}" for i in range(200)]
+    d = _docs(spark, [(0, " ".join(rng_words)), (1, "b1 b2 b3 b4 tail word pad")])
+    bench = spark.createDataFrame(pd.DataFrame({"bench_text": ["b1 b2 b3 b4"]}))
+    exact = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in contamination_check(d, bench, n=4).collect()
+    }
+    loose = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in bloom_contamination_check(
+            d, bench, n=4, m_bits=8, k_hashes=1, verify=False
+        ).collect()
+    }
+    assert all(loose[k] >= exact[k] for k in exact)
+    assert sum(loose.values()) > sum(exact.values())  # fps actually occurred
+    # properly sized filter: no false positives on this corpus
+    tight = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in bloom_contamination_check(
+            d, bench, n=4, m_bits=1 << 16, verify=False
+        ).collect()
+    }
+    assert tight == exact
+
+
+def test_bloom_contamination_rejects_non_power_of_two(spark):
+    from feast_spark.operators.selection import bloom_contamination_check
+
+    d = _docs(spark, [(0, "a b c d e")])
+    bench = spark.createDataFrame(pd.DataFrame({"bench_text": ["a b c d"]}))
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_contamination_check(d, bench, n=4, m_bits=100)
