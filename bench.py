@@ -582,6 +582,42 @@ def main() -> None:
     }
     timings["transcript_pipeline"] = round(pipe_wall, 3)
 
+    # full north-star config: every opt-in gate on — corpus-trained LM
+    # perplexity gate (trained on a 30% conv slice, broadcast into the
+    # scoring pass) + the agent-loop rule. Records what the PRODUCTION
+    # shape of the pipeline costs vs the heuristic-only default above.
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.lm import train_ngram_lm
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    t0 = time.time()
+    lm_model = train_ngram_lm(
+        spark.read.parquet(tpath).where(F.pmod(F.hash("conv_id"), F.lit(10)) < 3),
+        text_col="text", method="numpy", order=5, n_buckets=1 << 18,
+    )
+    lm_train_wall = round(time.time() - t0, 3)
+    full_cfg = QualityConfig(lm_model=lm_model, lm_max_ppl=3.0, loop_min_repeats=3)
+    full_walls = []
+    for _ in range(2):
+        transcripts = spark.read.parquet(tpath)
+        t0 = time.time()
+        res = run_quality_pipeline(
+            spark, transcripts, full_cfg, run_id="bench_full",
+            decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        )
+        _noop_write(res.labels)
+        full_walls.append(time.time() - t0)
+        res.scored.unpersist()
+    pipeline_full = {
+        "n_turns": n_turns,
+        "lm_train_wall_sec": lm_train_wall,
+        "wall_sec": round(min(full_walls), 3),
+        "turns_per_sec": round(n_turns / min(full_walls), 1),
+        "gates": ["heuristics", "lm_perplexity", "agent_loop"],
+        "cpus": CPUS,
+    }
+
     docs_large = _bench_docs_large(spark) if DOCS_LARGE else None
     docs_shared = _bench_docs_shared(spark) if DOCS_LARGE else None
 
@@ -640,6 +676,7 @@ def main() -> None:
         "sf": SF_DIR,
         "headline_passes": pass_meta,
         "pipeline": pipeline,
+        "pipeline_full": pipeline_full,
         "docs_large": docs_large,
         "docs_shared": docs_shared,
         "scaling": scaling,
