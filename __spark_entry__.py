@@ -1041,6 +1041,27 @@ def q_transcript_pipeline_loop(spark: SparkSession, sf: str) -> DataFrame:
     return res.labels
 
 
+def q_conv_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # conversation-level near-dup: every 5th fixture conversation is
+    # cloned (conv_id||'d') minus its turn_idx%11==3 turns -> a planted
+    # high-Jaccard whole-conversation copy the pair join must find
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.dedup import conversation_neardup_pairs
+
+    t = transcripts_spark(spark, 80, seed=42, mega_every=40, mega_turns=150)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = (
+        t.filter(F.pmod(idx, F.lit(5)) == 0)
+        .filter(F.pmod(F.col("turn_idx"), F.lit(11)) != 3)
+        .withColumn("conv_id", F.concat("conv_id", F.lit("d")))
+    )
+    return conversation_neardup_pairs(
+        t.unionByName(clones), jaccard_threshold=0.5
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # C4-style corpus-wide span dedup: every distinct 10-word span keeps
     # its first (doc_id, span_idx) occurrence; later copies are cut and
@@ -1587,6 +1608,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "doc_curation_clf": q_doc_curation_clf,
         "transcript_pipeline_loop": q_transcript_pipeline_loop,
+        "conv_neardup": q_conv_neardup,
     }
 
 
@@ -1648,6 +1670,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "export_shards": _rp("export_shards"),
         "doc_curation_clf": _rp("doc_curation_clf"),
         "transcript_pipeline_loop": _rp("transcript_pipeline_loop"),
+        "conv_neardup": _rp("conv_neardup"),
         "source_cap": """
             WITH ranked AS (
               SELECT doc_id, source,

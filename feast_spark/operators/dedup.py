@@ -988,3 +988,76 @@ def winnow_overlap_pairs(
         .filter(F.col("shared") >= min_shared)
     )
     return pairs
+
+
+def conversation_neardup_pairs(
+    transcripts: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CONVERSATIONS: MinHash-LSH over each conversation's
+    concatenated turn text — the transcript-payload form of document
+    near-dup (re-ingested chat logs, forked agent sessions, re-run agent
+    jobs produce whole-conversation copies that per-turn rules never see).
+
+    Composition, all existing scale shapes: latest-per-key turn dedup
+    (hash agg, the quality pipeline's stage 1) → one hash aggregation per
+    conv building the turn-ordered concat (``array_sort`` over
+    ``(turn_idx, text)`` structs — no window sort; mega-conversations are
+    one group each in a map-side-combined agg) → :func:`minhash_lsh_pairs`
+    on the conv-level corpus. The pair table is conv-keyed
+    (``(id_a, id_b, jaccard)`` with ``id_a < id_b`` lexicographic on
+    conv_id), |convs| ~ |turns|/E[turns-per-conv], so every downstream
+    LSH structure is an order of magnitude smaller than the turn table.
+    """
+    from feast_spark.operators.latest import latest_per_key
+
+    deduped = latest_per_key(
+        transcripts, ["conv_id", "turn_idx"], "ts", tiebreak_cols=["text"],
+        strategy="agg",
+    )
+    conv_text = deduped.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("conv_text")
+    )
+    # the signature tables carry int64 ids (8 B/row through every LSH
+    # shuffle); string conv_ids ride as an xxhash64 surrogate and map back
+    # over the (tiny, conv-level) id table at the end, with pair
+    # orientation re-normalized to lexicographic conv_id order
+    with_iid = conv_text.select(
+        "conv_id", F.xxhash64("conv_id").alias("__iid"), "conv_text"
+    )
+    pairs = minhash_lsh_pairs(
+        with_iid.select(F.col("__iid").alias("cid"), "conv_text"),
+        "cid", "conv_text",
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold, seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    ids = with_iid.select("conv_id", "__iid")
+    mapped = (
+        pairs.join(
+            F.broadcast(ids.select(F.col("__iid").alias("id_a"),
+                                   F.col("conv_id").alias("__ca"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(ids.select(F.col("__iid").alias("id_b"),
+                                   F.col("conv_id").alias("__cb"))),
+            "id_b",
+        )
+    )
+    return mapped.select(
+        F.least("__ca", "__cb").alias("id_a"),
+        F.greatest("__ca", "__cb").alias("id_b"),
+        "jaccard",
+    )

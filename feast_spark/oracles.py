@@ -75,11 +75,24 @@ def minhash_pairs_pdf(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ) -> pd.DataFrame:
+    """Naive LSH over the documents table (int64 ids)."""
+    ids, shingles = _doc_shingles(sf_dir, shingle_k)
+    rows = _minhash_pairs_core(
+        ids, shingles, num_hashes, bands, jaccard_threshold, seed
+    )
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+    )
+
+
+def _minhash_pairs_core(
+    ids, shingles, num_hashes, bands, jaccard_threshold, seed
+) -> list[tuple]:
     """Naive LSH: dict-of-buckets on the band-value TUPLE (bucket equality
-    == band-hash equality modulo xxhash64 collisions), exact set Jaccard."""
+    == band-hash equality modulo xxhash64 collisions), exact set Jaccard.
+    Generic over the id dtype (int doc ids, string conv ids)."""
     from feast_spark.operators.dedup import _perm_params
 
-    ids, shingles = _doc_shingles(sf_dir, shingle_k)
     a, b = _perm_params(num_hashes, seed)
     rows_per_band = num_hashes // bands
     buckets: dict[tuple, list[int]] = defaultdict(list)
@@ -113,9 +126,46 @@ def minhash_pairs_pdf(
         union = len(sets[i] | sets[j])
         jac = inter / union  # one IEEE double division, same as Spark
         if jac >= jaccard_threshold:
-            rows.append((int(ids[i]), int(ids[j]), jac))
+            rows.append((ids[i], ids[j], jac))
+    return rows
+
+
+def conv_neardup_pdf(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Naive replay of conversation_neardup_pairs on the planted-clone
+    transcript corpus the q_conv_neardup query builds: fixture transcripts
+    + every 5th conversation cloned under conv_id||'d' with turn_idx%11==3
+    turns dropped (a high-but-<1 Jaccard copy). Turn dedup and the
+    turn-ordered concat replay the pipeline oracle; the LSH core is shared
+    with the documents oracle."""
+    from feast_spark.fixtures import generate_transcripts
+    from feast_spark.operators.dedup import _shingle_hash_batch
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    t = generate_transcripts(80, seed=42, mega_every=40, mega_turns=150)
+    idx = t["conv_id"].str[1:].astype(int)
+    clones = t[(idx % 5 == 0) & (t["turn_idx"] % 11 != 3)].copy()
+    clones["conv_id"] = clones["conv_id"] + "d"
+    full = pd.concat([t, clones], ignore_index=True)
+    deduped = oracle_dedup_latest(full)
+    conv_text = (
+        deduped.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .groupby("conv_id")["text"]
+        .agg(" ".join)
+        .reset_index()
+    )
+    ids = conv_text["conv_id"].to_numpy()
+    shingles = _shingle_hash_batch(conv_text["text"], shingle_k)
+    rows = _minhash_pairs_core(
+        ids, shingles, num_hashes, bands, jaccard_threshold, seed
+    )
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
-        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        {"id_a": "string", "id_b": "string", "jaccard": "float64"}
     )
 
 
@@ -792,6 +842,7 @@ _RELATIONS = {
     "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
     "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
+    "conv_neardup": lambda sf: conv_neardup_pdf(),
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
