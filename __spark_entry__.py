@@ -1041,6 +1041,20 @@ def q_transcript_pipeline_loop(spark: SparkSession, sf: str) -> DataFrame:
     return res.labels
 
 
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # corpus-trained BPE tokenizer (doc_id%5==0 training subset, 16
+    # merges) -> per-doc token counts over the full table
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    model = train_bpe(
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 0), num_merges=16
+    )
+    return bpe_token_counts(docs, model)
+
+
 def q_conv_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # conversation-level near-dup: every 5th fixture conversation is
     # cloned (conv_id||'d') minus its turn_idx%11==3 turns -> a planted
@@ -1609,6 +1623,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_clf": q_doc_curation_clf,
         "transcript_pipeline_loop": q_transcript_pipeline_loop,
         "conv_neardup": q_conv_neardup,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -1671,6 +1686,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_curation_clf": _rp("doc_curation_clf"),
         "transcript_pipeline_loop": _rp("transcript_pipeline_loop"),
         "conv_neardup": _rp("conv_neardup"),
+        "bpe_tokens": _rp("bpe_tokens"),
         "source_cap": """
             WITH ranked AS (
               SELECT doc_id, source,

@@ -130,6 +130,39 @@ def _minhash_pairs_core(
     return rows
 
 
+def bpe_tokens_pdf(sf_dir: str, num_merges: int = 16) -> pd.DataFrame:
+    """Naive replay of q_bpe_tokens: train BPE (pure-python twin) on the
+    doc_id%5==0 subset, count tokens per doc over the whole table."""
+    from feast_spark.operators.bpe import (
+        encode_word,
+        train_bpe_naive,
+    )
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = docs[docs["doc_id"] % 5 == 0]
+    wc: dict[str, int] = {}
+    for text in train["text"]:
+        for w in text.split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = train_bpe_naive(wc, num_merges)
+    ranks = {pq: i for i, pq in enumerate(merges)}
+    tok_cache: dict[str, int] = {}
+
+    def n_tokens(w: str) -> int:
+        if w not in tok_cache:
+            tok_cache[w] = len(encode_word(w, ranks))
+        return tok_cache[w]
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = [w for w in text.split() if w]
+        rows.append((int(doc_id), len(words), sum(n_tokens(w) for w in words)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_bpe_tokens"]).astype(
+        {"doc_id": "int64", "n_words": "int64", "n_bpe_tokens": "int64"}
+    )
+
+
 def conv_neardup_pdf(
     num_hashes: int = 32,
     bands: int = 8,
@@ -843,6 +876,7 @@ _RELATIONS = {
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
     "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
     "conv_neardup": lambda sf: conv_neardup_pdf(),
+    "bpe_tokens": lambda sf: bpe_tokens_pdf(sf),
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
