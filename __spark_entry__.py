@@ -1085,6 +1085,15 @@ def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup(_t(spark, sf, "documents"), span_words=10)
 
 
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Lee-et-al ExactSubstr dedup: every repeated word sequence >= 8
+    # words keeps its first corpus occurrence; later occurrences are cut
+    # at token granularity (stride-1 grams, maximal covered regions).
+    from feast_spark.operators.selection import substring_dedup
+
+    return substring_dedup(_t(spark, sf, "documents"), k=8)
+
+
 def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     # benchmark decontamination: 8-gram overlap vs a benchmark derived
     # deterministically from the corpus (every 41st doc's first 12 words
@@ -1542,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline": q_transcript_pipeline,
         "doc_curation": q_doc_curation,
         "span_dedup": q_span_dedup,
+        "substring_dedup": q_substring_dedup,
         "contamination_check": q_contamination_check,
         "dsir_weights": q_dsir_weights,
         "stratified_sample": q_stratified_sample,
@@ -1567,7 +1577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core relational / PIT surface
         "field_mapping_scan": q_field_mapping_scan,
         "pit_last_click": q_pit_last_click,
-        "pit_ttl_1h": q_pit_ttl_1h,
         "pit_entityless": q_pit_entityless,
         "pit_created_cutoff": q_pit_created_cutoff,
         "two_role_join": q_two_role_join,
@@ -1596,6 +1605,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "pit_ttl_1h": q_pit_ttl_1h,
         "sliding_window_agg": q_sliding_window_agg,
         "histogram": q_histogram,
         "top_event_types": q_top_event_types,
@@ -1881,6 +1891,43 @@ def _all_oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_spans_kept,
                    MIN(n_spans_total) AS n_spans_total
             FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        "substring_dedup": """
+            -- ExactSubstr: stride-1 8-grams; non-first instances cut
+            -- [pos, pos+8) in their doc; tokens outside every cut
+            -- interval survive. DuckDB slices are 1-based inclusive.
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, g.i AS pos,
+                     array_to_string(w[(g.i+1):(g.i+8)], ' ') AS gram
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(0, len(w)-8)) AS i) g
+              WHERE len(w) >= 8
+            ), ranked AS (
+              SELECT doc_id, pos, ROW_NUMBER() OVER (
+                  PARTITION BY gram ORDER BY doc_id, pos) AS rn
+              FROM grams
+            ), cut AS (
+              SELECT doc_id, pos FROM ranked WHERE rn > 1
+            ), tokpos AS (
+              SELECT doc_id, t.i - 1 AS t, w[t.i] AS tok,
+                     len(w) AS n_tokens
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w))) AS i) t
+            ), kept AS (
+              SELECT tp.doc_id, tp.t, tp.tok, tp.n_tokens
+              FROM tokpos tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cut c
+                WHERE c.doc_id = tp.doc_id
+                  AND c.pos <= tp.t AND tp.t < c.pos + 8)
+            )
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY t) AS dedup_text,
+                   CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
         """,
         "contamination_check": """
             WITH toks AS (

@@ -814,3 +814,95 @@ def quantile_filter(
     out = df.crossJoin(F.broadcast(thr))
     cond = score >= F.col(thr_col) if keep == "upper" else score <= F.col(thr_col)
     return out.where(cond)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — ExactSubstr, word-granular)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "portable",
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup: every maximal repeated word
+    sequence of length >= ``k`` keeps its FIRST occurrence (corpus order
+    ``(doc_id, position)``) and is cut from every later occurrence.
+
+    This is the ExactSubstr semantic of Lee et al. 2022 (suffix-array
+    dedup) re-expressed without suffix arrays: a token is covered by a
+    repeated substring of length >= ``k`` iff it lies inside some
+    STRIDE-1 ``k``-gram that occurs more than once, so the union of the
+    non-first instances' intervals ``[pos, pos+k)`` is exactly the cut
+    set. Contrast :func:`span_dedup` (C4): that dedups DISJOINT
+    stride-``k`` spans and misses repeats that straddle span boundaries;
+    this arm catches every repeat at the cost of ~``k``x more gram
+    instances. The reference has no corpus-dedup surface at all (its
+    closest op is row-level ``drop_duplicates``,
+    ``infra/offline_stores/dask.py:1203``).
+
+    Returns one row per document that retains at least one token:
+    ``(doc_id, dedup_text, n_tokens, n_kept)``. A fully-covered document
+    disappears (its first-occurrence copy elsewhere survives).
+
+    Shape, ``method='portable'`` (the DuckDB-oracle twin): shuffle #1 is
+    the first-occurrence ``row_number`` window partitioned by the gram
+    string; non-first instances reduce per doc to a sorted int position
+    array (shuffle #2, hash agg) that is LEFT-joined back onto the
+    corpus (shuffle #3 on ``doc_id``); the kept-token mask and text
+    reconstruction are map-side built-ins. ``method='xxhash64'`` is the
+    100 TB arm: ``xxhash64`` hashes the sliced word ARRAY directly, so
+    shuffle #1 carries ``(h, doc_id, pos)`` = ~24 bytes per token
+    instead of the ~``k``-word gram string per token (a ~20-40x exchange
+    shrink at k=8); 64-bit collisions (~n_grams^2/2^65) are the standard
+    accepted trade. Both arms are parity-pinned in
+    ``tests/test_selection.py``.
+
+    The mask is ``filter(sequence(0, n-1), t -> !exists(cut, p -> p <= t
+    < p+k))`` — O(n_tokens * n_cut_positions) per doc, which is the
+    right trade for real corpora where cut lists are short; a
+    pathological all-duplicate doc degrades to O(n^2) map-side work on
+    its own partition only (no shuffle amplification).
+    """
+    w = _words(text_col)
+    if method == "xxhash64":
+        gen = F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.xxhash64(F.slice(w, i + 1, k)),
+        )
+        grams_arr = F.when(F.size(w) >= k, gen).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    elif method == "portable":
+        grams_arr = word_ngrams(w, k)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown method {method!r}")
+    inst = docs.select(F.col(id_col), F.posexplode(grams_arr).alias("pos", "g"))
+    first = Window.partitionBy("g").orderBy(id_col, "pos")
+    cut = (
+        inst.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("cut"))
+    )
+    joined = docs.join(cut, id_col, "left")
+    cut_arr = F.coalesce(F.col("cut"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(w) - 1),
+        lambda t: ~F.exists(cut_arr, lambda p: (p <= t) & (t < p + F.lit(k))),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept_idx, lambda t: F.element_at(w, t + 1)), " "
+            ).alias("dedup_text"),
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.size(kept_idx).cast("bigint").alias("n_kept"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )

@@ -727,3 +727,96 @@ def test_bloom_contamination_rejects_non_power_of_two(spark):
     bench = spark.createDataFrame(pd.DataFrame({"bench_text": ["a b c d"]}))
     with pytest.raises(ValueError, match="power of two"):
         bloom_contamination_check(d, bench, n=4, m_bits=100)
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (Lee et al. ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _substring_reference(rows, k):
+    """Sequential replay of the ExactSubstr semantic: corpus order
+    (doc_id asc, pos asc); first instance of each stride-1 k-gram keeps,
+    later instances cut [pos, pos+k) in their own doc."""
+    seen = set()
+    expected = {}
+    for doc_id, text in sorted(rows):
+        w = text.split(" ")
+        cut: set = set()
+        for i in range(len(w) - k + 1):
+            g = tuple(w[i : i + k])
+            if g in seen:
+                cut.update(range(i, i + k))
+            else:
+                seen.add(g)
+        kept = [w[t] for t in range(len(w)) if t not in cut]
+        if kept:
+            expected[doc_id] = (" ".join(kept), len(w), len(kept))
+    return expected
+
+
+def test_substring_dedup_cuts_straddling_repeats(spark):
+    from feast_spark.operators.selection import substring_dedup
+
+    rows = [
+        (0, "a b c d e f g h i j"),     # first occurrence
+        (1, "x y a b c d e f g h z w"), # repeat straddles no span boundary issue
+        (2, "p q r s"),                 # shorter than k: untouched
+        (3, "a b c d e f g h i j"),     # verbatim copy -> fully cut, vanishes
+    ]
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(_docs(spark, rows), k=8).collect()
+    }
+    assert out == {
+        0: ("a b c d e f g h i j", 10, 10),
+        1: ("x y z w", 12, 4),
+        2: ("p q r s", 4, 4),
+    }
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    # a phrase repeated INSIDE one doc: the second copy is cut too
+    from feast_spark.operators.selection import substring_dedup
+
+    rows = [(0, "a b c u v a b c")]
+    out = substring_dedup(_docs(spark, rows), k=3).collect()
+    assert [(r["dedup_text"], r["n_kept"]) for r in out] == [("a b c u v", 5)]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_substring_dedup_matches_python_reference(spark, seed):
+    from feast_spark.operators.selection import substring_dedup
+
+    rows = _random_corpus(seed)
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(_docs(spark, rows), k=3).collect()
+    }
+    assert out == _substring_reference(rows, 3)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_substring_dedup_xxhash64_arm_parity(spark, seed):
+    from feast_spark.operators.selection import substring_dedup
+
+    d = _docs(spark, _random_corpus(seed))
+    a = sorted(map(tuple, substring_dedup(d, k=3).collect()))
+    b = sorted(map(tuple, substring_dedup(d, k=3, method="xxhash64").collect()))
+    assert a == b
+
+
+def test_substring_dedup_xxhash64_plan_carries_no_gram_strings(spark):
+    # the scale arm's first-occurrence window must key on the 8-byte
+    # hash: its input exchange partitions by g# (bigint), and the plan
+    # below the window carries no gram-string attribute
+    from feast_spark.operators.selection import substring_dedup
+
+    plan = (
+        substring_dedup(_docs(spark, _random_corpus(9)), k=3, method="xxhash64")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.find("Exchange hashpartitioning(g#") != -1, plan
+    assert "xxhash64" in plan
