@@ -1147,6 +1147,14 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(emb, n_clusters=16, threshold=0.4)
 
 
+def q_diverse_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # greedy k-center coreset selection per k-means cluster (shared
+    # quantizer): picks ~10% of vectors maximizing embedding coverage.
+    from feast_spark.operators.similarity import diverse_sample
+
+    return diverse_sample(_t(spark, sf, "embeddings"), rate=0.1, n_clusters=16)
+
+
 def q_doc_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     # EXACT trigram-Jaccard join via PPJoin-style prefix filtering — the
     # scale path for what doc_bigram_jaccard computes quadratically; the
@@ -1557,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
+        "diverse_sample": q_diverse_sample,
         "doc_chunks": q_doc_chunks,
         "doc_packing": q_doc_packing,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
@@ -1590,7 +1599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_quality_scores": q_doc_quality_scores,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1606,6 +1614,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver artifact is capped."""
     return {
         "pit_ttl_1h": q_pit_ttl_1h,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "sliding_window_agg": q_sliding_window_agg,
         "histogram": q_histogram,
         "top_event_types": q_top_event_types,
@@ -1814,6 +1823,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _rp("embedding_neardup_lsh"),
         "transcript_pipeline": _rp("transcript_pipeline"),
         "semantic_dedup": _rp("semantic_dedup"),
+        "diverse_sample": _rp("diverse_sample"),
         "doc_curation": _rp("doc_curation"),
         "doc_jaccard_prefix": """
             WITH docs AS (

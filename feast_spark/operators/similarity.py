@@ -519,3 +519,121 @@ def semantic_dedup(
     return verdict.join(primary, "vec_id").select(
         "vec_id", F.col("__primary").alias("cluster"), "is_kept", "dup_of"
     )
+
+
+# ---------------------------------------------------------------------------
+# diversity sampling (greedy k-center coreset selection)
+# ---------------------------------------------------------------------------
+
+
+def greedy_kcenter(ids, mat, k: int):
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985) within
+    one cluster: start from the smallest id, then repeatedly select the
+    vector with the LARGEST cosine distance to the selected set
+    (``np.argmax`` over the id-sorted rows, so float ties break to the
+    smallest id). The classic 2-approximation to the k-center coreset —
+    the selection-side complement of :func:`greedy_semantic_keep`
+    (SemDeDup prunes redundancy; this picks a maximally-diverse subset,
+    DeepCore/"coreset selection" style).
+
+    Returns, in the ORIGINAL row order of ``ids``:
+    ``sel_rank`` int64 (0-based pick order, -1 = not selected) and
+    ``coverage`` float64 (final cosine distance to the nearest selected
+    vector; exactly 0.0 for selected rows).
+
+    Shared VERBATIM by the driver oracle (the ``spherical_kmeans`` /
+    ``greedy_semantic_keep`` discipline): both sides normalize in
+    float64 and run the same BLAS matvecs in the same order, so ranks
+    AND coverage are bit-identical. Cost O(n_c * k) matvecs per cluster.
+    """
+    n = len(ids)
+    k = min(int(k), n)
+    x = mat.astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    order = np.argsort(np.asarray(ids), kind="stable")
+    xs = x[order]
+    rank_sorted = np.full(n, -1, dtype=np.int64)
+    cov_sorted = np.full(n, np.inf)
+    mind = np.full(n, np.inf)  # min dist to selected, -inf once selected
+    cur = 0
+    for r in range(k):
+        rank_sorted[cur] = r
+        d = 1.0 - xs @ xs[cur]
+        cov_sorted = np.minimum(cov_sorted, d)
+        mind = np.minimum(mind, d)
+        mind[cur] = -np.inf
+        if r + 1 < k:
+            cur = int(np.argmax(mind))
+    cov_sorted[rank_sorted >= 0] = 0.0
+    out_rank = np.empty(n, dtype=np.int64)
+    out_cov = np.empty(n, dtype=np.float64)
+    out_rank[order] = rank_sorted
+    out_cov[order] = cov_sorted
+    return out_rank, out_cov
+
+
+def diverse_sample(
+    embeddings: DataFrame,
+    rate: float = 0.1,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """Diversity sampling: select ~``rate`` of the corpus maximizing
+    embedding-space coverage. Coarse-cluster with the SAME deterministic
+    spherical-k-means quantizer IVF/SemDeDup share, then run greedy
+    k-center independently per cluster with a proportional budget
+    ``ceil(rate * n_c)`` — the budget needs only the cluster's own row
+    count, so no extra aggregation pass exists anywhere in the plan.
+
+    Returns one row per vector:
+    ``(vec_id, cluster, selected, sel_rank, coverage)`` — ``coverage``
+    is the final cosine distance to the nearest selected vector in the
+    same cluster (the k-center objective value; its per-cluster max is
+    the coverage radius).
+
+    Scale shape (identical to :func:`semantic_dedup` n_probe=1): one
+    map-side assignment matmul (centroids in the task closure), ONE
+    shuffle keyed on ``cluster``, and an O(n_c * k) kernel confined to
+    one cluster per task — size ``n_clusters`` ~ sqrt(n) and no task
+    ever sees the corpus. The reference has no selection surface; this
+    extends the training-data toolkit (dedup prunes, this PICKS).
+    """
+    sample_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    n_clusters = min(n_clusters, len(sample))
+    centroids = spherical_kmeans(sample, n_clusters, kmeans_iters)
+    assign = _assign_udf(centroids, 1)
+
+    schema = (
+        "vec_id long, cluster int, selected boolean, "
+        "sel_rank long, coverage double"
+    )
+
+    def pick_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        k = int(np.ceil(rate * len(ids)))
+        sel_rank, coverage = greedy_kcenter(ids, mat, k)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "selected": sel_rank >= 0,
+                "sel_rank": sel_rank,
+                "coverage": coverage,
+            }
+        )
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+    )
+    return assigned.groupBy("cluster").applyInPandas(pick_cluster, schema)

@@ -528,6 +528,59 @@ def semantic_dedup_pdf(
     )
 
 
+def diverse_sample_pdf(
+    sf_dir: str,
+    rate: float = 0.1,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> pd.DataFrame:
+    """Naive diversity sampling: identical quantizer + assignment replay
+    as :func:`semantic_dedup_pdf`, then the shared ``greedy_kcenter``
+    kernel per cluster via a plain dict loop — only the leaf kernels
+    shared, the relational scaffolding re-derived naively."""
+    from feast_spark.operators.similarity import (
+        greedy_kcenter,
+        spherical_kmeans,
+    )
+
+    ids, vecs = _load_vectors(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    sample = vecs[order[:sample_size]]
+    n_clusters = min(n_clusters, len(sample))
+    cent = spherical_kmeans(sample, n_clusters, kmeans_iters)
+
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cluster = np.argsort(-((vecs / norms) @ cent.T), axis=1, kind="stable")[:, 0]
+
+    members: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(cluster):
+        members[int(c)].append(i)
+    frames = []
+    for c, idx in members.items():
+        k = int(np.ceil(rate * len(idx)))
+        sel_rank, coverage = greedy_kcenter(ids[idx], vecs[idx], k)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "vec_id": ids[idx],
+                    "cluster": c,
+                    "selected": sel_rank >= 0,
+                    "sel_rank": sel_rank,
+                    "coverage": coverage,
+                }
+            )
+        )
+    return (
+        pd.concat(frames)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "cluster": "int32", "selected": "bool",
+                 "sel_rank": "int64", "coverage": "float64"})
+    )
+
+
 def _curation_core(sf_dir: str, lm_quantile: float | None = None) -> dict:
     """Stages 1-4 of the naive curation replay (pipeline/curation.py
     defaults): span dedup via one global seen-set walk in doc order,
@@ -881,6 +934,7 @@ _RELATIONS = {
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),
     "semantic_dedup": lambda sf: semantic_dedup_pdf(sf),
+    "diverse_sample": lambda sf: diverse_sample_pdf(sf),
     "doc_curation": lambda sf: curation_pdf(sf),
     "doc_curation_clf": lambda sf: curation_clf_pdf(sf),
 }

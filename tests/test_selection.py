@@ -820,3 +820,64 @@ def test_substring_dedup_xxhash64_plan_carries_no_gram_strings(spark):
     )
     assert plan.find("Exchange hashpartitioning(g#") != -1, plan
     assert "xxhash64" in plan
+
+
+# ---------------------------------------------------------------------------
+# diverse_sample (greedy k-center coreset selection)
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_kcenter_picks_one_per_tight_group():
+    # three tight orthogonal groups, budget 3 -> exactly one pick per
+    # group, every coverage tiny; first pick is the smallest id
+    from feast_spark.operators.similarity import greedy_kcenter
+
+    rng = np.random.default_rng(5)
+    groups = np.eye(3)
+    ids, vecs = [], []
+    for g in range(3):
+        for j in range(6):
+            ids.append(g * 100 + j)
+            vecs.append(groups[g] + 1e-4 * rng.normal(size=3))
+    sel_rank, coverage = greedy_kcenter(np.array(ids), np.array(vecs), 3)
+    picked = {ids[i] // 100 for i in range(len(ids)) if sel_rank[i] >= 0}
+    assert picked == {0, 1, 2}
+    assert sel_rank[0] == 0  # smallest id starts the traversal
+    assert coverage.max() < 1e-6
+    assert (coverage[sel_rank >= 0] == 0.0).all()
+
+
+def test_greedy_kcenter_rank_is_farthest_first():
+    from feast_spark.operators.similarity import greedy_kcenter
+
+    # ids 0,1 nearly parallel; id 2 orthogonal: pick order 0 then 2
+    ids = np.array([0, 1, 2])
+    vecs = np.array([[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]])
+    sel_rank, _ = greedy_kcenter(ids, vecs, 2)
+    assert sel_rank.tolist() == [0, -1, 1]
+
+
+def test_diverse_sample_budget_and_determinism(spark):
+    from feast_spark.operators.similarity import diverse_sample
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).astype(np.float32).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = diverse_sample(emb, rate=0.25, n_clusters=4).collect()
+    assert len(out) == 60
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for c, members in by_cluster.items():
+        n_sel = sum(1 for r in members if r["selected"])
+        assert n_sel == int(np.ceil(0.25 * len(members)))
+        ranks = sorted(r["sel_rank"] for r in members if r["selected"])
+        assert ranks == list(range(n_sel))  # dense 0..k-1 pick order
+        for r in members:
+            if r["selected"]:
+                assert r["coverage"] == 0.0
+            else:
+                assert r["sel_rank"] == -1 and r["coverage"] > 0.0
+    # repartition-invariant (kernel sorts by id internally)
+    again = diverse_sample(emb.repartition(7), rate=0.25, n_clusters=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
