@@ -1055,6 +1055,31 @@ def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_token_counts(docs, model)
 
 
+def q_tokenize_pack(spark: SparkSession, sf: str) -> DataFrame:
+    # last-mile tokenization: train BPE on the doc_id%5==0 subset (16
+    # merges), encode the whole corpus to token ids, pack the corpus-wide
+    # stream into fixed 64-token training sequences (docs cross
+    # boundaries). ids emitted space-joined so both engines hash strings.
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bpe import bpe_encode, train_bpe
+    from feast_spark.operators.selection import pack_token_sequences
+
+    docs = _t(spark, sf, "documents")
+    model = train_bpe(
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 0), num_merges=16
+    )
+    seqs = pack_token_sequences(bpe_encode(docs, model), seq_len=64)
+    return seqs.select(
+        "seq_id",
+        F.array_join(F.transform("token_ids", lambda t: t.cast("string")), " ").alias(
+            "ids_str"
+        ),
+        "n_tokens",
+        "n_docs",
+    )
+
+
 def q_conv_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # conversation-level near-dup: every 5th fixture conversation is
     # cloned (conv_id||'d') minus its turn_idx%11==3 turns -> a planted
@@ -1569,11 +1594,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_packing": q_doc_packing,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
+        "tokenize_pack": q_tokenize_pack,
         # merged families (originals in extra_queries)
         "scalar_exprs": q_scalar_exprs,
         "rollup_cube": q_rollup_cube,
         "pull_scan": q_pull_scan,
-        "setops": q_setops,
         # round 2-3 operators
         "label_majority_vote": q_label_majority_vote,
         "stream_window_parity": q_stream_window_parity,
@@ -1615,6 +1640,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_ttl_1h": q_pit_ttl_1h,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "setops": q_setops,
         "sliding_window_agg": q_sliding_window_agg,
         "histogram": q_histogram,
         "top_event_types": q_top_event_types,
@@ -1824,6 +1850,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _rp("transcript_pipeline"),
         "semantic_dedup": _rp("semantic_dedup"),
         "diverse_sample": _rp("diverse_sample"),
+        "tokenize_pack": _rp("tokenize_pack"),
         "doc_curation": _rp("doc_curation"),
         "doc_jaccard_prefix": """
             WITH docs AS (

@@ -28,6 +28,7 @@ Usage: python bench.py            # full benchmark, one JSON line
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -77,6 +78,8 @@ HEADLINE = [
     "doc_jaccard_prefix",
     "label_resolve_recency",
     "quality_classifier",
+    "substring_dedup",
+    "diverse_sample",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -337,6 +340,34 @@ def _bench_docs_large(spark) -> dict:
     assert mism == 0, f"span_dedup round-trip failed on {mism} sampled docs"
     out["span_dedup_roundtrip_ok"] = True
 
+    # ExactSubstr (stride-1 k-grams, ~10x the gram instances of span
+    # dedup): the xxhash64 scale arm runs the full 50k corpus; the
+    # string-keyed portable arm is parity-pinned on a 1/7 subset so the
+    # untimed invariant doesn't pay the full string shuffle twice.
+    from feast_spark.operators.selection import substring_dedup
+
+    with _Window() as w:
+        ss = substring_dedup(docs, k=8, method="xxhash64").agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum((F.col("n_kept") < F.col("n_tokens")).cast("long")
+                  ).alias("docs_with_cuts"),
+            F.sum(F.col("n_tokens") - F.col("n_kept")).alias("tokens_cut"),
+        ).collect()[0]
+    out["substring_dedup_xxhash64"] = {
+        "wall_sec": round(w.wall, 3), "docs_out": ss["docs_out"],
+        "docs_with_cuts": ss["docs_with_cuts"], "tokens_cut": ss["tokens_cut"],
+        "external_cores": w.external_cores,
+    }
+    # the 2 near-copies per 10-doc group share long runs with member 0:
+    # at least ~2 cut docs per group must be found
+    assert ss["docs_with_cuts"] >= 0.95 * (DOCS_LARGE // 10) * 2, ss
+    sub7 = docs.filter(F.col("doc_id") % 7 == 0)
+    a = substring_dedup(sub7, k=8, method="portable")
+    b = substring_dedup(sub7, k=8, method="xxhash64")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+        "substring_dedup arms diverged on subset")
+    out["substring_dedup_arm_parity_ok"] = True
+
     # both hash methods at 50k: md5 is the oracle-portable form, xxhash64
     # the documented scale path — the wall gap IS the evidence
     target = F.col("source").isin("web", "wiki")
@@ -443,6 +474,28 @@ def _bench_docs_large(spark) -> dict:
     }
     assert agg2["dropped_planted"] >= agg["dropped_planted"], (agg, agg2)
     assert agg2["dropped"] == agg2["dropped_planted"], agg2
+
+    # greedy k-center diversity sampling over the same 50k vectors:
+    # per-cluster budget exactness is the invariant (ceil(rate * n_c)
+    # selected per cluster, coverage 0 iff selected)
+    from feast_spark.operators.similarity import diverse_sample
+
+    with _Window() as w3:
+        div = diverse_sample(emb, rate=0.02, n_clusters=224)
+        dagg = div.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("sel"),
+            F.sum(((F.col("coverage") == 0.0) != F.col("selected")).cast("long")
+                  ).alias("cov_viol"),
+        ).collect()
+    n_sel = sum(r["sel"] for r in dagg)
+    assert all(r["sel"] == math.ceil(0.02 * r["n"]) for r in dagg), dagg[:4]
+    assert sum(r["cov_viol"] for r in dagg) == 0
+    assert sum(r["n"] for r in dagg) == 50000
+    out["diverse_sample"] = {
+        "wall_sec": round(w3.wall, 3), "selected": n_sel,
+        "clusters": len(dagg), "external_cores": w3.external_cores,
+    }
     return out
 
 

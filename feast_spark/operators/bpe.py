@@ -249,3 +249,98 @@ def bpe_token_counts(
             F.sum("n_tokens").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding to token ids
+# ---------------------------------------------------------------------------
+
+
+def _distinct_word_tokens(docs: DataFrame, model: BpeModel, text_col: str) -> DataFrame:
+    """(word, tokens array<string>) over the DISTINCT word table — the
+    encode cost is paid once per distinct word, never per corpus word."""
+    ranks = model.ranks
+    spark = docs.sparkSession
+    bc_ranks = spark.sparkContext.broadcast(ranks)
+    distinct_words = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = bc_ranks.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "toks": [encode_word(w, r) for w in pdf["word"]],
+                }
+            )
+
+    return distinct_words.mapInPandas(encode_batch, "word string, toks array<string>")
+
+
+def bpe_vocab(word_tokens: DataFrame) -> DataFrame:
+    """(token, token_id) — ids assigned by lexicographic token order, so
+    the vocab is a pure function of (corpus, model), independent of
+    partitioning. The table is vocab-sized (≤ base alphabet +
+    num_merges rows), so the unpartitioned ordering window is a
+    single-task pass over a tiny relation, not a corpus funnel."""
+    from pyspark.sql import Window
+
+    toks = word_tokens.select(F.explode("toks").alias("token")).distinct()
+    return toks.withColumn(
+        "token_id",
+        (F.row_number().over(Window.orderBy("token")) - 1).cast("int"),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    model: BpeModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document to BPE token ids:
+    ``(id_col, token_ids array<int>, n_tokens)``.
+
+    Pipeline shape: ONE Arrow pass over the distinct-word table encodes
+    to token strings; the vocab (tiny) joins back broadcast to turn each
+    word into an int-id array; the corpus side explodes words with
+    position, joins the broadcast ``word → ids`` table, and one hash agg
+    per doc re-assembles the stream via ``array_sort`` over
+    ``(pos, ids)`` structs + ``flatten`` — deterministic without a
+    global sort, and the corpus text itself never enters a shuffle
+    (only word keys and int arrays do).
+    """
+    wt = _distinct_word_tokens(docs, model, text_col)
+    vocab = bpe_vocab(wt)
+    word_ids = (
+        wt.select("word", F.posexplode("toks").alias("tpos", "token"))
+        .join(F.broadcast(vocab), "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("ids")
+        )
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(word_ids), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
+    )

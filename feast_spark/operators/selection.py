@@ -906,3 +906,97 @@ def substring_dedup(
         )
         .filter(F.col("n_kept") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# token-exact sequence packing (GPT-style contiguous-stream chunking)
+# ---------------------------------------------------------------------------
+
+
+def pack_token_sequences(
+    encoded: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """Concatenate every document's token-id stream in ``id`` order and
+    cut the corpus-wide stream into fixed ``seq_len`` training sequences
+    (documents CROSS sequence boundaries — the standard LM-pretraining
+    packing, vs :func:`pack_documents`' doc-granular bin assignment).
+    Returns ``(seq_id, token_ids, n_tokens, n_docs)`` — one row per
+    sequence; the final sequence may be short (callers drop or pad it).
+
+    Scale shape: the global token offset per document is the same
+    distributed two-phase prefix sum :func:`pack_documents` uses (tiny
+    bucket-total shuffle → broadcast offsets → bucket-partitioned
+    window — never an unpartitioned ``SUM() OVER (ORDER BY)``). Each
+    document then SLICES itself map-side into the ≤ ceil(n/L)+1 pieces
+    that land in distinct sequences, so the one wide exchange (keyed on
+    ``seq_id``) carries every token exactly once; reassembly is a hash
+    agg with ``array_sort`` over ``(offset, piece)`` structs + flatten.
+    """
+    sized = encoded.select(
+        F.col(id_col),
+        F.col(ids_col).alias("__ids"),
+        F.size(ids_col).cast("bigint").alias("__n"),
+        (F.col(id_col) / F.lit(bucket_docs)).cast("bigint").alias("__b"),
+    )
+    bucket_tot = sized.groupBy("__b").agg(F.sum("__n").alias("__tot"))
+    offsets = bucket_tot.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__b", "__off")
+    inner = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = (
+        sized.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__start",
+            F.col("__off") + F.coalesce(F.sum("__n").over(inner), F.lit(0)),
+        )
+        .filter(F.col("__n") > 0)
+    )
+    L = F.lit(seq_len)
+    s0 = (F.col("__start") / L).cast("bigint")
+    s1 = ((F.col("__start") + F.col("__n") - 1) / L).cast("bigint")
+    pieces = placed.select(
+        F.explode(
+            F.transform(
+                F.sequence(s0, s1),
+                lambda s: F.struct(
+                    s.alias("seq_id"),
+                    # offset of this piece inside its sequence
+                    F.greatest(F.lit(0), F.col("__start") - s * L).alias("off"),
+                    F.slice(
+                        F.col("__ids"),
+                        F.greatest(F.lit(0), s * L - F.col("__start")).cast("int") + 1,
+                        (
+                            F.least(F.col("__n"), (s + 1) * L - F.col("__start"))
+                            - F.greatest(F.lit(0), s * L - F.col("__start"))
+                        ).cast("int"),
+                    ).alias("piece"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.seq_id", "p.off", "p.piece")
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("off", "piece"))),
+                    lambda s: s["piece"],
+                )
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
+        .select("seq_id", "token_ids", "n_tokens", "n_docs")
+    )

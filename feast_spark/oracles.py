@@ -163,6 +163,61 @@ def bpe_tokens_pdf(sf_dir: str, num_merges: int = 16) -> pd.DataFrame:
     )
 
 
+def tokenize_pack_pdf(
+    sf_dir: str, num_merges: int = 16, seq_len: int = 64
+) -> pd.DataFrame:
+    """Naive replay of q_tokenize_pack: train BPE (pure-python twin) on
+    the doc_id%5==0 subset, encode every doc via the shared encode_word
+    kernel with a lexicographic token->id vocab, concatenate the corpus
+    stream in doc_id order, chunk into seq_len sequences. token ids are
+    emitted space-joined (ids_str) so the driver hash compares strings,
+    not engine-specific array renderings."""
+    from feast_spark.operators.bpe import encode_word, train_bpe_naive
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.sort_values("doc_id")
+    train = docs[docs["doc_id"] % 5 == 0]
+    wc: dict[str, int] = {}
+    for text in train["text"]:
+        for w in text.split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = train_bpe_naive(wc, num_merges)
+    ranks = {pq: i for i, pq in enumerate(merges)}
+    enc_cache: dict[str, list[str]] = {}
+
+    def toks(w: str) -> list[str]:
+        if w not in enc_cache:
+            enc_cache[w] = encode_word(w, ranks)
+        return enc_cache[w]
+
+    all_tokens: set[str] = set()
+    doc_tok_strs: list[list[str]] = []
+    for text in docs["text"]:
+        ts = [t for w in text.split() if w for t in toks(w)]
+        doc_tok_strs.append(ts)
+        all_tokens.update(ts)
+    vid = {t: i for i, t in enumerate(sorted(all_tokens))}
+    stream: list[int] = []
+    bounds: list[tuple[int, int]] = []
+    for ts in doc_tok_strs:
+        ids = [vid[t] for t in ts]
+        bounds.append((len(stream), len(stream) + len(ids)))
+        stream.extend(ids)
+    rows = []
+    n_seqs = (len(stream) + seq_len - 1) // seq_len
+    for s in range(n_seqs):
+        seg = stream[s * seq_len : (s + 1) * seq_len]
+        n_docs = sum(
+            1 for a, b in bounds if a < (s + 1) * seq_len and b > s * seq_len and b > a
+        )
+        rows.append((s, " ".join(map(str, seg)), len(seg), n_docs))
+    return pd.DataFrame(
+        rows, columns=["seq_id", "ids_str", "n_tokens", "n_docs"]
+    ).astype({"seq_id": "int64", "ids_str": "string", "n_tokens": "int64",
+              "n_docs": "int64"})
+
+
 def conv_neardup_pdf(
     num_hashes: int = 32,
     bands: int = 8,
@@ -930,6 +985,7 @@ _RELATIONS = {
     "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
     "conv_neardup": lambda sf: conv_neardup_pdf(),
     "bpe_tokens": lambda sf: bpe_tokens_pdf(sf),
+    "tokenize_pack": lambda sf: tokenize_pack_pdf(sf),
     "ann_lsh_topk": lambda sf: lsh_topk_pdf(sf),
     "ann_ivf_topk": lambda sf: ivf_topk_pdf(sf),
     "embedding_neardup_lsh": lambda sf: embedding_neardup_pdf(sf),

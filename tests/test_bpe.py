@@ -107,3 +107,68 @@ def test_zero_merges_model_counts_chars(spark):
     out = bpe_token_counts(d, BpeModel(merges=())).collect()[0]
     # 'ab' -> a b </w> (3), 'c' -> c </w> (2)
     assert out["n_words"] == 2 and out["n_bpe_tokens"] == 5
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode (token-id encoding)
+# ---------------------------------------------------------------------------
+
+
+def _naive_encode(rows, num_merges):
+    merges = train_bpe_naive(_word_counts(rows), num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache = {}
+    all_toks: set = set()
+    per_doc = {}
+    for doc_id, text in sorted(rows):
+        ts = []
+        for w in text.split():
+            if w not in cache:
+                cache[w] = encode_word(w, ranks)
+            ts.extend(cache[w])
+        per_doc[doc_id] = ts
+        all_toks.update(ts)
+    vid = {t: i for i, t in enumerate(sorted(all_toks))}
+    return {d: [vid[t] for t in ts] for d, ts in per_doc.items()}, vid
+
+
+def test_bpe_encode_matches_naive_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from feast_spark.operators.bpe import bpe_encode
+
+    rng = np.random.default_rng(13)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 15))))
+        for i in range(25)
+    ]
+    model = train_bpe(_docs(spark, rows), num_merges=10)
+    expected, _ = _naive_encode(rows, 10)
+    out = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode(_docs(spark, rows), model).collect()
+    }
+    assert out == expected
+    out2 = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode(_docs(spark, rows).repartition(7), model).collect()
+    }
+    assert out2 == expected
+
+
+def test_bpe_vocab_is_lexicographic_and_dense(spark):
+    from feast_spark.operators.bpe import (
+        _distinct_word_tokens,
+        bpe_vocab,
+    )
+
+    rows = [(0, "aa ab aa"), (1, "b aa")]
+    model = train_bpe(_docs(spark, rows), num_merges=4)
+    wt = _distinct_word_tokens(_docs(spark, rows), model, "text")
+    vocab = sorted(
+        (r["token"], r["token_id"]) for r in bpe_vocab(wt).collect()
+    )
+    toks = [t for t, _ in vocab]
+    assert toks == sorted(toks)
+    assert [i for _, i in vocab] == list(range(len(vocab)))

@@ -881,3 +881,66 @@ def test_diverse_sample_budget_and_determinism(spark):
     # repartition-invariant (kernel sorts by id internally)
     again = diverse_sample(emb.repartition(7), rate=0.25, n_clusters=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# pack_token_sequences (token-exact contiguous-stream packing)
+# ---------------------------------------------------------------------------
+
+
+def _packed_reference(id_arrays: dict, L: int):
+    stream, bounds = [], []
+    for d in sorted(id_arrays):
+        ids = id_arrays[d]
+        bounds.append((len(stream), len(stream) + len(ids)))
+        stream.extend(ids)
+    exp = {}
+    for s in range((len(stream) + L - 1) // L):
+        seg = stream[s * L : (s + 1) * L]
+        nd = sum(1 for a, b in bounds if a < (s + 1) * L and b > s * L and b > a)
+        exp[s] = (seg, nd)
+    return exp, len(stream)
+
+
+def test_pack_token_sequences_matches_reference(spark):
+    from feast_spark.operators.selection import pack_token_sequences
+
+    rng = np.random.default_rng(21)
+    id_arrays = {
+        i: rng.integers(0, 50, size=rng.integers(0, 40)).tolist() for i in range(30)
+    }
+    enc = spark.createDataFrame(
+        [(d, ids) for d, ids in id_arrays.items()],
+        "doc_id long, token_ids array<int>",
+    )
+    out = {
+        r["seq_id"]: (list(r["token_ids"]), r["n_docs"])
+        for r in pack_token_sequences(enc, seq_len=16, bucket_docs=8).collect()
+    }
+    exp, total = _packed_reference(id_arrays, 16)
+    assert out == exp
+    # every token crosses into exactly one sequence
+    assert sum(len(v[0]) for v in out.values()) == total
+    # repartition-invariant
+    out2 = {
+        r["seq_id"]: (list(r["token_ids"]), r["n_docs"])
+        for r in pack_token_sequences(
+            enc.repartition(5), seq_len=16, bucket_docs=8
+        ).collect()
+    }
+    assert out2 == exp
+
+
+def test_pack_token_sequences_doc_straddles_many_sequences(spark):
+    from feast_spark.operators.selection import pack_token_sequences
+
+    # one 25-token doc at offset 3 straddles seqs 0,1,2,3 at L=8
+    enc = spark.createDataFrame(
+        [(0, list(range(100, 103))), (1, list(range(25)))],
+        "doc_id long, token_ids array<int>",
+    )
+    rows = {r["seq_id"]: r for r in pack_token_sequences(enc, seq_len=8).collect()}
+    assert list(rows[0]["token_ids"]) == [100, 101, 102, 0, 1, 2, 3, 4]
+    assert rows[0]["n_docs"] == 2
+    assert list(rows[3]["token_ids"]) == [21, 22, 23, 24]
+    assert rows[3]["n_docs"] == 1
