@@ -419,30 +419,55 @@ def dsir_weights(
     path at 50k docs (0.9s vs 8.7s per 9.4M-gram pass; the hash itself
     is noise, the 9.4M concatenated strings were the cost).
     """
+    table = dsir_bucket_table(
+        docs, is_target, text_col=text_col, method=method, center=center
+    )
+    return dsir_score_with_table(
+        docs, table, id_col=id_col, text_col=text_col, method=method
+    )
+
+
+def _dsir_gram_stream(
+    docs: DataFrame, cols: list, text_col: str, method: str
+) -> DataFrame:
+    """(``*cols``, bucket) — the hashed-bigram stream shared by the
+    table builder (cols = [__tgt]) and the scorer (cols = [id])."""
     w = _words(text_col)
     if method == "md5":
-        grams = docs.select(
-            F.col(id_col),
-            is_target.alias("__tgt"),
-            F.explode(word_ngrams(w, 2)).alias("gram"),
+        return docs.select(
+            *cols, F.explode(word_ngrams(w, 2)).alias("gram")
         ).withColumn(
             "bucket", F.substring(F.md5(F.col("gram")), 1, _DSIR_BUCKET_CHARS)
-        )
-    elif method == "xxhash64":
+        ).drop("gram")
+    if method == "xxhash64":
         pair = F.arrays_zip(
             F.slice(w, 1, F.size(w) - 1), F.slice(w, 2, F.size(w) - 1)
         )
-        grams = docs.select(
-            F.col(id_col),
-            is_target.alias("__tgt"),
+        return docs.select(
+            *cols,
             F.explode(F.when(F.size(w) >= 2, pair)).alias("__p"),
-        ).select(
-            id_col,
-            "__tgt",
-            F.pmod(F.xxhash64("__p.0", "__p.1"), F.lit(_DSIR_B)).alias("bucket"),
-        )
-    else:  # pragma: no cover
-        raise ValueError(f"unknown method {method!r}")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("__p.0", "__p.1"), F.lit(_DSIR_B))
+        ).drop("__p")
+    raise ValueError(f"unknown method {method!r}")  # pragma: no cover
+
+
+def dsir_bucket_table(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    method: str = "md5",
+    center: bool = False,
+) -> DataFrame:
+    """The frozen DSIR calibration artifact: ``(bucket, bscore,
+    center_units)`` — at most ``_DSIR_B`` (4096) rows. Persist this
+    from a baseline run and score later batches against it with
+    :func:`dsir_score_with_table` (the incremental-curation contract:
+    calibration is computed once, then FROZEN, so batch scores are
+    comparable across runs). ``center_units`` is the corpus-weighted
+    mean bucket score (0 when ``center=False``), carried as a constant
+    column so the table is self-contained."""
+    grams = _dsir_gram_stream(docs, [is_target.alias("__tgt")], text_col, method)
     bucket_counts = grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_cnt"),
@@ -453,38 +478,56 @@ def dsir_weights(
     scores = bucket_counts.crossJoin(F.broadcast(totals)).select(
         "bucket", "raw_cnt", F.expr(DSIR_SCORE_EXPR).alias("bscore")
     )
+    if center:
+        # corpus-weighted mean bucket score: 0 then means "as
+        # target-like as the average gram", making an absolute cutoff
+        # scale-independent (the add-0.5 smoothing prior otherwise
+        # offsets the whole corpus negatively by a corpus-size-dependent
+        # amount). One agg over the <=4096-row table.
+        cu = scores.agg(
+            F.floor(
+                F.sum(F.col("raw_cnt") * F.col("bscore")) / F.sum("raw_cnt")
+            ).cast("bigint").alias("center_units")
+        )
+    else:
+        cu = scores.agg(F.lit(0).cast("bigint").alias("center_units"))
+    return scores.crossJoin(F.broadcast(cu)).select(
+        "bucket", "bscore", "center_units"
+    )
+
+
+def dsir_score_with_table(
+    docs: DataFrame,
+    table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "md5",
+) -> DataFrame:
+    """Score documents against a (possibly frozen) DSIR bucket table.
+    Grams hitting a bucket absent from the table (possible only when the
+    table was built on a DIFFERENT corpus) score 0 — neutral, neither
+    target-like nor not. Output and scale shape identical to
+    :func:`dsir_weights`: the table is broadcast onto the gram stream,
+    the per-doc integer sum is one hash aggregation, and short docs are
+    zero-filled by a map-side-decidable union, never a corpus join."""
+    w = _words(text_col)
+    grams = _dsir_gram_stream(docs, [F.col(id_col)], text_col, method)
     doc_scores = (
-        grams.join(F.broadcast(scores), "bucket")
+        grams.join(F.broadcast(table.select("bucket", "bscore")), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("bscore").alias("dsir_score"),
+            F.sum(F.coalesce("bscore", F.lit(0))).alias("dsir_score"),
         )
     )
-    if center:
-        # subtract the corpus-weighted mean bucket score so 0 means "as
-        # target-like as the average gram" — without this the add-0.5
-        # smoothing prior gives the whole corpus a negative offset whose
-        # magnitude depends on corpus size, and any absolute cutoff stops
-        # being scale-independent. One agg over the <=4096-row bucket
-        # table; per-doc adjustment is sum - n * c (still exact ints).
-        totals_center = scores.agg(
-            F.floor(
-                F.sum(F.col("raw_cnt") * F.col("bscore"))
-                / F.sum("raw_cnt")
-            ).cast("bigint").alias("__c")
-        )
-        doc_scores = doc_scores.crossJoin(F.broadcast(totals_center)).select(
-            id_col,
-            "n_bigrams",
-            (F.col("dsir_score") - F.col("n_bigrams") * F.col("__c")).alias(
-                "dsir_score"
-            ),
-        )
-    # zero-fill for gramless docs WITHOUT a corpus-wide join: a doc is
-    # absent from doc_scores iff it has fewer than 2 words, which is
-    # decidable map-side — union beats left-joining two corpus-sized
-    # relations just to add zeros
+    cu = table.agg(F.max("center_units").alias("__c"))
+    doc_scores = doc_scores.crossJoin(F.broadcast(cu)).select(
+        id_col,
+        "n_bigrams",
+        (F.col("dsir_score") - F.col("n_bigrams") * F.col("__c")).alias(
+            "dsir_score"
+        ),
+    )
     short = docs.filter(F.size(w) < 2).select(
         F.col(id_col),
         F.lit(0).cast("bigint").alias("n_bigrams"),
@@ -1000,3 +1043,88 @@ def pack_token_sequences(
         .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
         .select("seq_id", "token_ids", "n_tokens", "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental span dedup (cross-batch state)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_incremental(
+    new_docs: DataFrame,
+    prior_spans: DataFrame | None,
+    span_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Span dedup for a GROWING corpus processed in batches: dedup the
+    new batch against itself (first occurrence within the batch wins)
+    AND against every span already seen by prior batches
+    (``prior_spans``: a single-column ``h`` relation of xxhash64 span
+    hashes — append-only state the caller persists between runs).
+
+    Returns ``(deduped, batch_new_spans)``:
+
+    - ``deduped`` — the :func:`span_dedup` xxhash64-arm output for the
+      batch's documents;
+    - ``batch_new_spans`` — the ``h`` rows first seen in THIS batch
+      (already anti-joined against ``prior_spans``), so appending them
+      to the state dir keeps the state a DISJOINT union — no
+      state-rewrite or re-distinct is ever needed, and the state grows
+      append-only like an Iceberg snapshot chain.
+
+    Equivalence contract (pinned in ``tests/test_incremental.py``): when
+    batch order follows id order (monotonic snapshot ids — the
+    production case), running batches 1..k incrementally produces, for
+    every document, EXACTLY what a single :func:`span_dedup` run over
+    the union would — the first-occurrence window orders by
+    ``(doc_id, span_idx)``, so later batches can never steal a first
+    occurrence from an earlier one.
+
+    Scale shape: identical to the xxhash64 arm (24-byte shuffle rows,
+    corpus text crossing exactly one exchange) plus ONE left-anti join
+    of the batch's window winners against the state — keyed on the
+    8-byte hash, with only winner rows (≤ batch spans) on the probe
+    side. The state side never moves: Spark shuffles both sides of the
+    anti join by ``h``, so state partitions stream from disk once per
+    batch without a sort.
+    """
+    w = _words(text_col)
+    n_total = F.ceil(F.size(w) / F.lit(span_words)).cast("bigint")
+    hashes_arr = F.transform(
+        F.sequence(F.lit(0), (n_total - 1).cast("int")),
+        lambda i: F.xxhash64(F.slice(w, i * span_words + 1, span_words)),
+    )
+    spans = new_docs.select(
+        F.col(id_col), F.posexplode(hashes_arr).alias("span_idx", "h")
+    )
+    first = Window.partitionBy("h").orderBy(id_col, "span_idx")
+    batch_first = spans.withColumn("rn", F.row_number().over(first)).filter(
+        F.col("rn") == 1
+    )
+    if prior_spans is not None:
+        winners = batch_first.join(prior_spans, "h", "left_anti")
+    else:
+        winners = batch_first
+    kept = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("span_idx")).alias("kept")
+    )
+    rebuilt = new_docs.join(kept, id_col)
+    deduped = rebuilt.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(
+                F.col("kept"),
+                lambda i: F.array_join(
+                    F.slice(w, i * span_words + 1, span_words), " "
+                ),
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.size("kept").cast("bigint").alias("n_spans_kept"),
+        n_total.alias("n_spans_total"),
+    )
+    # winners carry exactly one row per hash (rn == 1), so no distinct —
+    # the new-span relation is shuffle-free from here
+    batch_new_spans = winners.select("h")
+    return deduped, batch_new_spans

@@ -1,0 +1,218 @@
+"""Incremental curation: process a GROWING corpus batch-by-batch with
+append-only dedup state and frozen calibration artifacts.
+
+This is feast's ``materialize_incremental`` shape
+(``feature_store.py:2546``, ``feature_view.py:795-804`` — process only
+the new interval, resume from registry checkpoints) applied to corpus
+curation: the "interval" is a batch of new documents (monotonic ids —
+the snapshot-ingest case), the "checkpoint" is a state directory of
+
+- ``spans/batch=<id>/``  — append-only xxhash64 span hashes, one
+  disjoint partition per committed batch (``_SUCCESS``-marked, so a
+  crashed batch is invisible and a re-run is idempotent);
+- ``dsir/``              — the FROZEN DSIR bucket table
+  (:func:`~feast_spark.operators.selection.dsir_bucket_table`), built
+  once from the first batch's cleaned survivors and reused verbatim so
+  scores stay comparable across batches (the production contract:
+  calibration is versioned, not drifting per batch);
+- ``runs/``              — one lineage row per committed batch
+  (batch id, per-stage counts, wall, timestamp) — the registry-style
+  audit trail the north rule requires.
+
+Stage semantics per batch: span dedup against ALL prior spans
+(:func:`span_dedup_incremental` — exact equivalence with a single full
+run when batch order follows id order, pinned in
+``tests/test_incremental.py``), then the map-side stages exactly as
+:func:`~feast_spark.pipeline.curation.run_curation` runs them (quality
+rules, decontamination against the fixed benchmark, deterministic
+sampling are all per-doc/per-batch deterministic — no cross-batch state
+needed), with DSIR scored against the frozen table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.operators.selection import (
+    contamination_check,
+    deterministic_sample,
+    dsir_bucket_table,
+    dsir_score_with_table,
+    span_dedup_incremental,
+)
+from feast_spark.pipeline.curation import (
+    CurationConfig,
+    _quality_keep,
+    _sample_rate,
+)
+
+
+@dataclass
+class IncrementalResult:
+    batch_id: str
+    kept: DataFrame
+    stage_counts: dict
+    resumed: bool = False
+    _cached: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+
+
+def _spans_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "spans")
+
+
+def _committed_batches(state_dir: str) -> list[str]:
+    root = _spans_dir(state_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(root)
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+
+
+def _load_prior_spans(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    batches = _committed_batches(state_dir)
+    if not batches:
+        return None
+    paths = [
+        os.path.join(_spans_dir(state_dir), f"batch={b}") for b in batches
+    ]
+    return spark.read.parquet(*paths)
+
+
+def run_curation_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    benchmark: DataFrame,
+    state_dir: str,
+    batch_id: str,
+    cfg: CurationConfig | None = None,
+) -> IncrementalResult:
+    """Curate one batch of new documents against the accumulated state.
+
+    Idempotent: a batch whose span partition already carries a
+    ``_SUCCESS`` marker is NOT reprocessed — the lineage row is looked
+    up and the committed ``kept`` output is re-read (crash-after-commit
+    resume; crash-before-commit leaves no marker, so the re-run starts
+    clean). The ``kept`` table is persisted under
+    ``{state_dir}/kept/batch=<id>/`` at commit.
+    """
+    cfg = cfg or CurationConfig()
+    if cfg.use_lm or cfg.use_classifier:  # pragma: no cover
+        raise NotImplementedError(
+            "incremental curation freezes DSIR only; the opt-in LM / "
+            "classifier stages need their own frozen-model plumbing"
+        )
+    kept_dir = os.path.join(state_dir, "kept", f"batch={batch_id}")
+    if batch_id in _committed_batches(state_dir):
+        with open(
+            os.path.join(state_dir, "runs", f"{batch_id}.json")
+        ) as f:
+            lineage = json.load(f)
+        return IncrementalResult(
+            batch_id=batch_id,
+            kept=spark.read.parquet(kept_dir),
+            stage_counts=lineage["stage_counts"],
+            resumed=True,
+        )
+
+    t0 = time.time()
+    prior = _load_prior_spans(spark, state_dir)
+
+    # stage 1: span dedup vs self + all prior batches
+    deduped, new_spans = span_dedup_incremental(
+        new_docs, prior, span_words=cfg.span_words
+    )
+    deduped = deduped.join(new_docs.select("doc_id", "source"), "doc_id")
+
+    # stage 2: quality (map-side Arrow scoring, shared rules kernel)
+    scored = _quality_keep(spark, deduped, cfg.rule_config).persist()
+    n_after_span = scored.count()  # cache-fill barrier (fan-out point)
+    q_pass = scored.filter(F.col("quality_keep"))
+
+    # stage 3: decontamination against the fixed benchmark
+    contam = contamination_check(
+        q_pass, benchmark, n=cfg.contamination_n, text_col="dedup_text"
+    ).select("doc_id", "contaminated")
+    c_pass = q_pass.join(
+        F.broadcast(contam.filter("contaminated")), "doc_id", "left_anti"
+    )
+
+    # stage 4: DSIR against the FROZEN bucket table — built once, from
+    # the first batch's cleaned survivors, then reused verbatim
+    dsir_dir = os.path.join(state_dir, "dsir")
+    if not os.path.exists(os.path.join(dsir_dir, "_SUCCESS")):
+        dsir_bucket_table(
+            c_pass,
+            F.col("source").isin(*cfg.target_sources),
+            text_col="dedup_text",
+            method=cfg.dsir_method,
+            center=True,
+        ).coalesce(1).write.mode("overwrite").parquet(dsir_dir)
+    table = spark.read.parquet(dsir_dir)
+    dsir_pass_ids = (
+        dsir_score_with_table(
+            c_pass, table, text_col="dedup_text", method=cfg.dsir_method
+        )
+        .filter(F.col("dsir_score") >= cfg.min_dsir)
+        .select("doc_id")
+    )
+    d_pass = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
+
+    # stage 5: deterministic stratified sampling (map-only, key-stable —
+    # a doc's verdict is independent of which batch carried it)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    kept = deterministic_sample(d_pass, key, _sample_rate(cfg)).select(
+        "doc_id", "source", "dedup_text", "n_spans_kept", "sample_bucket"
+    )
+
+    # ---- commit: kept output, then lineage, then the span partition
+    # LAST (its _SUCCESS marker IS the commit point — a crash anywhere
+    # earlier leaves the batch uncommitted and the re-run starts clean)
+    kept.write.mode("overwrite").parquet(kept_dir)
+    kept_out = spark.read.parquet(kept_dir)
+    n_in = new_docs.count()
+    n_q = q_pass.count()
+    n_c = c_pass.count()
+    n_d = d_pass.count()
+    n_kept = kept_out.count()
+    stage_counts = {
+        "input": n_in,
+        "after_span_dedup": n_after_span,
+        "after_quality": n_q,
+        "after_decontamination": n_c,
+        "after_dsir": n_d,
+        "kept": n_kept,
+    }
+    os.makedirs(os.path.join(state_dir, "runs"), exist_ok=True)
+    lineage = {
+        "batch_id": batch_id,
+        "stage_counts": stage_counts,
+        "wall_sec": round(time.time() - t0, 3),
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+        "prior_batches": _committed_batches(state_dir),
+    }
+    with open(os.path.join(state_dir, "runs", f"{batch_id}.json"), "w") as f:
+        json.dump(lineage, f)
+    new_spans.write.mode("overwrite").parquet(
+        os.path.join(_spans_dir(state_dir), f"batch={batch_id}")
+    )
+    return IncrementalResult(
+        batch_id=batch_id,
+        kept=kept_out,
+        stage_counts=stage_counts,
+        _cached=[scored],
+    )

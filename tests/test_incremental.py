@@ -1,0 +1,179 @@
+"""Incremental curation: cross-batch span-dedup state equivalence,
+frozen-DSIR scoring, commit/resume idempotence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.selection import (
+    dsir_bucket_table,
+    dsir_score_with_table,
+    dsir_weights,
+    span_dedup,
+    span_dedup_incremental,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _random_rows(seed, n_docs=60, vocab=8, max_words=30, base=0):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    return [
+        (base + i, " ".join(rng.choice(words, size=rng.integers(1, max_words + 1))))
+        for i in range(n_docs)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_spans_equal_full_run_when_batches_follow_id_order(spark):
+    rows1 = _random_rows(1, base=0)
+    rows2 = _random_rows(2, base=1000)
+    full = {
+        r["doc_id"]: tuple(r)
+        for r in span_dedup(
+            _docs(spark, rows1 + rows2), span_words=3, method="xxhash64"
+        ).collect()
+    }
+    out1, spans1 = span_dedup_incremental(_docs(spark, rows1), None, span_words=3)
+    state = spans1.localCheckpoint()
+    out2, _ = span_dedup_incremental(_docs(spark, rows2), state, span_words=3)
+    inc = {r["doc_id"]: tuple(r) for r in out1.collect()}
+    inc.update({r["doc_id"]: tuple(r) for r in out2.collect()})
+    assert inc == full
+
+
+def test_incremental_drops_cross_batch_duplicate(spark):
+    rows1 = [(0, "a b c d e f")]
+    rows2 = [(10, "a b c d e f"), (11, "x y z p q r")]
+    _, spans1 = span_dedup_incremental(_docs(spark, rows1), None, span_words=3)
+    state = spans1.localCheckpoint()
+    out2, spans2 = span_dedup_incremental(_docs(spark, rows2), state, span_words=3)
+    got = {r["doc_id"]: r["dedup_text"] for r in out2.collect()}
+    # doc 10 duplicates batch-1 spans -> fully cut, vanishes
+    assert got == {11: "x y z p q r"}
+    # batch-2 new spans are DISJOINT from batch-1 state
+    s1 = {r["h"] for r in state.collect()}
+    s2 = {r["h"] for r in spans2.collect()}
+    assert s1.isdisjoint(s2) and len(s2) == 2
+
+
+# ---------------------------------------------------------------------------
+# frozen DSIR table
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_table_split_matches_monolithic(spark):
+    # build+score in one call == build table then score with it
+    rows = [(i, t, "src1" if i % 2 else "web") for i, (_, t) in enumerate(_random_rows(3))]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    tgt = F.col("source") == "src1"
+    mono = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_score"])
+        for r in dsir_weights(docs, tgt, center=True).collect()
+    }
+    table = dsir_bucket_table(docs, tgt, center=True)
+    split = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_score"])
+        for r in dsir_score_with_table(docs, table).collect()
+    }
+    assert mono == split
+
+
+def test_dsir_frozen_table_scores_unseen_buckets_neutral(spark):
+    base = spark.createDataFrame(
+        pd.DataFrame([(0, "a b a b", "src1")], columns=["doc_id", "text", "source"])
+    )
+    table = dsir_bucket_table(base, F.lit(True))
+    new = spark.createDataFrame(
+        pd.DataFrame([(1, "zz qq zz qq")], columns=["doc_id", "text"])
+    )
+    out = dsir_score_with_table(new, table).collect()[0]
+    assert out["n_bigrams"] == 3 and out["dsir_score"] == 0
+
+
+# ---------------------------------------------------------------------------
+# run_curation_incremental
+# ---------------------------------------------------------------------------
+
+
+def _corpus_batches(spark):
+    # the sf0.001 documents table (rule-passing text, srcN sources) split
+    # into two id-ordered batches — the monotonic-snapshot-ingest case
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    return b1, b2, bench
+
+
+def test_incremental_pipeline_two_batches_commit_and_resume(spark, tmp_path):
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    b1, b2, bench = _corpus_batches(spark)
+    state = str(tmp_path / "state")
+    cfg = CurationConfig()
+
+    r1 = run_curation_incremental(spark, b1, bench, state, "b1", cfg)
+    assert not r1.resumed
+    assert r1.stage_counts["kept"] > 0
+    assert os.path.exists(os.path.join(state, "dsir", "_SUCCESS"))
+    assert os.path.exists(
+        os.path.join(state, "spans", "batch=b1", "_SUCCESS")
+    )
+    r1.release()
+
+    r2 = run_curation_incremental(spark, b2, bench, state, "b2", cfg)
+    assert not r2.resumed
+    # cross-batch dedup actually bit: batch-2 docs lost spans to batch 1
+    # OR kept fewer than input (the fixture plants duplicates)
+    assert r2.stage_counts["kept"] <= r2.stage_counts["input"]
+    lineage = json.load(open(os.path.join(state, "runs", "b2.json")))
+    assert lineage["prior_batches"] == ["b1"]
+    assert lineage["stage_counts"] == r2.stage_counts
+    kept2 = {r["doc_id"] for r in r2.kept.collect()}
+    r2.release()
+
+    # resume: same batch id returns the COMMITTED result, no recompute
+    r2b = run_curation_incremental(spark, b2, bench, state, "b2", cfg)
+    assert r2b.resumed
+    assert {r["doc_id"] for r in r2b.kept.collect()} == kept2
+    assert r2b.stage_counts == r2.stage_counts
+
+
+def test_incremental_span_stage_matches_full_run(spark, tmp_path):
+    # the span stage of the incremental pipeline is EXACTLY the full-run
+    # span dedup restricted per batch (id order == batch order)
+    from feast_spark.fixtures import documents_spark
+
+    docs = documents_spark(spark, 400, seed=9).localCheckpoint()
+    full = {
+        r["doc_id"]: r["dedup_text"]
+        for r in span_dedup(docs, span_words=10, method="xxhash64").collect()
+    }
+    b1 = docs.filter(F.col("doc_id") < 200)
+    b2 = docs.filter(F.col("doc_id") >= 200)
+    out1, s1 = span_dedup_incremental(b1, None, span_words=10)
+    state = s1.localCheckpoint()
+    out2, _ = span_dedup_incremental(b2, state, span_words=10)
+    inc = {r["doc_id"]: r["dedup_text"] for r in out1.collect()}
+    inc.update({r["doc_id"]: r["dedup_text"] for r in out2.collect()})
+    assert inc == full
