@@ -242,3 +242,59 @@ def test_label_resolve_recency_plan_no_sorts_or_cartesian(spark):
     # the reference semantics are hash aggregations + key joins — a
     # window sort over the raw label stream would be the wrong shape
     assert "Window" not in plan
+
+
+def test_diverse_sample_plan_single_cluster_shuffle(spark):
+    import __spark_entry__ as e
+
+    df = e.q_diverse_sample(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side centroid assignment (closure), one exchange on cluster
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_frozen_table_plan_broadcasts_table(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.selection import (
+        dsir_bucket_table,
+        dsir_score_with_table,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    table = dsir_bucket_table(docs, F.col("source") == "src1")
+    plan = (
+        dsir_score_with_table(docs, table)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # frozen calibration joins back as a broadcast; the gram stream is
+    # never the build side of a wide join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_token_sequences_single_wide_exchange(spark):
+    from feast_spark.operators.selection import pack_token_sequences
+
+    enc = (
+        spark.range(0, 200)
+        .selectExpr(
+            "id AS doc_id",
+            "transform(sequence(0, CAST(id % 37 AS INT)), x -> CAST(x AS INT))"
+            " AS token_ids",
+        )
+    )
+    df = pack_token_sequences(enc, seq_len=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exchanges: tiny bucket totals agg (partial+final around 1 exchange),
+    # the bucket window, and the one wide seq_id regroup — the token
+    # stream itself crosses hashpartitioning(seq_id) exactly once
+    assert plan.count("Exchange hashpartitioning(seq_id") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # offsets come back broadcast, not joined wide
+    assert "BroadcastHashJoin" in plan
