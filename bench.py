@@ -420,6 +420,56 @@ def _bench_docs_large(spark) -> dict:
     assert sum(stages.values()) == DOCS_LARGE, stages
     assert stages.get("kept", 0) > 0, stages
 
+    # incremental curation over the SAME corpus in 5 id-ordered batches:
+    # per-batch walls stay ~flat (each batch pays its own size plus one
+    # hash-keyed anti join against the accumulated span state — never a
+    # recompute of prior batches), and the span stage is provably
+    # equivalent to the one-shot run (asserted below via the one-shot
+    # stage counts).
+    import shutil
+
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    inc_state = "/tmp/feast_spark_bench/inc_state"
+    shutil.rmtree(inc_state, ignore_errors=True)
+    n_batches = 5
+    step = DOCS_LARGE // n_batches
+    inc_walls, inc_counts = [], []
+    span_survivors = 0
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+        )
+        with _Window() as wb:
+            rb = run_curation_incremental(
+                spark, batch, bench_items, inc_state, f"b{b}", cur_cfg
+            )
+            counts = rb.stage_counts
+        rb.release()
+        inc_walls.append(round(wb.wall, 3))
+        inc_counts.append(counts)
+        span_survivors += counts["after_span_dedup"]
+    # span-stage equivalence with the one-shot run: same survivors
+    assert span_survivors == DOCS_LARGE - stages.get("span_dup", 0), (
+        span_survivors, stages)
+    # the number that matters is MARGINAL cost: when a new batch lands on
+    # an already-curated corpus, incremental pays only the delta (last
+    # batch, max prior state) — re-running one-shot pays the whole corpus
+    # again. The 5-batch total is NOT the comparison (a static corpus
+    # should be one-shot).
+    out["incremental_curation"] = {
+        "n_batches": n_batches,
+        "batch_walls_sec": inc_walls,
+        "total_wall_sec": round(sum(inc_walls), 3),
+        "last_batch_wall_sec": inc_walls[-1],
+        "one_shot_wall_sec": out["curation"]["wall_sec"],
+        "marginal_vs_one_shot": round(
+            inc_walls[-1] / out["curation"]["wall_sec"], 3
+        ),
+        "kept_per_batch": [c["kept"] for c in inc_counts],
+        "span_equivalence_ok": True,
+    }
+
     # SemDeDup at 50k vectors with planted ground truth (1 near-copy of
     # member 0 per 10-vec group, cosine ~0.999): drops must recover the
     # planted set.
