@@ -338,3 +338,28 @@ def naive_classifier_pdf(
             "label": yv.astype(np.int32),
         }
     )
+
+
+def save_classifier(model: QualityClassifier, path: str) -> None:
+    """Persist the trained weights as one .npz (frozen-calibration
+    artifact for incremental curation)."""
+    np.savez_compressed(
+        path,
+        weights_micro=model.weights_micro,
+        meta=np.array(
+            [model.n_buckets, model.n_iter, model.n_docs], dtype=np.int64
+        ),
+        lr=np.array([model.lr]),
+    )
+
+
+def load_classifier(path: str) -> QualityClassifier:
+    z = np.load(path, allow_pickle=False)
+    n_buckets, n_iter, n_docs = (int(x) for x in z["meta"])
+    return QualityClassifier(
+        weights_micro=z["weights_micro"],
+        n_buckets=n_buckets,
+        n_iter=n_iter,
+        lr=float(z["lr"][0]),
+        n_docs=n_docs,
+    )

@@ -575,3 +575,41 @@ def naive_lm_pdf(
     return pd.DataFrame(
         rows, columns=["doc_id", "n_tokens", "lp_sum", "ppl"]
     ).astype({"n_tokens": "int64", "lp_sum": "int64"})
+
+
+def save_ngram_lm(model: NgramLM, path: str) -> None:
+    """Persist the model as one .npz (the frozen-calibration artifact
+    incremental curation versions alongside its span state)."""
+    arrays = {}
+    for name, (k, c) in model.tables.items():
+        arrays[f"k_{name}"] = k
+        arrays[f"c_{name}"] = c
+    np.savez_compressed(
+        path,
+        __meta=np.array(
+            [model.order, -1 if model.n_buckets is None else model.n_buckets,
+             model.n_tokens],
+            dtype=np.int64,
+        ),
+        __alpha=np.array([model.alpha]),
+        __method=np.array([model.method]),
+        **arrays,
+    )
+
+
+def load_ngram_lm(path: str) -> NgramLM:
+    z = np.load(path, allow_pickle=False)
+    order, n_buckets, n_tokens = (int(x) for x in z["__meta"])
+    tables = {
+        name[2:]: (z[name], z[f"c_{name[2:]}"])
+        for name in z.files
+        if name.startswith("k_")
+    }
+    return NgramLM(
+        order=order,
+        method=str(z["__method"][0]),
+        n_buckets=None if n_buckets < 0 else n_buckets,
+        alpha=float(z["__alpha"][0]),
+        tables=tables,
+        n_tokens=n_tokens,
+    )

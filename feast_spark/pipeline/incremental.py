@@ -15,6 +15,10 @@ the snapshot-ingest case), the "checkpoint" is a state directory of
   once from the first batch's cleaned survivors and reused verbatim so
   scores stay comparable across batches (the production contract:
   calibration is versioned, not drifting per batch);
+- ``lm_model.npz`` / ``lm_thr.json`` / ``clf_model.npz`` — the opt-in
+  frozen models (stage 2b perplexity LM + its frozen keep threshold,
+  stage 4b classifier weights), trained on the first batch's survivors
+  and loaded verbatim by every later batch;
 - ``runs/``              — one lineage row per committed batch
   (batch id, per-stage counts, wall, timestamp) — the registry-style
   audit trail the north rule requires.
@@ -111,11 +115,6 @@ def run_curation_incremental(
     ``{state_dir}/kept/batch=<id>/`` at commit.
     """
     cfg = cfg or CurationConfig()
-    if cfg.use_lm or cfg.use_classifier:  # pragma: no cover
-        raise NotImplementedError(
-            "incremental curation freezes DSIR only; the opt-in LM / "
-            "classifier stages need their own frozen-model plumbing"
-        )
     kept_dir = os.path.join(state_dir, "kept", f"batch={batch_id}")
     if batch_id in _committed_batches(state_dir):
         with open(
@@ -130,6 +129,8 @@ def run_curation_incremental(
         )
 
     t0 = time.time()
+    os.makedirs(state_dir, exist_ok=True)
+    extra_cached: list = []
     prior = _load_prior_spans(spark, state_dir)
 
     # stage 1: span dedup vs self + all prior batches
@@ -142,6 +143,45 @@ def run_curation_incremental(
     scored = _quality_keep(spark, deduped, cfg.rule_config).persist()
     n_after_span = scored.count()  # cache-fill barrier (fan-out point)
     q_pass = scored.filter(F.col("quality_keep"))
+
+    # stage 2b (opt-in): perplexity filter against a FROZEN LM — trained
+    # on the FIRST batch's in-domain survivors with the keep threshold
+    # (the corpus quantile) frozen alongside it, so later batches face
+    # the SAME bar instead of a per-batch drifting quantile
+    if cfg.use_lm:
+        from feast_spark.operators.lm import (
+            lm_perplexity,
+            load_ngram_lm,
+            save_ngram_lm,
+            train_ngram_lm,
+        )
+
+        lm_path = os.path.join(state_dir, "lm_model.npz")
+        thr_path = os.path.join(state_dir, "lm_thr.json")
+        if not os.path.exists(thr_path):
+            lm_model = train_ngram_lm(
+                q_pass.where(F.col("source").isin(*cfg.target_sources)),
+                text_col="dedup_text",
+                order=cfg.lm_order,
+                method=cfg.lm_method,
+            )
+            scores0 = lm_perplexity(q_pass, lm_model, text_col="dedup_text")
+            thr = scores0.agg(
+                F.percentile(F.col("ppl"), F.lit(cfg.lm_keep_quantile))
+            ).collect()[0][0]
+            save_ngram_lm(lm_model, lm_path)
+            with open(thr_path, "w") as f:
+                json.dump({"lm_thr": thr}, f)
+        else:
+            lm_model = load_ngram_lm(lm_path)
+            with open(thr_path) as f:
+                thr = json.load(f)["lm_thr"]
+        lm_pass_ids = (
+            lm_perplexity(q_pass, lm_model, text_col="dedup_text")
+            .where(F.col("ppl") <= F.lit(thr))
+            .select("doc_id")
+        )
+        q_pass = q_pass.join(lm_pass_ids, "doc_id", "left_semi")
 
     # stage 3: decontamination against the fixed benchmark
     contam = contamination_check(
@@ -171,6 +211,43 @@ def run_curation_incremental(
         .select("doc_id")
     )
     d_pass = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
+
+    # stage 4b (opt-in): model-based filter against a FROZEN classifier —
+    # trained once on the first batch's DSIR survivors, weights persisted
+    # (32 KB .npz), later batches scored map-side against the same model
+    if cfg.use_classifier:
+        from feast_spark.operators.classifier import (
+            hashed_bigram_features,
+            load_classifier,
+            save_classifier,
+            score_with_classifier,
+            train_quality_classifier,
+        )
+
+        clf_path = os.path.join(state_dir, "clf_model.npz")
+        # train() persists feats (materialization barrier); register it
+        # for release() so executor blocks drain with the result
+        feats = hashed_bigram_features(
+            d_pass,
+            F.col("source").isin(*cfg.target_sources),
+            n_buckets=cfg.clf_buckets,
+            text_col="dedup_text",
+            method=cfg.clf_method,
+        )
+        if not os.path.exists(clf_path):
+            clf_model = train_quality_classifier(
+                spark, feats, n_buckets=cfg.clf_buckets, n_iter=cfg.clf_iters
+            )
+            save_classifier(clf_model, clf_path)
+            extra_cached.append(feats)
+        else:
+            clf_model = load_classifier(clf_path)
+        clf_pass_ids = (
+            score_with_classifier(clf_model, feats)
+            .filter(F.col("margin_units") > cfg.min_margin)
+            .select("doc_id")
+        )
+        d_pass = d_pass.join(clf_pass_ids, "doc_id", "left_semi")
 
     # stage 5: deterministic stratified sampling (map-only, key-stable —
     # a doc's verdict is independent of which batch carried it)
@@ -214,5 +291,5 @@ def run_curation_incremental(
         batch_id=batch_id,
         kept=kept_out,
         stage_counts=stage_counts,
-        _cached=[scored],
+        _cached=[scored, *extra_cached],
     )

@@ -177,3 +177,79 @@ def test_incremental_span_stage_matches_full_run(spark, tmp_path):
     inc = {r["doc_id"]: r["dedup_text"] for r in out1.collect()}
     inc.update({r["doc_id"]: r["dedup_text"] for r in out2.collect()})
     assert inc == full
+
+
+def test_incremental_frozen_lm_and_classifier_models(spark, tmp_path):
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    b1, b2, bench = _corpus_batches(spark)
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(use_lm=True, use_classifier=True, clf_iters=3)
+
+    r1 = run_curation_incremental(spark, b1, bench, state, "b1", cfg)
+    lm_path = os.path.join(state, "lm_model.npz")
+    clf_path = os.path.join(state, "clf_model.npz")
+    assert os.path.exists(lm_path) and os.path.exists(clf_path)
+    assert os.path.exists(os.path.join(state, "lm_thr.json"))
+    m1 = (os.path.getmtime(lm_path), os.path.getmtime(clf_path))
+    r1.release()
+
+    r2 = run_curation_incremental(spark, b2, bench, state, "b2", cfg)
+    # batch 2 LOADED the frozen models — files untouched
+    assert (os.path.getmtime(lm_path), os.path.getmtime(clf_path)) == m1
+    assert r2.stage_counts["kept"] <= r2.stage_counts["after_dsir"]
+    kept2 = {r["doc_id"] for r in r2.kept.collect()}
+    r2.release()
+
+    # determinism under resume
+    r2b = run_curation_incremental(spark, b2, bench, state, "b2", cfg)
+    assert r2b.resumed
+    assert {r["doc_id"] for r in r2b.kept.collect()} == kept2
+
+
+def test_lm_save_load_roundtrip(spark):
+    from feast_spark.operators.lm import (
+        lm_perplexity,
+        load_ngram_lm,
+        save_ngram_lm,
+        train_ngram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    model = train_ngram_lm(docs, order=3)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.npz")
+        save_ngram_lm(model, p)
+        loaded = load_ngram_lm(p)
+    assert loaded.order == model.order and loaded.method == model.method
+    assert loaded.n_tokens == model.n_tokens and loaded.alpha == model.alpha
+    assert set(loaded.tables) == set(model.tables)
+    a = {r["doc_id"]: r["ppl"] for r in lm_perplexity(docs, model).collect()}
+    b = {r["doc_id"]: r["ppl"] for r in lm_perplexity(docs, loaded).collect()}
+    assert a == b
+
+
+def test_classifier_save_load_roundtrip():
+    import tempfile
+
+    import numpy as np
+
+    from feast_spark.operators.classifier import (
+        QualityClassifier,
+        load_classifier,
+        save_classifier,
+    )
+
+    m = QualityClassifier(
+        weights_micro=np.arange(64, dtype=np.int64) - 32,
+        n_buckets=64, n_iter=5, lr=0.5, n_docs=123,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.npz")
+        save_classifier(m, p)
+        l = load_classifier(p)
+    assert (l.weights_micro == m.weights_micro).all()
+    assert (l.n_buckets, l.n_iter, l.lr, l.n_docs) == (64, 5, 0.5, 123)
