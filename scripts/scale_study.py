@@ -53,6 +53,22 @@ def _one_size(spark, n_docs: int) -> dict:
     out["span_dedup_xx"] = {"wall_sec": round(time.time() - t0, 2),
                             "docs_kept": n_span}
 
+    from feast_spark.operators.selection import substring_dedup
+
+    t0 = time.time()
+    n_ss = substring_dedup(docs, k=8, method="xxhash64").count()
+    out["substring_dedup_xx"] = {"wall_sec": round(time.time() - t0, 2),
+                                 "docs_kept": n_ss}
+
+    from feast_spark.operators.bpe import bpe_encode, train_bpe
+    from feast_spark.operators.selection import pack_token_sequences
+
+    model = train_bpe(docs.filter(F.col("doc_id") % 10 == 0), num_merges=16)
+    t0 = time.time()
+    n_seqs = pack_token_sequences(bpe_encode(docs, model), seq_len=512).count()
+    out["tokenize_pack"] = {"wall_sec": round(time.time() - t0, 2),
+                            "n_seqs": n_seqs}
+
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs, "doc_id", "text").localCheckpoint()
     n_pairs = pairs.count()
@@ -113,8 +129,8 @@ def main() -> None:
         "wall_ratio_over_size_ratio": {
             k: round(big[k]["wall_sec"] / max(small[k]["wall_sec"], 1e-9)
                      / size_ratio, 3)
-            for k in ("span_dedup_xx", "minhash_cc", "curation",
-                      "shard_export")
+            for k in ("span_dedup_xx", "substring_dedup_xx", "tokenize_pack",
+                      "minhash_cc", "curation", "shard_export")
         },
     }
     print(json.dumps(summary, separators=(",", ":")))
