@@ -131,6 +131,7 @@ def run_curation_incremental(
     t0 = time.time()
     os.makedirs(state_dir, exist_ok=True)
     extra_cached: list = []
+    deferred_artifacts: list = []  # frozen-model writes, run at commit
     prior = _load_prior_spans(spark, state_dir)
 
     # stage 1: span dedup vs self + all prior batches
@@ -142,7 +143,8 @@ def run_curation_incremental(
     # stage 2: quality (map-side Arrow scoring, shared rules kernel)
     scored = _quality_keep(spark, deduped, cfg.rule_config).persist()
     n_after_span = scored.count()  # cache-fill barrier (fan-out point)
-    q_pass = scored.filter(F.col("quality_keep"))
+    q_pass_rules = scored.filter(F.col("quality_keep"))
+    q_pass = q_pass_rules
 
     # stage 2b (opt-in): perplexity filter against a FROZEN LM — trained
     # on the FIRST batch's in-domain survivors with the keep threshold
@@ -169,9 +171,14 @@ def run_curation_incremental(
             thr = scores0.agg(
                 F.percentile(F.col("ppl"), F.lit(cfg.lm_keep_quantile))
             ).collect()[0][0]
-            save_ngram_lm(lm_model, lm_path)
-            with open(thr_path, "w") as f:
-                json.dump({"lm_thr": thr}, f)
+            # persisted at COMMIT time (below), not here — a crashed
+            # batch must leave no calibration state behind
+            deferred_artifacts.append(
+                lambda m=lm_model, t=thr: (
+                    save_ngram_lm(m, lm_path),
+                    json.dump({"lm_thr": t}, open(thr_path, "w")),
+                )
+            )
         else:
             lm_model = load_ngram_lm(lm_path)
             with open(thr_path) as f:
@@ -195,14 +202,25 @@ def run_curation_incremental(
     # the first batch's cleaned survivors, then reused verbatim
     dsir_dir = os.path.join(state_dir, "dsir")
     if not os.path.exists(os.path.join(dsir_dir, "_SUCCESS")):
+        # build into a batch-scoped staging dir; promoted to ``dsir/``
+        # only at commit (rename onto a missing target = free CAS) so a
+        # crashed first batch freezes nothing. Scoring below reads the
+        # staged parquet, so batch 1 scores against the EXACT artifact
+        # later batches will read.
+        stage_dir = os.path.join(state_dir, f"dsir.tmp-{batch_id}")
         dsir_bucket_table(
             c_pass,
             F.col("source").isin(*cfg.target_sources),
             text_col="dedup_text",
             method=cfg.dsir_method,
             center=True,
-        ).coalesce(1).write.mode("overwrite").parquet(dsir_dir)
-    table = spark.read.parquet(dsir_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        table = spark.read.parquet(stage_dir)
+        deferred_artifacts.append(
+            lambda s=stage_dir, d=dsir_dir: os.path.exists(d) or os.rename(s, d)
+        )
+    else:
+        table = spark.read.parquet(dsir_dir)
     dsir_pass_ids = (
         dsir_score_with_table(
             c_pass, table, text_col="dedup_text", method=cfg.dsir_method
@@ -210,7 +228,8 @@ def run_curation_incremental(
         .filter(F.col("dsir_score") >= cfg.min_dsir)
         .select("doc_id")
     )
-    d_pass = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
+    d_pass_dsir = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
+    d_pass = d_pass_dsir
 
     # stage 4b (opt-in): model-based filter against a FROZEN classifier —
     # trained once on the first batch's DSIR survivors, weights persisted
@@ -238,7 +257,9 @@ def run_curation_incremental(
             clf_model = train_quality_classifier(
                 spark, feats, n_buckets=cfg.clf_buckets, n_iter=cfg.clf_iters
             )
-            save_classifier(clf_model, clf_path)
+            deferred_artifacts.append(
+                lambda m=clf_model: save_classifier(m, clf_path)
+            )
             extra_cached.append(feats)
         else:
             clf_model = load_classifier(clf_path)
@@ -261,19 +282,20 @@ def run_curation_incremental(
     # earlier leaves the batch uncommitted and the re-run starts clean)
     kept.write.mode("overwrite").parquet(kept_dir)
     kept_out = spark.read.parquet(kept_dir)
-    n_in = new_docs.count()
-    n_q = q_pass.count()
-    n_c = c_pass.count()
-    n_d = d_pass.count()
-    n_kept = kept_out.count()
     stage_counts = {
-        "input": n_in,
+        "input": new_docs.count(),
         "after_span_dedup": n_after_span,
-        "after_quality": n_q,
-        "after_decontamination": n_c,
-        "after_dsir": n_d,
-        "kept": n_kept,
+        # generic keys count the CORE stages (rules / decontam / dsir);
+        # the opt-in stages report under their own explicit keys below
+        "after_quality": q_pass_rules.count(),
+        "after_decontamination": c_pass.count(),
+        "after_dsir": d_pass_dsir.count(),
+        "kept": kept_out.count(),
     }
+    if cfg.use_lm:
+        stage_counts["after_lm"] = q_pass.count()
+    if cfg.use_classifier:
+        stage_counts["after_classifier"] = d_pass.count()
     os.makedirs(os.path.join(state_dir, "runs"), exist_ok=True)
     lineage = {
         "batch_id": batch_id,
@@ -284,6 +306,8 @@ def run_curation_incremental(
     }
     with open(os.path.join(state_dir, "runs", f"{batch_id}.json"), "w") as f:
         json.dump(lineage, f)
+    for commit_artifact in deferred_artifacts:
+        commit_artifact()
     new_spans.write.mode("overwrite").parquet(
         os.path.join(_spans_dir(state_dir), f"batch={batch_id}")
     )
