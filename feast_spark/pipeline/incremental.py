@@ -146,6 +146,9 @@ def run_curation_incremental(
     q_pass_rules = scored.filter(F.col("quality_keep"))
     q_pass = q_pass_rules
 
+    lm_pass_ids = None
+    clf_pass_ids = None
+
     # stage 2b (opt-in): perplexity filter against a FROZEN LM — trained
     # on the FIRST batch's in-domain survivors with the keep threshold
     # (the corpus quantile) frozen alongside it, so later batches face
@@ -187,7 +190,9 @@ def run_curation_incremental(
             lm_perplexity(q_pass, lm_model, text_col="dedup_text")
             .where(F.col("ppl") <= F.lit(thr))
             .select("doc_id")
-        )
+            .persist()  # tiny id set; caches the scoring subtree for
+        )               # both the kept chain and the lineage pass
+        extra_cached.append(lm_pass_ids)
         q_pass = q_pass.join(lm_pass_ids, "doc_id", "left_semi")
 
     # stage 3: decontamination against the fixed benchmark
@@ -227,7 +232,9 @@ def run_curation_incremental(
         )
         .filter(F.col("dsir_score") >= cfg.min_dsir)
         .select("doc_id")
+        .persist()
     )
+    extra_cached.append(dsir_pass_ids)
     d_pass_dsir = c_pass.join(dsir_pass_ids, "doc_id", "left_semi")
     d_pass = d_pass_dsir
 
@@ -267,7 +274,9 @@ def run_curation_incremental(
             score_with_classifier(clf_model, feats)
             .filter(F.col("margin_units") > cfg.min_margin)
             .select("doc_id")
+            .persist()
         )
+        extra_cached.append(clf_pass_ids)
         d_pass = d_pass.join(clf_pass_ids, "doc_id", "left_semi")
 
     # stage 5: deterministic stratified sampling (map-only, key-stable —
@@ -282,20 +291,69 @@ def run_curation_incremental(
     # earlier leaves the batch uncommitted and the re-run starts clean)
     kept.write.mode("overwrite").parquet(kept_dir)
     kept_out = spark.read.parquet(kept_dir)
+
+    # ---- lineage counts in ONE aggregation pass. Flag columns are
+    # left-joined id sets (each pass-id subtree executes exactly once
+    # here; the expensive span+quality base is the persisted ``scored``);
+    # the cumulative ANDs rebuild the staged funnel, so every count comes
+    # from a single job instead of one action per stage.
+    flags = scored.select("doc_id", "quality_keep")
+    q_ok = F.col("quality_keep")
+    funnel = [q_ok]
+    if lm_pass_ids is not None:
+        flags = flags.join(
+            lm_pass_ids.withColumn("__lm", F.lit(True)), "doc_id", "left"
+        )
+        funnel.append(F.coalesce("__lm", F.lit(False)))
+    flags = flags.join(
+        contam.filter("contaminated").select(
+            "doc_id", F.col("contaminated").alias("__contam")
+        ),
+        "doc_id",
+        "left",
+    )
+    funnel.append(~F.coalesce("__contam", F.lit(False)))
+    flags = flags.join(
+        dsir_pass_ids.withColumn("__dsir", F.lit(True)), "doc_id", "left"
+    )
+    funnel.append(F.coalesce("__dsir", F.lit(False)))
+    if clf_pass_ids is not None:
+        flags = flags.join(
+            clf_pass_ids.withColumn("__clf", F.lit(True)), "doc_id", "left"
+        )
+        funnel.append(F.coalesce("__clf", F.lit(False)))
+
+    def upto(n: int):
+        cond = funnel[0]
+        for c in funnel[1:n]:
+            cond = cond & c
+        return F.sum(cond.cast("long"))
+
+    i = 1
+    aggs = [F.count(F.lit(1)).alias("n"), upto(i).alias("q")]
+    if lm_pass_ids is not None:
+        i += 1
+        aggs.append(upto(i).alias("lm"))
+    i += 1
+    aggs.append(upto(i).alias("c"))
+    i += 1
+    aggs.append(upto(i).alias("d"))
+    if clf_pass_ids is not None:
+        i += 1
+        aggs.append(upto(i).alias("clf"))
+    row = flags.agg(*aggs).collect()[0]
     stage_counts = {
         "input": new_docs.count(),
         "after_span_dedup": n_after_span,
-        # generic keys count the CORE stages (rules / decontam / dsir);
-        # the opt-in stages report under their own explicit keys below
-        "after_quality": q_pass_rules.count(),
-        "after_decontamination": c_pass.count(),
-        "after_dsir": d_pass_dsir.count(),
+        "after_quality": int(row["q"]),
+        "after_decontamination": int(row["c"]),
+        "after_dsir": int(row["d"]),
         "kept": kept_out.count(),
     }
-    if cfg.use_lm:
-        stage_counts["after_lm"] = q_pass.count()
-    if cfg.use_classifier:
-        stage_counts["after_classifier"] = d_pass.count()
+    if lm_pass_ids is not None:
+        stage_counts["after_lm"] = int(row["lm"])
+    if clf_pass_ids is not None:
+        stage_counts["after_classifier"] = int(row["clf"])
     os.makedirs(os.path.join(state_dir, "runs"), exist_ok=True)
     lineage = {
         "batch_id": batch_id,
