@@ -215,32 +215,18 @@ def bpe_token_counts(
     the corpus-sized side only explodes words and joins the broadcast
     ``word → n_tokens`` table, then one hash agg per doc. Returns
     ``(id_col, n_words, n_bpe_tokens)``.
-    """
-    ranks = model.ranks
-    spark = docs.sparkSession
-    bc_ranks = spark.sparkContext.broadcast(ranks)
 
+    The distinct-word encode pipeline is :func:`_distinct_word_tokens`
+    — shared with :func:`bpe_encode`, so token COUNTS and token-id
+    ENCODINGS can never disagree on tokenization.
+    """
+    word_tokens = _distinct_word_tokens(docs, model, text_col).select(
+        "word", F.size("toks").cast("long").alias("n_tokens")
+    )
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    distinct_words = words.select("word").distinct()
-
-    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r = bc_ranks.value
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_tokens": [
-                        len(encode_word(w, r)) for w in pdf["word"]
-                    ],
-                }
-            )
-
-    word_tokens = distinct_words.mapInPandas(
-        encode_batch, "word string, n_tokens long"
-    )
     return (
         words.join(F.broadcast(word_tokens), "word")
         .groupBy(id_col)

@@ -106,35 +106,14 @@ def span_dedup(
     w = _words(text_col)
     n_total = F.ceil(F.size(w) / F.lit(span_words)).cast("bigint")
     if method == "xxhash64":
-        hashes_arr = F.transform(
-            F.sequence(F.lit(0), (n_total - 1).cast("int")),
-            lambda i: F.xxhash64(F.slice(w, i * span_words + 1, span_words)),
+        # single implementation: the batch form IS the incremental form
+        # with no prior state — keeps the two provably hash- and
+        # order-identical (the bench's span-equivalence assert depends
+        # on it)
+        deduped, _ = span_dedup_incremental(
+            docs, None, span_words=span_words, id_col=id_col, text_col=text_col
         )
-        spans = docs.select(
-            F.col(id_col), F.posexplode(hashes_arr).alias("span_idx", "h")
-        )
-        first = Window.partitionBy("h").orderBy(id_col, "span_idx")
-        winners = (
-            spans.withColumn("rn", F.row_number().over(first))
-            .filter(F.col("rn") == 1)
-            .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list("span_idx")).alias("kept"))
-        )
-        rebuilt = docs.join(winners, id_col)
-        return rebuilt.select(
-            F.col(id_col),
-            F.array_join(
-                F.transform(
-                    F.col("kept"),
-                    lambda i: F.array_join(
-                        F.slice(w, i * span_words + 1, span_words), " "
-                    ),
-                ),
-                " ",
-            ).alias("dedup_text"),
-            F.size("kept").cast("bigint").alias("n_spans_kept"),
-            n_total.alias("n_spans_total"),
-        )
+        return deduped
     if method != "portable":  # pragma: no cover
         raise ValueError(f"unknown method {method!r}")
     spans_arr = F.transform(
@@ -505,8 +484,14 @@ def dsir_score_with_table(
 ) -> DataFrame:
     """Score documents against a (possibly frozen) DSIR bucket table.
     Grams hitting a bucket absent from the table (possible only when the
-    table was built on a DIFFERENT corpus) score 0 — neutral, neither
-    target-like nor not. Output and scale shape identical to
+    table was built on a DIFFERENT corpus) contribute exactly 0 to the
+    FINAL (centered) score — truly neutral: centering subtracts
+    ``center_units`` only for the grams that matched the table
+    (``raw_sum - n_matched * c``), so an unmatched gram neither gains
+    the smoothing prior nor pays the centering charge. For a table and
+    corpus from the same run every gram matches (``n_matched ==
+    n_bigrams``) and this reduces bit-exactly to :func:`dsir_weights`'s
+    original arithmetic. Output and scale shape identical to
     :func:`dsir_weights`: the table is broadcast onto the gram stream,
     the per-doc integer sum is one hash aggregation, and short docs are
     zero-filled by a map-side-decidable union, never a corpus join."""
@@ -517,14 +502,19 @@ def dsir_score_with_table(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.coalesce("bscore", F.lit(0))).alias("dsir_score"),
+            F.sum(F.coalesce("bscore", F.lit(0))).alias("__raw"),
+            F.count("bscore").alias("__n_matched"),
         )
     )
-    cu = table.agg(F.max("center_units").alias("__c"))
+    # coalesce guards the empty-table edge (max over zero rows = NULL),
+    # which would otherwise NULL every score and silently drop all docs
+    cu = table.agg(
+        F.coalesce(F.max("center_units"), F.lit(0)).alias("__c")
+    )
     doc_scores = doc_scores.crossJoin(F.broadcast(cu)).select(
         id_col,
         "n_bigrams",
-        (F.col("dsir_score") - F.col("n_bigrams") * F.col("__c")).alias(
+        (F.col("__raw") - F.col("__n_matched") * F.col("__c")).alias(
             "dsir_score"
         ),
     )
@@ -668,9 +658,28 @@ def pack_documents(
     sized = docs.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("n_words"),
-        (F.col(id_col) / F.lit(bucket_docs)).cast("bigint").alias("__b"),
     )
-    bucket_tot = sized.groupBy("__b").agg(F.sum("n_words").alias("__tot"))
+    placed = _prefix_sum_starts(sized, id_col, "n_words", bucket_docs)
+    return placed.select(
+        id_col,
+        "n_words",
+        (F.col("__start") / budget_words).cast("bigint").alias("pack_id"),
+        (F.col("__start") % budget_words).alias("pack_offset"),
+    )
+
+
+def _prefix_sum_starts(
+    sized: DataFrame, id_col: str, n_col: str, bucket_docs: int
+) -> DataFrame:
+    """The shared two-phase distributed prefix sum (see
+    :func:`pack_documents` for the full rationale): given rows with an
+    integer ``n_col``, add ``__start`` = the exclusive running sum of
+    ``n_col`` in ``id_col`` order. Used by both packers — the scaffold
+    lives once so the bucket/boundary logic cannot diverge."""
+    sized = sized.withColumn(
+        "__b", (F.col(id_col) / F.lit(bucket_docs)).cast("bigint")
+    )
+    bucket_tot = sized.groupBy("__b").agg(F.sum(n_col).alias("__tot"))
     offsets = bucket_tot.withColumn(
         "__off",
         F.coalesce(
@@ -686,14 +695,10 @@ def pack_documents(
     return (
         sized.join(F.broadcast(offsets), "__b")
         .withColumn(
-            "__start", F.col("__off") + F.coalesce(F.sum("n_words").over(inner), F.lit(0))
+            "__start",
+            F.col("__off") + F.coalesce(F.sum(n_col).over(inner), F.lit(0)),
         )
-        .select(
-            id_col,
-            "n_words",
-            (F.col("__start") / budget_words).cast("bigint").alias("pack_id"),
-            (F.col("__start") % budget_words).alias("pack_offset"),
-        )
+        .drop("__b", "__off")
     )
 
 
@@ -983,28 +988,9 @@ def pack_token_sequences(
         F.col(id_col),
         F.col(ids_col).alias("__ids"),
         F.size(ids_col).cast("bigint").alias("__n"),
-        (F.col(id_col) / F.lit(bucket_docs)).cast("bigint").alias("__b"),
     )
-    bucket_tot = sized.groupBy("__b").agg(F.sum("__n").alias("__tot"))
-    offsets = bucket_tot.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__tot").over(
-                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("__b", "__off")
-    inner = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    placed = (
-        sized.join(F.broadcast(offsets), "__b")
-        .withColumn(
-            "__start",
-            F.col("__off") + F.coalesce(F.sum("__n").over(inner), F.lit(0)),
-        )
-        .filter(F.col("__n") > 0)
+    placed = _prefix_sum_starts(sized, id_col, "__n", bucket_docs).filter(
+        F.col("__n") > 0
     )
     L = F.lit(seq_len)
     s0 = (F.col("__start") / L).cast("bigint")
@@ -1056,6 +1042,7 @@ def span_dedup_incremental(
     span_words: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_winners: bool = False,
 ):
     """Span dedup for a GROWING corpus processed in batches: dedup the
     new batch against itself (first occurrence within the batch wins)
@@ -1063,7 +1050,10 @@ def span_dedup_incremental(
     (``prior_spans``: a single-column ``h`` relation of xxhash64 span
     hashes — append-only state the caller persists between runs).
 
-    Returns ``(deduped, batch_new_spans)``:
+    Returns ``(deduped, batch_new_spans)`` — or, with
+    ``persist_winners=True``, ``(deduped, batch_new_spans, winners)``
+    where ``winners`` is the persisted shared subtree for the caller to
+    unpersist once both outputs are consumed:
 
     - ``deduped`` — the :func:`span_dedup` xxhash64-arm output for the
       batch's documents;
@@ -1106,6 +1096,13 @@ def span_dedup_incremental(
         winners = batch_first.join(prior_spans, "h", "left_anti")
     else:
         winners = batch_first
+    if persist_winners:
+        # both consumers (reconstruction + the new-span state write) hang
+        # off this subtree — caching it means the batch's widest shuffle
+        # (the first-occurrence window) executes once, not once per
+        # consumer. Caller owns the unpersist (Spark matches the cache by
+        # plan, so downstream frames built below hit it automatically).
+        winners = winners.persist()
     kept = winners.groupBy(id_col).agg(
         F.sort_array(F.collect_list("span_idx")).alias("kept")
     )
@@ -1127,4 +1124,6 @@ def span_dedup_incremental(
     # winners carry exactly one row per hash (rn == 1), so no distinct —
     # the new-span relation is shuffle-free from here
     batch_new_spans = winners.select("h")
+    if persist_winners:
+        return deduped, batch_new_spans, winners
     return deduped, batch_new_spans

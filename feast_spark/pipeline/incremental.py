@@ -134,10 +134,13 @@ def run_curation_incremental(
     deferred_artifacts: list = []  # frozen-model writes, run at commit
     prior = _load_prior_spans(spark, state_dir)
 
-    # stage 1: span dedup vs self + all prior batches
-    deduped, new_spans = span_dedup_incremental(
-        new_docs, prior, span_words=cfg.span_words
+    # stage 1: span dedup vs self + all prior batches. persist_winners
+    # caches the first-occurrence window (the batch's widest shuffle) so
+    # the new-span state write at commit reuses it instead of re-running
+    deduped, new_spans, winners = span_dedup_incremental(
+        new_docs, prior, span_words=cfg.span_words, persist_winners=True
     )
+    extra_cached.append(winners)
     deduped = deduped.join(new_docs.select("doc_id", "source"), "doc_id")
 
     # stage 2: quality (map-side Arrow scoring, shared rules kernel)
@@ -170,8 +173,19 @@ def run_curation_incremental(
                 order=cfg.lm_order,
                 method=cfg.lm_method,
             )
-            scores0 = lm_perplexity(q_pass, lm_model, text_col="dedup_text")
-            thr = scores0.agg(
+        else:
+            lm_model = load_ngram_lm(lm_path)
+        # ONE scoring pass per batch: persisted, so the threshold
+        # percentile (first batch), the pass-id filter, and the lineage
+        # agg all read the cache
+        lm_scores = (
+            lm_perplexity(q_pass, lm_model, text_col="dedup_text")
+            .select("doc_id", "ppl")
+            .persist()
+        )
+        extra_cached.append(lm_scores)
+        if not os.path.exists(thr_path):
+            thr = lm_scores.agg(
                 F.percentile(F.col("ppl"), F.lit(cfg.lm_keep_quantile))
             ).collect()[0][0]
             # persisted at COMMIT time (below), not here — a crashed
@@ -183,22 +197,22 @@ def run_curation_incremental(
                 )
             )
         else:
-            lm_model = load_ngram_lm(lm_path)
             with open(thr_path) as f:
                 thr = json.load(f)["lm_thr"]
-        lm_pass_ids = (
-            lm_perplexity(q_pass, lm_model, text_col="dedup_text")
-            .where(F.col("ppl") <= F.lit(thr))
-            .select("doc_id")
-            .persist()  # tiny id set; caches the scoring subtree for
-        )               # both the kept chain and the lineage pass
-        extra_cached.append(lm_pass_ids)
+        lm_pass_ids = lm_scores.where(F.col("ppl") <= F.lit(thr)).select(
+            "doc_id"
+        )
         q_pass = q_pass.join(lm_pass_ids, "doc_id", "left_semi")
 
-    # stage 3: decontamination against the fixed benchmark
+    # stage 3: decontamination against the fixed benchmark. Persisted
+    # with a fill barrier (the run_curation lesson): the gram-overlap
+    # join fans into the kept chain, the dsir table/score subtrees, and
+    # the lineage agg — unpersisted it would re-run per consumer
     contam = contamination_check(
         q_pass, benchmark, n=cfg.contamination_n, text_col="dedup_text"
-    ).select("doc_id", "contaminated")
+    ).select("doc_id", "contaminated").persist()
+    contam.count()
+    extra_cached.append(contam)
     c_pass = q_pass.join(
         F.broadcast(contam.filter("contaminated")), "doc_id", "left_anti"
     )

@@ -253,3 +253,31 @@ def test_classifier_save_load_roundtrip():
         l = load_classifier(p)
     assert (l.weights_micro == m.weights_micro).all()
     assert (l.n_buckets, l.n_iter, l.lr, l.n_docs) == (64, 5, 0.5, 123)
+
+
+def test_dsir_frozen_center_table_unseen_buckets_still_neutral(spark):
+    # with center=True (the incremental default) an unmatched gram must
+    # contribute 0 to the FINAL centered score — not -center_units each
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a b a b c a", "src1"), (1, "c a c b", "web")],
+            columns=["doc_id", "text", "source"],
+        )
+    )
+    table = dsir_bucket_table(base, F.col("source") == "src1", center=True)
+    new = spark.createDataFrame(
+        pd.DataFrame([(9, "zz qq rr zz qq")], columns=["doc_id", "text"])
+    )
+    out = dsir_score_with_table(new, table).collect()[0]
+    assert out["n_bigrams"] == 4 and out["dsir_score"] == 0
+
+
+def test_dsir_empty_table_scores_all_zero_not_null(spark):
+    empty = spark.createDataFrame(
+        [], "bucket string, bscore bigint, center_units bigint"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, "a b c")], columns=["doc_id", "text"])
+    )
+    out = dsir_score_with_table(docs, empty).collect()[0]
+    assert out["dsir_score"] == 0 and out["n_bigrams"] == 2
