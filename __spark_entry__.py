@@ -1282,6 +1282,28 @@ def q_langid_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet head/middle/tail: per-source exact-tercile cuts over the
+    # corpus-trained LM's perplexities (same model as lm_perplexity)
+    from feast_spark.operators.lm import (
+        lm_perplexity,
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    model = train_ngram_lm(
+        d.where(F.col("source").isin("src1", "src2", "src3")),
+        method="portable", order=5,
+    )
+    scored = lm_perplexity(d, model).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return perplexity_buckets(scored, "source").select(
+        "doc_id", "source", "ppl", "bucket"
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # corpus-trained stupid-backoff 5-gram LM (the north-star "hashed
     # 5-gram KenLM-style perplexity scorer"): train on the src1-3
@@ -1575,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
         "lm_perplexity": q_lm_perplexity,
+        "lm_buckets": q_lm_buckets,
         "doc_curation_lm": q_doc_curation_lm,
         "source_cap": q_source_cap,
         "quality_calibrate": q_quality_calibrate,
@@ -1597,7 +1620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_pack": q_tokenize_pack,
         # merged families (originals in extra_queries)
         "scalar_exprs": q_scalar_exprs,
-        "rollup_cube": q_rollup_cube,
         "pull_scan": q_pull_scan,
         # round 2-3 operators
         "label_majority_vote": q_label_majority_vote,
@@ -1641,6 +1663,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_ttl_1h": q_pit_ttl_1h,
         "ann_cosine_topk": q_ann_cosine_topk,
         "setops": q_setops,
+        "rollup_cube": q_rollup_cube,
         "sliding_window_agg": q_sliding_window_agg,
         "histogram": q_histogram,
         "top_event_types": q_top_event_types,
@@ -1726,6 +1749,27 @@ def _all_oracle_sql() -> dict[str, str]:
         "langid_classifier": _rp("langid_classifier"),
         "doc_curation_lm": _rp("doc_curation_lm"),
         "lm_perplexity": _rp("lm_perplexity"),
+        "lm_buckets": f"""
+            -- per-source exact terciles over the naive-LM relation;
+            -- quantile_cont == Spark exact percentile (pinned round 1);
+            -- double division literals so both sides cut at the same
+            -- IEEE value; ties fall to the lower bucket (<=) both sides
+            WITH s AS (
+              SELECT l.doc_id, l.ppl, d.source
+              FROM read_parquet('{derived["lm_perplexity"]}') l
+              JOIN documents d USING (doc_id)
+            ), c AS (
+              SELECT source,
+                     quantile_cont(ppl, CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE)) AS c1,
+                     quantile_cont(ppl, CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE)) AS c2
+              FROM s GROUP BY source
+            )
+            SELECT s.doc_id, s.source, s.ppl,
+                   CASE WHEN s.ppl <= c.c1 THEN 'head'
+                        WHEN s.ppl <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s JOIN c USING (source)
+        """,
         "quality_classifier": _rp("quality_classifier"),
         "export_shards": _rp("export_shards"),
         "doc_curation_clf": _rp("doc_curation_clf"),

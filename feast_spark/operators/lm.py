@@ -613,3 +613,44 @@ def load_ngram_lm(path: str) -> NgramLM:
         tables=tables,
         n_tokens=n_tokens,
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "ppl",
+    quantiles: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): cut each
+    group (CCNet: each language) at the exact ``quantiles`` of
+    ``score_col`` and label rows ``head`` / ``middle`` / ``tail`` —
+    the standard downstream treatment (keep head+middle, drop or
+    down-sample tail) after LM scoring.
+
+    Shape: one hash aggregation reduces each group to its cut array
+    (Spark's EXACT ``percentile`` — interpolation pinned bit-equal to
+    DuckDB ``quantile_cont`` by the round-1 ``numeric_stats`` oracle);
+    the tiny per-group cut table broadcasts back; the label itself is a
+    map-side fold over the cut array (``aggregate``: count of cuts
+    strictly below the score indexes into ``labels``). No corpus-side
+    shuffle beyond the one group agg — calibrating on 100 TB costs one
+    numeric reduction per group.
+    """
+    assert len(labels) == len(quantiles) + 1
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile(
+            F.col(score_col),
+            F.array(*[F.lit(float(q)) for q in quantiles]),
+        ).alias("__cuts")
+    )
+    out = scored.join(F.broadcast(cuts), group_col)
+    idx = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + (F.col(score_col) > c).cast("int"),
+    )
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    return out.withColumn("bucket", F.element_at(label_arr, idx + 1)).drop(
+        "__cuts"
+    )

@@ -193,3 +193,63 @@ def test_lm_numpy_in_kernel_equals_distributed(spark):
     assert (dist["lp_sum"].to_numpy() == lp).all()
     assert (dist["n_tokens"].to_numpy() == n).all()
     assert (dist["ppl"].to_numpy() == ppl).all()
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_terciles_per_group(spark):
+    import pandas as pd
+
+    from feast_spark.operators.lm import perplexity_buckets
+
+    rows = [("a", i, float(i)) for i in range(9)] + [
+        ("b", 100 + i, float(100 - i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["lang", "doc_id", "ppl"])
+    )
+    out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df, "lang").collect()}
+    # group a: 0..8 -> terciles at ~2.67/5.33: 0-2 head, 3-5 middle, 6-8 tail
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # group b cut independently of group a
+    b_vals = sorted((100 - (d - 100), d) for d in range(100, 106))
+    b_buckets = [out[d] for _, d in b_vals]
+    assert b_buckets == ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_perplexity_buckets_tie_falls_to_lower_bucket(spark):
+    import pandas as pd
+
+    from feast_spark.operators.lm import perplexity_buckets
+
+    # all equal scores: every cut == score, so score > cut is false
+    # everywhere -> everyone lands in 'head'
+    df = spark.createDataFrame(
+        pd.DataFrame([("x", i, 5.0) for i in range(6)],
+                     columns=["lang", "doc_id", "ppl"])
+    )
+    out = perplexity_buckets(df, "lang").collect()
+    assert all(r["bucket"] == "head" for r in out)
+
+
+def test_perplexity_buckets_custom_quantiles_labels(spark):
+    import pandas as pd
+
+    from feast_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("x", i, float(i)) for i in range(10)],
+                     columns=["lang", "doc_id", "ppl"])
+    )
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(
+            df, "lang", quantiles=(0.5,), labels=("keep", "drop")
+        ).collect()
+    }
+    assert [out[i] for i in range(10)] == ["keep"] * 5 + ["drop"] * 5
