@@ -389,3 +389,47 @@ def run_curation_incremental(
         stage_counts=stage_counts,
         _cached=[scored, *extra_cached],
     )
+
+
+def curate_stream(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    benchmark: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    cfg: CurationConfig | None = None,
+):
+    """Run the incremental curation pipeline under Structured Streaming:
+    every micro-batch becomes one :func:`run_curation_incremental` batch
+    (id ``s<micro_batch_id>``), so a stream of arriving document files
+    is curated continuously with the SAME state, lineage, and frozen
+    calibration as the batch path.
+
+    Exactly-once composition: ``foreachBatch`` may re-deliver a
+    micro-batch id after a failure, and the incremental commit protocol
+    absorbs that — a batch whose span partition carries ``_SUCCESS`` is
+    returned from state without reprocessing, and a half-written batch
+    left no marker, so the retry runs clean. The streaming checkpoint
+    guarantees each source file maps to one micro-batch id; the state
+    dir guarantees each micro-batch id commits once.
+
+    Returns the started ``StreamingQuery`` (caller stops it /
+    ``processAllAvailable``).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        res = run_curation_incremental(
+            spark,
+            batch_df,
+            benchmark,
+            state_dir,
+            f"s{batch_id:08d}",
+            cfg,
+        )
+        res.release()
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

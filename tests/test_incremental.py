@@ -281,3 +281,53 @@ def test_dsir_empty_table_scores_all_zero_not_null(spark):
     )
     out = dsir_score_with_table(docs, empty).collect()[0]
     assert out["dsir_score"] == 0 and out["n_bigrams"] == 2
+
+
+def test_curate_stream_micro_batches_match_manual_incremental(spark, tmp_path):
+    # stream two parquet files (id-ordered, one file per micro-batch)
+    # through curate_stream; the committed state and kept sets must
+    # equal a manual two-batch incremental run over the same splits
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import (
+        _committed_batches,
+        curate_stream,
+        run_curation_incremental,
+    )
+
+    b1, b2, bench = _corpus_batches(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    # file names chosen so listing order == id order
+    b1.coalesce(1).write.parquet(str(src / "f0"))
+    b2.coalesce(1).write.parquet(str(src / "f1"))
+    schema = b1.schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    cfg = CurationConfig()
+    s_state = str(tmp_path / "s_state")
+    q = curate_stream(
+        spark, stream, bench, s_state, str(tmp_path / "ckpt"), cfg
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert _committed_batches(s_state) == ["s00000000", "s00000001"]
+    kept_stream = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{s_state}/kept/*").collect()
+    }
+
+    m_state = str(tmp_path / "m_state")
+    r1 = run_curation_incremental(spark, b1, bench, m_state, "b1", cfg)
+    r1.release()
+    r2 = run_curation_incremental(spark, b2, bench, m_state, "b2", cfg)
+    r2.release()
+    kept_manual = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{m_state}/kept/*").collect()
+    }
+    assert kept_stream == kept_manual
