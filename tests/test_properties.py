@@ -213,3 +213,104 @@ def test_connected_components_adversarial_scale(spark):
     cgot = connected_components(cpairs).toPandas()
     assert set(cgot["component"]) == {0} and len(cgot) == m
     assert dedup.last_cc_rounds <= 2 * math.ceil(math.log2(m))
+
+
+# ---------------------------------------------------------------------------
+# session-5 kernels: greedy k-center, token packing, substring dedup
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 30),  # n points
+    st.integers(1, 35),  # requested k (may exceed n)
+    st.integers(2, 6),   # dim
+    st.integers(0, 10_000),
+)
+def test_greedy_kcenter_invariants(n, k, dim, seed):
+    from feast_spark.operators.similarity import greedy_kcenter
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(10_000, size=n, replace=False)
+    mat = rng.normal(size=(n, dim))
+    sel_rank, cov = greedy_kcenter(ids, mat, k)
+    k_eff = min(k, n)
+    ranks = sorted(r for r in sel_rank if r >= 0)
+    assert ranks == list(range(k_eff))              # dense pick order
+    assert (cov[sel_rank >= 0] == 0.0).all()        # selected fully covered
+    assert (cov[sel_rank < 0] >= 0.0).all()
+    # first pick is the smallest id
+    assert sel_rank[np.argmin(ids)] == 0
+    # coverage is monotone non-increasing in k (more centers never hurt)
+    if k_eff > 1:
+        _, cov_smaller = greedy_kcenter(ids, mat, k_eff - 1)
+        assert (cov <= cov_smaller + 1e-12).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 99), max_size=25),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(2, 17),
+)
+def test_pack_token_sequences_reference_parity(spark, id_arrays, L):
+    from feast_spark.operators.selection import pack_token_sequences
+
+    enc = spark.createDataFrame(
+        [(i, ids) for i, ids in enumerate(id_arrays)],
+        "doc_id long, token_ids array<int>",
+    )
+    out = {
+        r["seq_id"]: (list(r["token_ids"]), r["n_docs"])
+        for r in pack_token_sequences(enc, seq_len=L, bucket_docs=3).collect()
+    }
+    stream, bounds = [], []
+    for i, ids in enumerate(id_arrays):
+        bounds.append((len(stream), len(stream) + len(ids)))
+        stream.extend(ids)
+    exp = {}
+    for s in range((len(stream) + L - 1) // L):
+        seg = stream[s * L : (s + 1) * L]
+        nd = sum(1 for a, b in bounds if a < (s + 1) * L and b > s * L and b > a)
+        exp[s] = (seg, nd)
+    assert out == exp
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=20).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 4),
+)
+def test_substring_dedup_reference_parity(spark, texts, k):
+    from feast_spark.operators.selection import substring_dedup
+
+    rows = list(enumerate(texts))
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])),
+            k=k,
+        ).collect()
+    }
+    seen: set = set()
+    expected = {}
+    for doc_id, text in rows:
+        w = text.split(" ")
+        cut: set = set()
+        for i in range(len(w) - k + 1):
+            g = tuple(w[i : i + k])
+            if g in seen:
+                cut.update(range(i, i + k))
+            else:
+                seen.add(g)
+        kept = [w[t] for t in range(len(w)) if t not in cut]
+        if kept:
+            expected[doc_id] = (" ".join(kept), len(w), len(kept))
+    assert out == expected
