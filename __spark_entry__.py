@@ -1041,6 +1041,65 @@ def q_transcript_pipeline_loop(spark: SparkSession, sf: str) -> DataFrame:
     return res.labels
 
 
+def _transcripts_fixture(spark: SparkSession):
+    from feast_spark.fixtures import transcripts_spark
+
+    return transcripts_spark(spark, 100, seed=42, mega_every=50, mega_turns=200)
+
+
+def q_conv_structure(spark: SparkSession, sf: str) -> DataFrame:
+    # per-conversation structural validation (role alternation, orphan
+    # tool turns, tool-name consistency) — one conv_id shuffle total
+    from feast_spark.operators.conversation import conversation_structure
+
+    return conversation_structure(_transcripts_fixture(spark))
+
+
+def q_conv_windows(spark: SparkSession, sf: str) -> DataFrame:
+    # token-budgeted training-context assembly: maximal contiguous
+    # preceding-turn suffix fitting a 64-token budget, via prefix sums +
+    # a budget-bounded conv_id self-join
+    from feast_spark.operators.conversation import conversation_windows
+
+    return conversation_windows(_transcripts_fixture(spark), token_budget=64)
+
+
+def q_conv_render(spark: SparkSession, sf: str) -> DataFrame:
+    # conversation -> one training string with per-turn loss-mask offsets
+    # (JVM-side aggregate() prefix scan; no UDF)
+    from feast_spark.operators.conversation import render_conversations
+
+    return render_conversations(_transcripts_fixture(spark))
+
+
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    # full Gopher dup-line / top-ngram / dup-ngram rule family, map-only
+    # vectorized kernel; '. ' as the line separator (testdata documents
+    # are single-line) so the line stats are non-trivial
+    from feast_spark.operators.repetition import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf, "documents"), line_sep=". ")
+
+
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    # unicode NFC + whitespace-collapse normalization; combining marks
+    # are injected so NFC does real work (testdata text is ASCII)
+    from feast_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("  cafe\u0301 \t A\u030Ax ")
+        ).alias("text"),
+    )
+    out = normalize_text(docs, text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("text_norm"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # corpus-trained BPE tokenizer (doc_id%5==0 training subset, 16
     # merges) -> per-doc token counts over the full table
@@ -1593,6 +1652,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 4 session 6: conversation-level operators (transcripts)
+        # + Gopher repetition rule family + NFC normalization
+        "conv_structure": q_conv_structure,
+        "conv_windows": q_conv_windows,
+        "conv_render": q_conv_render,
+        "gopher_repetition": q_gopher_repetition,
+        "text_normalize": q_text_normalize,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
@@ -1628,16 +1694,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "historical_two_views": q_historical_two_views,
         "derived_view_historical": q_derived_view_historical,
-        "odfv_request_scale": q_odfv_request_scale,
         "dqm_profile": q_dqm_profile,
         # core relational / PIT surface
         "field_mapping_scan": q_field_mapping_scan,
         "pit_last_click": q_pit_last_click,
         "pit_entityless": q_pit_entityless,
-        "pit_created_cutoff": q_pit_created_cutoff,
-        "two_role_join": q_two_role_join,
-        "entity_union": q_entity_union,
-        "agg_spec": q_agg_spec,
         "session_window_agg": q_session_window_agg,
         "latest_dedup": q_latest_dedup,
         # documents / embeddings operators
@@ -1660,6 +1721,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "pit_created_cutoff": q_pit_created_cutoff,
+        "two_role_join": q_two_role_join,
+        "entity_union": q_entity_union,
+        "agg_spec": q_agg_spec,
+        "odfv_request_scale": q_odfv_request_scale,
         "pit_ttl_1h": q_pit_ttl_1h,
         "ann_cosine_topk": q_ann_cosine_topk,
         "setops": q_setops,
@@ -1745,6 +1811,127 @@ def _all_oracle_sql() -> dict[str, str]:
                        ELSE lower(lpad(to_hex(CAST(LEAST(FLOOR(rate * 65536),
                                                          65535) AS INT)),
                                        4, '0')) END
+        """,
+        # conversation operators: GENUINE SQL over the raw fixture turns
+        # (transcripts_raw is the untouched input, not a replica) — dedup
+        # is latest-per-(conv_id,turn_idx) by (ts DESC, text DESC),
+        # matching latest_per_key(strategy='agg') exactly
+        "conv_structure": f"""
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), f AS (
+              SELECT conv_id, turn_idx, role, tool, text,
+                lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  AS prev_role
+              FROM d
+            ), g AS (
+              SELECT conv_id,
+                COUNT(*) AS n_turns,
+                CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_role_repeats,
+                CAST(SUM(CASE WHEN role = 'tool'
+                          AND COALESCE(prev_role, '') <> 'user'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tools,
+                CAST(SUM(CASE WHEN role = 'tool' AND tool IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_missing_tool_name,
+                CAST(SUM(CASE WHEN role <> 'tool' AND tool IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_stray_tool_name,
+                CAST(SUM(CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                (min_by(role, turn_idx) NOT IN ('user', 'system'))
+                  AS bad_start
+              FROM f GROUP BY conv_id
+            )
+            SELECT *,
+              (n_role_repeats = 0 AND n_orphan_tools = 0
+               AND n_missing_tool_name = 0 AND n_stray_tool_name = 0
+               AND n_empty = 0 AND NOT bad_start) AS structure_ok
+            FROM g
+        """,
+        "conv_windows": f"""
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), t AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END AS n_tokens
+              FROM d
+            ), c AS (
+              SELECT *, SUM(n_tokens) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT a.conv_id, a.turn_idx,
+              CAST(a.n_tokens AS BIGINT) AS n_tokens,
+              COUNT(b.turn_idx) AS ctx_turns,
+              CAST(COALESCE(MIN(b.turn_idx), -1) AS INT) AS ctx_start,
+              CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS ctx_tokens
+            FROM c a LEFT JOIN c b
+              ON a.conv_id = b.conv_id AND b.turn_idx <= a.turn_idx
+             AND a.cum - b.cum + b.n_tokens <= 64
+            GROUP BY a.conv_id, a.turn_idx, a.n_tokens
+        """,
+        "conv_render": f"""
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), o AS (
+              SELECT conv_id, turn_idx, role,
+                COALESCE(text, '') AS text,
+                CAST(COALESCE(SUM(length(role) + 2
+                                  + length(COALESCE(text, '')) + 1) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM d
+            )
+            SELECT conv_id,
+              string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+                AS text,
+              COUNT(*) AS n_turns,
+              CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS assistant_spans,
+              string_agg(CAST(off AS VARCHAR), ',' ORDER BY turn_idx)
+                AS offsets,
+              CAST(length(string_agg(role || ': ' || text, chr(10)
+                                     ORDER BY turn_idx)) AS BIGINT)
+                AS n_chars
+            FROM o GROUP BY conv_id
+        """,
+        "gopher_repetition": _rp("gopher_repetition"),
+        "text_normalize": """
+            -- same injected decomposed-marks suffix as the Spark side;
+            -- nfc_normalize == pandas Series.str.normalize('NFC'); the
+            -- explicit ASCII whitespace class keeps RE2/Python parity
+            WITH t AS (
+              SELECT doc_id,
+                trim(regexp_replace(
+                  nfc_normalize(text || '  cafe' || chr(769) || ' '
+                                || chr(9) || ' A' || chr(778) || 'x '),
+                  '[ \t\r\n\f]+', ' ', 'g')) AS text_norm
+              FROM documents
+            )
+            SELECT doc_id, text_norm,
+                   CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+            FROM t
         """,
         "langid_classifier": _rp("langid_classifier"),
         "doc_curation_lm": _rp("doc_curation_lm"),

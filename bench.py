@@ -83,6 +83,12 @@ HEADLINE = [
     # tokenize_pack is NOT in the headline: its wall is BPE-train
     # iteration overhead (fixed per merge, corpus-independent); encode +
     # pack are benched in docs_large with the train wall recorded aside
+    # round 4 session 6: conversation ops + Gopher repetition + NFC
+    "conv_structure",
+    "conv_windows",
+    "conv_render",
+    "gopher_repetition",
+    "text_normalize",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -13,7 +13,7 @@ Python/pandas paths (language-ID, perplexity) live in
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,34 @@ def bpe_token_count(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
     return F.regexp_count(c, F.lit(pat))
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Unicode NFC + ASCII-whitespace collapse + trim — the text
+    canonicalization pass run before hashing/dedup so visually-identical
+    strings (decomposed accents, stray tab runs) hash identically.
+
+    NFC has no JVM built-in, so this is the one text function on the
+    Arrow path: a vectorized pandas UDF (``Series.str.normalize`` is a
+    C-level loop over the batch, never per-row Python). The whitespace
+    class is spelled explicitly (``[ \\t\\r\\n\\f]``) because Python
+    ``\\s`` matches unicode spaces while RE2/DuckDB's does not — the
+    explicit class keeps the DuckDB oracle (``nfc_normalize`` +
+    ``regexp_replace(..., 'g')``) bit-identical. Map-only: zero shuffles
+    at any scale."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # (pd.Series) -> pd.Series; annotations stringified by
+        # `from __future__ import annotations` break pandas_udf inference
+        return (
+            s.fillna("")
+            .str.normalize("NFC")
+            .str.replace(r"[ \t\r\n\f]+", " ", regex=True)
+            .str.strip(" ")
+        )
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -1,0 +1,233 @@
+"""Conversation-level operators over the transcript schema
+``(conv_id, turn_idx, role, text, tool, ts)`` — the structural checks and
+training-example assembly steps an agent-transcript curation pipeline runs
+between scoring (``pipeline/quality.py``) and export (``pipeline/export.py``).
+
+The reference has no transcript operators; these re-express its
+*materialization shape* (latest-per-key dedup -> keyed window/agg, one
+shuffle on the entity key — ``infra/compute_engines/spark/nodes.py``
+dedup node + feature-view aggregations) on the conversation entity:
+
+- :func:`conversation_structure` — per-conversation structural validation
+  (role alternation, orphan tool turns, tool-name consistency, empty
+  turns). One window + one hash-agg, both keyed on ``conv_id`` — the agg
+  reuses the window's exchange, so the whole operator is ONE shuffle.
+- :func:`conversation_windows` — token-budgeted training-context
+  assembly: for each turn, the maximal contiguous run of preceding turns
+  whose total token count fits a budget. Prefix sums via a window, then a
+  conv_id-keyed self-join whose per-turn fan-out is bounded by the budget
+  (contexts hold at most ``budget / min_tokens_per_turn`` turns), NOT by
+  conversation length — a mega-conversation contributes O(turns x
+  ctx_len) join rows, never O(turns^2).
+- :func:`render_conversations` — flatten each conversation to one
+  training string (``role: text`` lines, turn order) with per-turn
+  offsets for loss masking. One hash-agg shuffle; the sort happens
+  map-side inside ``array_sort`` on each grouped list, never as a global
+  sort.
+
+Scale notes (10^12 turns): every operator here shuffles exactly once on
+``conv_id``. Group sizes are conversation lengths — bounded (the fixture's
+mega-conversations model the skew tail), so no salting is needed; AQE
+handles residual partition imbalance. ``render_conversations`` holds one
+whole conversation in one grouped row: at 10^12 turns the renderer should
+run AFTER :func:`conversation_windows`-style budgeting or chunking
+(``selection.chunk_documents``) so no group exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_spark.operators.latest import latest_per_key
+
+__all__ = [
+    "conversation_structure",
+    "conversation_windows",
+    "render_conversations",
+]
+
+
+def _deduped(turns: DataFrame) -> DataFrame:
+    """Latest row per (conv_id, turn_idx) — the fixture (and any at-least-
+    once ingest) delivers edited/duplicate keys; latest-ts wins, exactly
+    the pipeline's pull_latest semantics. Hash-agg strategy: map-side
+    combine, no window sort."""
+    return latest_per_key(
+        turns, ["conv_id", "turn_idx"], "ts", strategy="agg", tiebreak_cols=["text"]
+    )
+
+
+def _word_count(col: str):
+    """Whitespace token count; 0 for blank/NULL text. Mirrors DuckDB's
+    ``len(string_split_regex(trim(text), '\\s+'))`` on non-blank input."""
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def conversation_structure(turns: DataFrame) -> DataFrame:
+    """Per-conversation structural validation flags.
+
+    Returns one row per ``conv_id``:
+
+    - ``n_turns`` — turns after latest-per-key dedup
+    - ``n_role_repeats`` — turns whose role equals the previous turn's
+      (a user or assistant re-emitting without a reply in between)
+    - ``n_orphan_tools`` — ``role='tool'`` turns not directly preceded by
+      a ``user`` turn (tool calls answer a user request in this schema)
+    - ``n_missing_tool_name`` — tool turns with a NULL ``tool`` column
+    - ``n_stray_tool_name`` — non-tool turns carrying a ``tool`` value
+    - ``n_empty`` — blank/NULL text turns
+    - ``bad_start`` — first role is neither ``user`` nor ``system``
+    - ``structure_ok`` — all of the above are zero/false
+
+    Plan: window (lag) and groupBy both partition on ``conv_id`` — one
+    exchange total; Catalyst reuses the window's hash partitioning for
+    the aggregation."""
+    d = _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = d.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.col("role") == F.lag("role").over(w)).alias("_repeat"),
+        (
+            (F.col("role") == "tool")
+            & (F.coalesce(F.lag("role").over(w), F.lit("")) != "user")
+        ).alias("_orphan_tool"),
+        ((F.col("role") == "tool") & F.col("tool").isNull()).alias("_missing_tool"),
+        ((F.col("role") != "tool") & F.col("tool").isNotNull()).alias("_stray_tool"),
+        (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0).alias("_empty"),
+    )
+
+    def _n(flag: str):  # count of true flags, BIGINT on both engines
+        return F.sum(F.when(F.col(flag), 1).otherwise(0))
+
+    out = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        _n("_repeat").alias("n_role_repeats"),
+        _n("_orphan_tool").alias("n_orphan_tools"),
+        _n("_missing_tool").alias("n_missing_tool_name"),
+        _n("_stray_tool").alias("n_stray_tool_name"),
+        _n("_empty").alias("n_empty"),
+        (~F.min_by("role", "turn_idx").isin("user", "system")).alias("bad_start"),
+    )
+    return out.withColumn(
+        "structure_ok",
+        (F.col("n_role_repeats") == 0)
+        & (F.col("n_orphan_tools") == 0)
+        & (F.col("n_missing_tool_name") == 0)
+        & (F.col("n_stray_tool_name") == 0)
+        & (F.col("n_empty") == 0)
+        & ~F.col("bad_start"),
+    )
+
+
+def conversation_windows(turns: DataFrame, token_budget: int = 64) -> DataFrame:
+    """Token-budgeted context assembly: for each turn ``i``, the maximal
+    contiguous suffix ``j..i`` of its conversation with
+    ``sum(tokens[j..i]) <= token_budget``.
+
+    Returns ``(conv_id, turn_idx, n_tokens, ctx_turns, ctx_start,
+    ctx_tokens)``; a turn whose own token count exceeds the budget gets an
+    empty context (``ctx_turns=0, ctx_start=-1, ctx_tokens=0`` — sentinel,
+    never NULL, so int dtypes survive the driver's pandas round-trip).
+
+    Because token counts are positive, ``{j : cum_i - cum_j + tok_j <=
+    B}`` is a contiguous suffix of the conversation — the equi-join on
+    ``conv_id`` with that predicate enumerates exactly the context
+    members, and per-turn fan-out is capped by the budget (not by
+    conversation length). One exchange for the prefix-sum window; the
+    self-join reuses the conv_id partitioning on both sides."""
+    d = _deduped(turns).select(
+        "conv_id", "turn_idx", _word_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    c = d.withColumn(
+        "cum", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    a = c.select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("n_tokens"),
+        F.col("cum").alias("cum_a"),
+    ).alias("wa")
+    b = c.select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("turn_idx").alias("b_idx"),
+        F.col("n_tokens").alias("b_tok"),
+        F.col("cum").alias("cum_b"),
+    ).alias("wb")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("wa.conv_id") == F.col("wb.b_conv"),
+            F.col("b_idx") <= F.col("turn_idx"),
+            (F.col("cum_a") - F.col("cum_b") + F.col("b_tok"))
+            <= F.lit(int(token_budget)),
+        ],
+        how="left",
+    ).drop("b_conv")
+    return (
+        pairs.groupBy("conv_id", "turn_idx", "n_tokens")
+        .agg(
+            F.count("b_idx").alias("ctx_turns"),
+            F.coalesce(F.min("b_idx"), F.lit(-1)).cast("int").alias("ctx_start"),
+            F.coalesce(F.sum("b_tok"), F.lit(0)).cast("long").alias("ctx_tokens"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "ctx_turns",
+            "ctx_start",
+            "ctx_tokens",
+        )
+    )
+
+
+def render_conversations(turns: DataFrame, sep: str = "\n") -> DataFrame:
+    """Flatten each conversation to one training string with loss-mask
+    offsets.
+
+    Output per ``conv_id``: ``text`` = turns joined as ``role: text`` in
+    turn order; ``n_turns``; ``n_chars`` = length of the rendered string;
+    ``assistant_spans`` = number of assistant turns (the spans a trainer
+    unmasks); ``offsets`` = comma-joined character offsets where each
+    turn's line starts (stringified so the driver hash sees a stable
+    scalar, not a nested array).
+
+    Offsets are computed algebraically from the same prefix-sum identity
+    the renderer uses — ``offset_k = sum_{t<k}(len(role_t) + 2 +
+    len(text_t) + len(sep))`` — via ``aggregate`` over the sorted struct
+    array, entirely JVM-side (no UDF)."""
+    d = _deduped(turns).select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx"),
+            F.col("role"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        ).alias("t"),
+    )
+    g = d.groupBy("conv_id").agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    line = "x -> concat(x.role, ': ', x.text)"
+    rendered = g.select(
+        "conv_id",
+        F.array_join(
+            F.expr(f"transform(ts, {line})"), sep
+        ).alias("text"),
+        F.size("ts").cast("long").alias("n_turns"),
+        F.expr(
+            "size(filter(ts, x -> x.role = 'assistant'))"
+        ).cast("long").alias("assistant_spans"),
+        # running char offsets: scan over the struct array accumulating
+        # line lengths (+sep); emit all but the final accumulator value
+        F.expr(
+            "array_join(slice(aggregate(ts, array(0L), "
+            f"(acc, x) -> concat(acc, array(element_at(acc, -1) + length(x.role) + 2 + length(x.text) + {len(sep)}))"
+            "), 1, size(ts)), ',')"
+        ).alias("offsets"),
+    )
+    return rendered.withColumn("n_chars", F.length("text").cast("long"))

@@ -970,7 +970,80 @@ def langid_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def gopher_repetition_pdf(sf_dir: str, line_sep: str = ". ") -> pd.DataFrame:
+    """Naive per-doc python replay of the Gopher repetition stats
+    (operators/repetition.py definitions): dict/Counter loops over real
+    token tuples — no factorize, no lexsort, no hashing. Fractions are
+    single IEEE divisions of exact ints on both sides."""
+    from collections import Counter
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        text = ("" if text is None else str(text)).replace(line_sep, "\n")
+        rec: dict = {"doc_id": int(doc_id)}
+        lines = [ln for ln in text.split("\n") if len(ln) > 0]
+        if lines:
+            c = Counter(lines)
+            rep = sum(v - 1 for v in c.values())
+            rep_chars = sum((v - 1) * len(k) for k, v in c.items())
+            tot_chars = sum(len(ln) for ln in lines)
+            rec["dup_line_frac"] = rep / len(lines)
+            rec["dup_line_char_frac"] = (
+                rep_chars / tot_chars if tot_chars else 0.0
+            )
+        else:
+            rec["dup_line_frac"] = 0.0
+            rec["dup_line_char_frac"] = 0.0
+        toks = text.lower().split()
+        tlen = [len(t) for t in toks]
+        tot = sum(tlen)
+        denom = max(tot, 1)
+        for o in (2, 3, 4):
+            grams = Counter(
+                tuple(toks[i : i + o]) for i in range(len(toks) - o + 1)
+            )
+            if grams:
+                maxc = max(grams.values())
+                best = max(
+                    c * sum(len(w) for w in g)
+                    for g, c in grams.items()
+                    if c == maxc
+                )
+                rec[f"top{o}gram_char_frac"] = best / denom
+            else:
+                rec[f"top{o}gram_char_frac"] = 0.0
+        for o in (5, 8, 10):
+            grams = Counter(
+                tuple(toks[i : i + o]) for i in range(len(toks) - o + 1)
+            )
+            covered = [False] * len(toks)
+            for i in range(len(toks) - o + 1):
+                if grams[tuple(toks[i : i + o])] > 1:
+                    for j in range(i, i + o):
+                        covered[j] = True
+            rec[f"dup{o}gram_char_frac"] = (
+                sum(l for l, cv in zip(tlen, covered) if cv) / denom
+            )
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def transcripts_raw_pdf(sf_dir: str) -> pd.DataFrame:
+    """The RAW transcript fixture (same params as q_transcript_pipeline),
+    written as-is so the conversation operators' oracles can be GENUINE
+    DuckDB SQL over the input turns — no replica arithmetic involved."""
+    from feast_spark.fixtures import generate_transcripts
+
+    pdf = generate_transcripts(100, seed=42, mega_every=50, mega_turns=200)
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf.reset_index(drop=True)
+
+
 _RELATIONS = {
+    "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
+    "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
     "doc_curation_lm": lambda sf: curation_lm_pdf(sf),
     "langid_classifier": lambda sf: langid_pdf(sf),
     "lm_perplexity": lambda sf: lm_perplexity_pdf(sf),

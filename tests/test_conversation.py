@@ -1,0 +1,207 @@
+"""Conversation operators (structure / windows / render) + Gopher
+repetition stats + NFC normalization — value tests against brute-force
+references and plan audits for the single-shuffle / map-only claims."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _turns(spark):
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def t(c, i, role, text, tool=None, sec=0):
+        return (c, i, role, text, tool, ts0.replace(second=sec % 60, minute=sec // 60))
+
+    rows = [
+        # c1: clean user/assistant alternation with one valid tool turn
+        t("c1", 0, "user", "hello there", sec=0),
+        t("c1", 1, "assistant", "hi how can I help", sec=1),
+        t("c1", 2, "user", "run the search", sec=2),
+        t("c1", 3, "tool", "search results here", tool="search", sec=3),
+        # c2: role repeat + orphan tool + stray tool name + empty text
+        t("c2", 0, "assistant", "I start uninvited", sec=0),  # bad_start
+        t("c2", 1, "assistant", "and repeat myself", sec=1),  # repeat
+        t("c2", 2, "tool", "orphan output", tool=None, sec=2),  # orphan+missing name
+        t("c2", 3, "user", "   ", tool="search", sec=3),  # empty + stray tool
+        # c3: duplicate (conv_id, turn_idx) keys — later ts must win
+        t("c3", 0, "user", "v1 text", sec=0),
+        t("c3", 0, "user", "v2 edited", sec=9),
+        t("c3", 1, "assistant", "reply", sec=10),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_conversation_structure_flags(spark):
+    from feast_spark.operators.conversation import conversation_structure
+
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_structure(_turns(spark)).collect()
+    }
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4 and c1["structure_ok"]
+    assert c1["n_orphan_tools"] == 0  # tool directly after user is valid
+    c2 = out["c2"]
+    assert c2["bad_start"] and not c2["structure_ok"]
+    assert c2["n_role_repeats"] == 1
+    assert c2["n_orphan_tools"] == 1
+    assert c2["n_missing_tool_name"] == 1
+    assert c2["n_stray_tool_name"] == 1
+    assert c2["n_empty"] == 1
+    c3 = out["c3"]
+    assert c3["n_turns"] == 2 and c3["structure_ok"]  # dedup kept 2 keys
+
+
+def test_conversation_windows_brute_force(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import conversation_windows
+
+    budget = 40
+    turns = transcripts_spark(spark, 30, seed=7, mega_every=10, mega_turns=60)
+    got = (
+        conversation_windows(turns, token_budget=budget)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # brute force on the deduped pandas view
+    pdf = turns.toPandas()
+    pdf = (
+        pdf.sort_values(["conv_id", "turn_idx", "ts", "text"])
+        .groupby(["conv_id", "turn_idx"], as_index=False)
+        .last()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    pdf["n_tokens"] = pdf["text"].fillna("").str.strip().str.split().str.len().fillna(0)
+    recs = []
+    for conv, g in pdf.groupby("conv_id"):
+        toks = g["n_tokens"].tolist()
+        idxs = g["turn_idx"].tolist()
+        for i in range(len(toks)):
+            total, start = 0, None
+            for j in range(i, -1, -1):
+                if total + toks[j] > budget:
+                    break
+                total += toks[j]
+                start = j
+            if start is None:
+                recs.append((conv, idxs[i], toks[i], 0, -1, 0))
+            else:
+                recs.append(
+                    (conv, idxs[i], toks[i], i - start + 1, idxs[start],
+                     sum(toks[start : i + 1]))
+                )
+    exp = pd.DataFrame(
+        recs, columns=["conv_id", "turn_idx", "n_tokens", "ctx_turns",
+                       "ctx_start", "ctx_tokens"],
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for c in ["n_tokens", "ctx_turns", "ctx_start", "ctx_tokens"]:
+        assert np.array_equal(
+            got[c].to_numpy(dtype=np.int64), exp[c].to_numpy(dtype=np.int64)
+        ), c
+
+
+def test_render_offsets_are_line_starts(spark):
+    from feast_spark.operators.conversation import render_conversations
+
+    out = render_conversations(_turns(spark)).collect()
+    for r in out:
+        offs = [int(x) for x in r["offsets"].split(",")]
+        assert len(offs) == r["n_turns"]
+        assert offs[0] == 0
+        lines = r["text"].split("\n")
+        # each offset points at the start of its rendered line
+        for off, line in zip(offs, lines):
+            assert r["text"][off : off + len(line)] == line
+        assert r["n_chars"] == len(r["text"])
+
+
+def test_conversation_plans_single_exchange(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import (
+        conversation_structure,
+        render_conversations,
+    )
+
+    turns = transcripts_spark(spark, 20, seed=1, mega_every=0)
+    # structure: dedup-agg + window + final agg all hash-partition on
+    # conv_id-prefixed keys; at most 2 exchanges (dedup keys ->
+    # conv window/agg), never a cartesian product
+    p = _plan(conversation_structure(turns))
+    assert p.count("Exchange hashpartitioning") <= 2
+    p2 = _plan(render_conversations(turns))
+    assert p2.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in p and "CartesianProduct" not in p2
+
+
+def test_gopher_repetition_matches_naive(spark):
+    from feast_spark.operators.repetition import gopher_repetition
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        gopher_repetition(docs, line_sep=". ")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from feast_spark.oracles import gopher_repetition_pdf
+
+    exp = (
+        gopher_repetition_pdf("/root/testdata/sf0.001")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert np.allclose(got[c], exp[c], rtol=0, atol=0), c  # bit-exact
+
+
+def test_gopher_repetition_map_only(spark):
+    from feast_spark.operators.repetition import gopher_repetition
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(gopher_repetition(docs))
+    assert "Exchange" not in p  # zero shuffles: pure map pass
+
+
+def test_gopher_kernel_crafted_values():
+    from feast_spark.operators.repetition import repetition_stats_pdf
+
+    df = repetition_stats_pdf(
+        pd.Series(["l1\nl2\nl1\nl3\nl2\nl1", "a b c a b c a b c"])
+    )
+    assert df.loc[0, "dup_line_frac"] == pytest.approx(3 / 6)
+    # "a b c" x3: top3gram = most common trigram (a,b,c) count 3 x 3 chars
+    # over 9 token chars
+    assert df.loc[1, "top3gram_char_frac"] == pytest.approx(1.0)
+    # dup 5-grams: (a,b,c,a,b) occurs at positions 0 and 3 -> the union
+    # of its [p, p+5) intervals covers all 9 tokens
+    assert df.loc[1, "dup5gram_char_frac"] == pytest.approx(1.0)
+
+
+def test_normalize_text_composes_and_collapses(spark):
+    from feast_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("cafe\u0301  \t x",), ("  plain  text ",), (None,)], "text string"
+    )
+    vals = [r["text_norm"] for r in normalize_text(df).collect()]
+    assert vals[0] == "caf\u00e9 x"  # NFC-composed + collapsed
+    assert vals[1] == "plain text"
+    assert vals[2] == ""
