@@ -1081,6 +1081,34 @@ def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_repetition(_t(spark, sf, "documents"), line_sep=". ")
 
 
+def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
+    # C4 line-level cleaning (higher-order array lambdas, map-only).
+    # Testdata docs are single-line, so line breaks are synthesized
+    # deterministically: every literal ' join ' becomes '.\n' (left-to-
+    # right non-overlapping literal replace — identical in DuckDB), which
+    # yields multi-line docs where interior lines end in '.' and the last
+    # line doesn't; 'window' as the blocklist phrase makes all three
+    # predicates non-trivial on this vocabulary.
+    from feast_spark.operators.lines import clean_lines
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("replace(text, ' join ', concat('.', chr(10)))").alias(
+            "text"
+        ),
+    )
+    return clean_lines(docs, blocklist=("window",))
+
+
+def q_lexical_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # lexical-diversity stats (TTR / hapax / entropy), map-only Arrow
+    # kernel; oracle is an independent Counter-loop replay sharing only
+    # the elementwise entropy quantization (integer 2^-40 units)
+    from feast_spark.operators.lexical import lexical_stats
+
+    return lexical_stats(_t(spark, sf, "documents"))
+
+
 def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
     # unicode NFC + whitespace-collapse normalization; combining marks
     # are injected so NFC does real work (testdata text is ASCII)
@@ -1653,7 +1681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cap."""
     return {
         # round 4 session 6: conversation-level operators (transcripts)
-        # + Gopher repetition rule family + NFC normalization
+        # + Gopher repetition rule family + NFC normalization + C4 line
+        # cleaning + lexical diversity
+        "clean_lines": q_clean_lines,
+        "lexical_stats": q_lexical_stats,
         "conv_structure": q_conv_structure,
         "conv_windows": q_conv_windows,
         "conv_render": q_conv_render,
@@ -1690,11 +1721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 2-3 operators
         "label_majority_vote": q_label_majority_vote,
         "stream_window_parity": q_stream_window_parity,
-        "odfv_post_agg": q_odfv_post_agg,
         "dup_clusters": q_dup_clusters,
         "historical_two_views": q_historical_two_views,
         "derived_view_historical": q_derived_view_historical,
-        "dqm_profile": q_dqm_profile,
         # core relational / PIT surface
         "field_mapping_scan": q_field_mapping_scan,
         "pit_last_click": q_pit_last_click,
@@ -1721,6 +1750,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "odfv_post_agg": q_odfv_post_agg,
+        "dqm_profile": q_dqm_profile,
         "pit_created_cutoff": q_pit_created_cutoff,
         "two_role_join": q_two_role_join,
         "entity_union": q_entity_union,
@@ -1917,6 +1948,42 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM o GROUP BY conv_id
         """,
         "gopher_repetition": _rp("gopher_repetition"),
+        "lexical_stats": _rp("lexical_stats"),
+        "clean_lines": """
+            -- same synthesized line breaks as the Spark side (literal
+            -- left-to-right replace), then the identical C4 line
+            -- predicate spelled in DuckDB list_filter lambdas
+            WITH l AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    string_split(replace(text, ' join ', '.' || chr(10)),
+                                 chr(10)),
+                    x -> trim(x)),
+                  x -> length(x) > 0) AS all_lines
+              FROM documents
+            ), k AS (
+              SELECT doc_id, all_lines,
+                list_filter(all_lines,
+                  x -> len(string_split_regex(x, '\\s+')) >= 3
+                       AND right(x, 1) IN ('.', '!', '?')
+                       AND NOT contains(lower(x), 'window')) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+              CAST(len(all_lines) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_kept,
+              CASE WHEN len(all_lines) > 0
+                   THEN CAST(len(kept) AS DOUBLE)
+                        / CAST(len(all_lines) AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS kept_frac,
+              -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+              COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+              CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+                   AS BIGINT) AS n_chars_clean,
+              len(kept) >= 2 AS doc_ok
+            FROM k
+        """,
         "text_normalize": """
             -- same injected decomposed-marks suffix as the Spark side;
             -- nfc_normalize == pandas Series.str.normalize('NFC'); the

@@ -1041,9 +1041,51 @@ def transcripts_raw_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+def lexical_stats_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive per-doc python replay of the lexical-diversity stats
+    (operators/lexical.py definitions): Counter loops over real token
+    strings. Ratios are single IEEE divisions of exact ints; entropy uses
+    the SAME elementwise numpy quantization (floor(term * 2^40)) the
+    kernel does, so the order-free integer sum matches bit-for-bit."""
+    from collections import Counter
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = ("" if text is None else str(text)).lower().split()
+        n_tok = len(toks)
+        c = Counter(toks)
+        n_typ = len(c)
+        rec = {
+            "doc_id": int(doc_id),
+            "n_tokens": n_tok,
+            "n_types": n_typ,
+            "type_token_ratio": n_typ / n_tok if n_tok else 0.0,
+            "hapax_frac": (
+                sum(1 for v in c.values() if v == 1) / n_typ if n_typ else 0.0
+            ),
+            "mean_word_len": (
+                sum(len(t) for t in toks) / n_tok if n_tok else 0.0
+            ),
+        }
+        if n_tok:
+            cnt = np.array(list(c.values()), dtype=np.int64)
+            p = cnt / np.int64(n_tok)
+            q = np.floor(-(p * np.log2(p)) * float(2**40))
+            rec["unigram_entropy"] = float(q.sum()) / float(2**40)
+        else:
+            rec["unigram_entropy"] = 0.0
+        rows.append(rec)
+    pdf = pd.DataFrame(rows)
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    pdf["n_types"] = pdf["n_types"].astype("int64")
+    return pdf
+
+
 _RELATIONS = {
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
     "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
+    "lexical_stats": lambda sf: lexical_stats_pdf(sf),
     "doc_curation_lm": lambda sf: curation_lm_pdf(sf),
     "langid_classifier": lambda sf: langid_pdf(sf),
     "lm_perplexity": lambda sf: lm_perplexity_pdf(sf),
