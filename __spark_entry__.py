@@ -1100,6 +1100,26 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Dolma-style exact paragraph dedup, portable arm (window keyed on
+    # the paragraph = what DuckDB replays; xxhash64 arm is parity-pinned
+    # in pytest). Paragraph structure is synthesized deterministically:
+    # every literal ' merge ' becomes a paragraph break and a shared
+    # boilerplate footer paragraph is appended to EVERY doc — the
+    # lowest-doc_id occurrence keeps it, every other doc drops it.
+    from feast_spark.operators.selection import paragraph_dedup
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(replace(text, ' merge ', concat(chr(10), chr(10))),"
+            " chr(10), chr(10),"
+            " 'every page shares this exact boilerplate footer paragraph')"
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs)
+
+
 def q_lexical_stats(spark: SparkSession, sf: str) -> DataFrame:
     # lexical-diversity stats (TTR / hapax / entropy), map-only Arrow
     # kernel; oracle is an independent Counter-loop replay sharing only
@@ -1683,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "paragraph_dedup": q_paragraph_dedup,
         "clean_lines": q_clean_lines,
         "lexical_stats": q_lexical_stats,
         "conv_structure": q_conv_structure,
@@ -1725,7 +1746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "historical_two_views": q_historical_two_views,
         "derived_view_historical": q_derived_view_historical,
         # core relational / PIT surface
-        "field_mapping_scan": q_field_mapping_scan,
         "pit_last_click": q_pit_last_click,
         "pit_entityless": q_pit_entityless,
         "session_window_agg": q_session_window_agg,
@@ -1750,6 +1770,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "field_mapping_scan": q_field_mapping_scan,
         "odfv_post_agg": q_odfv_post_agg,
         "dqm_profile": q_dqm_profile,
         "pit_created_cutoff": q_pit_created_cutoff,
@@ -1949,6 +1970,42 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "gopher_repetition": _rp("gopher_repetition"),
         "lexical_stats": _rp("lexical_stats"),
+        "paragraph_dedup": """
+            -- same synthesized paragraph structure as the Spark side
+            -- (literal replace + appended shared footer), then the
+            -- identical first-occurrence-wins window
+            WITH src AS (
+              SELECT doc_id,
+                string_split(
+                  replace(text, ' merge ', chr(10) || chr(10))
+                    || chr(10) || chr(10)
+                    || 'every page shares this exact boilerplate footer paragraph',
+                  chr(10) || chr(10)) AS paras
+              FROM documents
+            ), e AS (
+              SELECT doc_id, trim(paras[g.i]) AS para,
+                     g.i - 1 AS para_idx
+              FROM src,
+                LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
+            ), f AS (
+              SELECT * FROM e WHERE length(para) >= 1
+            ), t AS (
+              SELECT doc_id, COUNT(*) AS n_paras_total FROM f GROUP BY doc_id
+            ), k AS (
+              SELECT * FROM (
+                SELECT f.*, ROW_NUMBER() OVER (
+                  PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+                FROM f
+              ) WHERE rn = 1
+            )
+            SELECT k.doc_id,
+              string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                AS dedup_text,
+              COUNT(*) AS n_paras_kept,
+              CAST(ANY_VALUE(t.n_paras_total) AS BIGINT) AS n_paras_total
+            FROM k JOIN t USING (doc_id)
+            GROUP BY k.doc_id
+        """,
         "clean_lines": """
             -- same synthesized line breaks as the Spark side (literal
             -- left-to-right replace), then the identical C4 line

@@ -144,6 +144,114 @@ def span_dedup(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    method: str = "portable",
+) -> DataFrame:
+    """Dolma-style corpus-wide exact PARAGRAPH dedup: split every document
+    on the literal ``sep`` delimiter, keep each distinct (trimmed)
+    paragraph's FIRST occurrence ordered by ``(doc_id, para_idx)``, drop
+    every later copy corpus-wide, and rebuild the surviving text per
+    document. The paragraph-grain sibling of :func:`span_dedup` (fixed
+    word windows) and :func:`substring_dedup` (stride-1 k-grams): this is
+    the grain Dolma / RedPajama-v2 dedup boilerplate at — repeated
+    footers, licence blocks, navigation text. Returns one row per
+    document retaining at least one paragraph:
+    ``(doc_id, dedup_text, n_paras_kept, n_paras_total)`` — a fully
+    duplicated document disappears (the C4/Dolma semantic, matching
+    span_dedup).
+
+    ``method='portable'`` (the DuckDB-oracle twin): first occurrence via
+    a ``row_number`` window partitioned by the paragraph string
+    (shuffle #1 carries the paragraph text), reconstruction via a
+    ``doc_id`` hash agg with ``array_sort`` over ``(idx, para)`` structs
+    (shuffle #2) — deterministic output without a global sort.
+
+    ``method='xxhash64'`` is the 100 TB arm, same shape as span_dedup's:
+    the window keys on ``xxhash64(para)`` so shuffle #1 carries
+    ``(h, doc_id, para_idx)`` = 24 B/paragraph; winners compact to one
+    ``(doc_id, sorted kept_idx[])`` integer row per doc; the corpus text
+    crosses exactly ONE exchange (the reconstruction join on ``doc_id``,
+    each doc once) and surviving paragraphs are re-selected map-side by
+    index. 64-bit collision odds accepted, arms parity-pinned in tests.
+
+    Reference: feast has no text dedup; semantics follow the public
+    Dolma paper's exact-paragraph dedup (also C4 §2.2's line dedup).
+    """
+    # literal (non-regex) split: \Q...\E quoting, same as DuckDB's
+    # literal string_split
+    pat = "\\Q" + sep + "\\E"
+    paras_arr = F.filter(
+        F.transform(
+            F.split(F.col(text_col), pat), lambda x: F.trim(x)
+        ),
+        lambda x: F.length(x) >= min_chars,
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(paras_arr).cast("bigint").alias("n_paras_total"),
+        paras_arr.alias("_paras"),
+    )
+    if method == "portable":
+        p = base.select(
+            id_col,
+            "n_paras_total",
+            F.posexplode("_paras").alias("para_idx", "para"),
+        )
+        first = Window.partitionBy("para").orderBy(id_col, "para_idx")
+        kept = (
+            p.withColumn("rn", F.row_number().over(first))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("para_idx", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("dedup_text"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+            F.first("n_paras_total").alias("n_paras_total"),
+        )
+    if method != "xxhash64":  # pragma: no cover
+        raise ValueError(f"unknown method {method!r}")
+    hashed = base.select(
+        id_col,
+        F.posexplode(
+            F.transform("_paras", lambda x: F.xxhash64(x))
+        ).alias("para_idx", "h"),
+    )
+    first = Window.partitionBy("h").orderBy(id_col, "para_idx")
+    kept_idx = (
+        hashed.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list("para_idx")).alias("_kept_idx"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+    )
+    return base.join(kept_idx, id_col).select(
+        id_col,
+        F.array_join(
+            F.transform(
+                "_kept_idx", lambda i: F.get("_paras", i)
+            ),
+            sep,
+        ).alias("dedup_text"),
+        "n_paras_kept",
+        "n_paras_total",
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -944,3 +944,74 @@ def test_pack_token_sequences_doc_straddles_many_sequences(spark):
     assert rows[0]["n_docs"] == 2
     assert list(rows[3]["token_ids"]) == [21, 22, 23, 24]
     assert rows[3]["n_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup (Dolma exact paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_semantics_and_arm_parity(spark):
+    from feast_spark.operators.selection import paragraph_dedup
+
+    footer = "shared footer text"
+    rows = [
+        (1, f"alpha beta\n\n{footer}\n\ngamma delta"),
+        (2, f"{footer}\n\nunique two"),
+        (3, footer),  # fully duplicated -> disappears
+        (4, "  \n\nkept after blank"),  # blank paragraph filtered
+    ]
+    d = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in paragraph_dedup(d).collect()}
+    # doc 1 is the first occurrence of every one of its paragraphs
+    assert got[1]["dedup_text"] == rows[0][1]
+    assert got[1]["n_paras_kept"] == 3 and got[1]["n_paras_total"] == 3
+    # doc 2 loses the footer (doc 1 owns it), keeps its unique paragraph
+    assert got[2]["dedup_text"] == "unique two"
+    assert got[2]["n_paras_kept"] == 1 and got[2]["n_paras_total"] == 2
+    assert 3 not in got
+    assert got[4]["dedup_text"] == "kept after blank"
+    assert got[4]["n_paras_total"] == 1  # blank never counted
+    xx = {
+        r["doc_id"]: r.asDict()
+        for r in paragraph_dedup(d, method="xxhash64").collect()
+    }
+    assert xx == {k: v.asDict() for k, v in got.items()}
+
+
+def test_paragraph_dedup_first_occurrence_doc_then_idx(spark):
+    from feast_spark.operators.selection import paragraph_dedup
+
+    # same paragraph at (doc 0, idx 1) and (doc 1, idx 0): doc 0 wins
+    d = _docs(spark, [(0, "one\n\ndup para"), (1, "dup para\n\ntwo")])
+    out = {
+        r["doc_id"]: r["dedup_text"] for r in paragraph_dedup(d).collect()
+    }
+    assert out[0] == "one\n\ndup para"
+    assert out[1] == "two"
+
+
+def test_paragraph_dedup_literal_separator_not_regex(spark):
+    from feast_spark.operators.selection import paragraph_dedup
+
+    # a regex-metachar separator must be treated literally
+    d = _docs(spark, [(0, "a|+|b|+|a"), (1, "b")])
+    out = {
+        r["doc_id"]: r for r in paragraph_dedup(d, sep="|+|").collect()
+    }
+    assert out[0]["dedup_text"] == "a|+|b"
+    assert out[0]["n_paras_total"] == 3
+    assert 1 not in out  # doc 1's only paragraph was seen in doc 0
+
+
+def test_paragraph_dedup_xxhash64_plan_carries_no_strings(spark):
+    from feast_spark.operators.selection import paragraph_dedup
+
+    rows = [(i, f"p{i} q{i}\n\ncommon tail") for i in range(8)]
+    plan = (
+        paragraph_dedup(_docs(spark, rows), method="xxhash64")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.find("Exchange hashpartitioning(h#") != -1, plan
