@@ -1100,6 +1100,15 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # BM25 sparse retrieval top-10 for the DEFAULT_QUERIES term sets;
+    # oracle is an independent Counter-loop replay sharing the driver-
+    # side math.log idf and the quantized-contribution integer sum
+    from feast_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Dolma-style exact paragraph dedup, portable arm (window keyed on
     # the paragraph = what DuckDB replays; xxhash64 arm is parity-pinned
@@ -1703,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "bm25_topk": q_bm25_topk,
         "paragraph_dedup": q_paragraph_dedup,
         "clean_lines": q_clean_lines,
         "lexical_stats": q_lexical_stats,
@@ -1759,7 +1769,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "image_metadata": q_image_metadata,
     }
 
 
@@ -1770,6 +1779,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "image_metadata": q_image_metadata,
         "field_mapping_scan": q_field_mapping_scan,
         "odfv_post_agg": q_odfv_post_agg,
         "dqm_profile": q_dqm_profile,
@@ -1970,6 +1980,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "gopher_repetition": _rp("gopher_repetition"),
         "lexical_stats": _rp("lexical_stats"),
+        "bm25_topk": _rp("bm25_topk"),
         "paragraph_dedup": """
             -- same synthesized paragraph structure as the Spark side
             -- (literal replace + appended shared footer), then the

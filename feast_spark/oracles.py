@@ -1082,10 +1082,78 @@ def lexical_stats_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+def bm25_topk_pdf(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Naive per-doc python replay of BM25 top-k (operators/bm25.py
+    DEFAULT_QUERIES): Counter loops over real token strings. idf uses the
+    same CPython math.log; the per-term contribution mirrors the Spark
+    expression's association order exactly, is floor-quantized to 2^-20
+    integer units, and the int sum is order-free — bit-identical by
+    construction."""
+    import math
+    from collections import Counter
+
+    from feast_spark.operators.bm25 import DEFAULT_QUERIES
+
+    k1, b = 1.2, 0.75
+    one_minus_b, k1p1, quant = 1.0 - b, k1 + 1.0, 1048576.0
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = [
+        ("" if t is None else str(t)).lower().split() for t in docs["text"]
+    ]
+    ids = [int(i) for i in docs["doc_id"]]
+    dls = [len(t) for t in toks]
+    n_docs = len(ids)
+    avgdl = float(sum(dls)) / float(n_docs)
+    qterms = {
+        qid: sorted({t for t in qtext.lower().split() if t})
+        for qid, qtext in DEFAULT_QUERIES
+    }
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    counters = [Counter(t) for t in toks]
+    df = {
+        t: sum(1 for c in counters if t in c) for t in all_terms
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        for t in all_terms
+    }
+    rows = []
+    for qid, ts in qterms.items():
+        scored = []
+        for doc_id, c, dl in zip(ids, counters, dls):
+            units = 0
+            hit = False
+            for t in ts:
+                tf = c.get(t, 0)
+                if not tf or not df[t]:
+                    continue
+                hit = True
+                denom = tf + k1 * (one_minus_b + b * dl / avgdl)
+                units += int(math.floor(idf[t] * (tf * k1p1) / denom * quant))
+            if hit:
+                scored.append((-units, doc_id))
+        scored.sort()
+        for rank, (neg_u, doc_id) in enumerate(scored[:k], start=1):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "doc_id": doc_id,
+                    "rank": rank,
+                    "score_units": -neg_u,
+                    "score": float(-neg_u) / quant,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("doc_id", "rank", "score_units"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 _RELATIONS = {
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
     "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
     "lexical_stats": lambda sf: lexical_stats_pdf(sf),
+    "bm25_topk": lambda sf: bm25_topk_pdf(sf),
     "doc_curation_lm": lambda sf: curation_lm_pdf(sf),
     "langid_classifier": lambda sf: langid_pdf(sf),
     "lm_perplexity": lambda sf: lm_perplexity_pdf(sf),
