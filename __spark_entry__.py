@@ -1073,12 +1073,20 @@ def q_conv_render(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    # full Gopher dup-line / top-ngram / dup-ngram rule family, map-only
-    # vectorized kernel; '. ' as the line separator (testdata documents
-    # are single-line) so the line stats are non-trivial
-    from feast_spark.operators.repetition import gopher_repetition
+    # full Gopher dup-line / top-ngram / dup-ngram + bullet/ellipsis
+    # line-format family, map-only vectorized kernel; '. ' as the line
+    # separator (testdata documents are single-line) so the line stats
+    # are non-trivial, plus the shared DEMO_LINE_SUFFIX so bullet and
+    # ellipsis fractions are non-zero
+    from feast_spark.operators.repetition import (
+        DEMO_LINE_SUFFIX,
+        gopher_repetition,
+    )
 
-    return gopher_repetition(_t(spark, sf, "documents"), line_sep=". ")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat("text", F.lit(DEMO_LINE_SUFFIX)).alias("text")
+    )
+    return gopher_repetition(docs, line_sep=". ")
 
 
 def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:

@@ -49,6 +49,19 @@ __all__ = ["repetition_stats_pdf", "gopher_repetition"]
 _TOP_ORDERS = (2, 3, 4)
 _DUP_ORDERS = (5, 8, 10)
 
+# Gopher's line-format rules (drop if >90% of lines start with a bullet
+# or >30% end with an ellipsis) — the bullet set follows the public
+# Dolma/RedPajama implementations
+BULLET_PREFIXES = ("-", "*", "•", "‣", "▪", "·")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+# deterministic suffix the driver query appends so the bullet/ellipsis
+# stats are non-trivial on the single-line testdata corpus (with
+# line_sep='. ' it contributes two bullet lines and one ellipsis line)
+DEMO_LINE_SUFFIX = (
+    ". - alpha bullet one. - beta bullet two. gamma trails off…"
+)
+
 
 def _group_runs(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     """lexsort the key columns; return (order, run_starts) where runs are
@@ -71,6 +84,8 @@ def repetition_stats_pdf(texts: pd.Series) -> pd.DataFrame:
     out = {
         "dup_line_frac": np.zeros(n),
         "dup_line_char_frac": np.zeros(n),
+        "bullet_line_frac": np.zeros(n),
+        "ellipsis_line_frac": np.zeros(n),
     }
     for o in _TOP_ORDERS:
         out[f"top{o}gram_char_frac"] = np.zeros(n)
@@ -100,6 +115,21 @@ def repetition_stats_pdf(texts: pd.Series) -> pd.DataFrame:
         out["dup_line_frac"][nz] = rep_lines[nz] / n_lines[nz]
         cz = tot_chars > 0
         out["dup_line_char_frac"][cz] = rep_chars[cz] / tot_chars[cz]
+        # Gopher line-format stats: bullet-start / ellipsis-end fractions
+        bullet = (
+            flat_l.str.lstrip()
+            .str.startswith(BULLET_PREFIXES)
+            .to_numpy(dtype=np.float64)
+        )
+        ell = (
+            flat_l.str.rstrip()
+            .str.endswith(ELLIPSIS_SUFFIXES)
+            .to_numpy(dtype=np.float64)
+        )
+        b_lines = np.bincount(lrows, weights=bullet, minlength=n)
+        e_lines = np.bincount(lrows, weights=ell, minlength=n)
+        out["bullet_line_frac"][nz] = b_lines[nz] / n_lines[nz]
+        out["ellipsis_line_frac"][nz] = e_lines[nz] / n_lines[nz]
 
     # ---- token machinery shared by all gram orders ----------------------
     toks = s.str.lower().str.findall(r"\S+")
@@ -199,7 +229,12 @@ _SCHEMA = StructType(
     + [
         StructField(c, DoubleType())
         for c in (
-            ["dup_line_frac", "dup_line_char_frac"]
+            [
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "bullet_line_frac",
+                "ellipsis_line_frac",
+            ]
             + [f"top{o}gram_char_frac" for o in _TOP_ORDERS]
             + [f"dup{o}gram_char_frac" for o in _DUP_ORDERS]
         )

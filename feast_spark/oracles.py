@@ -977,10 +977,17 @@ def gopher_repetition_pdf(sf_dir: str, line_sep: str = ". ") -> pd.DataFrame:
     single IEEE divisions of exact ints on both sides."""
     from collections import Counter
 
+    from feast_spark.operators.repetition import (
+        BULLET_PREFIXES,
+        DEMO_LINE_SUFFIX,
+        ELLIPSIS_SUFFIXES,
+    )
+
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     rows = []
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        text = ("" if text is None else str(text)).replace(line_sep, "\n")
+        text = ("" if text is None else str(text)) + DEMO_LINE_SUFFIX
+        text = text.replace(line_sep, "\n")
         rec: dict = {"doc_id": int(doc_id)}
         lines = [ln for ln in text.split("\n") if len(ln) > 0]
         if lines:
@@ -992,9 +999,27 @@ def gopher_repetition_pdf(sf_dir: str, line_sep: str = ". ") -> pd.DataFrame:
             rec["dup_line_char_frac"] = (
                 rep_chars / tot_chars if tot_chars else 0.0
             )
+            rec["bullet_line_frac"] = (
+                sum(
+                    1
+                    for ln in lines
+                    if ln.lstrip().startswith(BULLET_PREFIXES)
+                )
+                / len(lines)
+            )
+            rec["ellipsis_line_frac"] = (
+                sum(
+                    1
+                    for ln in lines
+                    if ln.rstrip().endswith(ELLIPSIS_SUFFIXES)
+                )
+                / len(lines)
+            )
         else:
             rec["dup_line_frac"] = 0.0
             rec["dup_line_char_frac"] = 0.0
+            rec["bullet_line_frac"] = 0.0
+            rec["ellipsis_line_frac"] = 0.0
         toks = text.lower().split()
         tlen = [len(t) for t in toks]
         tot = sum(tlen)

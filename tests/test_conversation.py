@@ -151,9 +151,18 @@ def test_conversation_plans_single_exchange(spark):
 
 
 def test_gopher_repetition_matches_naive(spark):
-    from feast_spark.operators.repetition import gopher_repetition
+    from pyspark.sql import functions as F
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from feast_spark.operators.repetition import (
+        DEMO_LINE_SUFFIX,
+        gopher_repetition,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id", F.concat("text", F.lit(DEMO_LINE_SUFFIX)).alias("text")
+    )
     got = (
         gopher_repetition(docs, line_sep=". ")
         .toPandas()
@@ -205,3 +214,23 @@ def test_normalize_text_composes_and_collapses(spark):
     assert vals[0] == "caf\u00e9 x"  # NFC-composed + collapsed
     assert vals[1] == "plain text"
     assert vals[2] == ""
+
+
+def test_gopher_bullet_ellipsis_fractions():
+    from feast_spark.operators.repetition import repetition_stats_pdf
+
+    df = repetition_stats_pdf(
+        pd.Series(
+            [
+                "- item one\n* item two\nplain line\nit trails off...",
+                "  • indented bullet\nends with unicode…\nnothing",
+                "no lines of interest",
+            ]
+        )
+    )
+    assert df.loc[0, "bullet_line_frac"] == pytest.approx(2 / 4)
+    assert df.loc[0, "ellipsis_line_frac"] == pytest.approx(1 / 4)
+    assert df.loc[1, "bullet_line_frac"] == pytest.approx(1 / 3)  # lstrip
+    assert df.loc[1, "ellipsis_line_frac"] == pytest.approx(1 / 3)
+    assert df.loc[2, "bullet_line_frac"] == 0.0
+    assert df.loc[2, "ellipsis_line_frac"] == 0.0
