@@ -1108,6 +1108,20 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_exact_k_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # exactly 40 docs per source, picked by md5(doc_id) order — the
+    # fixed-size complement of stratified_sample; WindowGroupLimit keeps
+    # the per-stratum shuffle bounded at k rows/map task
+    from feast_spark.operators.selection import exact_k_sample
+
+    return exact_k_sample(
+        _t(spark, sf, "documents"),
+        F.col("doc_id").cast("string"),
+        40,
+        stratum=F.col("source"),
+    ).select("doc_id", "source", "sample_rank")
+
+
 def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     # BM25 sparse retrieval top-10 for the DEFAULT_QUERIES term sets;
     # oracle is an independent Counter-loop replay sharing the driver-
@@ -1720,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "exact_k_sample": q_exact_k_sample,
         "bm25_topk": q_bm25_topk,
         "paragraph_dedup": q_paragraph_dedup,
         "clean_lines": q_clean_lines,
@@ -1765,7 +1780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_view_historical": q_derived_view_historical,
         # core relational / PIT surface
         "pit_last_click": q_pit_last_click,
-        "pit_entityless": q_pit_entityless,
         "session_window_agg": q_session_window_agg,
         "latest_dedup": q_latest_dedup,
         # documents / embeddings operators
@@ -1787,6 +1801,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "pit_entityless": q_pit_entityless,
         "image_metadata": q_image_metadata,
         "field_mapping_scan": q_field_mapping_scan,
         "odfv_post_agg": q_odfv_post_agg,
@@ -1989,6 +2004,17 @@ def _all_oracle_sql() -> dict[str, str]:
         "gopher_repetition": _rp("gopher_repetition"),
         "lexical_stats": _rp("lexical_stats"),
         "bm25_topk": _rp("bm25_topk"),
+        "exact_k_sample": """
+            -- identical md5-hex ordering (both engines emit lowercase
+            -- hex), key string as the digest tie-break
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source, ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                         CAST(doc_id AS VARCHAR)) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 40
+        """,
         "paragraph_dedup": """
             -- same synthesized paragraph structure as the Spark side
             -- (literal replace + appended shared footer), then the

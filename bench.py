@@ -89,6 +89,10 @@ HEADLINE = [
     "conv_render",
     "gopher_repetition",
     "text_normalize",
+    "clean_lines",
+    "lexical_stats",
+    "paragraph_dedup",
+    "bm25_topk",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -583,6 +587,70 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w4.wall, 3), "train_wall_sec": round(train_wall, 3),
         "n_seqs": sagg["n_seqs"], "n_tokens": int(n_tok_total),
         "external_cores": w4.external_cores,
+    }
+
+    # paragraph dedup at 50k: every doc = its (unique) body paragraph +
+    # one shared boilerplate footer paragraph. Invariant: the footer
+    # survives in EXACTLY one document; every doc keeps its body.
+    from feast_spark.operators.selection import paragraph_dedup
+
+    footer = "shared boilerplate footer paragraph for every page"
+    pdocs = docs.select(
+        "doc_id",
+        F.concat("text", F.lit("\n\n" + footer)).alias("text"),
+    )
+    with _Window() as w5:
+        pd_out = paragraph_dedup(pdocs, method="xxhash64")
+        pagg = pd_out.agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_paras_kept").alias("paras_kept"),
+            F.sum(
+                F.col("dedup_text").contains(footer).cast("long")
+            ).alias("docs_with_footer"),
+        ).collect()[0]
+    assert pagg["docs_out"] == DOCS_LARGE, pagg
+    assert pagg["docs_with_footer"] == 1, pagg
+    assert pagg["paras_kept"] == DOCS_LARGE + 1, pagg
+    out["paragraph_dedup_xxhash64"] = {
+        "wall_sec": round(w5.wall, 3), "docs_out": pagg["docs_out"],
+        "footer_survivors": pagg["docs_with_footer"],
+        "external_cores": w5.external_cores,
+    }
+    # portable-arm parity on a 1/7 subset (untimed invariant)
+    psub = pdocs.filter(F.col("doc_id") % 7 == 0)
+    pa = paragraph_dedup(psub, method="portable")
+    pb = paragraph_dedup(psub, method="xxhash64")
+    assert pa.exceptAll(pb).count() == 0 and pb.exceptAll(pa).count() == 0
+    out["paragraph_dedup_arm_parity_ok"] = True
+
+    # BM25 retrieval at 50k docs: query terms drawn from a fixed corpus
+    # doc so the queries match real vocabulary; invariant: k results per
+    # query with non-increasing integer scores.
+    from feast_spark.operators.bm25 import bm25_topk
+    from feast_spark.operators.dedup import release_dedup_caches as _rdc
+
+    w0 = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.split("text", " ").alias("w"))
+        .collect()[0]["w"][:6]
+    )
+    qrs = [("q1", " ".join(w0[:3])), ("q2", " ".join(w0[3:6]))]
+    with _Window() as w6:
+        hits = bm25_topk(docs, qrs, k=10).collect()
+    _rdc()
+    by_q: dict = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows_q in by_q.items():
+        rows_q.sort(key=lambda r: r.rank)
+        assert len(rows_q) == 10, (qid, len(rows_q))
+        assert all(
+            a.score_units >= b.score_units
+            for a, b in zip(rows_q, rows_q[1:])
+        ), qid
+    out["bm25_topk"] = {
+        "wall_sec": round(w6.wall, 3), "hits": len(hits),
+        "queries": len(by_q), "external_cores": w6.external_cores,
     }
     return out
 

@@ -668,6 +668,42 @@ def deterministic_sample(
     return df.where(bucket < thr).withColumn(bucket_col, bucket)
 
 
+def exact_k_sample(
+    df: DataFrame,
+    key: Column,
+    k: int,
+    stratum: Column | None = None,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Keep EXACTLY ``min(k, n)`` rows per stratum (one global stratum if
+    ``stratum`` is None) — the k rows whose ``md5(key)`` hex digest sorts
+    lowest, with the key itself breaking digest ties. The fixed-size
+    complement of :func:`deterministic_sample` (rate-based): eval-set
+    carving, per-domain probe sets, and judge panels need "exactly 1000
+    per source", not "about 1%".
+
+    Deterministic and layout-independent: same input set → same sample on
+    any cluster/partitioning (``df.sample`` is neither). NOT
+    key-stable under corpus growth — adding rows can displace prior
+    picks; that is inherent to exact-k (use ``deterministic_sample`` when
+    additions must not disturb earlier decisions).
+
+    Scale shape: the rank is a ``row_number`` window per stratum, which
+    Spark rewrites to ``WindowGroupLimit`` — each map task keeps only k
+    rows per stratum BEFORE the exchange, so the shuffle carries
+    ≤ k·partitions rows per stratum no matter the corpus size, and a
+    mega-stratum never funnels through one sort. Emits ``rank_col``
+    (1-based) so callers can sub-slice.
+    """
+    strat = stratum if stratum is not None else F.lit(1)
+    digest = F.md5(key)
+    w = Window.partitionBy(strat).orderBy(digest, key)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= int(k))
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-level n-gram mining (boilerplate discovery)
 # ---------------------------------------------------------------------------

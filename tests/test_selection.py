@@ -1015,3 +1015,64 @@ def test_paragraph_dedup_xxhash64_plan_carries_no_strings(spark):
         .toString()
     )
     assert plan.find("Exchange hashpartitioning(h#") != -1, plan
+
+
+# ---------------------------------------------------------------------------
+# exact_k_sample (fixed-size deterministic stratified sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_k_sample_sizes_and_determinism(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.selection import exact_k_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [(900, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = exact_k_sample(
+        df, F.col("doc_id").cast("string"), 5, stratum=F.col("source")
+    ).collect()
+    by_s: dict = {}
+    for r in out:
+        by_s.setdefault(r["source"], []).append(r)
+    # exactly min(k, n) per stratum
+    assert {s: len(v) for s, v in by_s.items()} == {
+        "s0": 5, "s1": 5, "s2": 5, "tiny": 1,
+    }
+    # the picks are the k smallest md5 digests, ranks follow digest order
+    for s, members in (("s0", range(0, 100, 3)), ("tiny", [900])):
+        want = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), str(i)) for i in members
+        )[:5]
+        got = sorted(by_s[s], key=lambda r: r["sample_rank"])
+        assert [str(r["doc_id"]) for r in got] == [w[1] for w in want]
+    # layout-independent: same picks under a different partitioning
+    out2 = exact_k_sample(
+        df.repartition(7, "doc_id"),
+        F.col("doc_id").cast("string"),
+        5,
+        stratum=F.col("source"),
+    ).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in out) == sorted(
+        (r["source"], r["doc_id"]) for r in out2
+    )
+
+
+def test_exact_k_sample_plan_uses_window_group_limit(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.selection import exact_k_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("src")
+    )
+    plan = (
+        exact_k_sample(df, F.col("doc_id").cast("string"), 3,
+                       stratum=F.col("src"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
