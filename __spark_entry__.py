@@ -1108,6 +1108,24 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # per-doc PII/toxicity hit counters under the exact scrub order;
+    # even doc_ids get the shared PII_DEMO_SUFFIX so counts are
+    # non-trivial (odd docs pin the zero path)
+    from feast_spark.rules import PII_DEMO_SUFFIX, pii_stats
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat("text", F.lit(PII_DEMO_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_stats(docs)
+
+
 def q_exact_k_sample(spark: SparkSession, sf: str) -> DataFrame:
     # exactly 40 docs per source, picked by md5(doc_id) order — the
     # fixed-size complement of stratified_sample; WindowGroupLimit keeps
@@ -1734,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "pii_stats": q_pii_stats,
         "exact_k_sample": q_exact_k_sample,
         "bm25_topk": q_bm25_topk,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1781,7 +1800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core relational / PIT surface
         "pit_last_click": q_pit_last_click,
         "session_window_agg": q_session_window_agg,
-        "latest_dedup": q_latest_dedup,
         # documents / embeddings operators
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1801,6 +1819,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "latest_dedup": q_latest_dedup,
         "pit_entityless": q_pit_entityless,
         "image_metadata": q_image_metadata,
         "field_mapping_scan": q_field_mapping_scan,
@@ -2004,6 +2023,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "gopher_repetition": _rp("gopher_repetition"),
         "lexical_stats": _rp("lexical_stats"),
         "bm25_topk": _rp("bm25_topk"),
+        "pii_stats": _rp("pii_stats"),
         "exact_k_sample": """
             -- identical md5-hex ordering (both engines emit lowercase
             -- hex), key string as the digest tie-break

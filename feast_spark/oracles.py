@@ -1174,8 +1174,41 @@ def bm25_topk_pdf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pdf
 
 
+def pii_stats_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive per-doc re.subn replay of the PII hit counters
+    (rules.pii_match_counts contract: pattern p counted on the text after
+    earlier patterns replaced). Same injection rule as the driver query:
+    even doc_ids get PII_DEMO_SUFFIX appended. Counts are exact ints —
+    identical by construction (same re engine, same order)."""
+    import re
+
+    from feast_spark.rules import (
+        PII_DEMO_SUFFIX,
+        SCRUB_PATTERNS,
+        _TOX_PATTERN,
+    )
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = "" if text is None else str(text)
+        if int(doc_id) % 2 == 0:
+            t = t + PII_DEMO_SUFFIX
+        rec = {"doc_id": int(doc_id)}
+        for name, pat, repl in SCRUB_PATTERNS:
+            t, n = re.subn(pat, repl, t)
+            rec[f"n_{name}"] = n
+        rec["n_toxicity"] = len(re.findall(_TOX_PATTERN, t))
+        rows.append(rec)
+    pdf = pd.DataFrame(rows)
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 _RELATIONS = {
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
+    "pii_stats": lambda sf: pii_stats_pdf(sf),
     "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
     "lexical_stats": lambda sf: lexical_stats_pdf(sf),
     "bm25_topk": lambda sf: bm25_topk_pdf(sf),

@@ -116,6 +116,73 @@ _TOX_PATTERN = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 _TOX_PATTERN_LOWER = r"\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 
 
+# deterministic demo suffix the driver query injects (even doc_ids only)
+# so the PII counters are non-trivial on the synthetic corpus
+PII_DEMO_SUFFIX = (
+    " reach jane.doe@example.com or 415-555-2671,"
+    " server 192.168.0.1, ssn 123-45-6789"
+)
+
+
+def pii_match_counts(texts: pd.Series) -> pd.DataFrame:
+    """Per-row match counts for every scrub pattern, under EXACTLY the
+    :func:`scrub_text` contract: pattern ``p`` is counted on the text
+    after all earlier patterns have been replaced (so an email's digits
+    can never double-count as a phone). Same vectorized ``Series.str``
+    C-regex path; the naive oracle replays with ``re.subn`` per doc —
+    identical counts by construction (same ``re`` engine, same order).
+
+    Columns: ``n_<pattern>`` per SCRUB_PATTERNS entry + ``n_toxicity``;
+    all int64."""
+    out = texts.fillna("")
+    counts: dict[str, np.ndarray] = {}
+    # same candidate gate as scrub_text: every PII pattern needs @ or a
+    # digit — non-candidates count 0 without paying 5 regex passes
+    cand = out.str.contains(r"[@0-9]", regex=True)
+    n = len(out)
+    sub = out[cand]
+    for name, pat, repl in SCRUB_PATTERNS:
+        c = np.zeros(n, dtype=np.int64)
+        if len(sub):
+            c[cand.to_numpy()] = sub.str.count(pat).to_numpy(dtype=np.int64)
+            sub = sub.str.replace(pat, repl, regex=True)
+        counts[f"n_{name}"] = c
+    if len(sub):
+        out = out.copy()
+        out[cand] = sub
+    counts["n_toxicity"] = out.str.count(_TOX_PATTERN).to_numpy(
+        dtype=np.int64
+    )
+    return pd.DataFrame(counts)
+
+
+def pii_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Spark wrapper: per-document PII/toxicity hit counters — the audit
+    companion of the scrub stage (how much PII a source carries is a
+    routing/quality signal in itself). Map-only ``mapInPandas`` over
+    Arrow batches, zero shuffles at any scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = [f"n_{name}" for name, _, _ in SCRUB_PATTERNS] + ["n_toxicity"]
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(c, LongType()) for c in cols]
+    )
+    sel = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            stats = pii_match_counts(pdf["text"])
+            stats.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield stats
+
+    return sel.mapInPandas(_run, schema=schema)
+
+
 def scrub_text(texts: pd.Series) -> pd.Series:
     """Apply PII + toxicity scrub patterns in fixed order (vectorized).
 

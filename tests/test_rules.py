@@ -113,3 +113,72 @@ def test_heuristic_stats_vectorized_consistency():
     assert st.loc[0, "word_count"] == 3
     assert st.loc[1, "word_count"] == 0
     assert st.loc[2, "top2gram_frac"] > 0.9
+
+
+def test_pii_match_counts_crafted():
+    import pandas as pd
+
+    from feast_spark.rules import pii_match_counts
+
+    df = pii_match_counts(
+        pd.Series(
+            [
+                "mail a@b.com and c.d@e.org, call 415-555-2671",
+                "ssn 123-45-6789 card 1234-5678-9012-3456 ip 10.0.0.1",
+                "totally clean text with no digits at all",
+                None,
+            ]
+        )
+    )
+    assert df.loc[0, "n_email"] == 2
+    assert df.loc[0, "n_phone"] == 1
+    assert df.loc[1, "n_ssn"] == 1
+    assert df.loc[1, "n_credit_card"] == 1
+    assert df.loc[1, "n_ipv4"] == 1
+    # the SSN was consumed before the phone pass (scrub order contract)
+    assert df.loc[1, "n_phone"] == 0
+    assert df.loc[2].sum() == 0 and df.loc[3].sum() == 0
+    assert all(str(t) == "int64" for t in df.dtypes)
+
+
+def test_pii_match_counts_sequential_contract():
+    import pandas as pd
+
+    from feast_spark.rules import pii_match_counts, scrub_text
+
+    # an email whose local part looks like a phone: the email pass
+    # replaces it first, so the phone counter must NOT fire
+    s = pd.Series(["dial 415-555-2671@example.com now"])
+    df = pii_match_counts(s)
+    assert df.loc[0, "n_email"] == 1 and df.loc[0, "n_phone"] == 0
+    assert "<EMAIL>" in scrub_text(s).iloc[0]
+
+
+def test_pii_stats_spark_matches_kernel(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from feast_spark.rules import pii_match_counts, pii_stats
+
+    texts = [
+        "a@b.com twice a@b.com",
+        "nothing here",
+        "ip 8.8.8.8 and ssn 987-65-4321",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = (
+        pii_stats(sdf).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = pii_match_counts(pd.Series(texts))
+    for c in exp.columns:
+        assert list(got[c]) == list(exp[c]), c
+    # map-only: no shuffle
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pii_stats(sdf).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
