@@ -87,6 +87,17 @@ class CurationConfig:
     lm_order: int = 5
     lm_method: str = "xxhash64"
     lm_keep_quantile: float = 0.7
+    # OPT-IN stage 0 (C4-style line cleaning, operators/lines.py): rewrite
+    # each document to its "good" lines before any doc-grain stage, and
+    # drop documents left with fewer than line_min_kept survivors
+    # ('line_clean' in the audit). Off by default — the oracle-checked
+    # chain is unchanged. Defaults are curation-friendly (no terminal-
+    # punctuation demand; blocklist + blank-line removal only).
+    use_line_clean: bool = False
+    line_min_words: int = 1
+    line_blocklist: tuple = ("lorem ipsum", "javascript")
+    line_require_terminal: bool = False
+    line_min_kept: int = 1
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
@@ -160,11 +171,35 @@ def run_curation(
     consuming the outputs."""
     cfg = cfg or CurationConfig()
 
+    # ---- stage 0 (opt-in): C4 line cleaning — a pure map pass (JVM
+    # higher-order lambdas, no UDF, no shuffle) that rewrites text to its
+    # surviving lines; docs below line_min_kept drop here. line_flags is
+    # one tiny bool row per doc for the audit.
+    line_flags = None
+    if cfg.use_line_clean:
+        from feast_spark.operators.lines import clean_lines
+
+        lc = clean_lines(
+            docs,
+            min_words=cfg.line_min_words,
+            blocklist=cfg.line_blocklist,
+            require_terminal=cfg.line_require_terminal,
+            min_kept_lines=cfg.line_min_kept,
+        )
+        line_flags = lc.select("doc_id", "doc_ok", "kept_frac")
+        docs_in = (
+            lc.filter("doc_ok")
+            .select("doc_id", F.col("text_clean").alias("text"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+    else:
+        docs_in = docs
+
     # ---- stage 1: corpus span dedup (keeps source via join on the
     # surviving ids — span_dedup's 2-shuffle shape, then one id join to
     # re-attach the strata column)
-    deduped = span_dedup(docs, span_words=cfg.span_words).join(
-        docs.select("doc_id", "source"), "doc_id"
+    deduped = span_dedup(docs_in, span_words=cfg.span_words).join(
+        docs_in.select("doc_id", "source"), "doc_id"
     )
 
     # ---- stage 2: quality on the deduped text (map-side Arrow scoring)
@@ -299,11 +334,18 @@ def run_curation(
         .join(kept.select("doc_id", F.lit(True).alias("__sampled")),
               "doc_id", "left")
     )
-    stage = (
-        F.when(F.col("n_spans_kept").isNull(), "span_dup")
-        .when(~F.col("quality_keep"), "quality")
-    )
     extra_cols = []
+    if cfg.use_line_clean:
+        audit = audit.join(line_flags, "doc_id", "left")
+        stage = F.when(~F.col("doc_ok"), "line_clean").when(
+            F.col("n_spans_kept").isNull(), "span_dup"
+        )
+        extra_cols.append(
+            F.coalesce("kept_frac", F.lit(0.0)).alias("line_kept_frac")
+        )
+    else:
+        stage = F.when(F.col("n_spans_kept").isNull(), "span_dup")
+    stage = stage.when(~F.col("quality_keep"), "quality")
     if cfg.use_lm:
         audit = audit.join(lm_flags, "doc_id", "left")
         # a doc that reached stage 2b always has a ppl; NULL can only

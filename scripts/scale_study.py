@@ -69,6 +69,56 @@ def _one_size(spark, n_docs: int) -> dict:
     out["tokenize_pack"] = {"wall_sec": round(time.time() - t0, 2),
                             "n_seqs": n_seqs}
 
+    # session-6 operators: paragraph dedup (planted shared footer),
+    # BM25 retrieval, C4 line cleaning, lexical stats — all must stay
+    # ~linear in corpus size
+    from feast_spark.operators.bm25 import bm25_topk
+    from feast_spark.operators.lexical import lexical_stats
+    from feast_spark.operators.lines import clean_lines
+    from feast_spark.operators.selection import paragraph_dedup
+
+    footer = "shared boilerplate footer paragraph for every page"
+    pdocs = docs.select(
+        "doc_id", F.concat("text", F.lit("\n\n" + footer)).alias("text")
+    )
+    t0 = time.time()
+    pagg = paragraph_dedup(pdocs, method="xxhash64").agg(
+        F.count(F.lit(1)).alias("docs_out"),
+        F.sum(F.col("dedup_text").contains(footer).cast("long")).alias(
+            "footer_survivors"
+        ),
+    ).collect()[0]
+    assert pagg["footer_survivors"] == 1, pagg
+    out["paragraph_dedup_xx"] = {"wall_sec": round(time.time() - t0, 2),
+                                 "docs_out": pagg["docs_out"]}
+
+    w0 = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.split("text", " ").alias("w"))
+        .collect()[0]["w"][:6]
+    )
+    t0 = time.time()
+    n_hits = bm25_topk(
+        docs, [("q1", " ".join(w0[:3])), ("q2", " ".join(w0[3:6]))], k=10
+    ).count()
+    out["bm25_topk"] = {"wall_sec": round(time.time() - t0, 2),
+                        "hits": n_hits}
+    release_dedup_caches()
+
+    ldocs = docs.select(
+        "doc_id", F.expr("replace(text, ' merge ', chr(10))").alias("text")
+    )
+    t0 = time.time()
+    n_ok = clean_lines(ldocs, require_terminal=False).filter("doc_ok").count()
+    out["clean_lines"] = {"wall_sec": round(time.time() - t0, 2),
+                          "docs_ok": n_ok}
+
+    t0 = time.time()
+    n_lex = lexical_stats(docs).count()
+    out["lexical_stats"] = {"wall_sec": round(time.time() - t0, 2),
+                            "docs": n_lex}
+    assert n_lex == n_docs
+
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs, "doc_id", "text").localCheckpoint()
     n_pairs = pairs.count()
@@ -130,7 +180,9 @@ def main() -> None:
             k: round(big[k]["wall_sec"] / max(small[k]["wall_sec"], 1e-9)
                      / size_ratio, 3)
             for k in ("span_dedup_xx", "substring_dedup_xx", "tokenize_pack",
-                      "minhash_cc", "curation", "shard_export")
+                      "paragraph_dedup_xx", "bm25_topk", "clean_lines",
+                      "lexical_stats", "minhash_cc", "curation",
+                      "shard_export")
         },
     }
     print(json.dumps(summary, separators=(",", ":")))

@@ -160,3 +160,51 @@ def test_lm_stage_filters_and_audits(spark):
         assert max_kept <= min_drop
     finally:
         res.release()
+
+
+def test_line_clean_stage_filters_and_audits(spark):
+    # corpus where line cleaning does real work: doc text gains newline
+    # structure, one doc becomes all-blocklist lines
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.lit("all javascript here\nmore javascript lines"),
+        )
+        .otherwise(F.expr("replace(text, ' merge ', chr(10))"))
+        .alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias(
+            "bench_text"
+        )
+    )
+    cfg = CurationConfig(use_line_clean=True)
+    res = run_curation(spark, docs, bench, cfg)
+    try:
+        dec = res.decisions
+        assert "line_kept_frac" in dec.columns
+        assert dec.count() == docs.count()
+        counts = {r["stage"]: r["n_docs"] for r in stage_counts(dec).collect()}
+        assert sum(counts.values()) == docs.count()
+        # every %97 doc was dropped at the line_clean stage
+        n_block = docs.filter(F.col("doc_id") % 97 == 0).count()
+        assert counts.get("line_clean", 0) == n_block
+        blocked = {
+            r["doc_id"]
+            for r in dec.filter("drop_stage = 'line_clean'").collect()
+        }
+        assert all(i % 97 == 0 for i in blocked) and len(blocked) == n_block
+        # kept docs' dedup_text derives from the CLEANED text: no empty
+        # lines, no blocklist phrase anywhere
+        kept = res.kept.collect()
+        assert kept, "line-clean chain kept nothing"
+        for r in kept:
+            assert "javascript" not in r["dedup_text"]
+    finally:
+        res.release()
+
+
+def test_line_clean_default_off_schema_unchanged(spark, result):
+    assert "line_kept_frac" not in result.decisions.columns
