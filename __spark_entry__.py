@@ -1108,6 +1108,38 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_conv_pack(spark: SparkSession, sf: str) -> DataFrame:
+    # the transcript last mile: conversations -> fixed-length BPE token
+    # sequences with a per-token assistant loss mask (role-prefixed
+    # rendering; mask rides the packer as id*2+m, split back map-side).
+    # Oracle is the pure-python BPE/packing twin in oracles.conv_pack_pdf.
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import (
+        _deduped,
+        pack_conversations,
+    )
+
+    turns = _transcripts_fixture(spark)
+    rendered = _deduped(turns).select(
+        F.concat(
+            "role", F.lit(": "), F.coalesce("text", F.lit(""))
+        ).alias("text")
+    )
+    model = train_bpe(rendered, num_merges=8)
+    seqs = pack_conversations(turns, model, seq_len=48)
+    return seqs.select(
+        "seq_id",
+        F.array_join(
+            F.transform("token_ids", lambda t: t.cast("string")), " "
+        ).alias("ids_str"),
+        F.array_join(
+            F.transform("loss_mask", lambda t: t.cast("string")), " "
+        ).alias("mask_str"),
+        "n_tokens",
+        "n_convs",
+    )
+
+
 def q_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
     # per-doc PII/toxicity hit counters under the exact scrub order;
     # even doc_ids get the shared PII_DEMO_SUFFIX so counts are
@@ -1752,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "conv_pack": q_conv_pack,
         "pii_stats": q_pii_stats,
         "exact_k_sample": q_exact_k_sample,
         "bm25_topk": q_bm25_topk,
@@ -1804,7 +1837,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_quality_scores": q_doc_quality_scores,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1819,6 +1851,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "latest_dedup": q_latest_dedup,
         "pit_entityless": q_pit_entityless,
         "image_metadata": q_image_metadata,
@@ -2024,6 +2057,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "lexical_stats": _rp("lexical_stats"),
         "bm25_topk": _rp("bm25_topk"),
         "pii_stats": _rp("pii_stats"),
+        "conv_pack": _rp("conv_pack"),
         "exact_k_sample": """
             -- identical md5-hex ordering (both engines emit lowercase
             -- hex), key string as the digest tie-break

@@ -231,3 +231,87 @@ def render_conversations(turns: DataFrame, sep: str = "\n") -> DataFrame:
         ).alias("offsets"),
     )
     return rendered.withColumn("n_chars", F.length("text").cast("long"))
+
+
+def pack_conversations(
+    turns: DataFrame,
+    model,
+    seq_len: int,
+    assistant_role: str = "assistant",
+    bucket_convs: int = 4096,
+) -> DataFrame:
+    """The transcript last mile: conversations → fixed-length BPE token
+    sequences with a per-token LOSS MASK (1 on assistant-turn tokens,
+    0 elsewhere) — what an SFT trainer actually consumes.
+
+    Each deduped turn renders as ``role: text`` (the
+    :func:`render_conversations` line format, so the mask covers the
+    role prefix too), BPE-encodes through the shared
+    :func:`feast_spark.operators.bpe.bpe_encode` kernel, and the
+    conversation's turn streams concatenate in ``turn_idx`` order;
+    conversations then concatenate in ``conv_id`` order and the
+    corpus-wide stream is cut into ``seq_len`` sequences (conversations
+    CROSS boundaries — standard packing) by
+    :func:`feast_spark.operators.selection.pack_token_sequences`.
+
+    The mask rides THROUGH the packer without new machinery: each token
+    is carried as the single bigint ``id*2 + mask`` (ids are vocab
+    indices ≪ 2^62), packed once, and split back map-side — so ids and
+    mask can never mis-align, and the packer's one-wide-exchange /
+    two-phase-prefix-sum scale shape is reused verbatim. Returns
+    ``(seq_id, token_ids, loss_mask, n_tokens, n_convs)``.
+
+    Reference: feast has no training-sequence operators; the packing
+    semantics follow standard LM pretraining/SFT data pipelines (turn
+    masking per public chat-template conventions).
+    """
+    from feast_spark.operators.bpe import bpe_encode
+    from feast_spark.operators.selection import pack_token_sequences
+
+    d = _deduped(turns).select(
+        F.struct(
+            "conv_id",
+            "turn_idx",
+            (F.col("role") == assistant_role).cast("long").alias("m"),
+        ).alias("__tk"),
+        F.concat(
+            "role", F.lit(": "), F.coalesce("text", F.lit(""))
+        ).alias("__line"),
+    )
+    enc = bpe_encode(d, model, id_col="__tk", text_col="__line")
+    comb = enc.select(
+        F.col("__tk.conv_id").alias("conv_id"),
+        F.col("__tk.turn_idx").alias("turn_idx"),
+        F.transform(
+            "token_ids",
+            lambda t: t.cast("long") * 2 + F.col("__tk.m"),
+        ).alias("comb"),
+    )
+    conv = comb.groupBy("conv_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "comb"))),
+                lambda s: s["comb"],
+            )
+        ).alias("token_ids")
+    )
+    # string conv ids: hash_order gives the packer a portable numeric
+    # stream order (md5-48bit, conv_id) with a bounded bucket table
+    packed = pack_token_sequences(
+        conv,
+        seq_len,
+        id_col="conv_id",
+        bucket_docs=bucket_convs,
+        hash_order=True,
+    )
+    return packed.select(
+        "seq_id",
+        F.transform(
+            "token_ids", lambda x: F.shiftright(x, 1).cast("int")
+        ).alias("token_ids"),
+        F.transform(
+            "token_ids", lambda x: x.bitwiseAND(F.lit(1)).cast("int")
+        ).alias("loss_mask"),
+        "n_tokens",
+        F.col("n_docs").alias("n_convs"),
+    )

@@ -813,16 +813,38 @@ def pack_documents(
 
 
 def _prefix_sum_starts(
-    sized: DataFrame, id_col: str, n_col: str, bucket_docs: int
+    sized: DataFrame,
+    id_col: str,
+    n_col: str,
+    bucket_docs: int,
+    hash_order: bool = False,
 ) -> DataFrame:
     """The shared two-phase distributed prefix sum (see
     :func:`pack_documents` for the full rationale): given rows with an
     integer ``n_col``, add ``__start`` = the exclusive running sum of
     ``n_col`` in ``id_col`` order. Used by both packers — the scaffold
-    lives once so the bucket/boundary logic cannot diverge."""
-    sized = sized.withColumn(
-        "__b", (F.col(id_col) / F.lit(bucket_docs)).cast("bigint")
-    )
+    lives once so the bucket/boundary logic cannot diverge.
+
+    ``hash_order=True`` is the STRING-id form: the stream order becomes
+    ``(md5_48(id), id)`` — a 48-bit integer from the md5 hex prefix
+    (portable: ``int(hashlib.md5(id).hexdigest()[:12], 16)`` replays it
+    in the oracle), bucketed by its top 10 bits, so bucket count is a
+    fixed ≤1024 (each holding ~n/1024 uniformly-hashed rows) and the
+    broadcast offset table stays tiny at any corpus size. Numeric-id
+    callers keep the id/bucket_docs bucketing unchanged."""
+    if hash_order:
+        h = F.conv(F.substring(F.md5(F.col(id_col)), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        sized = sized.withColumn("__h", h).withColumn(
+            "__b", F.shiftright(F.col("__h"), 38)
+        )
+        order_cols = [F.col("__h"), F.col(id_col)]
+    else:
+        sized = sized.withColumn(
+            "__b", (F.col(id_col) / F.lit(bucket_docs)).cast("bigint")
+        )
+        order_cols = [F.col(id_col)]
     bucket_tot = sized.groupBy("__b").agg(F.sum(n_col).alias("__tot"))
     offsets = bucket_tot.withColumn(
         "__off",
@@ -833,7 +855,7 @@ def _prefix_sum_starts(
             F.lit(0),
         ),
     ).select("__b", "__off")
-    inner = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
+    inner = Window.partitionBy("__b").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
@@ -842,7 +864,7 @@ def _prefix_sum_starts(
             "__start",
             F.col("__off") + F.coalesce(F.sum(n_col).over(inner), F.lit(0)),
         )
-        .drop("__b", "__off")
+        .drop("__b", "__off", "__h")
     )
 
 
@@ -1111,6 +1133,7 @@ def pack_token_sequences(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     bucket_docs: int = 4096,
+    hash_order: bool = False,
 ) -> DataFrame:
     """Concatenate every document's token-id stream in ``id`` order and
     cut the corpus-wide stream into fixed ``seq_len`` training sequences
@@ -1133,9 +1156,9 @@ def pack_token_sequences(
         F.col(ids_col).alias("__ids"),
         F.size(ids_col).cast("bigint").alias("__n"),
     )
-    placed = _prefix_sum_starts(sized, id_col, "__n", bucket_docs).filter(
-        F.col("__n") > 0
-    )
+    placed = _prefix_sum_starts(
+        sized, id_col, "__n", bucket_docs, hash_order=hash_order
+    ).filter(F.col("__n") > 0)
     L = F.lit(seq_len)
     s0 = (F.col("__start") / L).cast("bigint")
     s1 = ((F.col("__start") + F.col("__n") - 1) / L).cast("bigint")

@@ -218,6 +218,90 @@ def tokenize_pack_pdf(
               "n_docs": "int64"})
 
 
+def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
+    """Naive replay of pack_conversations on the fixture transcripts:
+    latest-per-(conv_id, turn_idx) dedup, ``role: text`` rendering, BPE
+    (pure-python twin trained on the same rendered lines), per-turn mask
+    (1 iff role == assistant), conversations concatenated in
+    ``(int(md5(conv_id)[:12], 16), conv_id)`` order — the packer's
+    portable hash_order — then chunked into seq_len sequences."""
+    import hashlib
+
+    from feast_spark.operators.bpe import encode_word, train_bpe_naive
+
+    turns = transcripts_raw_pdf(None)
+    d = (
+        turns.sort_values(["conv_id", "turn_idx", "ts", "text"])
+        .groupby(["conv_id", "turn_idx"], as_index=False)
+        .last()
+    )
+    d["line"] = d["role"].astype(str) + ": " + d["text"].fillna("").astype(str)
+    wc: dict[str, int] = {}
+    for line in d["line"]:
+        for w in line.split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = train_bpe_naive(wc, num_merges)
+    ranks = {pq: i for i, pq in enumerate(merges)}
+    enc_cache: dict[str, list[str]] = {}
+
+    def toks(w: str) -> list[str]:
+        if w not in enc_cache:
+            enc_cache[w] = encode_word(w, ranks)
+        return enc_cache[w]
+
+    all_tokens: set[str] = set()
+    per_turn: list[tuple[str, int, list[str], int]] = []
+    for conv, idx, role, line in zip(
+        d["conv_id"], d["turn_idx"], d["role"], d["line"]
+    ):
+        ts = [t for w in line.split() if w for t in toks(w)]
+        all_tokens.update(ts)
+        per_turn.append((conv, int(idx), ts, 1 if role == "assistant" else 0))
+    vid = {t: i for i, t in enumerate(sorted(all_tokens))}
+    by_conv: dict[str, list[tuple[int, list[str], int]]] = {}
+    for conv, idx, ts, m in per_turn:
+        by_conv.setdefault(conv, []).append((idx, ts, m))
+    conv_order = sorted(
+        by_conv,
+        key=lambda c: (int(hashlib.md5(c.encode()).hexdigest()[:12], 16), c),
+    )
+    ids: list[int] = []
+    mask: list[int] = []
+    bounds: list[tuple[int, int]] = []
+    for conv in conv_order:
+        a = len(ids)
+        for _idx, ts, m in sorted(by_conv[conv], key=lambda x: x[0]):
+            ids.extend(vid[t] for t in ts)
+            mask.extend(m for _ in ts)
+        bounds.append((a, len(ids)))
+    rows = []
+    n_seqs = (len(ids) + seq_len - 1) // seq_len
+    for s in range(n_seqs):
+        a, b = s * seq_len, (s + 1) * seq_len
+        n_convs = sum(1 for x, y in bounds if x < b and y > a and y > x)
+        rows.append(
+            (
+                s,
+                " ".join(map(str, ids[a:b])),
+                " ".join(map(str, mask[a:b])),
+                len(ids[a:b]),
+                n_convs,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["seq_id", "ids_str", "mask_str", "n_tokens", "n_convs"]
+    ).astype(
+        {
+            "seq_id": "int64",
+            "ids_str": "string",
+            "mask_str": "string",
+            "n_tokens": "int64",
+            "n_convs": "int64",
+        }
+    )
+
+
 def conv_neardup_pdf(
     num_hashes: int = 32,
     bands: int = 8,
@@ -1209,6 +1293,7 @@ def pii_stats_pdf(sf_dir: str) -> pd.DataFrame:
 _RELATIONS = {
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),
+    "conv_pack": lambda sf: conv_pack_pdf(),
     "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
     "lexical_stats": lambda sf: lexical_stats_pdf(sf),
     "bm25_topk": lambda sf: bm25_topk_pdf(sf),

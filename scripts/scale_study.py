@@ -105,13 +105,19 @@ def _one_size(spark, n_docs: int) -> dict:
                         "hits": n_hits}
     release_dedup_caches()
 
+    # vocab-independent line synthesis: newline after every 8th word, so
+    # most docs yield multiple >=3-word lines and doc_ok does real work
     ldocs = docs.select(
-        "doc_id", F.expr("replace(text, ' merge ', chr(10))").alias("text")
+        "doc_id",
+        F.expr(
+            r"regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '$1\n')"
+        ).alias("text"),
     )
     t0 = time.time()
     n_ok = clean_lines(ldocs, require_terminal=False).filter("doc_ok").count()
     out["clean_lines"] = {"wall_sec": round(time.time() - t0, 2),
                           "docs_ok": n_ok}
+    assert n_ok > 0.9 * n_docs, n_ok
 
     t0 = time.time()
     n_lex = lexical_stats(docs).count()

@@ -234,3 +234,85 @@ def test_gopher_bullet_ellipsis_fractions():
     assert df.loc[1, "ellipsis_line_frac"] == pytest.approx(1 / 3)
     assert df.loc[2, "bullet_line_frac"] == 0.0
     assert df.loc[2, "ellipsis_line_frac"] == 0.0
+
+
+def test_pack_conversations_mask_and_order(spark):
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import pack_conversations
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("c1", 0, "user", "aa bb", None, ts0),
+        ("c1", 1, "assistant", "bb cc", None, ts0),
+        ("c2", 0, "user", "cc", None, ts0),
+        # duplicate key: later ts wins, earlier text must not be packed
+        ("c2", 1, "assistant", "STALE", None, ts0),
+        ("c2", 1, "assistant", "dd", None, ts0.replace(second=9)),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.conversation import _deduped
+
+    rendered = _deduped(turns).select(
+        F.concat("role", F.lit(": "), F.coalesce("text", F.lit(""))).alias(
+            "text"
+        )
+    )
+    model = train_bpe(rendered, num_merges=4)
+    # huge seq_len: everything lands in sequence 0 -> easy to reason about
+    out = pack_conversations(turns, model, seq_len=10_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_convs == 2
+    assert len(r.token_ids) == len(r.loss_mask) == r.n_tokens
+    # mask is 1 exactly on assistant-turn tokens: both convs have one
+    # assistant turn and one user turn; user tokens must be masked 0
+    assert 0 < sum(r.loss_mask) < r.n_tokens
+    # the stale duplicate's text never contributes: re-pack without the
+    # stale row -> identical sequence
+    clean = turns.filter(F.col("text") != "STALE")
+    r2 = pack_conversations(clean, model, seq_len=10_000).collect()[0]
+    assert list(r.token_ids) == list(r2.token_ids)
+    assert list(r.loss_mask) == list(r2.loss_mask)
+
+
+def test_pack_conversations_boundary_crossing(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import pack_conversations
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"c{i}", 0, "assistant", "xx yy zz ww", None, ts0) for i in range(6)
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    model = train_bpe(
+        turns.select(
+            F.concat("role", F.lit(": "), "text").alias("text")
+        ),
+        num_merges=4,
+    )
+    small = pack_conversations(turns, model, seq_len=7)
+    rows_s = sorted(small.collect(), key=lambda r: r.seq_id)
+    total = sum(r.n_tokens for r in rows_s)
+    # token conservation vs one giant sequence
+    big = pack_conversations(turns, model, seq_len=10_000).collect()[0]
+    assert total == big.n_tokens
+    flat_ids = [t for r in rows_s for t in r.token_ids]
+    flat_mask = [m for r in rows_s for m in r.loss_mask]
+    assert flat_ids == list(big.token_ids)
+    assert flat_mask == list(big.loss_mask)
+    # all turns are assistant: mask all ones
+    assert set(flat_mask) == {1}
+    # every sequence but the last is exactly seq_len
+    assert all(r.n_tokens == 7 for r in rows_s[:-1])
