@@ -827,6 +827,49 @@ def main() -> None:
         "cpus": CPUS,
     }
 
+    # transcript last mile at the same corpus: conversations -> masked
+    # fixed-length training sequences (BPE train on rendered turns is
+    # corpus-independent merge overhead, recorded aside; the timed window
+    # is encode + conv assembly + packing). Invariants in-artifact:
+    # token/mask length parity and at most one short sequence.
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import pack_conversations
+
+    turns_df = spark.read.parquet(tpath)
+    t0 = time.time()
+    pk_model = train_bpe(
+        turns_df.where(F.pmod(F.hash("conv_id"), F.lit(10)) == 0).select(
+            F.concat("role", F.lit(": "), F.coalesce("text", F.lit(""))
+                     ).alias("text")
+        ),
+        num_merges=16,
+    )
+    pk_train_wall = round(time.time() - t0, 3)
+    with _Window() as wpk:
+        seqs = pack_conversations(turns_df, pk_model, seq_len=512)
+        pk = seqs.agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").alias("tok"),
+            F.sum((F.col("n_tokens") < 512).cast("long")).alias("short"),
+            F.sum(
+                (F.size("token_ids") != F.size("loss_mask")).cast("long")
+            ).alias("mask_mismatch"),
+            F.sum(F.aggregate("loss_mask", F.lit(0).cast("long"),
+                              lambda a, x: a + x)).alias("unmasked"),
+        ).collect()[0]
+    assert pk["short"] <= 1 and pk["mask_mismatch"] == 0, pk
+    assert 0 < pk["unmasked"] < pk["tok"], pk
+    conv_pack = {
+        "n_turns": n_turns,
+        "train_wall_sec": pk_train_wall,
+        "wall_sec": round(wpk.wall, 3),
+        "n_seqs": pk["n_seqs"],
+        "n_tokens": int(pk["tok"]),
+        "assistant_token_frac": round(float(pk["unmasked"]) / float(pk["tok"]), 4),
+        "turns_per_sec": round(n_turns / wpk.wall, 1),
+        "external_cores": wpk.external_cores,
+    }
+
     docs_large = _bench_docs_large(spark) if DOCS_LARGE else None
     docs_shared = _bench_docs_shared(spark) if DOCS_LARGE else None
 
@@ -886,6 +929,7 @@ def main() -> None:
         "headline_passes": pass_meta,
         "pipeline": pipeline,
         "pipeline_full": pipeline_full,
+        "conv_pack": conv_pack,
         "docs_large": docs_large,
         "docs_shared": docs_shared,
         "scaling": scaling,
