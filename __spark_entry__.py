@@ -1108,6 +1108,14 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_conv_pii(spark: SparkSession, sf: str) -> DataFrame:
+    # conversation-grain PII/toxicity exposure (the fixture plants real
+    # emails): scrub-order counters per turn, one conv_id hash agg
+    from feast_spark.operators.conversation import conversation_pii
+
+    return conversation_pii(_transcripts_fixture(spark))
+
+
 def q_conv_pack(spark: SparkSession, sf: str) -> DataFrame:
     # the transcript last mile: conversations -> fixed-length BPE token
     # sequences with a per-token assistant loss mask (role-prefixed
@@ -1784,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "conv_pii": q_conv_pii,
         "conv_pack": q_conv_pack,
         "pii_stats": q_pii_stats,
         "exact_k_sample": q_exact_k_sample,
@@ -1840,7 +1849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": q_doc_quality_scores,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
@@ -1851,6 +1859,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "latest_dedup": q_latest_dedup,
         "pit_entityless": q_pit_entityless,
@@ -2058,6 +2067,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "bm25_topk": _rp("bm25_topk"),
         "pii_stats": _rp("pii_stats"),
         "conv_pack": _rp("conv_pack"),
+        "conv_pii": _rp("conv_pii"),
         "exact_k_sample": """
             -- identical md5-hex ordering (both engines emit lowercase
             -- hex), key string as the digest tie-break

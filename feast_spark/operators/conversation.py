@@ -315,3 +315,45 @@ def pack_conversations(
         "n_tokens",
         F.col("n_docs").alias("n_convs"),
     )
+
+
+def conversation_pii(turns: DataFrame) -> DataFrame:
+    """Per-conversation PII/toxicity exposure: the
+    :func:`feast_spark.rules.pii_match_counts` scrub-order counters run
+    per deduped turn (map-only Arrow kernel) and aggregate to the
+    conversation — total hits per kind, how many turns carried any hit,
+    and the flagged-turn fraction. A routing/quality signal at the same
+    grain as :func:`feast_spark.pipeline.quality.conversation_features`
+    (a PII-heavy conversation is a redaction-review candidate even when
+    every individual turn passes the scrub).
+
+    Scale shape: ONE hash aggregation keyed on ``conv_id`` (map-side
+    partial combine — mega-conversations pre-reduce inside their map
+    tasks); the counting pass is zero-shuffle.
+    """
+    from feast_spark.rules import SCRUB_PATTERNS, pii_match_counts
+
+    cols = [f"n_{name}" for name, _, _ in SCRUB_PATTERNS] + ["n_toxicity"]
+    d = _deduped(turns).select("conv_id", "text")
+    schema = "conv_id string, " + ", ".join(f"{c} long" for c in cols)
+
+    def _run(batches):
+        for pdf in batches:
+            stats = pii_match_counts(pdf["text"])
+            stats.insert(0, "conv_id", pdf["conv_id"].to_numpy())
+            yield stats
+
+    pt = d.mapInPandas(_run, schema)
+    total = None
+    for c in cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    agg = pt.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        *[F.sum(c).alias(c) for c in cols],
+        F.sum((total > 0).cast("long")).alias("n_flagged_turns"),
+    )
+    return agg.withColumn(
+        "flagged_turn_frac",
+        F.col("n_flagged_turns").cast("double")
+        / F.col("n_turns").cast("double"),
+    )

@@ -302,6 +302,49 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
     )
 
 
+def conv_pii_pdf() -> pd.DataFrame:
+    """Naive replay of conversation_pii on the fixture transcripts:
+    latest-per-(conv_id, turn_idx) dedup, per-turn re.subn counts under
+    the scrub order (same contract as pii_stats_pdf), conversation-grain
+    integer sums + one exact int/int division."""
+    import re
+
+    from feast_spark.rules import SCRUB_PATTERNS, _TOX_PATTERN
+
+    turns = transcripts_raw_pdf(None)
+    d = (
+        turns.sort_values(["conv_id", "turn_idx", "ts", "text"])
+        .groupby(["conv_id", "turn_idx"], as_index=False)
+        .last()
+    )
+    cols = [f"n_{name}" for name, _, _ in SCRUB_PATTERNS] + ["n_toxicity"]
+    agg: dict[str, list] = {}
+    for conv, text in zip(d["conv_id"], d["text"]):
+        t = "" if text is None else str(text)
+        rec = agg.setdefault(conv, [0] * (len(cols) + 2))  # counts+turns+flag
+        counts = []
+        for _name, pat, repl in SCRUB_PATTERNS:
+            t, n = re.subn(pat, repl, t)
+            counts.append(n)
+        counts.append(len(re.findall(_TOX_PATTERN, t)))
+        for i, n in enumerate(counts):
+            rec[i] += n
+        rec[-2] += 1
+        rec[-1] += 1 if sum(counts) > 0 else 0
+    rows = []
+    for conv, rec in agg.items():
+        row = {"conv_id": conv, "n_turns": rec[-2]}
+        for c, n in zip(cols, rec):
+            row[c] = n
+        row["n_flagged_turns"] = rec[-1]
+        row["flagged_turn_frac"] = rec[-1] / rec[-2]
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    for c in ["n_turns", *cols, "n_flagged_turns"]:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 def conv_neardup_pdf(
     num_hashes: int = 32,
     bands: int = 8,
@@ -1294,6 +1337,7 @@ _RELATIONS = {
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),
     "conv_pack": lambda sf: conv_pack_pdf(),
+    "conv_pii": lambda sf: conv_pii_pdf(),
     "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
     "lexical_stats": lambda sf: lexical_stats_pdf(sf),
     "bm25_topk": lambda sf: bm25_topk_pdf(sf),

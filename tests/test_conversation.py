@@ -316,3 +316,32 @@ def test_pack_conversations_boundary_crossing(spark):
     assert set(flat_mask) == {1}
     # every sequence but the last is exactly seq_len
     assert all(r.n_tokens == 7 for r in rows_s[:-1])
+
+
+def test_conversation_pii_values(spark):
+    from feast_spark.operators.conversation import conversation_pii
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("c1", 0, "user", "mail me a@b.com and c@d.org", None, ts0),
+        ("c1", 1, "assistant", "ok will do", None, ts0),
+        ("c1", 2, "user", "ssn is 123-45-6789", None, ts0),
+        ("c2", 0, "user", "clean words only", None, ts0),
+        # duplicate key: clean later version replaces a PII-laden draft
+        ("c3", 0, "user", "leak 9.9.9.9", None, ts0),
+        ("c3", 0, "user", "redacted already", None, ts0.replace(second=9)),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in conversation_pii(turns).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 3 and c1["n_email"] == 2 and c1["n_ssn"] == 1
+    assert c1["n_flagged_turns"] == 2
+    assert c1["flagged_turn_frac"] == 2 / 3
+    assert out["c2"]["n_flagged_turns"] == 0
+    assert out["c2"]["flagged_turn_frac"] == 0.0
+    # the stale PII draft was deduped away before counting
+    assert out["c3"]["n_ipv4"] == 0 and out["c3"]["n_flagged_turns"] == 0
