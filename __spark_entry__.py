@@ -1108,6 +1108,28 @@ def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
     return clean_lines(docs, blocklist=("window",))
 
 
+def q_conv_curate(spark: SparkSession, sf: str) -> DataFrame:
+    # conversation-grain curation flagship (structure -> quality frac ->
+    # near-dup -> sample) on the planted-clone corpus; the decisions
+    # audit is the driver row. Oracle: full naive replay
+    # (oracles.conv_curation_pdf — pandas structure flags, shared
+    # score_turns kernel, naive LSH + union-find, md5 sampler).
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.conv_curation import curate_conversations
+
+    t = transcripts_spark(spark, 80, seed=42, mega_every=40, mega_turns=150)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = (
+        t.filter(F.pmod(idx, F.lit(5)) == 0)
+        .filter(F.pmod(F.col("turn_idx"), F.lit(11)) != 3)
+        .withColumn("conv_id", F.concat("conv_id", F.lit("d")))
+    )
+    res = curate_conversations(
+        spark, t.unionByName(clones), materialize=False
+    )
+    return res.decisions
+
+
 def q_conv_pii(spark: SparkSession, sf: str) -> DataFrame:
     # conversation-grain PII/toxicity exposure (the fixture plants real
     # emails): scrub-order counters per turn, one conv_id hash agg
@@ -1792,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
+        "conv_curate": q_conv_curate,
         "conv_pii": q_conv_pii,
         "conv_pack": q_conv_pack,
         "pii_stats": q_pii_stats,
@@ -1848,7 +1871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_quality_scores": q_doc_quality_scores,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1859,6 +1881,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "latest_dedup": q_latest_dedup,
@@ -2068,6 +2091,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pii_stats": _rp("pii_stats"),
         "conv_pack": _rp("conv_pack"),
         "conv_pii": _rp("conv_pii"),
+        "conv_curate": _rp("conv_curation"),
         "exact_k_sample": """
             -- identical md5-hex ordering (both engines emit lowercase
             -- hex), key string as the digest tie-break

@@ -345,6 +345,143 @@ def conv_pii_pdf() -> pd.DataFrame:
     return pdf
 
 
+def conv_curation_pdf(
+    min_keep_frac: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    sample_rate: float = 0.5,
+) -> pd.DataFrame:
+    """Naive replay of curate_conversations on the planted-clone corpus
+    (same construction as conv_neardup_pdf): pandas structure flags,
+    shared score_turns kernel for the keep fraction, the naive LSH core
+    for near-dups among survivors, union-find components, and the md5
+    sampler — first-failing stage per conversation."""
+    import hashlib
+
+    from feast_spark import rules
+    from feast_spark.fixtures import generate_transcripts
+    from feast_spark.operators.dedup import _shingle_hash_batch
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    t = generate_transcripts(80, seed=42, mega_every=40, mega_turns=150)
+    idx = t["conv_id"].str[1:].astype(int)
+    clones = t[(idx % 5 == 0) & (t["turn_idx"] % 11 != 3)].copy()
+    clones["conv_id"] = clones["conv_id"] + "d"
+    full = pd.concat([t, clones], ignore_index=True)
+    d = oracle_dedup_latest(full).sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    )
+
+    # stage 1: structure flags (conversation_structure definitions)
+    structure_ok: dict[str, bool] = {}
+    for conv, g in d.groupby("conv_id", sort=False):
+        roles = g["role"].tolist()
+        tools = g["tool"].tolist()
+        texts = g["text"].tolist()
+        bad = roles[0] not in ("user", "system")
+        repeats = sum(1 for a, b in zip(roles, roles[1:]) if a == b)
+        orphan = sum(
+            1
+            for i, r in enumerate(roles)
+            if r == "tool" and (roles[i - 1] if i else "") != "user"
+        )
+        missing = sum(
+            1 for r, tl in zip(roles, tools) if r == "tool" and pd.isna(tl)
+        )
+        stray = sum(
+            1 for r, tl in zip(roles, tools) if r != "tool" and not pd.isna(tl)
+        )
+        empty = sum(
+            1
+            for x in texts
+            if len(("" if x is None or (isinstance(x, float) and pd.isna(x))
+                    else str(x)).strip()) == 0
+        )
+        structure_ok[conv] = not bad and not (
+            repeats or orphan or missing or stray or empty
+        )
+
+    # stage 2: shared-kernel turn scoring -> conv keep fraction
+    keep = rules.score_turns(d["text"].reset_index(drop=True))["keep"]
+    d2 = d.reset_index(drop=True).copy()
+    d2["__keep"] = keep.to_numpy()
+    keep_frac = {
+        conv: int(g["__keep"].sum()) / len(g)
+        for conv, g in d2.groupby("conv_id", sort=False)
+    }
+
+    survivors = sorted(
+        c
+        for c in structure_ok
+        if structure_ok[c] and keep_frac[c] >= min_keep_frac
+    )
+
+    # stage 3: near-dup among survivors (naive LSH core + union-find)
+    conv_text = (
+        d[d["conv_id"].isin(survivors)]
+        .groupby("conv_id", sort=True)["text"]
+        .agg(" ".join)
+        .reset_index()
+    )
+    ids = conv_text["conv_id"].to_numpy()
+    shingles = _shingle_hash_batch(conv_text["text"], shingle_k)
+    pair_rows = _minhash_pairs_core(
+        ids, shingles, num_hashes, bands, jaccard_threshold, 42
+    )
+    parent = {c: c for c in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _j in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    dup_of = {c: find(c) for c in survivors if find(c) != c}
+
+    # stage 4: md5 sampler (deterministic_sample replica)
+    thr = (
+        "g"
+        if sample_rate >= 1
+        else format(min(int(sample_rate * 65536), 65535), "04x")
+    )
+    rows = []
+    for conv in sorted(structure_ok):
+        ok = structure_ok[conv]
+        kf = keep_frac[conv]
+        dof = dup_of.get(conv, "")
+        if not ok:
+            stage = "structure"
+        elif kf < min_keep_frac:
+            stage = "quality"
+        elif dof:
+            stage = "near_dup"
+        elif hashlib.md5(conv.encode()).hexdigest()[:4] < thr:
+            stage = "kept"
+        else:
+            stage = "sampled_out"
+        rows.append(
+            {
+                "conv_id": conv,
+                "structure_ok": ok,
+                "keep_frac": kf,
+                "dup_of": dof,
+                "kept": stage == "kept",
+                "drop_stage": stage,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["dup_of"] = pdf["dup_of"].astype("string")
+    pdf["drop_stage"] = pdf["drop_stage"].astype("string")
+    return pdf
+
+
 def conv_neardup_pdf(
     num_hashes: int = 32,
     bands: int = 8,
@@ -1338,6 +1475,7 @@ _RELATIONS = {
     "pii_stats": lambda sf: pii_stats_pdf(sf),
     "conv_pack": lambda sf: conv_pack_pdf(),
     "conv_pii": lambda sf: conv_pii_pdf(),
+    "conv_curation": lambda sf: conv_curation_pdf(),
     "gopher_repetition": lambda sf: gopher_repetition_pdf(sf),
     "lexical_stats": lambda sf: lexical_stats_pdf(sf),
     "bm25_topk": lambda sf: bm25_topk_pdf(sf),

@@ -1,0 +1,187 @@
+"""Conversation-level curation — the transcript-grain counterpart of the
+document chain in ``pipeline/curation.py``: structural validation →
+turn-quality keep fraction → whole-conversation near-dup → deterministic
+sampling, with a first-failing-stage audit row per conversation.
+
+Composition of already-verified operators, each at its own proven scale
+shape:
+
+1. **structure** — :func:`conversation_structure` (one conv_id shuffle):
+   conversations failing role-alternation / tool-consistency checks drop
+   first (malformed agent logs are not worth scoring).
+2. **quality** — the shared :func:`feast_spark.rules.score_turns` kernel
+   per deduped turn (map-only Arrow pass) aggregated to a per-conv kept
+   fraction; conversations under ``min_keep_frac`` drop (a transcript
+   where most turns fail the C4/Gopher rules is noise even if a few
+   turns survive).
+3. **near-dup** — :func:`conversation_neardup_pairs` (MinHash-LSH over
+   turn-ordered conv text, int64 id surrogates through the shuffles) on
+   the stage-1/2 SURVIVORS only, then
+   :func:`connected_components`: every conversation whose component
+   representative (min conv_id) is another conversation drops as a
+   near-duplicate.
+4. **sample** — :func:`deterministic_sample` on ``conv_id`` (map-only,
+   key-stable).
+
+The audit table is built like the document chain's: one row per input
+conversation, LEFT joins of per-stage flag tables (each tiny — one row
+per conv), first failing stage wins.
+
+Reference: feast has no transcript curation; the staged-filter shape
+mirrors public corpus pipelines (Dolma / RefinedWeb) at conversation
+grain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.operators.conversation import (
+    _deduped,
+    conversation_structure,
+)
+from feast_spark.operators.dedup import (
+    connected_components,
+    conversation_neardup_pairs,
+    release_dedup_caches,
+)
+from feast_spark.operators.selection import deterministic_sample
+
+__all__ = ["ConvCurationConfig", "ConvCurationResult", "curate_conversations"]
+
+
+@dataclass
+class ConvCurationConfig:
+    rule_config: object | None = None  # None = rules.RuleConfig() defaults
+    min_keep_frac: float = 0.5
+    num_hashes: int = 32
+    bands: int = 8
+    shingle_k: int = 5
+    jaccard_threshold: float = 0.5
+    sample_rate: float = 0.5
+
+
+@dataclass
+class ConvCurationResult:
+    kept: DataFrame
+    decisions: DataFrame
+    config: ConvCurationConfig = field(default_factory=ConvCurationConfig)
+    _cached: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        release_dedup_caches()
+
+
+def curate_conversations(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg: ConvCurationConfig | None = None,
+    materialize: bool = True,
+) -> ConvCurationResult:
+    """Run the four-stage conversation chain; see module docstring.
+
+    ``materialize`` persists the deduped turn table and the per-conv flag
+    table with eager count() barriers — both fan into multiple stages,
+    and persist-without-a-barrier double-executes when a broadcast
+    subquery fires before the cache fills (the pipeline's documented
+    trap)."""
+    from feast_spark import rules
+
+    cfg = cfg or ConvCurationConfig()
+    rule_cfg = cfg.rule_config or rules.RuleConfig()
+
+    d = _deduped(turns)
+    cached: list = []
+    if materialize:
+        d = d.persist()
+        d.count()
+        cached.append(d)
+
+    # stage 1: structure (operates on already-deduped turns — the
+    # internal dedup is idempotent)
+    st = conversation_structure(d).select("conv_id", "structure_ok")
+
+    # stage 2: per-turn quality via the shared kernel, conv keep fraction
+    def _score(batches):
+        for pdf in batches:
+            out = pdf[["conv_id"]].reset_index(drop=True).copy()
+            out["keep"] = rules.score_turns(pdf["text"], rule_cfg)[
+                "keep"
+            ].to_numpy()
+            yield out
+
+    scored = d.select("conv_id", "text").mapInPandas(
+        _score, "conv_id string, keep boolean"
+    )
+    q = scored.groupBy("conv_id").agg(
+        (
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("keep_frac")
+    )
+    flags = st.join(q, "conv_id")
+    if materialize:
+        flags = flags.persist()
+        flags.count()
+        cached.append(flags)
+
+    surv = flags.filter(
+        F.col("structure_ok")
+        & (F.col("keep_frac") >= F.lit(float(cfg.min_keep_frac)))
+    ).select("conv_id")
+
+    # stage 3: near-dup among survivors only — the pair table is
+    # conv-keyed and tiny relative to turns
+    pairs = conversation_neardup_pairs(
+        d.join(surv, "conv_id", "left_semi"),
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        shingle_k=cfg.shingle_k,
+        jaccard_threshold=cfg.jaccard_threshold,
+    )
+    comp = connected_components(pairs)
+    dups = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("conv_id"), F.col("component").alias("dup_of")
+    )
+    if materialize:
+        dups = dups.persist()
+        dups.count()
+        cached.append(dups)
+
+    # stage 4: deterministic sampling over non-dup survivors
+    nd = surv.join(dups.select("conv_id"), "conv_id", "left_anti")
+    kept = deterministic_sample(
+        nd, F.col("conv_id"), F.lit(float(cfg.sample_rate))
+    ).select("conv_id", "sample_bucket")
+
+    audit = (
+        flags.join(dups, "conv_id", "left")
+        .join(
+            kept.select("conv_id", F.lit(True).alias("__kept")),
+            "conv_id",
+            "left",
+        )
+    )
+    stage = (
+        F.when(~F.col("structure_ok"), "structure")
+        .when(F.col("keep_frac") < F.lit(float(cfg.min_keep_frac)), "quality")
+        .when(F.col("dup_of").isNotNull(), "near_dup")
+        .when(~F.coalesce("__kept", F.lit(False)), "sampled_out")
+        .otherwise("kept")
+    )
+    decisions = audit.select(
+        "conv_id",
+        "structure_ok",
+        "keep_frac",
+        F.coalesce("dup_of", F.lit("")).alias("dup_of"),
+        F.coalesce("__kept", F.lit(False)).alias("kept"),
+        stage.alias("drop_stage"),
+    )
+    return ConvCurationResult(
+        kept=kept, decisions=decisions, config=cfg, _cached=cached
+    )

@@ -208,3 +208,51 @@ def test_line_clean_stage_filters_and_audits(spark):
 
 def test_line_clean_default_off_schema_unchanged(spark, result):
     assert "line_kept_frac" not in result.decisions.columns
+
+
+def test_conversation_curation_stages(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.conv_curation import (
+        ConvCurationConfig,
+        curate_conversations,
+    )
+
+    t = transcripts_spark(spark, 60, seed=9, mega_every=30, mega_turns=100)
+    # plant whole-conversation clones: near_dup stage must catch them
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = (
+        t.filter(F.pmod(idx, F.lit(6)) == 0)
+        .withColumn("conv_id", F.concat("conv_id", F.lit("d")))
+    )
+    res = curate_conversations(spark, t.unionByName(clones))
+    try:
+        dec = res.decisions.collect()
+        n_convs = len({r["conv_id"] for r in dec})
+        assert len(dec) == n_convs  # one row per conversation
+        stages = {r["conv_id"]: r for r in dec}
+        # exact clones: one of each (base, clone) pair drops as near_dup
+        # with the other as representative — unless an earlier stage
+        # already dropped both
+        clone_ids = [c for c in stages if c.endswith("d")]
+        assert clone_ids
+        for c in clone_ids:
+            base = c[:-1]
+            pair_stages = {stages[c]["drop_stage"], stages[base]["drop_stage"]}
+            if pair_stages <= {"near_dup", "kept", "sampled_out"}:
+                dup_rows = [
+                    r for r in (stages[c], stages[base])
+                    if r["drop_stage"] == "near_dup"
+                ]
+                assert len(dup_rows) == 1, (c, pair_stages)
+                assert dup_rows[0]["dup_of"] == min(c, base)
+        # kept rows appear in the kept table exactly
+        kept_ids = {r["conv_id"] for r in res.kept.collect()}
+        assert kept_ids == {
+            r["conv_id"] for r in dec if r["kept"]
+        }
+        # a structure-failed conv never reaches later stages
+        for r in dec:
+            if not r["structure_ok"]:
+                assert r["drop_stage"] == "structure"
+    finally:
+        res.release()
