@@ -93,6 +93,7 @@ HEADLINE = [
     "lexical_stats",
     "paragraph_dedup",
     "bm25_topk",
+    "conv_pii",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
