@@ -223,6 +223,61 @@ def paragraph_dedup(
         )
     if method != "xxhash64":  # pragma: no cover
         raise ValueError(f"unknown method {method!r}")
+    # single implementation: the batch scale arm IS the incremental form
+    # with no prior state (same discipline as span_dedup — the
+    # equivalence test depends on the two being structurally identical)
+    deduped, _ = paragraph_dedup_incremental(
+        docs,
+        None,
+        id_col=id_col,
+        text_col=text_col,
+        sep=sep,
+        min_chars=min_chars,
+    )
+    return deduped
+
+
+def paragraph_dedup_incremental(
+    new_docs: DataFrame,
+    prior_paras: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    persist_winners: bool = False,
+):
+    """Paragraph dedup for a GROWING corpus processed in batches — the
+    paragraph-grain sibling of :func:`span_dedup_incremental`, same
+    contract: dedup the new batch against itself (first occurrence by
+    ``(doc_id, para_idx)`` within the batch wins) AND against every
+    paragraph already seen (``prior_paras``: a single-column ``h``
+    relation of xxhash64 paragraph hashes — append-only state, so the
+    caller's state dir stays a disjoint union and resume is idempotent).
+
+    Returns ``(deduped, batch_new_paras)`` — or with
+    ``persist_winners=True``, ``(deduped, batch_new_paras, winners)``
+    where ``winners`` is the persisted shared subtree for caller-owned
+    release. Equivalence contract (pinned in tests, mirroring the span
+    theorem): with id-ordered batches, running batches 1..k
+    incrementally equals one :func:`paragraph_dedup` run over the union
+    EXACTLY — later batches can never steal a first occurrence.
+
+    Scale shape: identical to the batch xxhash64 arm (24 B/paragraph
+    shuffle rows, corpus text crossing exactly one exchange) plus ONE
+    hash-keyed left-anti join of the batch's window winners against the
+    state; winner rows are already unique per hash (rn == 1), so the
+    new-paragraph relation needs no distinct.
+    """
+    pat = "\\Q" + sep + "\\E"
+    paras_arr = F.filter(
+        F.transform(F.split(F.col(text_col), pat), lambda x: F.trim(x)),
+        lambda x: F.length(x) >= min_chars,
+    )
+    base = new_docs.select(
+        F.col(id_col),
+        F.size(paras_arr).cast("bigint").alias("n_paras_total"),
+        paras_arr.alias("_paras"),
+    )
     hashed = base.select(
         id_col,
         F.posexplode(
@@ -230,26 +285,32 @@ def paragraph_dedup(
         ).alias("para_idx", "h"),
     )
     first = Window.partitionBy("h").orderBy(id_col, "para_idx")
-    kept_idx = (
-        hashed.withColumn("rn", F.row_number().over(first))
-        .filter(F.col("rn") == 1)
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list("para_idx")).alias("_kept_idx"),
-            F.count(F.lit(1)).alias("n_paras_kept"),
-        )
+    batch_first = hashed.withColumn(
+        "rn", F.row_number().over(first)
+    ).filter(F.col("rn") == 1)
+    if prior_paras is not None:
+        winners = batch_first.join(prior_paras, "h", "left_anti")
+    else:
+        winners = batch_first
+    if persist_winners:
+        winners = winners.persist()
+    kept = winners.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("para_idx")).alias("_kept_idx"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
     )
-    return base.join(kept_idx, id_col).select(
+    deduped = base.join(kept, id_col).select(
         id_col,
         F.array_join(
-            F.transform(
-                "_kept_idx", lambda i: F.get("_paras", i)
-            ),
+            F.transform("_kept_idx", lambda i: F.get("_paras", i)),
             sep,
         ).alias("dedup_text"),
         "n_paras_kept",
         "n_paras_total",
     )
+    batch_new_paras = winners.select("h")
+    if persist_winners:
+        return deduped, batch_new_paras, winners
+    return deduped, batch_new_paras
 
 
 # ---------------------------------------------------------------------------

@@ -1076,3 +1076,40 @@ def test_exact_k_sample_plan_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_paragraph_dedup_incremental_equals_one_shot(spark):
+    from feast_spark.operators.selection import (
+        paragraph_dedup,
+        paragraph_dedup_incremental,
+    )
+
+    footer = "the common tail paragraph"
+    rows = [
+        (i, f"u{i} v{i}\n\n{footer}" + ("\n\nmid shared" if i % 3 == 0 else ""))
+        for i in range(30)
+    ]
+    d = _docs(spark, rows)
+    one_shot = {
+        r["doc_id"]: r.asDict()
+        for r in paragraph_dedup(d, method="xxhash64").collect()
+    }
+    # id-ordered batches: [0,10), [10,20), [20,30)
+    from pyspark.sql import functions as F
+
+    state = None
+    got = {}
+    for b in range(3):
+        batch = d.filter(
+            (F.col("doc_id") >= b * 10) & (F.col("doc_id") < (b + 1) * 10)
+        )
+        deduped, new_h = paragraph_dedup_incremental(batch, state)
+        for r in deduped.collect():
+            got[r["doc_id"]] = r.asDict()
+        nh = new_h
+        state = nh if state is None else state.unionByName(nh).distinct()
+        # distinct above only to keep the test-side state tiny; the
+        # contract guarantees disjointness, asserted here:
+        assert state.count() == state.select("h").distinct().count()
+        state = state.localCheckpoint()
+    assert got == one_shot
