@@ -251,3 +251,48 @@ def test_publish_is_atomic_and_guarded(spark, exported, tmp_path):
         exported.path, 4, overwrite=True,
     )
     assert spark.read.parquet(f"{res.path}/shards").count() == 50
+
+
+def test_conversations_to_packed_shards_e2e(spark, tmp_path):
+    # the full transcript last mile: fixture conversations -> masked
+    # fixed-length sequences -> reproducible training shards; every
+    # token of every packed sequence survives to the published files
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import pack_conversations
+    from feast_spark.pipeline.export import export_training_shards
+
+    turns = transcripts_spark(spark, 40, seed=11, mega_every=20, mega_turns=80)
+    model = train_bpe(
+        turns.select(
+            F.concat("role", F.lit(": "), F.coalesce("text", F.lit(""))
+                     ).alias("text")
+        ),
+        num_merges=8,
+    )
+    seqs = pack_conversations(turns, model, seq_len=64).persist()
+    n_seqs = seqs.count()
+    n_tok = seqs.agg(F.sum("n_tokens")).first()[0]
+    out = str(tmp_path / "shards")
+    res = export_training_shards(
+        spark,
+        seqs,
+        F.col("seq_id").cast("string"),
+        out,
+        n_shards=4,
+        token_col="n_tokens",
+        overwrite=True,
+    )
+    m = res.manifest.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert m["d"] == n_seqs and m["t"] == n_tok
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == n_seqs
+    # mask survives the round trip aligned with ids
+    bad = back.filter(F.size("token_ids") != F.size("loss_mask")).count()
+    assert bad == 0
+    assert back.agg(F.sum("n_tokens")).first()[0] == n_tok
+    seqs.unpersist()
