@@ -1084,7 +1084,10 @@ def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = _t(spark, sf, "documents").select(
-        "doc_id", F.concat("text", F.lit(DEMO_LINE_SUFFIX)).alias("text")
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")), F.lit(DEMO_LINE_SUFFIX)
+        ).alias("text"),
     )
     return gopher_repetition(docs, line_sep=". ")
 
@@ -1180,7 +1183,7 @@ def q_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.when(
             F.pmod("doc_id", F.lit(2)) == 0,
-            F.concat("text", F.lit(PII_DEMO_SUFFIX)),
+            F.concat(F.coalesce("text", F.lit("")), F.lit(PII_DEMO_SUFFIX)),
         )
         .otherwise(F.col("text"))
         .alias("text"),

@@ -67,7 +67,9 @@ def _word_count(col: str):
     )
 
 
-def conversation_structure(turns: DataFrame) -> DataFrame:
+def conversation_structure(
+    turns: DataFrame, pre_deduped: bool = False
+) -> DataFrame:
     """Per-conversation structural validation flags.
 
     Returns one row per ``conv_id``:
@@ -86,7 +88,7 @@ def conversation_structure(turns: DataFrame) -> DataFrame:
     Plan: window (lag) and groupBy both partition on ``conv_id`` — one
     exchange total; Catalyst reuses the window's hash partitioning for
     the aggregation."""
-    d = _deduped(turns)
+    d = turns if pre_deduped else _deduped(turns)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     flagged = d.select(
         "conv_id",
@@ -238,7 +240,6 @@ def pack_conversations(
     model,
     seq_len: int,
     assistant_role: str = "assistant",
-    bucket_convs: int = 4096,
 ) -> DataFrame:
     """The transcript last mile: conversations → fixed-length BPE token
     sequences with a per-token LOSS MASK (1 on assistant-turn tokens,
@@ -296,13 +297,10 @@ def pack_conversations(
         ).alias("token_ids")
     )
     # string conv ids: hash_order gives the packer a portable numeric
-    # stream order (md5-48bit, conv_id) with a bounded bucket table
+    # stream order (md5-48bit, conv_id); bucketing is fixed at the
+    # hash's top 10 bits (≤1024 buckets), so no bucket-size knob here
     packed = pack_token_sequences(
-        conv,
-        seq_len,
-        id_col="conv_id",
-        bucket_docs=bucket_convs,
-        hash_order=True,
+        conv, seq_len, id_col="conv_id", hash_order=True
     )
     return packed.select(
         "seq_id",
@@ -331,19 +329,11 @@ def conversation_pii(turns: DataFrame) -> DataFrame:
     partial combine — mega-conversations pre-reduce inside their map
     tasks); the counting pass is zero-shuffle.
     """
-    from feast_spark.rules import SCRUB_PATTERNS, pii_match_counts
+    from feast_spark.rules import SCRUB_PATTERNS, pii_stats
 
     cols = [f"n_{name}" for name, _, _ in SCRUB_PATTERNS] + ["n_toxicity"]
     d = _deduped(turns).select("conv_id", "text")
-    schema = "conv_id string, " + ", ".join(f"{c} long" for c in cols)
-
-    def _run(batches):
-        for pdf in batches:
-            stats = pii_match_counts(pdf["text"])
-            stats.insert(0, "conv_id", pdf["conv_id"].to_numpy())
-            yield stats
-
-    pt = d.mapInPandas(_run, schema)
+    pt = pii_stats(d, id_col="conv_id", id_type="string")
     total = None
     for c in cols:
         total = F.col(c) if total is None else total + F.col(c)

@@ -998,6 +998,7 @@ def conversation_neardup_pairs(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Near-duplicate CONVERSATIONS: MinHash-LSH over each conversation's
     concatenated turn text — the transcript-payload form of document
@@ -1016,9 +1017,16 @@ def conversation_neardup_pairs(
     """
     from feast_spark.operators.latest import latest_per_key
 
-    deduped = latest_per_key(
-        transcripts, ["conv_id", "turn_idx"], "ts", tiebreak_cols=["text"],
-        strategy="agg",
+    deduped = (
+        transcripts
+        if pre_deduped
+        else latest_per_key(
+            transcripts,
+            ["conv_id", "turn_idx"],
+            "ts",
+            tiebreak_cols=["text"],
+            strategy="agg",
+        )
     )
     conv_text = deduped.groupBy("conv_id").agg(
         F.array_join(

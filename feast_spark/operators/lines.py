@@ -44,7 +44,10 @@ def _keep_predicate(
     if require_terminal:
         parts.append("right(x, 1) IN ('.', '!', '?')")
     for phrase in blocklist:
-        esc = phrase.replace("'", "''").lower()
+        # escape for Spark's string-literal parser: backslashes first
+        # (Spark interprets \t etc. inside literals; DuckDB does not),
+        # then single quotes
+        esc = phrase.replace("\\", "\\\\").replace("'", "''").lower()
         parts.append(f"NOT contains(lower(x), '{esc}')")
     return " AND ".join(parts)
 

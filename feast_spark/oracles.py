@@ -228,12 +228,13 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
     import hashlib
 
     from feast_spark.operators.bpe import encode_word, train_bpe_naive
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
 
     turns = transcripts_raw_pdf(None)
-    d = (
-        turns.sort_values(["conv_id", "turn_idx", "ts", "text"])
-        .groupby(["conv_id", "turn_idx"], as_index=False)
-        .last()
+    # whole-row latest pick (sort + tail(1)) — groupby(...).last() would
+    # splice columns across rows when the newest row holds a NaN
+    d = oracle_dedup_latest(turns).sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
     )
     d["line"] = d["role"].astype(str) + ": " + d["text"].fillna("").astype(str)
     wc: dict[str, int] = {}
@@ -309,14 +310,11 @@ def conv_pii_pdf() -> pd.DataFrame:
     integer sums + one exact int/int division."""
     import re
 
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
     from feast_spark.rules import SCRUB_PATTERNS, _TOX_PATTERN
 
     turns = transcripts_raw_pdf(None)
-    d = (
-        turns.sort_values(["conv_id", "turn_idx", "ts", "text"])
-        .groupby(["conv_id", "turn_idx"], as_index=False)
-        .last()
-    )
+    d = oracle_dedup_latest(turns)
     cols = [f"n_{name}" for name, _, _ in SCRUB_PATTERNS] + ["n_toxicity"]
     agg: dict[str, list] = {}
     for conv, text in zip(d["conv_id"], d["text"]):
@@ -1383,11 +1381,17 @@ def bm25_topk_pdf(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     from feast_spark.operators.bm25 import DEFAULT_QUERIES
 
+    import re
+
     k1, b = 1.2, 0.75
     one_minus_b, k1p1, quant = 1.0 - b, k1 + 1.0, 1048576.0
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # Java \s is ASCII-only — mirror it exactly (str.split() would also
+    # split on unicode whitespace and diverge from the Spark arm)
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
     toks = [
-        ("" if t is None else str(t)).lower().split() for t in docs["text"]
+        [w for w in java_ws.split(("" if t is None else str(t)).lower()) if w]
+        for t in docs["text"]
     ]
     ids = [int(i) for i in docs["doc_id"]]
     dls = [len(t) for t in toks]

@@ -102,9 +102,11 @@ def curate_conversations(
         d.count()
         cached.append(d)
 
-    # stage 1: structure (operates on already-deduped turns — the
-    # internal dedup is idempotent)
-    st = conversation_structure(d).select("conv_id", "structure_ok")
+    # stage 1: structure on the already-deduped turns (pre_deduped skips
+    # the operator's internal re-dedup shuffle)
+    st = conversation_structure(d, pre_deduped=True).select(
+        "conv_id", "structure_ok"
+    )
 
     # stage 2: per-turn quality via the shared kernel, conv keep fraction
     def _score(batches):
@@ -143,6 +145,7 @@ def curate_conversations(
         bands=cfg.bands,
         shingle_k=cfg.shingle_k,
         jaccard_threshold=cfg.jaccard_threshold,
+        pre_deduped=True,
     )
     comp = connected_components(pairs)
     dups = comp.filter(F.col("id") != F.col("component")).select(

@@ -156,28 +156,33 @@ def pii_match_counts(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(counts)
 
 
-def pii_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """Spark wrapper: per-document PII/toxicity hit counters — the audit
-    companion of the scrub stage (how much PII a source carries is a
-    routing/quality signal in itself). Map-only ``mapInPandas`` over
-    Arrow batches, zero shuffles at any scale."""
+def pii_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_type: str = "long",
+):
+    """Spark wrapper: per-row PII/toxicity hit counters keyed by
+    ``id_col`` (cast to ``id_type``; the output keeps the input id name)
+    — the audit companion of the scrub stage, shared by the document
+    query and :func:`feast_spark.operators.conversation.conversation_pii`.
+    Map-only ``mapInPandas`` over Arrow batches, zero shuffles at any
+    scale."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
 
     cols = [f"n_{name}" for name, _, _ in SCRUB_PATTERNS] + ["n_toxicity"]
-    schema = StructType(
-        [StructField("doc_id", LongType())]
-        + [StructField(c, LongType()) for c in cols]
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"{c} long" for c in cols
     )
     sel = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast(id_type).alias(id_col),
         F.col(text_col).alias("text"),
     )
 
     def _run(batches):
         for pdf in batches:
             stats = pii_match_counts(pdf["text"])
-            stats.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            stats.insert(0, id_col, pdf[id_col].to_numpy())
             yield stats
 
     return sel.mapInPandas(_run, schema=schema)
