@@ -935,35 +935,70 @@ def main() -> None:
         "docs_shared": docs_shared,
         "scaling": scaling,
     }
-    # Full detail (per-sample arrays, per-window external-core traces) goes
-    # to a side file; the printed line is COMPACT and keeps only the
-    # summary numbers, so the driver's stdout-tail capture always gets one
-    # complete parseable JSON line (r3 lesson: the verbose line outgrew the
-    # tail and BENCH_r03 recorded "parsed": null).
+    # Full detail (per-query walls, per-sample arrays, per-window
+    # external-core traces, docs_large/docs_shared sections) goes to a side
+    # file; the PRINTED line is the slim summary sized for the driver's
+    # stdout-tail capture, which is exactly 2000 bytes (measured from
+    # BENCH_r03/r04: both tails are len 2000 and begin mid-object — the
+    # 3.7 KB "compact" line of r4 still overflowed it). _slim_line() is
+    # unit-tested to stay under 1500 bytes with worst-case float widths.
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(out, f, indent=1)
-    slim = dict(out)
+    print(json.dumps(_slim_line(out), separators=(",", ":")))
+
+
+def _slim_line(out: dict) -> dict:
+    """Compact summary of a full bench result ``out`` — the ONE printed
+    JSON line. Hard budget: ≤ 1500 serialized bytes (driver tail window is
+    2000 bytes and may include a trailing newline plus stray stderr); the
+    size is pinned by tests/test_bench_artifact.py with worst-case floats.
+
+    Keeps the driver-contract keys (metric/value/unit/queries/sf) with
+    ``queries`` cut to the TOP-10 walls (the full per-query map lives in
+    BENCH_DETAIL.json, pointed to by ``detail``), plus the headline
+    numbers a reader needs: scaling efficiency, pipeline turns/sec, and
+    the min per-pass external-core reading so a contaminated draw is
+    visible in the artifact itself."""
+    timings = out["queries"]
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in top10.items()},
+        "sf": os.path.basename(str(out["sf"]).rstrip("/")),
+        "detail": "BENCH_DETAIL.json",
+    }
+    passes = out.get("headline_passes") or []
+    if passes:
+        slim["min_pass_external_cores"] = round(
+            min(p.get("external_cores", 0.0) for p in passes), 2
+        )
+    pipeline = out.get("pipeline") or {}
+    if pipeline:
+        slim["pipeline_turns_per_sec"] = round(pipeline["turns_per_sec"], 1)
+        slim["pipeline_n_turns"] = pipeline["n_turns"]
+    full = out.get("pipeline_full") or {}
+    if full:
+        slim["pipeline_full_turns_per_sec"] = round(full["turns_per_sec"], 1)
+    pk = out.get("conv_pack") or {}
+    if pk:
+        slim["conv_pack_turns_per_sec"] = round(pk["turns_per_sec"], 1)
+    scaling = out.get("scaling") or {}
     if scaling:
         slim["scaling"] = {
-            k: v
-            for k, v in scaling.items()
-            if k
-            not in (
-                "external_cores_per_window",
-                "host_loadavg_per_window",
-                "samples_turns_per_sec",
-            )
+            "efficiency": round(scaling["efficiency"], 3),
+            "speedup": round(scaling["speedup"], 3),
+            "cpus_small": scaling["cpus_small"],
+            "cpus_big": scaling["cpus_big"],
+            "turns_per_sec_small": round(scaling["turns_per_sec_small"], 1),
+            "turns_per_sec_big": round(scaling["turns_per_sec_big"], 1),
+            "corpus_turns": scaling["corpus_turns"],
         }
-    if docs_large:
-        slim["docs_large"] = {
-            k: (v if not isinstance(v, dict) else {
-                kk: vv for kk, vv in v.items() if not isinstance(vv, (list, dict))
-            })
-            for k, v in docs_large.items()
-            if not isinstance(v, list)
-        }
-    slim.pop("headline_passes", None)
-    print(json.dumps(slim, separators=(",", ":")))
+    return slim
 
 
 if __name__ == "__main__":
