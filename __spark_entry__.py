@@ -1210,8 +1210,15 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     # oracle is an independent Counter-loop replay sharing the driver-
     # side math.log idf and the quantized-contribution integer sum
     from feast_spark.operators.bm25 import bm25_topk
+    from feast_spark.operators.dedup import release_dedup_caches
 
-    return bm25_topk(_t(spark, sf, "documents"))
+    # the result is tiny (n_queries x k rows): materialize it eagerly so
+    # the scope-persisted tf relation inside bm25_topk can be released
+    # HERE instead of living until some later release_dedup_caches()
+    # call (it would otherwise hold executor memory for the whole app)
+    out = bm25_topk(_t(spark, sf, "documents")).localCheckpoint()
+    release_dedup_caches()
+    return out
 
 
 def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1515,7 +1522,7 @@ def q_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select("doc_id", "text", "source")
     model = train_ngram_lm(
         d.where(F.col("source").isin("src1", "src2", "src3")),
-        method="portable", order=5,
+        method="portable", order=5, n_buckets=1 << 20,
     )
     scored = lm_perplexity(d, model).join(
         d.select("doc_id", "source"), "doc_id"
@@ -1536,7 +1543,7 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select("doc_id", "text", "source")
     model = train_ngram_lm(
         d.where(F.col("source").isin("src1", "src2", "src3")),
-        method="portable", order=5,
+        method="portable", order=5, n_buckets=1 << 20,
     )
     return lm_perplexity(d, model)
 

@@ -250,8 +250,10 @@ def pack_conversations(
     role prefix too), BPE-encodes through the shared
     :func:`feast_spark.operators.bpe.bpe_encode` kernel, and the
     conversation's turn streams concatenate in ``turn_idx`` order;
-    conversations then concatenate in ``conv_id`` order and the
-    corpus-wide stream is cut into ``seq_len`` sequences (conversations
+    conversations then concatenate in portable md5-hash order —
+    ``(int(md5(conv_id)[:12], 16), conv_id)``, the packer's
+    ``hash_order`` — and the corpus-wide stream is cut into ``seq_len``
+    sequences (conversations
     CROSS boundaries — standard packing) by
     :func:`feast_spark.operators.selection.pack_token_sequences`.
 

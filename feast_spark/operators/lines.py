@@ -63,9 +63,13 @@ def clean_lines(
     join_sep: str = "\n",
 ) -> DataFrame:
     """Line-filter each document; see module docstring. Map-only."""
+    # coalesce NULL text to '' first: size(split(NULL)) is NULL in Spark
+    # 3+, which would yield NULL n_lines/doc_ok rows that filter() drops
+    # SILENTLY downstream (run_curation's audit would then misattribute
+    # the drop to the span stage instead of line_clean)
     lines: Column = F.expr(
-        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
-        " x -> length(x) > 0)"
+        f"filter(transform(split(coalesce({text_col}, ''), '\\n'),"
+        " x -> trim(x)), x -> length(x) > 0)"
     )
     pred = _keep_predicate(min_words, tuple(blocklist), require_terminal)
     out = docs.select(

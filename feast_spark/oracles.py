@@ -32,6 +32,7 @@ process (memoized per-process) — no staleness across code changes.
 from __future__ import annotations
 
 import os
+import re
 from collections import defaultdict
 from datetime import datetime, timezone
 
@@ -237,9 +238,13 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
         ["conv_id", "turn_idx"], kind="mergesort"
     )
     d["line"] = d["role"].astype(str) + ": " + d["text"].fillna("").astype(str)
+    # tokenize with Java's \s (ASCII whitespace only) — python str.split()
+    # also splits on Unicode whitespace (\xa0,  , ...), which would
+    # silently diverge from the Spark arm's split(col, '\\s+')
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
     wc: dict[str, int] = {}
     for line in d["line"]:
-        for w in line.split():
+        for w in java_ws.split(line):
             if w:
                 wc[w] = wc.get(w, 0) + 1
     merges = train_bpe_naive(wc, num_merges)
@@ -256,7 +261,7 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
     for conv, idx, role, line in zip(
         d["conv_id"], d["turn_idx"], d["role"], d["line"]
     ):
-        ts = [t for w in line.split() if w for t in toks(w)]
+        ts = [t for w in java_ws.split(line) if w for t in toks(w)]
         all_tokens.update(ts)
         per_turn.append((conv, int(idx), ts, 1 if role == "assistant" else 0))
     vid = {t: i for i, t in enumerate(sorted(all_tokens))}
@@ -898,7 +903,11 @@ def diverse_sample_pdf(
     )
 
 
-def _curation_core(sf_dir: str, lm_quantile: float | None = None) -> dict:
+def _curation_core(
+    sf_dir: str,
+    lm_quantile: float | None = None,
+    lm_buckets: int | None = None,
+) -> dict:
     """Stages 1-4 of the naive curation replay (pipeline/curation.py
     defaults): span dedup via one global seen-set walk in doc order,
     quality via the shared rules kernel, decontamination / DSIR via dict
@@ -974,7 +983,8 @@ def _curation_core(sf_dir: str, lm_quantile: float | None = None) -> dict:
             ]
         )
         lm = naive_lm_pdf(
-            texts_q, pd.Series(ids_q), order=5, train_texts=train_q
+            texts_q, pd.Series(ids_q), order=5, train_texts=train_q,
+            n_buckets=lm_buckets,
         )
         lm_ppl = dict(zip(lm["doc_id"].astype(int), lm["ppl"]))
         v = np.sort(np.array([lm_ppl[i] for i in ids_q], np.float64))
@@ -1124,7 +1134,11 @@ def curation_lm_pdf(sf_dir: str) -> pd.DataFrame:
     quality and decontamination — LM trained naively on the
     target-source quality survivors, every survivor scored, the
     high-perplexity tail above the 0.7 corpus quantile dropped."""
-    c = _curation_core(sf_dir, lm_quantile=0.7)
+    # lm_buckets mirrors CurationConfig.lm_buckets — the pipeline now
+    # ALWAYS trains the LM bucketed (unbounded would collect the corpus
+    # gram vocabulary to the driver at scale), and md5 bucketing is
+    # replayable so the naive arm applies the same mod
+    c = _curation_core(sf_dir, lm_quantile=0.7, lm_buckets=1 << 22)
     dedup_text, q_keep = c["dedup_text"], c["q_keep"]
     contaminated, dsir_score = c["contaminated"], c["dsir_score"]
     lm_ppl, lm_thr = c["lm_ppl"], c["lm_thr"]
@@ -1209,7 +1223,8 @@ def lm_perplexity_pdf(sf_dir: str) -> pd.DataFrame:
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     train = docs.loc[docs["source"].isin(["src1", "src2", "src3"]), "text"]
     return naive_lm_pdf(
-        docs["text"], docs["doc_id"], order=5, train_texts=train
+        docs["text"], docs["doc_id"], order=5, train_texts=train,
+        n_buckets=1 << 20,
     )
 
 

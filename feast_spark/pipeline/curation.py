@@ -87,6 +87,15 @@ class CurationConfig:
     lm_order: int = 5
     lm_method: str = "xxhash64"
     lm_keep_quantile: float = 0.7
+    # Hash-bucket bound on the LM's count tables. train_ngram_lm collects
+    # one row per DISTINCT gram key to the driver (lm.py builds the
+    # broadcast model there); unbounded (None) that is the corpus
+    # 1..order-gram vocabulary — billions of rows at corpus scale → driver
+    # OOM. The pipeline therefore ALWAYS trains bucketed; 2^22 buckets ×
+    # 2 tables/order × order 5 ≈ 300 MB of int64 worst case, and CCNet-
+    # grade filtering tolerates the collision noise (the raw operator
+    # keeps n_buckets=None available for exact small-corpus use).
+    lm_buckets: int = 1 << 22
     # OPT-IN stage 0 (C4-style line cleaning, operators/lines.py): rewrite
     # each document to its "good" lines before any doc-grain stage, and
     # drop documents left with fewer than line_min_kept survivors
@@ -226,6 +235,7 @@ def run_curation(
             text_col="dedup_text",
             order=cfg.lm_order,
             method=cfg.lm_method,
+            n_buckets=cfg.lm_buckets,
         )
         lm_scores = lm_perplexity(q_pass, lm_model, text_col="dedup_text")
         thr = lm_scores.agg(

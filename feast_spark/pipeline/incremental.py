@@ -172,6 +172,7 @@ def run_curation_incremental(
                 text_col="dedup_text",
                 order=cfg.lm_order,
                 method=cfg.lm_method,
+                n_buckets=cfg.lm_buckets,
             )
         else:
             lm_model = load_ngram_lm(lm_path)

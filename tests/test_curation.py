@@ -162,6 +162,34 @@ def test_lm_stage_filters_and_audits(spark):
         res.release()
 
 
+def test_lm_stage_always_trains_bucketed(spark, monkeypatch):
+    # At corpus scale an UNBOUNDED LM train collects one driver row per
+    # distinct 1..order-gram (operators/lm.py builds the broadcast model
+    # with a toPandas of the counts) — billions of rows at 100 TB. The
+    # pipeline must therefore always pass its lm_buckets bound through;
+    # this spy pins the call site so the bound can't silently regress.
+    import feast_spark.operators.lm as lm_mod
+
+    captured = {}
+    real = lm_mod.train_ngram_lm
+
+    def spy(df, **kw):
+        captured.update(kw)
+        return real(df, **kw)
+
+    monkeypatch.setattr(lm_mod, "train_ngram_lm", spy)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    cfg = CurationConfig(use_lm=True, lm_method="xxhash64", lm_buckets=1 << 10)
+    res = run_curation(spark, docs, bench, cfg, materialize=False)
+    res.kept.count()
+    assert captured.get("n_buckets") == 1 << 10
+    # and the shipped default is a real bound, not None
+    assert CurationConfig().lm_buckets is not None
+
+
 def test_line_clean_stage_filters_and_audits(spark):
     # corpus where line cleaning does real work: doc text gains newline
     # structure, one doc becomes all-blocklist lines

@@ -208,6 +208,31 @@ def test_incremental_frozen_lm_and_classifier_models(spark, tmp_path):
     assert {r["doc_id"] for r in r2b.kept.collect()} == kept2
 
 
+def test_incremental_lm_stage_trains_bucketed(spark, tmp_path, monkeypatch):
+    # same bound-pinning spy as test_curation: the incremental pipeline's
+    # first-batch LM train must pass cfg.lm_buckets through (unbounded
+    # would collect the corpus gram vocabulary to the driver at scale)
+    import feast_spark.operators.lm as lm_mod
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    captured = {}
+    real = lm_mod.train_ngram_lm
+
+    def spy(df, **kw):
+        captured.update(kw)
+        return real(df, **kw)
+
+    monkeypatch.setattr(lm_mod, "train_ngram_lm", spy)
+    b1, _, bench = _corpus_batches(spark)
+    cfg = CurationConfig(use_lm=True, lm_buckets=1 << 10)
+    r1 = run_curation_incremental(
+        spark, b1, bench, str(tmp_path / "state"), "b1", cfg
+    )
+    r1.release()
+    assert captured.get("n_buckets") == 1 << 10
+
+
 def test_lm_save_load_roundtrip(spark):
     from feast_spark.operators.lm import (
         lm_perplexity,

@@ -84,6 +84,27 @@ def test_clean_lines_knobs(spark):
     assert out.doc_ok is True
 
 
+def test_clean_lines_null_text_gets_zero_stats(spark):
+    # size(split(NULL)) is NULL in Spark 3+ — without the coalesce a
+    # NULL-text doc would carry NULL n_lines/doc_ok and silently vanish
+    # from BOTH branches of a doc_ok filter (curation would misattribute
+    # the drop); it must instead get deterministic zero stats
+    from feast_spark.operators.lines import clean_lines
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "one two three.")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in clean_lines(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_lines, r1.n_kept, r1.kept_frac, r1.text_clean) == (
+        0, 0, 0.0, "",
+    )
+    assert r1.doc_ok is False
+    # the two filter branches now partition the corpus
+    out = clean_lines(df)
+    assert out.filter("doc_ok").count() + out.filter("NOT doc_ok").count() == 2
+
+
 def test_clean_lines_map_only_plan(spark):
     from feast_spark.operators.lines import clean_lines
 

@@ -144,6 +144,38 @@ def test_lm_train_slice_vs_score_all_matches_naive(spark):
     assert (got["ppl"].to_numpy() == exp["ppl"].to_numpy()).all()
 
 
+def test_lm_bucketed_portable_matches_naive_under_collisions(spark):
+    # the pipeline's ALWAYS-bucketed shape, at a bucket count small
+    # enough (61) that collisions are guaranteed: the Spark pmod and the
+    # naive % must fold colliding grams into the same counts so both
+    # arms stay bit-exact THROUGH the collisions (the parity the
+    # doc_curation_lm oracle now relies on)
+    df, pdf = _corpus(spark, n_docs=30)
+    train = df.where(F.col("doc_id").cast("int") < 10)
+    m = train_ngram_lm(train, method="portable", order=5, n_buckets=61)
+    for name, (keys, _) in m.tables.items():
+        assert len(keys) <= 61 and keys.max() < 61, name
+    got = (
+        lm_perplexity(df, m)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = naive_lm_pdf(
+        pdf["text"],
+        pdf["doc_id"],
+        order=5,
+        n_buckets=61,
+        train_texts=pdf.loc[pdf["doc_id"].astype(int) < 10, "text"],
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert (got["lp_sum"].to_numpy() == exp["lp_sum"].to_numpy()).all()
+    assert (got["ppl"].to_numpy() == exp["ppl"].to_numpy()).all()
+    # and collisions really happened (the test would otherwise prove
+    # nothing beyond the exact-arm parity above)
+    m_exact = train_ngram_lm(train, method="portable", order=5)
+    assert len(m_exact.tables["g5"][0]) > 61
+
+
 def test_lm_numpy_arm_matches_sql_arms_when_collision_free(spark):
     # three independent hash kernels (md5, xxhash64, prefix-product
     # numpy) -> identical counts on collision-free vocab -> identical lp
