@@ -29,8 +29,64 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _load_repo_objects(repo_file: str) -> list:
+    """Load a repo-definition python file and return its registrable
+    objects: the explicit ``OBJECTS`` list when present, else every
+    module-level registrable instance (the reference's repo parsing
+    collects module members the same way — repo_operations.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("feast_repo_defs", repo_file)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if hasattr(mod, "OBJECTS"):
+        return list(mod.OBJECTS)
+    from feast_spark.core.diff import object_spec
+
+    objs, seen = [], set()
+    for val in vars(mod).values():
+        try:
+            key = object_spec(val)[:2]
+        except TypeError:
+            continue
+        if key not in seen:
+            seen.add(key)
+            objs.append(val)
+    return objs
+
+
+def plan_main(argv: list[str], do_apply: bool) -> int:
+    """``feast_spark.cli plan|apply --repo defs.py --store path`` — the
+    reference's ``feast plan`` / ``feast apply`` surface: diff the
+    desired repo state against the registry; apply optionally."""
+    p = argparse.ArgumentParser(
+        description="registry plan/apply (dry-run object diff)"
+    )
+    p.add_argument("--repo", required=True, help="python file defining OBJECTS")
+    p.add_argument("--store", required=True, help="feature-store repo path")
+    p.add_argument("--cpus", type=int, default=2)
+    args = p.parse_args(argv)
+
+    from feast_spark.core.store import FeatureStore
+    from feast_spark.session import get_spark
+
+    spark = get_spark("feast_spark_plan", cpus=args.cpus)
+    store = FeatureStore(spark, args.store)
+    diff = store.plan(_load_repo_objects(args.repo))
+    print(diff.to_string())
+    if do_apply:
+        store.apply_diff(diff)
+        print(f"applied {len(diff.changes)} change(s)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(description="transcript quality-filter pipeline")
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("plan", "apply"):
+        return plan_main(argv[1:], do_apply=argv[0] == "apply")
+    p = argparse.ArgumentParser(
+        description="transcript quality-filter pipeline"
+    )
     p.add_argument("--input", required=True, help="transcript parquet path")
     p.add_argument("--output", required=True, help="output root directory")
     p.add_argument("--run-id", default="run-0")

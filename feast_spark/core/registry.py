@@ -67,6 +67,10 @@ class Registry:
         with self._locked():
             self._state["views"][name] = spec
 
+    def delete_view(self, name: str) -> None:
+        with self._locked():
+            self._state["views"].pop(name, None)
+
     def _reload(self) -> None:
         """Reads observe other processes' committed writes (the file is
         replaced atomically, so an unlocked read is always consistent)."""

@@ -47,59 +47,103 @@ class FeatureStore:
         self._label_views: dict = {}
 
     # -- apply ---------------------------------------------------------------
-    def apply(self, objs: list) -> None:
+    def _runtime_map(self, obj) -> dict | None:
+        """The in-memory map an object type lives in (None for types that
+        are registry-only, e.g. entities)."""
+        from feast_spark.core.model import Entity
         from feast_spark.operators.labels import LabelView
         from feast_spark.streaming.views import StreamFeatureView
 
-        for obj in objs:
-            if isinstance(obj, OnDemandFeatureView):
-                self._odfvs[obj.name] = obj
-            elif isinstance(obj, LabelView):
-                self._label_views[obj.name] = obj
-                self.registry.apply_view(
-                    obj.name,
-                    {
-                        "entities": obj.join_keys,
-                        "label": obj.label_col,
-                        "conflict_policy": obj.conflict_policy,
-                        "ttl_seconds": obj.ttl_seconds,
-                    },
-                )
-            elif isinstance(obj, StreamFeatureView):
-                self._stream_views[obj.name] = obj
-                self.registry.apply_view(
-                    obj.name,
-                    {
-                        "entities": obj.join_keys,
-                        "features": obj.feature_names,
-                        "ttl_seconds": obj.ttl_seconds,
-                        "stream": True,
-                        "aggregations": [
-                            {
-                                "column": a.column,
-                                "function": a.function,
-                                "time_window_seconds": a.time_window_seconds,
-                                "slide_interval_seconds": a.slide_interval_seconds,
-                            }
-                            for a in obj.aggregations
-                        ],
-                    },
-                )
-            elif isinstance(obj, FeatureView):
-                from feast_spark.core.inference import infer_and_validate
+        if isinstance(obj, OnDemandFeatureView):
+            return self._odfvs
+        if isinstance(obj, LabelView):
+            return self._label_views
+        if isinstance(obj, StreamFeatureView):
+            return self._stream_views
+        if isinstance(obj, FeatureView):
+            return self._views
+        if isinstance(obj, FeatureService):
+            return self._services
+        if isinstance(obj, Entity):
+            return None
+        raise TypeError(f"cannot apply {type(obj).__name__}")
 
-                infer_and_validate(obj, self.spark)
-                self._views[obj.name] = obj
-                self.registry.apply_view(
-                    obj.name,
-                    {
-                        "entities": obj.join_keys,
-                        "features": obj.feature_names,
-                        "ttl_seconds": obj.ttl_seconds,
-                    },
-                )
-            elif isinstance(obj, FeatureService):
-                self._services[obj.name] = obj
+    def _inferred(self, obj):
+        """Run schema inference/validation where the type needs it (the
+        reference runs the same inferences in both apply and plan —
+        feature_store.py plan's _make_inferences)."""
+        if isinstance(obj, FeatureView):
+            from feast_spark.core.inference import infer_and_validate
+
+            infer_and_validate(obj, self.spark)
+        return obj
+
+    def apply(self, objs: list) -> None:
+        from feast_spark.core.diff import object_spec
+
+        for obj in objs:
+            runtime = self._runtime_map(obj)
+            _otype, name, spec = object_spec(self._inferred(obj))
+            if runtime is not None:
+                runtime[name] = obj
+            self.registry.apply_view(name, spec)
+
+    # -- plan / diff (reference diff/registry_diff.py via core/diff.py) ------
+    def plan(self, desired_objs: list):
+        """Dry-run of ``apply(desired_objs)`` against the persisted
+        registry: returns a RegistryDiff of created/deleted/updated
+        objects with property-level diffs and transition warnings.
+        Nothing is written (reference ``feature_store.py:1370`` plan).
+
+        Like the reference, the desired state is TOTAL: objects present
+        in the registry but absent from ``desired_objs`` plan as
+        deletions."""
+        from feast_spark.core.diff import diff_between, object_spec
+
+        desired_specs: dict = {}
+        desired_objects: dict = {}
+        for obj in desired_objs:
+            otype, name, spec = object_spec(self._inferred(obj))
+            desired_specs[(otype, name)] = spec
+            desired_objects[(otype, name)] = obj
+        self.registry._reload()
+        existing = {}
+        for name, spec in self.registry._state.get("views", {}).items():
+            otype = spec.get("object_type", "feature_view")
+            existing[(otype, name)] = spec
+        intervals = self.registry._state.get("materialization_intervals", {})
+        materialized = {v for v, iv in intervals.items() if iv}
+        return diff_between(
+            existing, desired_specs, desired_objects, materialized
+        )
+
+    def apply_diff(self, diff) -> None:
+        """Apply a plan: deletes drop the registry record + runtime
+        object; creates/updates re-apply the desired object (reference
+        ``apply_diff_to_registry`` — an update needs no delete, applying
+        the new object replaces the record)."""
+        from feast_spark.core.diff import TransitionType
+
+        for d in diff.object_diffs:
+            if d.transition_type == TransitionType.DELETE:
+                self.registry.delete_view(d.name)
+                for m in (
+                    self._views,
+                    self._odfvs,
+                    self._services,
+                    self._stream_views,
+                    self._label_views,
+                ):
+                    m.pop(d.name, None)
+            elif d.transition_type in (
+                TransitionType.CREATE,
+                TransitionType.UPDATE,
+            ):
+                if d.new_object is None:  # pragma: no cover - defensive
+                    raise ValueError(
+                        f"diff for {d.name!r} carries no object to apply"
+                    )
+                self.apply([d.new_object])
 
     def get_label_view(self, name: str):
         if name not in self._label_views:

@@ -250,7 +250,10 @@ def test_stream_feature_view_store_materialize_windowed(spark, tmp_path):
         watermark="3650 days",  # test corpus: nothing may be dropped late
     )
     store.apply([sv])
-    assert store.registry.get_view("user_hourly")["stream"] is True
+    assert (
+        store.registry.get_view("user_hourly")["object_type"]
+        == "stream_feature_view"
+    )
     assert store.get_stream_feature_view("user_hourly").feature_names == [
         "sum_value_3600s", "count_value_3600s",
     ]
