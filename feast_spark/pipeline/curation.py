@@ -96,6 +96,15 @@ class CurationConfig:
     # grade filtering tolerates the collision noise (the raw operator
     # keeps n_buckets=None available for exact small-corpus use).
     lm_buckets: int = 1 << 22
+    # OPT-IN stage 0p (Dolma-style exact paragraph dedup) on the
+    # INCREMENTAL/STREAMING path: rewrite each batch's documents to their
+    # first-occurrence paragraphs (vs the batch itself and every
+    # committed prior batch's paragraph-hash state) before span dedup.
+    # Real transcript corpora dup at the paragraph/turn grain (boilerplate
+    # headers, repeated tool outputs) — doc-grain near-dup misses those.
+    use_paragraph_dedup: bool = False
+    paragraph_sep: str = "\n\n"
+    paragraph_min_chars: int = 1
     # OPT-IN stage 0 (C4-style line cleaning, operators/lines.py): rewrite
     # each document to its "good" lines before any doc-grain stage, and
     # drop documents left with fewer than line_min_kept survivors

@@ -75,6 +75,28 @@ def _spans_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "spans")
 
 
+def _paras_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "paras")
+
+
+def _load_prior_paras(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Paragraph-hash state of every COMMITTED batch. Commit order makes
+    the spans partition's ``_SUCCESS`` the single commit point: paras are
+    written first, so a batch listed by :func:`_committed_batches` always
+    has its paras partition when the stage was enabled (a batch run with
+    the stage disabled simply has none — skipped here)."""
+    paths = [
+        p
+        for b in _committed_batches(state_dir)
+        if os.path.exists(
+            p := os.path.join(_paras_dir(state_dir), f"batch={b}")
+        )
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def _committed_batches(state_dir: str) -> list[str]:
     root = _spans_dir(state_dir)
     if not os.path.isdir(root):
@@ -134,11 +156,41 @@ def run_curation_incremental(
     deferred_artifacts: list = []  # frozen-model writes, run at commit
     prior = _load_prior_spans(spark, state_dir)
 
+    # stage 0p (opt-in): paragraph dedup vs self + all committed prior
+    # batches' paragraph-hash state — the turn/paragraph-grain pass doc
+    # near-dup can't make (Dolma's motivation). Runs BEFORE span dedup on
+    # the raw text; its append-only state commits alongside the span
+    # state under the same _SUCCESS gate, so the streaming composition
+    # (curate_stream) is exactly-once for BOTH grains.
+    new_paras = None
+    n_after_paragraph = None
+    if cfg.use_paragraph_dedup:
+        from feast_spark.operators.selection import (
+            paragraph_dedup_incremental,
+        )
+
+        prior_paras = _load_prior_paras(spark, state_dir)
+        p_out, new_paras, p_winners = paragraph_dedup_incremental(
+            new_docs,
+            prior_paras,
+            sep=cfg.paragraph_sep,
+            min_chars=cfg.paragraph_min_chars,
+            persist_winners=True,
+        )
+        extra_cached.append(p_winners)
+        # docs whose every paragraph was already seen drop here entirely
+        docs_in = p_out.select(
+            "doc_id", F.col("dedup_text").alias("text")
+        )
+        n_after_paragraph = docs_in.count()
+    else:
+        docs_in = new_docs
+
     # stage 1: span dedup vs self + all prior batches. persist_winners
     # caches the first-occurrence window (the batch's widest shuffle) so
     # the new-span state write at commit reuses it instead of re-running
     deduped, new_spans, winners = span_dedup_incremental(
-        new_docs, prior, span_words=cfg.span_words, persist_winners=True
+        docs_in, prior, span_words=cfg.span_words, persist_winners=True
     )
     extra_cached.append(winners)
     deduped = deduped.join(new_docs.select("doc_id", "source"), "doc_id")
@@ -359,6 +411,11 @@ def run_curation_incremental(
     row = flags.agg(*aggs).collect()[0]
     stage_counts = {
         "input": new_docs.count(),
+        **(
+            {"after_paragraph_dedup": n_after_paragraph}
+            if n_after_paragraph is not None
+            else {}
+        ),
         "after_span_dedup": n_after_span,
         "after_quality": int(row["q"]),
         "after_decontamination": int(row["c"]),
@@ -381,6 +438,13 @@ def run_curation_incremental(
         json.dump(lineage, f)
     for commit_artifact in deferred_artifacts:
         commit_artifact()
+    # paras BEFORE spans: the spans partition's _SUCCESS is the batch's
+    # single commit point, so a crash between the two writes leaves the
+    # batch uncommitted and the retry overwrites both partitions cleanly
+    if new_paras is not None:
+        new_paras.write.mode("overwrite").parquet(
+            os.path.join(_paras_dir(state_dir), f"batch={batch_id}")
+        )
     new_spans.write.mode("overwrite").parquet(
         os.path.join(_spans_dir(state_dir), f"batch={batch_id}")
     )

@@ -308,6 +308,138 @@ def test_dsir_empty_table_scores_all_zero_not_null(spark):
     assert out["dsir_score"] == 0 and out["n_bigrams"] == 2
 
 
+def _para_batches(spark):
+    # paragraph structure synthesized on the sf0.001 docs (single-line
+    # fixture text): ' merge ' becomes a paragraph break, and EVERY doc
+    # gains one shared boilerplate footer paragraph — the cross-batch
+    # duplicate the paragraph stage must catch (doc-grain dedup can't:
+    # every doc body differs)
+    b1, b2, bench = _corpus_batches(spark)
+
+    def tx(df):
+        return df.withColumn(
+            "text",
+            F.concat(
+                F.expr("replace(text, ' merge ', '\n\n')"),
+                F.lit("\n\nshared boilerplate footer paragraph"),
+            ),
+        )
+
+    return tx(b1), tx(b2), bench
+
+
+FOOTER = "shared boilerplate footer paragraph"
+
+
+def test_incremental_paragraph_stage_dedups_across_batches(spark, tmp_path):
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    b1, b2, bench = _para_batches(spark)
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(use_paragraph_dedup=True)
+
+    r1 = run_curation_incremental(spark, b1, bench, state, "b1", cfg)
+    assert "after_paragraph_dedup" in r1.stage_counts
+    assert (
+        r1.stage_counts["after_paragraph_dedup"]
+        <= r1.stage_counts["input"]
+    )
+    assert os.path.exists(os.path.join(state, "paras", "batch=b1"))
+    r1.release()
+
+    r2 = run_curation_incremental(spark, b2, bench, state, "b2", cfg)
+    kept2 = r2.kept.collect()
+    r2.release()
+    # the footer paragraph was claimed by batch 1: NO batch-2 doc keeps it
+    assert all(FOOTER not in (r["dedup_text"] or "") for r in kept2)
+    # and the state never stores a hash twice across batches
+    paras = spark.read.parquet(f"{state}/paras/*")
+    assert paras.count() == paras.select("h").distinct().count()
+    # the footer's hash is in state exactly once
+    fh = spark.sql(f"SELECT xxhash64('{FOOTER}') AS h").collect()[0]["h"]
+    assert paras.filter(F.col("h") == fh).count() == 1
+
+    # resume returns the committed result without recompute
+    r2b = run_curation_incremental(spark, b2, bench, state, "b2", cfg)
+    assert r2b.resumed and r2b.stage_counts == r2.stage_counts
+
+
+def test_curate_stream_paragraph_state_matches_manual_and_resumes(
+    spark, tmp_path
+):
+    # VERDICT r4 #6: the STREAMING path dedups paragraphs incrementally —
+    # a streamed two-batch run equals the manual incremental run, and the
+    # paragraph state is resumed across stream RESTARTS (third file,
+    # fresh query object, same checkpoint/state)
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import (
+        _committed_batches,
+        curate_stream,
+        run_curation_incremental,
+    )
+
+    b1, b2, bench = _para_batches(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f0"))
+    b2.coalesce(1).write.parquet(str(src / "f1"))
+    schema = b1.schema
+    cfg = CurationConfig(use_paragraph_dedup=True)
+    s_state = str(tmp_path / "s_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_stream(spark, stream, bench, s_state, ckpt, cfg)
+    q.processAllAvailable()
+    q.stop()
+    assert _committed_batches(s_state) == ["s00000000", "s00000001"]
+
+    m_state = str(tmp_path / "m_state")
+    for bid, b in (("b1", b1), ("b2", b2)):
+        run_curation_incremental(spark, b, bench, m_state, bid, cfg).release()
+    kept_stream = {
+        r["doc_id"] for r in spark.read.parquet(f"{s_state}/kept/*").collect()
+    }
+    kept_manual = {
+        r["doc_id"] for r in spark.read.parquet(f"{m_state}/kept/*").collect()
+    }
+    assert kept_stream == kept_manual
+    # identical paragraph-hash state (set equality, not just counts)
+    hs = {r["h"] for r in spark.read.parquet(f"{s_state}/paras/*").collect()}
+    hm = {r["h"] for r in spark.read.parquet(f"{m_state}/paras/*").collect()}
+    assert hs == hm
+
+    # restart: new file arrives while the query is DOWN; a fresh query on
+    # the same checkpoint + state must resume the paragraph state (the
+    # footer paragraph is NOT re-claimed by batch 3)
+    b3 = b2.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.lit("fresh batch three body\n\n"), F.col("text"))
+    )
+    b3.coalesce(1).write.parquet(str(src / "f2"))
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q2 = curate_stream(spark, stream2, bench, s_state, ckpt, cfg)
+    q2.processAllAvailable()
+    q2.stop()
+    assert _committed_batches(s_state)[-1] == "s00000002"
+    fh = spark.sql(f"SELECT xxhash64('{FOOTER}') AS h").collect()[0]["h"]
+    paras = spark.read.parquet(f"{s_state}/paras/*")
+    assert paras.filter(F.col("h") == fh).count() == 1
+    # batch 3's own new paragraph DID enter the state
+    nh = spark.sql(
+        "SELECT xxhash64('fresh batch three body') AS h"
+    ).collect()[0]["h"]
+    assert paras.filter(F.col("h") == nh).count() == 1
+
+
 def test_curate_stream_micro_batches_match_manual_incremental(spark, tmp_path):
     # stream two parquet files (id-ordered, one file per micro-batch)
     # through curate_stream; the committed state and kept sets must
