@@ -1812,6 +1812,95 @@ def q_setops(spark: SparkSession, sf: str) -> DataFrame:
     return r1.unionByName(r2)
 
 
+def q_para_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: fuzzy near-dup at the PARAGRAPH grain (MinHash-LSH over
+    # individual paragraphs, int64 packed doc*2^16+idx surrogates through
+    # every shuffle). Paragraph structure synthesized deterministically:
+    # ' merge ' becomes a break; every doc gains a COHORT footer
+    # ('shared footer ' + md5(doc_id % 97)) — identical within a cohort
+    # (the planted pairs), hex-distinct across cohorts so the pair table
+    # stays cohort-local. Oracle = the shared naive-LSH core at the same
+    # grain (oracles.paragraph_neardup_pdf).
+    from feast_spark.operators.dedup import (
+        paragraph_neardup_pairs,
+        release_dedup_caches,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.expr("replace(text, ' merge ', '\n\n')"),
+            F.lit("\n\nshared footer "),
+            F.md5((F.col("doc_id") % 97).cast("string")),
+        ).alias("text"),
+    )
+    # result is pair-table-sized (cohort-local): materialize eagerly and
+    # release the LSH scoped caches here (the bm25 pattern)
+    out = paragraph_neardup_pairs(docs).localCheckpoint()
+    release_dedup_caches()
+    return out
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: Efraimidis-Spirakis weighted sampling without replacement —
+    # exactly 20 docs per source, inclusion probability proportional to
+    # n_chars, ranked by the 2^-30-quantized -ln(u)/w key (u from
+    # md5('ws1' || doc_id), never 0). Oracle replays the identical
+    # integer ranking in pure SQL (DuckDB parses '0x…' hex casts).
+    from feast_spark.operators.selection import weighted_sample_k
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_k(
+        d, F.col("doc_id"), F.col("n_chars"), 20, stratum=F.col("source")
+    )
+
+
+def q_conv_pack_isolated(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: document-isolated packing (no cross-conversation
+    # attention): each conversation chunks independently into seq_len
+    # sequences keyed (conv_id, chunk_idx) — map-only past the conv agg,
+    # no global numbering pass. Oracle = per-conv chunking over the same
+    # python BPE twin streams (oracles.conv_pack_isolated_pdf).
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import (
+        _deduped,
+        pack_conversations,
+    )
+
+    turns = _transcripts_fixture(spark)
+    rendered = _deduped(turns).select(
+        F.concat(
+            "role", F.lit(": "), F.coalesce("text", F.lit(""))
+        ).alias("text")
+    )
+    model = train_bpe(rendered, num_merges=8)
+    seqs = pack_conversations(
+        turns, model, seq_len=48, cross_boundaries=False
+    )
+    return seqs.select(
+        "conv_id",
+        "chunk_idx",
+        F.array_join(
+            F.transform("token_ids", lambda t: t.cast("string")), " "
+        ).alias("ids_str"),
+        F.array_join(
+            F.transform("loss_mask", lambda t: t.cast("string")), " "
+        ).alias("mask_str"),
+        "n_tokens",
+    )
+
+
+def q_source_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: c-TF-IDF distinctive terms per source (BERTopic
+    # formulation): tf(term, source) * ln(1 + n_sources/df_sources),
+    # 2^-20 floor-quantized for integer-exact top-10 ranking with term
+    # tie-break. Two hash-agg shuffles + WindowGroupLimit — the
+    # corpus-analysis dual of top_ngrams.
+    from feast_spark.operators.lexical import source_top_terms
+
+    return source_top_terms(_t(spark, sf, "documents"), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -1821,6 +1910,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
+        # isolated conversation packing, per-source c-TF-IDF terms
+        "para_neardup": q_para_neardup,
+        "weighted_sample": q_weighted_sample,
+        "conv_pack_isolated": q_conv_pack_isolated,
+        "source_top_terms": q_source_top_terms,
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
@@ -1855,12 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "contamination_check": q_contamination_check,
         "dsir_weights": q_dsir_weights,
-        "stratified_sample": q_stratified_sample,
-        "top_ngrams": q_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
         "diverse_sample": q_diverse_sample,
-        "doc_chunks": q_doc_chunks,
-        "doc_packing": q_doc_packing,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
         "tokenize_pack": q_tokenize_pack,
         # merged families (originals in extra_queries)
@@ -1891,6 +1982,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 (still pytest-oracled here)
+        "stratified_sample": q_stratified_sample,
+        "top_ngrams": q_top_ngrams,
+        "doc_chunks": q_doc_chunks,
+        "doc_packing": q_doc_packing,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_winnow_pairs": q_doc_winnow_pairs,
@@ -1964,6 +2060,67 @@ def _all_oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM read_parquet('{derived[name]}')"
 
     return {
+        "para_neardup": _rp("para_neardup"),
+        "conv_pack_isolated": _rp("conv_pack_isolated"),
+        "weighted_sample": """
+            -- Efraimidis-Spirakis replay: identical u derivation
+            -- (md5('ws1' || id) first 48 bits, +1, /2^48), identical
+            -- association order (-ln(u)/w)*2^30, floor-quantized BIGINT
+            -- ranking with doc_id tie-break — selection is integer-exact
+            WITH t AS (
+              SELECT doc_id, source, n_chars,
+                CAST(FLOOR(
+                  -ln((CAST('0x' || substr(
+                         md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) + 1) / 281474976710656.0)
+                  / CAST(n_chars AS DOUBLE) * 1073741824.0
+                ) AS BIGINT) AS sample_key
+              FROM documents WHERE n_chars > 0
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY source ORDER BY sample_key, doc_id
+                ) AS sample_rank
+              FROM t
+            )
+            SELECT doc_id, source, n_chars, sample_key,
+                   CAST(sample_rank AS INT) AS sample_rank
+            FROM r WHERE sample_rank <= 20
+        """,
+        "source_top_terms": """
+            -- c-TF-IDF: same tokenizer class (ASCII \\s+ regex), same
+            -- association order tf * ln(1 + n_groups/df) * 2^20, floored
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                x -> length(x) > 0)) AS term
+              FROM documents
+            ), tf AS (
+              SELECT source AS "group", term,
+                     CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2
+            ), dfg AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df_groups
+              FROM tf GROUP BY 1
+            ), ng AS (
+              SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n
+              FROM documents
+            ), s AS (
+              SELECT "group", term, tf, df_groups,
+                CAST(FLOOR(CAST(tf AS DOUBLE)
+                     * ln(1.0 + n / CAST(df_groups AS DOUBLE))
+                     * 1048576.0) AS BIGINT) AS score_units
+              FROM tf JOIN dfg USING (term), ng
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY "group"
+                  ORDER BY score_units DESC, term
+                ) AS rank
+              FROM s
+            )
+            SELECT "group", term, tf, df_groups, score_units,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
         "mixture_sample": """
             -- every literal CAST to DOUBLE (DuckDB parses 0.5 as DECIMAL)
             -- and the arithmetic in the exact order the Python driver

@@ -94,6 +94,11 @@ HEADLINE = [
     "paragraph_dedup",
     "bm25_topk",
     "conv_pii",
+    # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
+    # per-source c-TF-IDF terms
+    "para_neardup",
+    "weighted_sample",
+    "source_top_terms",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -240,6 +240,7 @@ def pack_conversations(
     model,
     seq_len: int,
     assistant_role: str = "assistant",
+    cross_boundaries: bool = True,
 ) -> DataFrame:
     """The transcript last mile: conversations → fixed-length BPE token
     sequences with a per-token LOSS MASK (1 on assistant-turn tokens,
@@ -263,6 +264,11 @@ def pack_conversations(
     mask can never mis-align, and the packer's one-wide-exchange /
     two-phase-prefix-sum scale shape is reused verbatim. Returns
     ``(seq_id, token_ids, loss_mask, n_tokens, n_convs)``.
+
+    ``cross_boundaries=False`` switches to DOCUMENT-ISOLATED packing:
+    each conversation chunks independently (last chunk short, no
+    cross-conversation attention leakage), keyed ``(conv_id,
+    chunk_idx)`` — map-only past the conv agg, no global numbering.
 
     Reference: feast has no training-sequence operators; the packing
     semantics follow standard LM pretraining/SFT data pipelines (turn
@@ -298,6 +304,52 @@ def pack_conversations(
             )
         ).alias("token_ids")
     )
+
+    def _split(col_ids, col_mask="loss_mask"):
+        return [
+            F.transform(
+                col_ids, lambda x: F.shiftright(x, 1).cast("int")
+            ).alias("token_ids"),
+            F.transform(
+                col_ids, lambda x: x.bitwiseAND(F.lit(1)).cast("int")
+            ).alias(col_mask),
+        ]
+
+    if not cross_boundaries:
+        # document-isolated packing (no cross-conversation attention):
+        # each conversation's stream is chunked independently into
+        # ceil(n/seq_len) sequences — the LAST chunk per conversation is
+        # short. Map-only past the conv agg: no prefix sum, no wide
+        # exchange; sequences are keyed (conv_id, chunk_idx) so no global
+        # numbering pass exists to bottleneck. Trades ~half-seq padding
+        # waste per conv for leak-free attention, the standard SFT
+        # packing alternative.
+        n_chunks = F.ceil(
+            F.size("token_ids") / F.lit(float(seq_len))
+        ).cast("int")
+        chunks = (
+            conv.filter(F.size("token_ids") > 0)
+            .select(
+                "conv_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), n_chunks),
+                        lambda i: F.slice(
+                            "token_ids",
+                            (i - 1) * F.lit(seq_len) + 1,
+                            F.lit(seq_len),
+                        ),
+                    )
+                ).alias("_pos", "comb"),
+            )
+        )
+        return chunks.select(
+            "conv_id",
+            (F.col("_pos") + 1).alias("chunk_idx"),  # 1-based, rank-style
+            *_split(F.col("comb")),
+            F.size("comb").cast("long").alias("n_tokens"),
+        )
+
     # string conv ids: hash_order gives the packer a portable numeric
     # stream order (md5-48bit, conv_id); bucketing is fixed at the
     # hash's top 10 bits (≤1024 buckets), so no bucket-size knob here
@@ -306,12 +358,7 @@ def pack_conversations(
     )
     return packed.select(
         "seq_id",
-        F.transform(
-            "token_ids", lambda x: F.shiftright(x, 1).cast("int")
-        ).alias("token_ids"),
-        F.transform(
-            "token_ids", lambda x: x.bitwiseAND(F.lit(1)).cast("int")
-        ).alias("loss_mask"),
+        *_split(F.col("token_ids")),
         "n_tokens",
         F.col("n_docs").alias("n_convs"),
     )

@@ -180,16 +180,21 @@ def _shingle_hash_batch(texts: pd.Series, k: int) -> list[np.ndarray]:
     # fallback's "one shingle" contract
     doc = np.repeat(np.arange(n), lens)
     codes64 = codes.astype(np.uint64)
-    for i in np.nonzero((lens > 0) & (lens < k))[0]:
-        s, e = doc.searchsorted(i, "left"), doc.searchsorted(i, "right")
-        c = codes64[s:e]
-        hh = c[0] if len(c) else np.uint64(0)
-        for x in c[1:]:
-            hh = hh * textkit.HASH_BASE + x
-        out[i] = np.array(
-            [np.int64((hh * textkit.HASH_MIX).astype(np.uint64).view(np.int64))],
-            dtype=np.int64,
-        )
+    # wraparound is the contract here (mod-2^64 polynomial hash); numpy 2
+    # warns on SCALAR uint64 overflow even though it still wraps
+    with np.errstate(over="ignore"):
+        for i in np.nonzero((lens > 0) & (lens < k))[0]:
+            s, e = doc.searchsorted(i, "left"), doc.searchsorted(i, "right")
+            c = codes64[s:e]
+            hh = c[0] if len(c) else np.uint64(0)
+            for x in c[1:]:
+                hh = hh * textkit.HASH_BASE + x
+            out[i] = np.array(
+                [np.int64(
+                    (hh * textkit.HASH_MIX).astype(np.uint64).view(np.int64)
+                )],
+                dtype=np.int64,
+            )
     return out
 
 
@@ -1067,5 +1072,77 @@ def conversation_neardup_pairs(
     return mapped.select(
         F.least("__ca", "__cb").alias("id_a"),
         F.greatest("__ca", "__cb").alias("id_b"),
+        "jaccard",
+    )
+
+
+def paragraph_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    idx_bits: int = 16,
+) -> DataFrame:
+    """Fuzzy near-duplicate detection at the PARAGRAPH grain: MinHash-LSH
+    over individual paragraphs across the whole corpus — the fuzzy arm of
+    :func:`feast_spark.operators.selection.paragraph_dedup` (which is
+    exact-hash only). Real transcript/web corpora duplicate boilerplate
+    at this grain with small edits (dates, usernames) that exact hashing
+    misses; Dolma's paragraph dedup motivates the grain, MinHash supplies
+    the tolerance.
+
+    Composition at proven scale shapes: one literal-separator split +
+    posexplode (map-only) turns the corpus into a paragraph relation
+    keyed by the packed int64 surrogate ``doc_id * 2^idx_bits +
+    para_idx`` (8 B/row through every LSH shuffle; a runtime assert
+    rejects a paragraph index that would overflow the packing), then
+    :func:`minhash_lsh_pairs` runs unchanged on it. Returns
+    ``(doc_a, para_a, doc_b, para_b, jaccard)`` with ``(doc_a, para_a) <
+    (doc_b, para_b)`` — unpacking is map-side arithmetic, no extra join.
+
+    Reference: feast has no text dedup (the paragraph grain follows the
+    public Dolma pipeline's design).
+    """
+    shift = 1 << idx_bits
+    pat = "\\Q" + sep + "\\E"
+    paras_arr = F.filter(
+        F.transform(F.split(F.col(text_col), pat), lambda x: F.trim(x)),
+        lambda x: F.length(x) >= min_chars,
+    )
+    # the overflow guard lives INSIDE the pid expression (assert_true is
+    # NULL on success, so the when() both evaluates it and yields the
+    # packed id) — a free-standing checked column would be pruned away
+    guard = F.assert_true(
+        F.col("para_idx") < F.lit(shift),
+        F.lit(f"para_idx >= 2^{idx_bits}: raise idx_bits"),
+    )
+    p = docs.select(
+        F.col(id_col).cast("long").alias("_doc"),
+        F.posexplode(paras_arr).alias("para_idx", "para"),
+    ).select(
+        F.when(
+            guard.isNull(),
+            F.col("_doc") * F.lit(shift) + F.col("para_idx"),
+        ).alias("pid"),
+        "para",
+    )
+    pairs = minhash_lsh_pairs(
+        p, "pid", "para",
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold, seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    return pairs.select(
+        F.expr(f"id_a div {shift}").alias("doc_a"),
+        F.pmod("id_a", F.lit(shift)).cast("long").alias("para_a"),
+        F.expr(f"id_b div {shift}").alias("doc_b"),
+        F.pmod("id_b", F.lit(shift)).cast("long").alias("para_b"),
         "jaccard",
     )

@@ -119,3 +119,75 @@ def lexical_stats(
             yield stats
 
     return sel.mapInPandas(_run, schema=_SCHEMA)
+
+
+def source_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Distinctive terms per group — class-based TF-IDF (the public
+    BERTopic c-TF-IDF formulation): rank terms within each group by
+    ``tf(term, group) * ln(1 + n_groups / df_groups(term))``, where
+    ``df_groups`` counts GROUPS containing the term (a term every source
+    uses scores idf ~ ln 2; a source-exclusive term gets the full boost).
+    The corpus-analysis dual of :func:`feast_spark.operators.selection
+    .top_ngrams`: what characterizes each slice, not what repeats.
+
+    Ranking is on the ``2^-quant_bits`` floor-quantized score
+    (``score_units``) with the term as tie-break, one fixed association
+    order (tf * idf, then quantize), so a SQL oracle replays selection
+    integer-exactly. Returns ``(group, term, tf, df_groups, score_units,
+    rank)`` with ``rank`` 1-based per group.
+
+    Scale shape: tokenization is map-only; ``tf`` is one
+    map-side-combined hash agg on (group, term); ``df_groups`` re-aggs
+    the (already unique) tf relation on term; ``n_groups`` is a driver
+    scalar (sources are dimension-sized). The top-k is a per-group
+    ``row_number`` Spark rewrites to ``WindowGroupLimit`` — each map task
+    keeps ≤ k rows per group before the exchange, so a mega-group never
+    funnels through one sort.
+
+    Reference: feast has only numeric/categorical profiling
+    (``dqm/profilers``); term profiling follows the public c-TF-IDF
+    formulation.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    tf = (
+        docs.select(F.col(group_col).alias("group"), toks.alias("_t"))
+        .select("group", F.explode("_t").alias("term"))
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_groups")
+    )
+    n_groups = docs.select(group_col).distinct().count()
+    scored = tf.join(dfg, "term").select(
+        "group",
+        "term",
+        "tf",
+        "df_groups",
+        F.floor(
+            F.col("tf").cast("double")
+            * F.log(
+                F.lit(1.0)
+                + F.lit(float(n_groups)) / F.col("df_groups").cast("double")
+            )
+            * F.lit(float(1 << quant_bits))
+        ).cast("long").alias("score_units"),
+    )
+    win = Window.partitionBy("group").orderBy(
+        F.col("score_units").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= int(k))
+    )

@@ -765,6 +765,58 @@ def exact_k_sample(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    stratum: Column | None = None,
+    seed: str = "ws1",
+    quant_bits: int = 30,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(k, n)`` rows
+    per stratum: the Efraimidis–Spirakis A-ES scheme — each row draws a
+    deterministic uniform ``u`` from ``md5(seed || key)`` and is ranked
+    by ``-ln(u) / w`` ascending (equivalently ``u^(1/w)`` descending), so
+    a row's inclusion probability is proportional to its weight and the
+    draw is key-stable across re-runs and cluster layouts. The weighted
+    complement of :func:`exact_k_sample`: quality-weighted corpus carving
+    ("keep 1M docs, biased toward high classifier margin") is THE
+    standard selection step after scoring.
+
+    Rows with non-positive or NULL weight are never selected (they'd need
+    ``-ln(u)/w`` = +inf). Ranking happens on the ``2^-quant_bits``
+    floor-quantized key with the raw key value emitted alongside
+    (``sample_key``), so an oracle can replay selection integer-exactly;
+    ``u`` is ``(h+1)/2^48`` with ``h`` the first 48 md5 bits — never 0,
+    so the log is finite.
+
+    Scale shape: the md5 + log is map-only; the rank is a per-stratum
+    ``row_number`` that Spark rewrites to ``WindowGroupLimit`` (each map
+    task keeps ≤ k rows per stratum BEFORE the exchange), same as
+    :func:`exact_k_sample`.
+    """
+    strat = stratum if stratum is not None else F.lit(1)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    w = weight.cast("double")
+    es_key = -F.log(u) / w
+    units = F.floor(es_key * F.lit(float(1 << quant_bits))).cast("long")
+    win = Window.partitionBy(strat).orderBy(units, key)
+    return (
+        df.withColumn("__units", units)
+        .filter(w > 0)
+        .withColumn(rank_col, F.row_number().over(win))
+        .filter(F.col(rank_col) <= int(k))
+        .withColumnRenamed("__units", "sample_key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-level n-gram mining (boilerplate discovery)
 # ---------------------------------------------------------------------------

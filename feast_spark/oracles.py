@@ -219,15 +219,14 @@ def tokenize_pack_pdf(
               "n_docs": "int64"})
 
 
-def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
-    """Naive replay of pack_conversations on the fixture transcripts:
-    latest-per-(conv_id, turn_idx) dedup, ``role: text`` rendering, BPE
-    (pure-python twin trained on the same rendered lines), per-turn mask
-    (1 iff role == assistant), conversations concatenated in
-    ``(int(md5(conv_id)[:12], 16), conv_id)`` order — the packer's
-    portable hash_order — then chunked into seq_len sequences."""
-    import hashlib
-
+def _conv_token_streams(
+    num_merges: int = 8,
+) -> dict[str, tuple[list[int], list[int]]]:
+    """Shared front half of the pack_conversations replays: fixture
+    transcripts -> latest-per-(conv_id, turn_idx) dedup -> ``role: text``
+    rendering -> pure-python BPE twin -> per-conversation (token_ids,
+    loss_mask) streams in turn order. Both packing modes (corpus-stream
+    and conversation-isolated) consume this."""
     from feast_spark.operators.bpe import encode_word, train_bpe_naive
     from feast_spark.pipeline.oracle import oracle_dedup_latest
 
@@ -268,8 +267,29 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
     by_conv: dict[str, list[tuple[int, list[str], int]]] = {}
     for conv, idx, ts, m in per_turn:
         by_conv.setdefault(conv, []).append((idx, ts, m))
+    streams: dict[str, tuple[list[int], list[int]]] = {}
+    for conv, items in by_conv.items():
+        cids: list[int] = []
+        cmask: list[int] = []
+        for _idx, ts, m in sorted(items, key=lambda x: x[0]):
+            cids.extend(vid[t] for t in ts)
+            cmask.extend(m for _ in ts)
+        streams[conv] = (cids, cmask)
+    return streams
+
+
+def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
+    """Naive replay of pack_conversations on the fixture transcripts:
+    latest-per-(conv_id, turn_idx) dedup, ``role: text`` rendering, BPE
+    (pure-python twin trained on the same rendered lines), per-turn mask
+    (1 iff role == assistant), conversations concatenated in
+    ``(int(md5(conv_id)[:12], 16), conv_id)`` order — the packer's
+    portable hash_order — then chunked into seq_len sequences."""
+    import hashlib
+
+    streams = _conv_token_streams(num_merges)
     conv_order = sorted(
-        by_conv,
+        streams,
         key=lambda c: (int(hashlib.md5(c.encode()).hexdigest()[:12], 16), c),
     )
     ids: list[int] = []
@@ -277,9 +297,9 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
     bounds: list[tuple[int, int]] = []
     for conv in conv_order:
         a = len(ids)
-        for _idx, ts, m in sorted(by_conv[conv], key=lambda x: x[0]):
-            ids.extend(vid[t] for t in ts)
-            mask.extend(m for _ in ts)
+        cids, cmask = streams[conv]
+        ids.extend(cids)
+        mask.extend(cmask)
         bounds.append((a, len(ids)))
     rows = []
     n_seqs = (len(ids) + seq_len - 1) // seq_len
@@ -304,6 +324,111 @@ def conv_pack_pdf(num_merges: int = 8, seq_len: int = 48) -> pd.DataFrame:
             "mask_str": "string",
             "n_tokens": "int64",
             "n_convs": "int64",
+        }
+    )
+
+
+def conv_pack_isolated_pdf(
+    num_merges: int = 8, seq_len: int = 48
+) -> pd.DataFrame:
+    """Naive replay of pack_conversations(cross_boundaries=False):
+    per-conversation chunking — each conversation's token stream cut
+    independently into ceil(n/seq_len) sequences keyed (conv_id,
+    chunk_idx); no global order exists to replay."""
+    streams = _conv_token_streams(num_merges)
+    rows = []
+    for conv in sorted(streams):
+        ids, mask = streams[conv]
+        if not ids:
+            continue
+        n_chunks = (len(ids) + seq_len - 1) // seq_len
+        for c in range(n_chunks):
+            a, b = c * seq_len, (c + 1) * seq_len
+            rows.append(
+                (
+                    conv,
+                    c + 1,
+                    " ".join(map(str, ids[a:b])),
+                    " ".join(map(str, mask[a:b])),
+                    len(ids[a:b]),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["conv_id", "chunk_idx", "ids_str", "mask_str", "n_tokens"],
+    ).astype(
+        {
+            "conv_id": "string",
+            "chunk_idx": "int64",
+            "ids_str": "string",
+            "mask_str": "string",
+            "n_tokens": "int64",
+        }
+    )
+
+
+def paragraph_neardup_pdf(
+    sf_dir: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    idx_bits: int = 16,
+) -> pd.DataFrame:
+    """Naive replay of paragraph_neardup_pairs over the documents table
+    with the driver query's synthesized paragraph structure: ' merge '
+    becomes a paragraph break and every doc gains a COHORT footer
+    paragraph ('shared footer ' + md5(doc_id % 97)) — identical inside a
+    cohort (the planted pairs), hex-distinct across cohorts. Paragraphs
+    pack into the same int64 surrogate doc_id * 2^idx_bits + para_idx and
+    run through the shared naive-LSH core."""
+    import hashlib
+
+    from feast_spark.operators.dedup import _shingle_hash_batch
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    texts = [
+        str(t).replace(" merge ", sep)
+        + sep
+        + "shared footer "
+        + hashlib.md5(str(int(i) % 97).encode()).hexdigest()
+        for i, t in zip(docs["doc_id"], docs["text"])
+    ]
+    ids: list[int] = []
+    paras: list[str] = []
+    shift = 1 << idx_bits
+    for doc_id, text in zip(docs["doc_id"].astype(int), texts):
+        idx = 0
+        for p in text.split(sep):
+            p = p.strip()
+            if len(p) >= min_chars:
+                ids.append(doc_id * shift + idx)
+                paras.append(p)
+                idx += 1
+    shingles = _shingle_hash_batch(pd.Series(paras), shingle_k)
+    rows = _minhash_pairs_core(
+        np.array(ids, dtype=np.int64), shingles, num_hashes, bands,
+        jaccard_threshold, seed,
+    )
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    return pd.DataFrame(
+        {
+            "doc_a": out["id_a"] // shift,
+            "para_a": out["id_a"] % shift,
+            "doc_b": out["id_b"] // shift,
+            "para_b": out["id_b"] % shift,
+            "jaccard": out["jaccard"],
+        }
+    ).astype(
+        {
+            "doc_a": "int64",
+            "para_a": "int64",
+            "doc_b": "int64",
+            "para_b": "int64",
+            "jaccard": "float64",
         }
     )
 
@@ -1520,6 +1645,8 @@ _RELATIONS = {
     "diverse_sample": lambda sf: diverse_sample_pdf(sf),
     "doc_curation": lambda sf: curation_pdf(sf),
     "doc_curation_clf": lambda sf: curation_clf_pdf(sf),
+    "conv_pack_isolated": lambda sf: conv_pack_isolated_pdf(),
+    "para_neardup": lambda sf: paragraph_neardup_pdf(sf),
 }
 
 

@@ -170,25 +170,125 @@ def _one_size(spark, n_docs: int) -> dict:
     return out
 
 
+def _one_size_conv(spark, n_convs: int) -> dict:
+    """Conversation-grain flagships at scale: curate_conversations with
+    PLANTED whole-conversation clones (every clone must drop as a
+    near-dup with its original as component representative) and
+    pack_conversations with token/mask conservation asserted — the same
+    invariants bench.py pins at the per-round size, here at 10x."""
+    import bench
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import pack_conversations
+    from feast_spark.pipeline.conv_curation import (
+        ConvCurationConfig,
+        curate_conversations,
+    )
+
+    turns = spark.read.parquet(bench._corpus(spark, n_convs, files=64))
+    # plant clones: every 50th conversation duplicated verbatim under a
+    # new id that sorts AFTER the original ('_clone' > any digit), so the
+    # original is always the component's min-id representative
+    originals = turns.filter(F.pmod(F.xxhash64("conv_id"), F.lit(50)) == 0)
+    clones = originals.withColumn(
+        "conv_id", F.concat("conv_id", F.lit("_clone"))
+    )
+    n_clones = clones.select("conv_id").distinct().count()
+    corpus = turns.unionByName(clones).persist()
+    n_turns = corpus.count()
+    out: dict = {"n_convs": n_convs, "n_turns": n_turns,
+                 "planted_clones": n_clones}
+
+    t0 = time.time()
+    res = curate_conversations(
+        spark, corpus, ConvCurationConfig(sample_rate=1.0)
+    )
+    dec = res.decisions.persist()
+    n_dec = dec.count()
+    wall = round(time.time() - t0, 2)
+    clone_rows = dec.filter(F.col("conv_id").endswith("_clone")).persist()
+    # exact planted recovery: a clone survives only if its ORIGINAL
+    # failed structure/quality (then the clone is the component rep);
+    # when both reach stage 3 the clone must drop as near_dup
+    clone_near_dup = clone_rows.filter("drop_stage = 'near_dup'").count()
+    clone_kept = clone_rows.filter("kept").count()
+    assert clone_kept == 0, (clone_kept, n_clones)
+    out["conv_curate"] = {
+        "wall_sec": wall,
+        "n_conversations": n_dec,
+        "clones_dropped_near_dup": clone_near_dup,
+        "clones_planted": n_clones,
+    }
+    clone_rows.unpersist()
+    dec.unpersist()
+    res.release()
+
+    model = train_bpe(
+        corpus.filter(F.pmod(F.xxhash64("conv_id"), F.lit(10)) == 0).select(
+            F.concat("role", F.lit(": "), F.coalesce("text", F.lit(""))
+                     ).alias("text")
+        ),
+        num_merges=16,
+    )
+    t0 = time.time()
+    pk = pack_conversations(corpus, model, seq_len=512).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum((F.col("n_tokens") < 512).cast("long")).alias("short"),
+        F.sum((F.size("token_ids") != F.size("loss_mask")).cast("long")
+              ).alias("mask_mismatch"),
+        F.sum(F.aggregate("loss_mask", F.lit(0).cast("long"),
+                          lambda a, x: a + x)).alias("unmasked"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    # conservation at scale: every token carried once (at most one short
+    # tail sequence), masks ride 1:1, assistant tokens strictly between
+    # none and all
+    assert pk["short"] <= 1 and pk["mask_mismatch"] == 0, pk
+    assert 0 < pk["unmasked"] < pk["tok"], pk
+    out["conv_pack"] = {
+        "wall_sec": wall,
+        "n_seqs": pk["n_seqs"],
+        "n_tokens": int(pk["tok"]),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+    corpus.unpersist()
+    return out
+
+
 def main() -> None:
     import bench
 
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    conv_small = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "7000"))
+    conv_big = conv_small * 10
     spark = bench._session(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     small = _one_size(spark, n_small)
     big = _one_size(spark, n_big)
+    csmall = _one_size_conv(spark, conv_small)
+    cbig = _one_size_conv(spark, conv_big)
     size_ratio = n_big / n_small
     summary = {
         "n_small": n_small, "n_big": n_big, "size_ratio": size_ratio,
         "small": small, "big": big,
+        "conv_small": csmall, "conv_big": cbig,
         "wall_ratio_over_size_ratio": {
-            k: round(big[k]["wall_sec"] / max(small[k]["wall_sec"], 1e-9)
-                     / size_ratio, 3)
-            for k in ("span_dedup_xx", "substring_dedup_xx", "tokenize_pack",
-                      "paragraph_dedup_xx", "bm25_topk", "clean_lines",
-                      "lexical_stats", "minhash_cc", "curation",
-                      "shard_export")
+            **{
+                k: round(big[k]["wall_sec"] / max(small[k]["wall_sec"], 1e-9)
+                         / size_ratio, 3)
+                for k in ("span_dedup_xx", "substring_dedup_xx",
+                          "tokenize_pack", "paragraph_dedup_xx", "bm25_topk",
+                          "clean_lines", "lexical_stats", "minhash_cc",
+                          "curation", "shard_export")
+            },
+            **{
+                k: round(
+                    cbig[k]["wall_sec"] / max(csmall[k]["wall_sec"], 1e-9)
+                    / (cbig["n_turns"] / csmall["n_turns"]), 3)
+                for k in ("conv_curate", "conv_pack")
+            },
         },
     }
     print(json.dumps(summary, separators=(",", ":")))

@@ -345,3 +345,45 @@ def test_conversation_pii_values(spark):
     assert out["c2"]["flagged_turn_frac"] == 0.0
     # the stale PII draft was deduped away before counting
     assert out["c3"]["n_ipv4"] == 0 and out["c3"]["n_flagged_turns"] == 0
+
+
+# ------------------------------------------------- isolated (no-cross) packing
+
+
+def test_pack_conversations_isolated_conserves_and_never_crosses(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.bpe import train_bpe
+    from feast_spark.operators.conversation import (
+        _deduped,
+        pack_conversations,
+    )
+
+    turns = transcripts_spark(spark, 30, seed=7, mega_every=10, mega_turns=60)
+    rendered = _deduped(turns).select(
+        F.concat("role", F.lit(": "), F.coalesce("text", F.lit(""))).alias(
+            "text"
+        )
+    )
+    model = train_bpe(rendered, num_merges=8)
+    iso = pack_conversations(
+        turns, model, seq_len=48, cross_boundaries=False
+    ).toPandas()
+    cross = pack_conversations(turns, model, seq_len=48).toPandas()
+    # conservation: both modes carry exactly the same total token stream
+    assert iso["n_tokens"].sum() == cross["n_tokens"].sum()
+    # per conversation: chunk_idx is 1..n, all but the last chunk full,
+    # masks ride 1:1
+    for conv, grp in iso.groupby("conv_id"):
+        g = grp.sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(1, len(g) + 1))
+        assert (g["n_tokens"].iloc[:-1] == 48).all()
+        assert 1 <= g["n_tokens"].iloc[-1] <= 48
+    assert (
+        iso["token_ids"].map(len) == iso["loss_mask"].map(len)
+    ).all()
+    # isolation: a sequence's tokens come from ONE conversation — implied
+    # by the (conv_id, chunk_idx) key; cross-mode has multi-conv seqs on
+    # this fixture, so the distinction is real
+    assert (cross["n_convs"] > 1).any()

@@ -303,3 +303,52 @@ def test_prefix_jaccard_planted_near_dup(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            prefix_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5).collect()}
     assert (0, 1) in got and len(got) == 1
+
+
+# ------------------------------------------------------ paragraph near-dup
+
+
+def test_paragraph_neardup_finds_planted_near_identical_paragraphs(spark):
+    from feast_spark.operators.dedup import (
+        paragraph_neardup_pairs,
+        release_dedup_caches,
+    )
+
+    # three docs; docs 1 and 2 share an IDENTICAL second paragraph, doc 3
+    # carries a lightly edited variant (one word changed) — both the
+    # exact and the fuzzy pair must surface; body paragraphs are distinct
+    boiler = "this boilerplate footer paragraph repeats across documents verbatim"
+    near = "this boilerplate footer paragraph repeats across pages verbatim"
+    rows = [
+        (1, "alpha unique body one\n\n" + boiler),
+        (2, "beta different body two\n\n" + boiler),
+        (3, "gamma third body text\n\n" + near),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = paragraph_neardup_pairs(df, jaccard_threshold=0.5).collect()
+    release_dedup_caches()
+    got = {
+        ((r["doc_a"], r["para_a"]), (r["doc_b"], r["para_b"])): r["jaccard"]
+        for r in pairs
+    }
+    assert got[((1, 1), (2, 1))] == 1.0
+    # the edited variant pairs with both verbatim copies, below 1.0
+    assert 0.5 <= got[((1, 1), (3, 1))] < 1.0
+    assert 0.5 <= got[((2, 1), (3, 1))] < 1.0
+    # distinct bodies never pair
+    assert ((1, 0), (2, 0)) not in got
+
+
+def test_paragraph_neardup_packing_guard_raises_on_idx_overflow(spark):
+    from feast_spark.operators.dedup import (
+        paragraph_neardup_pairs,
+        release_dedup_caches,
+    )
+
+    # 5 paragraphs with idx_bits=2 (max 4): the packed-surrogate guard
+    # must fail the job instead of silently colliding ids
+    text = "\n\n".join(f"paragraph number {i} content here" for i in range(5))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    with pytest.raises(Exception, match="idx_bits|ASSERT"):
+        paragraph_neardup_pairs(df, idx_bits=2).collect()
+    release_dedup_caches()

@@ -192,3 +192,43 @@ def test_lexical_stats_map_only_plan(spark):
 
     plan = _plan(lexical_stats(_docs(spark, [(1, "a b")])))
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------- source c-TF-IDF
+
+
+def test_source_top_terms_surfaces_distinctive_terms(spark):
+    from feast_spark.operators.lexical import source_top_terms
+
+    rows = [
+        (1, "a", "kubernetes cluster deploys kubernetes pods"),
+        (2, "a", "kubernetes nodes and the common filler words"),
+        (3, "b", "sourdough starter feeds sourdough loaves"),
+        (4, "b", "sourdough bakers and the common filler words"),
+        (5, "c", "telescope optics and the common filler words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_top_terms(df, k=3).toPandas()
+    top1 = out[out["rank"] == 1].set_index("group")["term"].to_dict()
+    # each group's exclusive high-tf term wins; the shared filler loses.
+    # group c's exclusive terms all tie at tf=1/df=1, so the term
+    # tie-break (ascending) picks 'optics'
+    assert top1 == {"a": "kubernetes", "b": "sourdough", "c": "optics"}
+    assert (out.groupby("group").size() <= 3).all()
+    # shared-by-all terms carry df_groups == 3
+    shared = out[out["term"] == "the"]
+    assert (shared["df_groups"] == 3).all() if len(shared) else True
+
+
+def test_source_top_terms_plan_bounds_topk(spark):
+    from feast_spark.operators.lexical import source_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z")], "doc_id long, source string, text string"
+    )
+    plan = (
+        source_top_terms(df, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -1113,3 +1113,77 @@ def test_paragraph_dedup_incremental_equals_one_shot(spark):
         assert state.count() == state.select("h").distinct().count()
         state = state.localCheckpoint()
     assert got == one_shot
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_k_exact_size_and_determinism(spark):
+    from feast_spark.operators.selection import weighted_sample_k
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod("id", F.lit(4))).cast("string").alias("g"),
+        (F.pmod("id", F.lit(7)) + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample_k(
+        df, F.col("doc_id"), F.col("w"), 10, stratum=F.col("g")
+    )
+    pdf = out.toPandas()
+    assert (pdf.groupby("g").size() == 10).all()
+    # layout-independence: same picks after an arbitrary repartition
+    pdf2 = weighted_sample_k(
+        df.repartition(17), F.col("doc_id"), F.col("w"), 10,
+        stratum=F.col("g"),
+    ).toPandas()
+    a = set(map(tuple, pdf[["g", "doc_id"]].to_numpy()))
+    b = set(map(tuple, pdf2[["g", "doc_id"]].to_numpy()))
+    assert a == b
+
+
+def test_weighted_sample_k_is_weight_proportional_and_skips_nonpositive(spark):
+    import numpy as np
+
+    from feast_spark.operators.selection import weighted_sample_k
+
+    # 900 light rows (w=1) + 100 heavy rows (w=50) + zero/NULL weights:
+    # expected heavy share of a k=200 A-ES sample is ~85%; assert a loose
+    # deterministic band (the draw is fixed by md5, not random at test
+    # time) and that non-positive weights never appear
+    df = spark.range(1010).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 1000, F.lit(0.0))
+        .when(F.col("id") % 10 == 0, F.lit(50.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    ).withColumn(
+        "w", F.when(F.col("doc_id") == 1005, F.lit(None)).otherwise(F.col("w"))
+    )
+    pdf = weighted_sample_k(df, F.col("doc_id"), F.col("w"), 200).toPandas()
+    assert len(pdf) == 200
+    assert (pdf["w"] > 0).all()
+    heavy = int((pdf["w"] == 50.0).sum())
+    # E[heavy] ≈ 100·(1-(1-p)^...) — nearly all 100 heavy rows make a
+    # k=200 cut when they carry 5000/5900 of the total weight
+    assert heavy >= 85, heavy
+    # sanity: ranks are 1..k and keys ascend with rank within the stratum
+    s = pdf.sort_values("sample_rank")
+    assert list(s["sample_rank"]) == list(range(1, 201))
+    assert (np.diff(s["sample_key"].to_numpy()) >= 0).all()
+
+
+def test_weighted_sample_k_plan_bounds_shuffle(spark):
+    from feast_spark.operators.selection import weighted_sample_k
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(2.0).alias("w"),
+        (F.pmod("id", F.lit(3))).cast("string").alias("g"),
+    )
+    plan = (
+        weighted_sample_k(df, F.col("doc_id"), F.col("w"), 5,
+                          stratum=F.col("g"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # rank rewritten to WindowGroupLimit: each map task keeps <= k rows
+    # per stratum BEFORE the exchange
+    assert "WindowGroupLimit" in plan
