@@ -1890,6 +1890,25 @@ def q_conv_pack_isolated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_moore_lewis(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: Moore-Lewis cross-entropy-difference selection — the
+    # two-LM contrast (in-domain src1-3 vs whole-corpus general model)
+    # that cancels the generic-fluency signal a single perplexity gate
+    # conflates with domain fit. ce_diff_units is an exact int64
+    # difference of the engine's micro-log sums; portable md5 arm +
+    # 2^20 buckets so the Counter-replay oracle is bit-exact.
+    from feast_spark.operators.lm import moore_lewis_scores
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    return moore_lewis_scores(
+        d,
+        d.where(F.col("source").isin("src1", "src2", "src3")),
+        order=3,
+        method="portable",
+        n_buckets=1 << 20,
+    )
+
+
 def q_source_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # round 5: c-TF-IDF distinctive terms per source (BERTopic
     # formulation): tf(term, source) * ln(1 + n_sources/df_sources),
@@ -1916,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "conv_pack_isolated": q_conv_pack_isolated,
         "source_top_terms": q_source_top_terms,
+        "moore_lewis": q_moore_lewis,
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
@@ -1967,7 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_last_click": q_pit_last_click,
         "session_window_agg": q_session_window_agg,
         # documents / embeddings operators
-        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_quality_scores": q_doc_quality_scores,
@@ -1983,6 +2002,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver artifact is capped."""
     return {
         # rotated round 5 (still pytest-oracled here)
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "stratified_sample": q_stratified_sample,
         "top_ngrams": q_top_ngrams,
         "doc_chunks": q_doc_chunks,
@@ -2062,6 +2082,7 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "para_neardup": _rp("para_neardup"),
         "conv_pack_isolated": _rp("conv_pack_isolated"),
+        "moore_lewis": _rp("moore_lewis"),
         "weighted_sample": """
             -- Efraimidis-Spirakis replay: identical u derivation
             -- (md5('ws1' || id) first 48 bits, +1, /2^48), identical

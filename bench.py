@@ -99,6 +99,7 @@ HEADLINE = [
     "para_neardup",
     "weighted_sample",
     "source_top_terms",
+    "moore_lewis",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -654,3 +654,74 @@ def perplexity_buckets(
     return out.withColumn("bucket", F.element_at(label_arr, idx + 1)).drop(
         "__cuts"
     )
+
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    in_domain: DataFrame,
+    general: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+    method: str = "xxhash64",
+    n_buckets: int | None = 1 << 20,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data"): score
+    every document by ``H_in(d) - H_gen(d)`` — its per-token cross-entropy
+    under an IN-DOMAIN LM minus under a GENERAL LM trained on the whole
+    corpus (default: ``docs`` itself). Documents that look more in-domain
+    than average score NEGATIVE; the standard selection keeps everything
+    under a threshold (0 = "more in-domain-like than corpus-typical").
+    The two-model contrast cancels generic fluency that a single-LM
+    perplexity gate (CCNet) conflates with domain fit.
+
+    Exactness: both scores are the engine's int64 micro-log-prob sums, so
+    ``ce_diff_units = lp_gen_sum - lp_in_sum`` is an EXACT integer per
+    document (association-order-free); ``ce_diff`` is that over
+    ``1e6 * n_tokens`` in one fixed float64 division.
+
+    Scale shape: two bounded LM trainings (``n_buckets`` caps both the
+    counting shuffle and the broadcast model — REQUIRED at corpus scale,
+    see CurationConfig.lm_buckets) + two map-side scoring passes joined
+    on ``id_col``; nothing new shuffles the corpus text.
+
+    Reference: feast has no data-selection operators; the method is the
+    public Moore–Lewis formulation (also the DSIR paper's baseline).
+    """
+    lm_in = train_ngram_lm(
+        in_domain, text_col=text_col, order=order, method=method,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    lm_gen = train_ngram_lm(
+        general if general is not None else docs,
+        text_col=text_col, order=order, method=method,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    a = lm_perplexity(docs, lm_in, text_col=text_col, id_col=id_col).select(
+        id_col,
+        F.col("n_tokens"),
+        F.col("lp_sum").alias("lp_in_sum"),
+        F.col("ppl").alias("ppl_in"),
+    )
+    b = lm_perplexity(docs, lm_gen, text_col=text_col, id_col=id_col).select(
+        id_col,
+        F.col("lp_sum").alias("lp_gen_sum"),
+        F.col("ppl").alias("ppl_gen"),
+    )
+    out = a.join(b, id_col)
+    units = (F.col("lp_gen_sum") - F.col("lp_in_sum")).alias("ce_diff_units")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "lp_in_sum",
+        "lp_gen_sum",
+        "ppl_in",
+        "ppl_gen",
+        units,
+        (
+            (F.col("lp_gen_sum") - F.col("lp_in_sum")).cast("double")
+            / (F.lit(1e6) * F.col("n_tokens").cast("double"))
+        ).alias("ce_diff"),
+    )

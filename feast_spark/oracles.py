@@ -1353,6 +1353,41 @@ def lm_perplexity_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def moore_lewis_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of moore_lewis_scores (portable arm, order 3,
+    2^20 buckets): two independent Counter-table LM replays — in-domain
+    trained on the src1-3 slice, general trained on the whole corpus —
+    joined on doc_id; ce_diff_units is the exact int64 difference of the
+    micro-log-prob sums, ce_diff one float64 division."""
+    from feast_spark.operators.lm import naive_lm_pdf
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    train_in = docs.loc[
+        docs["source"].isin(["src1", "src2", "src3"]), "text"
+    ]
+    a = naive_lm_pdf(
+        docs["text"], docs["doc_id"], order=3, n_buckets=1 << 20,
+        train_texts=train_in,
+    ).rename(columns={"lp_sum": "lp_in_sum", "ppl": "ppl_in"})
+    b = naive_lm_pdf(
+        docs["text"], docs["doc_id"], order=3, n_buckets=1 << 20,
+        train_texts=docs["text"],
+    ).rename(columns={"lp_sum": "lp_gen_sum", "ppl": "ppl_gen"})
+    m = a.merge(b[["doc_id", "lp_gen_sum", "ppl_gen"]], on="doc_id")
+    m["ce_diff_units"] = (
+        m["lp_gen_sum"].astype("int64") - m["lp_in_sum"].astype("int64")
+    )
+    m["ce_diff"] = m["ce_diff_units"].to_numpy(np.float64) / (
+        np.float64(1e6) * m["n_tokens"].to_numpy(np.float64)
+    )
+    return m[
+        [
+            "doc_id", "n_tokens", "lp_in_sum", "lp_gen_sum",
+            "ppl_in", "ppl_gen", "ce_diff_units", "ce_diff",
+        ]
+    ].astype({"ce_diff_units": "int64"})
+
+
 def langid_pdf(sf_dir: str) -> pd.DataFrame:
     """Naive replay of the multiclass hashed char-trigram language
     classifier: per-doc Counter features over the shared trigram leaf
@@ -1647,6 +1682,7 @@ _RELATIONS = {
     "doc_curation_clf": lambda sf: curation_clf_pdf(sf),
     "conv_pack_isolated": lambda sf: conv_pack_isolated_pdf(),
     "para_neardup": lambda sf: paragraph_neardup_pdf(sf),
+    "moore_lewis": lambda sf: moore_lewis_pdf(sf),
 }
 
 

@@ -285,3 +285,47 @@ def test_perplexity_buckets_custom_quantiles_labels(spark):
         ).collect()
     }
     assert [out[i] for i in range(10)] == ["keep"] * 5 + ["drop"] * 5
+
+
+def test_moore_lewis_separates_domains_and_is_integer_exact(spark):
+    import numpy as np
+
+    from feast_spark.operators.lm import moore_lewis_scores, naive_lm_pdf
+
+    # two disjoint-vocabulary domains: in-domain docs must score negative
+    # cross-entropy difference (more in-domain-like), out-of-domain
+    # positive
+    rng = np.random.default_rng(3)
+    vin = [f"in{i}" for i in range(20)]
+    vout = [f"out{i}" for i in range(20)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vin, 20)), "target"))
+    for i in range(30, 60):
+        rows.append((i, " ".join(rng.choice(vout, 20)), "other"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = moore_lewis_scores(
+        df, df.where("source = 'target'"), order=3, method="portable",
+        n_buckets=1 << 16,
+    ).toPandas().set_index("doc_id")
+    ind, outd = out.loc[:29, "ce_diff"], out.loc[30:, "ce_diff"]
+    # out-of-domain docs are unknown to the in-domain LM: strongly
+    # positive, every one. In-domain docs hover near zero (both models
+    # know them) — group separation, allowing stupid-backoff slack
+    assert (outd > 0).all()
+    assert (ind < 0).mean() >= 0.9
+    assert ind.mean() < 0 < outd.mean()
+    assert ind.max() < outd.min()
+    # integer exactness vs the naive Counter replay
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    a = naive_lm_pdf(
+        pdf["text"], pdf["doc_id"], order=3, n_buckets=1 << 16,
+        train_texts=pdf.loc[pdf["source"] == "target", "text"],
+    ).set_index("doc_id")
+    b = naive_lm_pdf(
+        pdf["text"], pdf["doc_id"], order=3, n_buckets=1 << 16,
+        train_texts=pdf["text"],
+    ).set_index("doc_id")
+    want = (b["lp_sum"] - a["lp_sum"]).astype("int64")
+    got = out["ce_diff_units"].astype("int64")
+    assert (got.sort_index().to_numpy() == want.sort_index().to_numpy()).all()
