@@ -1920,6 +1920,31 @@ def q_source_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return source_top_terms(_t(spark, sf, "documents"), k=10)
 
 
+def q_cdc_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: content-defined-chunking near-dup (Gear/FastCDC) — byte
+    # grain, insertion-shift-robust: every doc gains a 12-block md5
+    # cohort footer (doc_id % 97) that lands at a DIFFERENT byte offset
+    # per doc, so only content-defined cuts align the planted shared
+    # chunks (fixed-size blocking finds none of them). Oracle replays
+    # the sequential scalar gear + naive dict bucketing
+    # (oracles.cdc_neardup_pdf).
+    from feast_spark.operators.dedup import cdc_neardup_pairs
+
+    blocks = F.array(
+        *[
+            F.md5(F.concat((F.col("doc_id") % 97).cast("string"), F.lit(f":{i}")))
+            for i in range(12)
+        ]
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "), F.array_join(blocks, " ")
+        ).alias("text"),
+    )
+    return cdc_neardup_pairs(docs, avg_bits=6, min_shared=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -1929,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 2: byte-grain CDC near-dup
+        "cdc_neardup": q_cdc_neardup,
         # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
         # isolated conversation packing, per-source c-TF-IDF terms
         "para_neardup": q_para_neardup,
@@ -1990,7 +2017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_quality_scores": q_doc_quality_scores,
-        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -2001,6 +2027,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 2 (still pytest-oracled here)
+        "ann_lsh_topk": q_ann_lsh_topk,
         # rotated round 5 (still pytest-oracled here)
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "stratified_sample": q_stratified_sample,
@@ -2080,6 +2108,7 @@ def _all_oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM read_parquet('{derived[name]}')"
 
     return {
+        "cdc_neardup": _rp("cdc_neardup"),
         "para_neardup": _rp("para_neardup"),
         "conv_pack_isolated": _rp("conv_pack_isolated"),
         "moore_lewis": _rp("moore_lewis"),

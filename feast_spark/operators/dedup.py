@@ -1146,3 +1146,190 @@ def paragraph_neardup_pairs(
         F.pmod("id_b", F.lit(shift)).cast("long").alias("para_b"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking near-dup (Gear / FastCDC family)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunk_batch(
+    texts: pd.Series, avg_bits: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Vectorized gear-hash content-defined chunking over an Arrow batch:
+    per text, (distinct chunk hashes, their byte lengths).
+
+    One flat uint8 pass over the batch's concatenated UTF-8 bytes:
+
+    - gear register: ``h_i = sum_{j<=min(i,63)} G[b_{i-j}] << j`` — the
+      sequential recurrence unrolled into <=64 masked shift-add passes
+      (terms shifted >= 64 vanish mod 2^64, so this equals the per-doc
+      sequential gear from ``h=0`` in :func:`textkit.cdc_chunks_py`);
+    - cuts where ``h & textkit.cdc_mask(avg_bits) == 0`` (spread mask —
+      low-bit masks degenerate on low-entropy text) plus a forced cut at
+      each doc's last byte (chunks never span docs);
+    - chunk hashes via prefix differences: ``S_i = sum_{j<i} b_j *
+      HASH_BASE^-j`` (uint64 cumsum), ``H(s,e) = (S_e - S_s) *
+      HASH_BASE^(e-1)`` == the naive left-fold polynomial — no per-chunk
+      python loop.
+    """
+    g = textkit.gear_table()
+    base = textkit.HASH_BASE
+    binv = textkit.HASH_BASE_INV
+    mask = np.uint64(textkit.cdc_mask(avg_bits))
+    filled = texts.fillna("").astype(str)
+    enc = [t.encode("utf-8", "surrogatepass") for t in filled]
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    empty = np.empty(0, dtype=np.int64)
+    out_h: list[np.ndarray] = [empty] * n
+    out_l: list[np.ndarray] = [empty] * n
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    N = len(flat)
+    if N == 0:
+        return out_h, out_l
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    off = np.arange(N, dtype=np.int64) - np.repeat(starts, lens)
+    gv = g[flat]
+    h = gv.copy()
+    for j in range(1, 64):
+        idx = np.nonzero(off >= j)[0]
+        if len(idx) == 0:
+            break
+        h[idx] += gv[idx - j] << np.uint64(j)
+    cut = (h & mask) == 0
+    cut[starts + lens - 1] = True  # lens > 0 here for every present doc
+    cut_pos = np.nonzero(cut)[0]
+    seg_e = cut_pos + 1  # exclusive ends
+    seg_s = np.empty_like(seg_e)
+    seg_s[0] = 0
+    seg_s[1:] = seg_e[:-1]
+    gdoc = np.repeat(np.arange(n), lens)[cut_pos]
+    # prefix-difference polynomial hash of every chunk
+    bp = np.empty(N, dtype=np.uint64)  # HASH_BASE^i
+    bp[0] = 1
+    np.cumprod(np.full(N - 1, base, dtype=np.uint64), out=bp[1:])
+    ip = np.empty(N, dtype=np.uint64)  # HASH_BASE^-i
+    ip[0] = 1
+    np.cumprod(np.full(N - 1, binv, dtype=np.uint64), out=ip[1:])
+    S = np.zeros(N + 1, dtype=np.uint64)
+    np.cumsum(flat.astype(np.uint64) * ip, out=S[1:])
+    ch = ((S[seg_e] - S[seg_s]) * bp[seg_e - 1]).view(np.int64)
+    cl = seg_e - seg_s
+    # per-doc distinct (keep one length per hash), flat
+    order = np.lexsort((ch, gdoc))
+    sg, sh_v, sl_v = gdoc[order], ch[order], cl[order]
+    keep = np.ones(len(sg), dtype=bool)
+    keep[1:] = (sg[1:] != sg[:-1]) | (sh_v[1:] != sh_v[:-1])
+    sg, sh_v, sl_v = sg[keep], sh_v[keep], sl_v[keep]
+    b2 = np.searchsorted(sg, np.arange(n + 1))
+    for i in range(n):
+        if b2[i] < b2[i + 1]:
+            out_h[i] = sh_v[b2[i] : b2[i + 1]]
+            out_l[i] = sl_v[b2[i] : b2[i + 1]]
+    return out_h, out_l
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_bits: int = 6,
+) -> DataFrame:
+    """(id, chunk_hash, chunk_len) — one row per DISTINCT content-defined
+    chunk per document (gear cuts, ~2^avg_bits-byte expected chunks).
+
+    The storage-dedup technique applied to corpora: because cut points
+    are functions of local content, two documents sharing a byte run
+    longer than a few chunk lengths share the interior chunk hashes even
+    when the run sits at different offsets — the failure mode of
+    fixed-size blocking. Map-only; ~16 B/chunk leaves the scan.
+
+    Reference: feast has no byte-level dedup; the algorithm is public
+    (FastCDC, Xia et al. ATC'16; gear hash per Zhang et al.)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ls = _cdc_chunk_batch(pdf[text_col], avg_bits)
+            counts = [len(a) for a in hs]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), counts),
+                    "chunk_hash": np.concatenate(hs)
+                    if hs
+                    else np.empty(0, dtype=np.int64),
+                    "chunk_len": np.concatenate(ls)
+                    if ls
+                    else np.empty(0, dtype=np.int64),
+                }
+            )
+
+    return _scale_partitions(df).mapInPandas(
+        run, "id long, chunk_hash long, chunk_len long"
+    )
+
+
+def cdc_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_bits: int = 6,
+    min_shared: int = 2,
+    max_chunk_df: int | None = None,
+    min_chunk_len: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, shared, shared_bytes) — document pairs sharing >=
+    ``min_shared`` content-defined chunks of at least ``min_chunk_len``
+    bytes, with the total byte mass of the shared chunks.
+    Insertion-shift-robust near-dup detection at the BYTE grain (no
+    tokenization assumptions — works on code, logs, or mixed-language
+    text where word shingles misfire).
+
+    ``min_chunk_len`` plays FastCDC's min-chunk-size role without its
+    sequential cut dependency: cuts stay stateless (every boundary a
+    pure function of its trailing bytes), and the noise floor —
+    few-byte chunks whose CONTENT accidentally coincides across
+    unrelated documents — is filtered from the index instead.
+
+    Shape: the chunk table is map-only out of the scan; one count keyed
+    on chunk_hash drops boilerplate chunks (df > ``max_chunk_df``)
+    BEFORE any collect (the `_cap_buckets` guard), one collect_set keyed
+    on chunk_hash emits each bucket's C(n,2) pairs map-side (the
+    `_bucket_pairs` rewrite), and the pair aggregation runs over
+    pair-table-sized data. Chunk length rides the bucket row (identical
+    for every holder of the hash), not per id."""
+    ch = cdc_chunks(df, id_col, text_col, avg_bits)
+    if min_chunk_len > 1:
+        ch = ch.filter(F.col("chunk_len") >= min_chunk_len)
+    if max_chunk_df:
+        ch = _scoped_persist(ch)
+        ch = _cap_buckets(ch, ["chunk_hash"], max_chunk_df)
+    grouped = ch.groupBy("chunk_hash").agg(
+        F.collect_set("id").alias("ids"),
+        F.min("chunk_len").alias("chunk_len"),
+    )
+    grouped = grouped.filter(F.size("ids") >= 2)
+    ids = F.array_sort(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(
+            F.explode(combos).alias("p"), F.col("chunk_len")
+        )
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum("chunk_len").alias("shared_bytes"),
+        )
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -1649,7 +1649,61 @@ def pii_stats_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+def cdc_neardup_pdf(
+    sf_dir: str,
+    avg_bits: int = 6,
+    min_shared: int = 2,
+    min_chunk_len: int = 8,
+) -> pd.DataFrame:
+    """Naive replay of cdc_neardup_pairs over the documents table with
+    the driver query's planted byte-grain duplication: every doc gains a
+    COHORT footer of 12 md5 hex blocks keyed (doc_id % 97, i) — ~396
+    identical bytes per cohort landing at a DIFFERENT byte offset in
+    every doc (texts differ in length), so only content-defined cuts can
+    align the shared chunks. Chunking is the sequential scalar gear
+    (:func:`textkit.cdc_chunks_py`); bucketing/pairing is naive dicts."""
+    import hashlib
+    from itertools import combinations
+
+    from feast_spark import textkit
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    by_hash: dict[int, list[int]] = {}
+    hash_len: dict[int, int] = {}
+    for doc_id, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        c = doc_id % 97
+        footer = " ".join(
+            hashlib.md5(f"{c}:{i}".encode()).hexdigest() for i in range(12)
+        )
+        data = (str(text) + " " + footer).encode("utf-8", "surrogatepass")
+        first: dict[int, int] = {}
+        for h, ln in textkit.cdc_chunks_py(data, avg_bits):
+            first.setdefault(h, ln)
+        for h, ln in first.items():
+            if ln < min_chunk_len:
+                continue
+            by_hash.setdefault(h, []).append(doc_id)
+            hash_len[h] = min(hash_len.get(h, ln), ln)
+    shared: dict[tuple[int, int], int] = defaultdict(int)
+    shared_bytes: dict[tuple[int, int], int] = defaultdict(int)
+    for h, ids in by_hash.items():
+        if len(ids) < 2:
+            continue
+        for a, b in combinations(sorted(ids), 2):
+            shared[(a, b)] += 1
+            shared_bytes[(a, b)] += hash_len[h]
+    rows = [
+        (a, b, n, shared_bytes[(a, b)])
+        for (a, b), n in shared.items()
+        if n >= min_shared
+    ]
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "shared", "shared_bytes"]
+    ).astype("int64")
+
+
 _RELATIONS = {
+    "cdc_neardup": lambda sf: cdc_neardup_pdf(sf),
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),
     "conv_pack": lambda sf: conv_pack_pdf(),
