@@ -1945,6 +1945,31 @@ def q_cdc_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return cdc_neardup_pairs(docs, avg_bits=6, min_shared=2)
 
 
+def q_blocklist_hits(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: literal-phrase blocklist scan — the phrase set compiles
+    # into ONE trie-shaped lookahead pattern (shared prefixes collapse;
+    # Aho-Corasick behavior from the C regex engine), counting every
+    # position where any phrase starts. Oracle replays per-position
+    # per-phrase startswith — no trie, no regex (oracles.blocklist_pdf).
+    from feast_spark.operators.blocklist import DEMO_PHRASES, blocklist_hits
+
+    return blocklist_hits(_t(spark, sf, "documents"), DEMO_PHRASES)
+
+
+def q_token_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5: per-language tokenizer fertility (tokens/word, UTF-8
+    # bytes/token as 2^-20 integer units) under the corpus-trained BPE —
+    # the UniMax/tokenizer-eval lens. Oracle = python-twin BPE replay
+    # with the same integer quantization (oracles.token_fertility_pdf).
+    from feast_spark.operators.bpe import token_fertility, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    model = train_bpe(
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 0), num_merges=16
+    )
+    return token_fertility(docs, model, group_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -1954,8 +1979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
-        # round 5 session 2: byte-grain CDC near-dup
+        # round 5 session 2: byte-grain CDC near-dup + blocklist scan
+        # + per-language tokenizer fertility
         "cdc_neardup": q_cdc_neardup,
+        "blocklist_hits": q_blocklist_hits,
+        "token_fertility": q_token_fertility,
         # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
         # isolated conversation packing, per-source c-TF-IDF terms
         "para_neardup": q_para_neardup,
@@ -2015,8 +2043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         # documents / embeddings operators
         "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "doc_quality_scores": q_doc_quality_scores,
     }
 
 
@@ -2029,6 +2055,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rotated round 5 session 2 (still pytest-oracled here)
         "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_quality_scores": q_doc_quality_scores,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         # rotated round 5 (still pytest-oracled here)
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "stratified_sample": q_stratified_sample,
@@ -2109,6 +2137,8 @@ def _all_oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_neardup": _rp("cdc_neardup"),
+        "blocklist_hits": _rp("blocklist_hits"),
+        "token_fertility": _rp("token_fertility"),
         "para_neardup": _rp("para_neardup"),
         "conv_pack_isolated": _rp("conv_pack_isolated"),
         "moore_lewis": _rp("moore_lewis"),

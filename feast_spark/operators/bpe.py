@@ -330,3 +330,66 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
     )
+
+
+def token_fertility(
+    docs: DataFrame,
+    model: BpeModel,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility statistics — the standard lens for
+    judging how well a tokenizer serves each language/source slice of a
+    mixed corpus (high fertility = more tokens per word = that slice pays
+    more compute per byte of signal; UniMax-style mixture design and
+    tokenizer evaluation both start here).
+
+    Returns ``(group, n_docs, n_words, n_bpe_tokens, n_bytes,
+    fertility_units, bytes_per_token_units)`` where the last two are
+    2^-20 floor-quantized integer ratios (tokens/word and UTF-8
+    bytes/token) — exact int64 arithmetic, so a naive replay matches
+    bit-for-bit without float-order concerns.
+
+    Shape: the encode cost is one Arrow pass over the DISTINCT word
+    table (shared :func:`_distinct_word_tokens` pipeline); the corpus
+    side explodes words, joins the broadcast ``word -> (n_tokens,
+    n_bytes)`` table, and ONE hash agg per group produces the stats —
+    corpus text never enters a shuffle."""
+    word_stats = _distinct_word_tokens(docs, model, text_col).select(
+        "word",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.octet_length("word").cast("long").alias("n_bytes"),
+    )
+    words = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    docs_per_group = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    agg = (
+        words.join(F.broadcast(word_stats), "word")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+    )
+    unit = 1 << 20
+    return (
+        agg.join(F.broadcast(docs_per_group), "group")
+        .select(
+            "group",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_bytes",
+            F.expr(f"CAST(n_bpe_tokens * {unit} DIV n_words AS BIGINT)").alias(
+                "fertility_units"
+            ),
+            F.expr(f"CAST(n_bytes * {unit} DIV n_bpe_tokens AS BIGINT)").alias(
+                "bytes_per_token_units"
+            ),
+        )
+    )

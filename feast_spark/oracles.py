@@ -1702,7 +1702,98 @@ def cdc_neardup_pdf(
     ).astype("int64")
 
 
+def token_fertility_pdf(sf_dir: str, num_merges: int = 16) -> pd.DataFrame:
+    """Naive replay of token_fertility: python-twin BPE (doc_id%5==0
+    training subset), per-lang sums with pure-int 2^-20 quantized
+    ratios."""
+    from feast_spark.operators.bpe import encode_word, train_bpe_naive
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = docs[docs["doc_id"] % 5 == 0]
+    wc: dict[str, int] = {}
+    for text in train["text"]:
+        for w in text.split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    ranks = {
+        pq: i for i, pq in enumerate(train_bpe_naive(wc, num_merges))
+    }
+    cache: dict[str, tuple[int, int]] = {}
+
+    def stats(w: str) -> tuple[int, int]:
+        if w not in cache:
+            cache[w] = (len(encode_word(w, ranks)), len(w.encode("utf-8")))
+        return cache[w]
+
+    per: dict[str, list[int]] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        acc = per.setdefault(str(lang), [0, 0, 0, 0])
+        acc[0] += 1
+        for w in str(text).split():
+            if w:
+                nt, nb = stats(w)
+                acc[1] += 1
+                acc[2] += nt
+                acc[3] += nb
+    unit = 1 << 20
+    rows = [
+        (
+            g,
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+            a[2] * unit // a[1],
+            a[3] * unit // a[2],
+        )
+        for g, a in per.items()
+        if a[1] > 0
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "group",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_bytes",
+            "fertility_units",
+            "bytes_per_token_units",
+        ],
+    )
+    for c in pdf.columns[1:]:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+def blocklist_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of blocklist_hits over the documents table: per
+    position, per phrase ``startswith`` — O(len * phrases), no trie, no
+    regex. The Spark arm's trie-lookahead scan must agree exactly."""
+    from feast_spark.operators.blocklist import DEMO_PHRASES
+
+    phrases = sorted({p.lower() for p in DEMO_PHRASES})
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        low = str(text).lower()
+        hits = [
+            i
+            for i in range(len(low))
+            if any(low.startswith(p, i) for p in phrases)
+        ]
+        rows.append(
+            (doc_id, len(hits), hits[0] if hits else -1, bool(hits))
+        )
+    pdf = pd.DataFrame(rows, columns=["id", "n_hits", "first_hit", "flagged"])
+    for c in ("id", "n_hits", "first_hit"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 _RELATIONS = {
+    "token_fertility": lambda sf: token_fertility_pdf(sf),
+    "blocklist_hits": lambda sf: blocklist_pdf(sf),
     "cdc_neardup": lambda sf: cdc_neardup_pdf(sf),
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),

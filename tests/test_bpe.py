@@ -172,3 +172,40 @@ def test_bpe_vocab_is_lexicographic_and_dense(spark):
     toks = [t for t, _ in vocab]
     assert toks == sorted(toks)
     assert [i for _, i in vocab] == list(range(len(vocab)))
+
+
+def test_token_fertility_hand_computed(spark):
+    from feast_spark.operators.bpe import BpeModel, token_fertility
+
+    # empty model: every word splits into chars + the end-of-word marker
+    # -> n_tokens = len(word) + 1
+    model = BpeModel(merges=())
+    rows = [
+        (1, "en", "ab cd"),     # 2 words, 6 tokens, 4 bytes
+        (2, "en", "abc"),       # 1 word, 4 tokens, 3 bytes
+        (3, "de", "xyz xyz"),   # 2 words, 8 tokens, 6 bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.group: r for r in token_fertility(df, model).collect()}
+    en, de = out["en"], out["de"]
+    assert (en.n_docs, en.n_words, en.n_bpe_tokens, en.n_bytes) == (2, 3, 10, 7)
+    assert en.fertility_units == 10 * (1 << 20) // 3
+    assert en.bytes_per_token_units == 7 * (1 << 20) // 10
+    assert (de.n_docs, de.n_words, de.n_bpe_tokens) == (1, 2, 8)
+
+
+def test_token_fertility_plan_broadcasts_word_stats(spark):
+    import contextlib
+    import io
+
+    from feast_spark.operators.bpe import token_fertility, train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_bpe(docs.limit(20), num_merges=4)
+    out = token_fertility(docs, model)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffled for the join
