@@ -330,6 +330,92 @@ class FeatureStore:
                 continue  # racing writer renamed/removed it — fine
         return removed
 
+    def optimize_serving(
+        self, view_name: str, target_file_mb: int = 128
+    ) -> dict:
+        """Compact the serving table: rewrite the latest snapshot as
+        few, key-clustered files — the Iceberg ``rewrite_data_files``
+        (OPTIMIZE) analogue on the snapshot-dir stand-in.
+
+        Why it exists at scale: every :meth:`materialize` interval
+        appends a snapshot written at job parallelism, so a
+        long-materialized view accumulates snapshots whose file count
+        reflects WRITER parallelism, not table size — thousands of
+        KB-sized files that tax every reader's task scheduling and
+        footer-parsing. The rewrite range-partitions on the join keys,
+        so each output file covers a contiguous key range (readers with
+        key predicates prune whole files via parquet min/max stats) and
+        sorts within partitions for stats tightness + compression.
+
+        Concurrency: the rewrite commits through the SAME rename-CAS
+        chain as materialize — if a writer lands a newer snapshot
+        between read and commit, the CAS loses and the loop re-reads and
+        re-compacts the NEW latest, so compaction can never silently
+        drop a concurrent merge. Old snapshots stay readable (time
+        travel) until :meth:`expire_snapshots`.
+
+        Returns ``{snapshot, files_before, files_after, bytes_before,
+        bytes_after}``."""
+        import math
+
+        fv = self._views[view_name]
+        keys = fv.join_keys
+        while True:
+            prev = self._latest_snapshot(view_name)
+            if prev is None:
+                raise ValueError(f"view {view_name} not materialized")
+            files = [
+                os.path.join(prev, f)
+                for f in os.listdir(prev)
+                if f.endswith(".parquet")
+            ]
+            n_bytes = sum(os.path.getsize(f) for f in files)
+            n_target = max(1, math.ceil(n_bytes / (target_file_mb << 20)))
+            df = self.spark.read.parquet(prev)
+            if keys:
+                compacted = df.repartitionByRange(
+                    n_target, *keys
+                ).sortWithinPartitions(*keys)
+            else:
+                compacted = df.repartition(n_target)
+            snap = self._try_commit_snapshot(view_name, compacted, prev)
+            if snap is not None:
+                break
+        new_dir = os.path.join(self._serving_dir(view_name), snap)
+        new_files = [
+            os.path.join(new_dir, f)
+            for f in os.listdir(new_dir)
+            if f.endswith(".parquet")
+        ]
+        return {
+            "snapshot": snap,
+            "files_before": len(files),
+            "files_after": len(new_files),
+            "bytes_before": n_bytes,
+            "bytes_after": sum(os.path.getsize(f) for f in new_files),
+        }
+
+    def expire_snapshots(self, view_name: str, keep_last: int = 2) -> int:
+        """Drop all but the newest ``keep_last`` snapshots (the Iceberg
+        ``expire_snapshots`` retention analogue): bounds time-travel
+        storage after compaction. The latest snapshot is always kept
+        (``keep_last`` floors at 1). In-flight readers of an expired
+        snapshot see the same torn-read hazard Iceberg documents for
+        expiration — retention windows should exceed the longest reader.
+        Returns the number of snapshot dirs removed."""
+        import shutil
+
+        keep_last = max(1, keep_last)
+        snaps = self._snapshot_names(view_name)
+        removed = 0
+        for name in snaps[:-keep_last]:
+            shutil.rmtree(
+                os.path.join(self._serving_dir(view_name), name),
+                ignore_errors=True,
+            )
+            removed += 1
+        return removed
+
     def _commit_snapshot(self, view: str, df: DataFrame) -> str:
         """Unconditional commit (no concurrent-merge semantics needed):
         retries the CAS until a fresh id wins."""

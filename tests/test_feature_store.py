@@ -375,3 +375,101 @@ def test_crashed_writer_tmp_dir_recovery(spark, tmp_path):
     assert left == {".tmp-livewriter"}
     # a second vacuum with age 0 sweeps the rest
     assert store.vacuum_serving("crash", max_age_sec=0) == 1
+
+
+def test_optimize_serving_compacts_and_clusters(spark, tmp_path):
+    """Compaction rewrites the many-small-file snapshot into few
+    key-clustered files via the same CAS chain; content identical, old
+    snapshot still time-travel readable; expire_snapshots bounds
+    retention but always keeps the latest."""
+    root = tmp_path / "opt_repo"
+    rows = [
+        {
+            "driver_id": d,
+            "event_timestamp": _mk("2024-01-01 12:00:00"),
+            "created": _mk("2024-01-02"),
+            "conv_rate": float(d),
+        }
+        for d in range(200)
+    ]
+    feats = pd.DataFrame(rows)
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")
+    root.mkdir()
+    fpath = str(root / "src.parquet")
+    feats.to_parquet(fpath)
+
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="opt",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+    store.materialize("opt", _mk("2024-01-01"), _mk("2024-01-03"))
+
+    # fragment the snapshot: commit a 16-file rewrite to simulate a
+    # writer-parallelism-sized materialization
+    latest = store.read_snapshot("opt")
+    store._commit_snapshot("opt", latest.repartition(16))
+    before = store.read_snapshot("opt")
+    import os as _os
+
+    frag_dir = store._latest_snapshot("opt")
+    n_frag = len([f for f in _os.listdir(frag_dir) if f.endswith(".parquet")])
+    assert n_frag >= 16
+
+    stats = store.optimize_serving("opt", target_file_mb=128)
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] == 1  # 200 tiny rows fit one target file
+    after = store.read_snapshot("opt")
+    got = sorted((r.driver_id, r.conv_rate) for r in after.collect())
+    exp = sorted((r.driver_id, r.conv_rate) for r in before.collect())
+    assert got == exp
+
+    # key clustering: the single output file is sorted by the join key
+    ids = [r.driver_id for r in after.collect()]
+    assert ids == sorted(ids)
+
+    # time travel: the pre-compaction snapshot still reads
+    snaps = store.list_snapshots("opt")
+    assert len(snaps) == 3
+    assert store.read_snapshot("opt", snaps[-2]).count() == 200
+
+    # retention: expire all but latest; latest always survives
+    assert store.expire_snapshots("opt", keep_last=1) == 2
+    assert store.list_snapshots("opt") == [stats["snapshot"]]
+    assert store.read_snapshot("opt").count() == 200
+    assert store.expire_snapshots("opt", keep_last=0) == 0  # floors at 1
+
+
+def test_optimize_serving_requires_materialization(spark, tmp_path):
+    root = tmp_path / "opt_empty"
+    root.mkdir()
+    rows = pd.DataFrame(
+        {
+            "driver_id": [1],
+            "event_timestamp": pd.Series([_mk("2024-01-01")]).astype("datetime64[us]"),
+            "created": pd.Series([_mk("2024-01-01")]).astype("datetime64[us]"),
+            "conv_rate": [1.0],
+        }
+    )
+    fpath = str(root / "src.parquet")
+    rows.to_parquet(fpath)
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="nomat",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+    with pytest.raises(ValueError, match="not materialized"):
+        store.optimize_serving("nomat")
