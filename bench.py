@@ -100,6 +100,12 @@ HEADLINE = [
     "weighted_sample",
     "source_top_terms",
     "moore_lewis",
+    # round 5 session 2: CDC near-dup + blocklist scan. token_fertility
+    # is NOT in the headline for the tokenize_pack reason (BPE-train
+    # merge-iteration overhead dominates); it's benched in docs_large
+    # under the shared trained model with the train wall recorded aside.
+    "cdc_neardup",
+    "blocklist_hits",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -313,6 +319,36 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w.wall, 3), "pairs": n_sim,
         "external_cores": w.external_cores,
     }
+
+    # byte-grain CDC near-dup over the same corpus: 3%-mutated copies keep
+    # long identical byte runs, so content-defined chunks recover the
+    # planted 3-clusters at a different grain than shingle LSH.
+    # max_chunk_df=8 caps the short-chunk noise floor (an 8-16 byte chunk
+    # is 1-2 vocab words — corpus-wide df) the same way the winnow cap
+    # does; planted chunk dfs are 2-3.
+    from feast_spark.operators.dedup import cdc_neardup_pairs
+
+    with _Window() as w:
+        cdc = cdc_neardup_pairs(
+            docs, avg_bits=6, min_shared=3, max_chunk_df=8
+        ).localCheckpoint()
+        n_cdc = cdc.count()
+    release_dedup_caches()
+    out["cdc_pairs"] = {
+        "wall_sec": round(w.wall, 3), "pairs": n_cdc,
+        "external_cores": w.external_cores,
+    }
+    # recall floor + purity: measured 97.8% planted recall with ZERO
+    # non-planted pairs at 5k docs; assert >= 95% and dup-domination
+    cdc_planted = cdc.filter(
+        ((_F.col("id_a") % 10 == 0) & ((_F.col("id_b") - _F.col("id_a")).isin(8, 9)))
+        | ((_F.col("id_a") % 10 == 8) & (_F.col("id_b") == _F.col("id_a") + 1))
+    ).count()
+    cdc.unpersist()
+    assert cdc_planted >= 0.95 * planted_pairs, (cdc_planted, planted_pairs)
+    assert n_cdc <= 1.02 * cdc_planted, (n_cdc, cdc_planted)
+    out["cdc_pairs"]["planted_found"] = cdc_planted
+    out["cdc_pairs"]["planted"] = planted_pairs
 
     # corpus selection at 50k docs. Planted evidence: the two 3%-mutated
     # copies per 10-doc group keep ~0.97^10 = 74% of their 10-word spans
@@ -594,6 +630,21 @@ def _bench_docs_large(spark) -> dict:
         "wall_sec": round(w4.wall, 3), "train_wall_sec": round(train_wall, 3),
         "n_seqs": sagg["n_seqs"], "n_tokens": int(n_tok_total),
         "external_cores": w4.external_cores,
+    }
+
+    # per-language fertility under the SAME trained model (train untimed
+    # above — like tokenize_pack, the operator is excluded from the
+    # headline because its wall would be merge-iteration overhead).
+    # Invariant: corpus token mass agrees exactly with the encode pass.
+    from feast_spark.operators.bpe import token_fertility
+
+    with _Window() as wf:
+        fert = token_fertility(docs, model, group_col="lang").collect()
+    fert_tokens = sum(r.n_bpe_tokens for r in fert)
+    assert fert_tokens == n_tok_total, (fert_tokens, n_tok_total)
+    out["token_fertility"] = {
+        "wall_sec": round(wf.wall, 3), "groups": len(fert),
+        "n_tokens": int(fert_tokens), "external_cores": wf.external_cores,
     }
 
     # paragraph dedup at 50k: every doc = its (unique) body paragraph +
