@@ -106,6 +106,7 @@ HEADLINE = [
     # under the shared trained model with the train wall recorded aside.
     "cdc_neardup",
     "blocklist_hits",
+    "html_extract",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -1702,6 +1702,61 @@ def cdc_neardup_pdf(
     ).astype("int64")
 
 
+def _extract_html_py(
+    html: str, min_words: int = 3, max_link_pct: int = 30
+) -> tuple[str, int, int]:
+    """Python replay of extract_html_text's regex program (same patterns,
+    same fixed entity order, same integer link-density compare)."""
+    from feast_spark.operators.html import (
+        BLOCK_SPLIT,
+        ENTITIES,
+        SCRIPT_STYLE,
+    )
+
+    cleaned = re.sub(SCRIPT_STYLE, " ", html or "")
+    out_blocks = []
+    n_blocks = n_kept = 0
+    for b in re.split(BLOCK_SPLIT, cleaned):
+        t = re.sub(r"<[^>]+>", " ", b)
+        for ent, rep in ENTITIES:
+            t = t.replace(ent, rep)
+        t = re.sub("[ \t\n\x0b\f\r]+", " ", t).strip()
+        if t == "":
+            continue
+        n_blocks += 1
+        lc = sum(
+            len(re.sub(r"<[^>]+>", "", a))
+            for a in re.findall(r"(?is)<a[^>]*>(.*?)</a>", b)
+        )
+        if len(t.split(" ")) >= min_words and lc * 100 <= max_link_pct * len(t):
+            n_kept += 1
+            out_blocks.append(t)
+    return "\n".join(out_blocks), n_blocks, n_kept
+
+
+def html_extract_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of q_html_extract: the same deterministic HTML
+    synthesis (nav bar of anchors, style payload, ' merge ' -> paragraph
+    breaks, trailing script) then the python regex replay."""
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        body = str(text).replace(" merge ", "</p><p>")
+        html = (
+            '<html><head><title>page</title><style>p{color:red}</style>'
+            '</head><body><div class="nav"><a href="/">home page</a> '
+            '<a href="/a">about us</a> <a href="/c">contact now</a></div>'
+            f"<h1>heading {doc_id}</h1><p>{body}</p>"
+            "<script>var x = 1;</script></body></html>"
+        )
+        t, nb, nk = _extract_html_py(html)
+        rows.append((doc_id, t, nb, nk))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "n_blocks", "n_kept"])
+    for c in ("doc_id", "n_blocks", "n_kept"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 def token_fertility_pdf(sf_dir: str, num_merges: int = 16) -> pd.DataFrame:
     """Naive replay of token_fertility: python-twin BPE (doc_id%5==0
     training subset), per-lang sums with pure-int 2^-20 quantized
@@ -1792,6 +1847,7 @@ def blocklist_pdf(sf_dir: str) -> pd.DataFrame:
 
 
 _RELATIONS = {
+    "html_extract": lambda sf: html_extract_pdf(sf),
     "token_fertility": lambda sf: token_fertility_pdf(sf),
     "blocklist_hits": lambda sf: blocklist_pdf(sf),
     "cdc_neardup": lambda sf: cdc_neardup_pdf(sf),

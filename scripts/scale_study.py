@@ -125,6 +125,28 @@ def _one_size(spark, n_docs: int) -> dict:
                             "docs": n_lex}
     assert n_lex == n_docs
 
+    # byte-grain CDC near-dup: planted 3%-mutated copies share chunk
+    # runs; recall must hold at 10x, walls ~linear (the chunk table is
+    # map-only; the only shuffles are chunk-keyed)
+    from feast_spark.operators.dedup import cdc_neardup_pairs
+
+    t0 = time.time()
+    cdc = cdc_neardup_pairs(
+        docs, avg_bits=6, min_shared=3, max_chunk_df=8
+    ).localCheckpoint()
+    n_cdc = cdc.count()
+    n_cdc_planted = cdc.filter(
+        ((F.col("id_a") % 10 == 0) & ((F.col("id_b") - F.col("id_a")).isin(8, 9)))
+        | ((F.col("id_a") % 10 == 8) & (F.col("id_b") == F.col("id_a") + 1))
+    ).count()
+    out["cdc_neardup"] = {"wall_sec": round(time.time() - t0, 2),
+                          "pairs": n_cdc, "planted_found": n_cdc_planted}
+    planted = (n_docs // 10) * 3
+    assert n_cdc_planted >= 0.95 * planted, (n_cdc_planted, planted)
+    assert n_cdc <= 1.02 * n_cdc_planted, (n_cdc, n_cdc_planted)
+    cdc.unpersist()
+    release_dedup_caches()
+
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs, "doc_id", "text").localCheckpoint()
     n_pairs = pairs.count()
