@@ -100,10 +100,11 @@ HEADLINE = [
     "weighted_sample",
     "source_top_terms",
     "moore_lewis",
-    # round 5 session 2: CDC near-dup + blocklist scan. token_fertility
-    # is NOT in the headline for the tokenize_pack reason (BPE-train
-    # merge-iteration overhead dominates); it's benched in docs_large
-    # under the shared trained model with the train wall recorded aside.
+    # round 5 session 2: CDC near-dup + blocklist scan + HTML
+    # extraction. token_fertility is NOT in the headline for the
+    # tokenize_pack reason (BPE-train merge-iteration overhead
+    # dominates); it's benched in docs_large under the shared trained
+    # model with the train wall recorded aside.
     "cdc_neardup",
     "blocklist_hits",
     "html_extract",

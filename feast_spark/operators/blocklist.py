@@ -107,11 +107,17 @@ def blocklist_hits(
             lowered = pdf[text_col].fillna("").astype(str).str.lower()
             counts, firsts = [], []
             for s in lowered:
-                # zero-width matches: len(findall) == number of positions
-                hits = pat.findall(s)
-                counts.append(len(hits))
-                m = pat.search(s) if hits else None
-                firsts.append(m.start() if m else -1)
+                # ONE pass: finditer over the zero-width pattern yields a
+                # match per hit position — count and first offset together
+                # (findall would allocate a list of empty strings and a
+                # second search() would rescan the prefix)
+                n_s, first = 0, -1
+                for m in pat.finditer(s):
+                    if n_s == 0:
+                        first = m.start()
+                    n_s += 1
+                counts.append(n_s)
+                firsts.append(first)
             n = pd.Series(counts, dtype="int64")
             yield pd.DataFrame(
                 {

@@ -360,11 +360,15 @@ def token_fertility(
         F.size("toks").cast("long").alias("n_tokens"),
         F.octet_length("word").cast("long").alias("n_bytes"),
     )
+    # NULL group keys would vanish in the equi-join below (NULL != NULL
+    # in SQL join semantics) — map them to a sentinel group so the
+    # null-lang corpus slice is reported, not silently dropped
+    group = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     words = docs.select(
-        F.col(group_col).alias("group"),
+        group.alias("group"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    docs_per_group = docs.groupBy(F.col(group_col).alias("group")).agg(
+    docs_per_group = docs.groupBy(group.alias("group")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     agg = (

@@ -10,7 +10,9 @@ Everything is JVM-side (``regexp_replace`` / ``split`` / higher-order
 codegen) — no UDF, zero shuffles, a pure map pass at any corpus size.
 The driver oracle replays the identical regex program in Python ``re``
 (the patterns are chosen to behave identically under Java and Python
-regex: ASCII classes, non-greedy dotall, backreferences).
+regex: explicit ASCII case classes instead of ``(?i)`` — whose
+casefolding scope differs between the engines — plus non-greedy dotall
+and backreferences, which agree).
 
 Rules per block (after tag-strip + entity unescape + ASCII-whitespace
 collapse):
@@ -33,14 +35,36 @@ from pyspark.sql import functions as F
 
 __all__ = ["extract_html_text", "BLOCK_SPLIT", "SCRIPT_STYLE", "ENTITIES"]
 
+def _ci(word: str) -> str:
+    """ASCII case-class form of a tag name ('div' -> '[dD][iI][vV]').
+
+    Deliberately NOT ``(?i)``: Python ``re`` IGNORECASE casefolds
+    Unicode (U+017F long-s matches 's'!) while Java CASE_INSENSITIVE is
+    ASCII-only — explicit classes make the shared patterns behave
+    identically in both engines."""
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in word)
+
+
+_BLOCK_TAGS = (
+    "p", "div", "li", "ul", "ol", "br", "hr", "table", "tr", "td", "th",
+    "thead", "tbody", "section", "article", "header", "footer", "nav",
+    "aside", "blockquote", "pre", "title",
+)
+
 # block-level boundaries: opening OR closing forms of the common block
 # tags; inline tags (a/b/i/em/strong/span/code) stay inside their block
 BLOCK_SPLIT = (
-    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|table|tr|td|th|thead|tbody"
-    r"|section|article|header|footer|nav|aside|blockquote|pre|title)[^>]*>"
+    "</?(?:[hH][1-6]|"
+    + "|".join(_ci(t) for t in _BLOCK_TAGS)
+    + ")[^>]*>"
 )
-SCRIPT_STYLE = r"(?is)<(script|style)[^>]*>.*?</\1>"
-ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+# backreference \1 is case-SENSITIVE without (?i): '<script>...</SCRIPT>'
+# stays unmatched — same on both engines, and mixed-case close tags are
+# vanishingly rare against the casefold divergence the (?i) form carried
+SCRIPT_STYLE = (
+    rf"(?s)<({_ci('script')}|{_ci('style')})[^>]*>.*?</\1>"
+)
+ANCHOR = rf"(?s)<{_ci('a')}[^>]*>(.*?)</{_ci('a')}>"
 TAG = r"<[^>]+>"
 # fixed substitution ORDER (amp last) — the oracle replays the same order
 ENTITIES = (

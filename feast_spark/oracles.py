@@ -1708,16 +1708,18 @@ def _extract_html_py(
     """Python replay of extract_html_text's regex program (same patterns,
     same fixed entity order, same integer link-density compare)."""
     from feast_spark.operators.html import (
+        ANCHOR,
         BLOCK_SPLIT,
         ENTITIES,
         SCRIPT_STYLE,
+        TAG,
     )
 
     cleaned = re.sub(SCRIPT_STYLE, " ", html or "")
     out_blocks = []
     n_blocks = n_kept = 0
     for b in re.split(BLOCK_SPLIT, cleaned):
-        t = re.sub(r"<[^>]+>", " ", b)
+        t = re.sub(TAG, " ", b)
         for ent, rep in ENTITIES:
             t = t.replace(ent, rep)
         t = re.sub("[ \t\n\x0b\f\r]+", " ", t).strip()
@@ -1725,8 +1727,7 @@ def _extract_html_py(
             continue
         n_blocks += 1
         lc = sum(
-            len(re.sub(r"<[^>]+>", "", a))
-            for a in re.findall(r"(?is)<a[^>]*>(.*?)</a>", b)
+            len(re.sub(TAG, "", a)) for a in re.findall(ANCHOR, b)
         )
         if len(t.split(" ")) >= min_words and lc * 100 <= max_link_pct * len(t):
             n_kept += 1
@@ -1763,11 +1764,16 @@ def token_fertility_pdf(sf_dir: str, num_merges: int = 16) -> pd.DataFrame:
     ratios."""
     from feast_spark.operators.bpe import encode_word, train_bpe_naive
 
+    # Java \s is ASCII-only; python str.split() also splits on Unicode
+    # whitespace (\xa0, U+3000, ...) — use the ASCII class so the oracle
+    # cannot silently diverge from the Spark arm's F.split(text, '\\s+')
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     train = docs[docs["doc_id"] % 5 == 0]
     wc: dict[str, int] = {}
     for text in train["text"]:
-        for w in text.split():
+        for w in java_ws.split(text):
             if w:
                 wc[w] = wc.get(w, 0) + 1
     ranks = {
@@ -1782,9 +1788,10 @@ def token_fertility_pdf(sf_dir: str, num_merges: int = 16) -> pd.DataFrame:
 
     per: dict[str, list[int]] = {}
     for lang, text in zip(docs["lang"], docs["text"]):
-        acc = per.setdefault(str(lang), [0, 0, 0, 0])
+        g = "__null__" if pd.isna(lang) else str(lang)
+        acc = per.setdefault(g, [0, 0, 0, 0])
         acc[0] += 1
-        for w in str(text).split():
+        for w in java_ws.split(str(text)):
             if w:
                 nt, nb = stats(w)
                 acc[1] += 1
