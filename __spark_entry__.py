@@ -1970,6 +1970,25 @@ def q_token_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return token_fertility(docs, model, group_col="lang")
 
 
+def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
+    # BEFORE span dedup, so blocked docs never claim first-occurrence
+    # span slots; audit gains blocklist_hits + a 'blocklist' stage.
+    # pytest-window query (the driver registry is at its 50-entry cap).
+    from feast_spark.pipeline.curation import CurationConfig, run_curation
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    cfg = CurationConfig(
+        use_blocklist=True,
+        blocklist_phrases=("scan slow", "value part", "sparkle"),
+        blocklist_max_hits=2,
+    )
+    return run_curation(spark, d, bench, cfg).decisions
+
+
 def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     # round 5: HTML boilerplate removal (jusText/C4-style): script/style
     # payloads dropped, block split, word-count + link-density gates —
@@ -2078,7 +2097,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
-        # rotated round 5 session 2 (still pytest-oracled here)
+        # round 5 session 2 pytest-window additions + rotations
+        "doc_curation_blocklist": q_doc_curation_blocklist,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_quality_scores": q_doc_quality_scores,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2166,6 +2186,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "blocklist_hits": _rp("blocklist_hits"),
         "token_fertility": _rp("token_fertility"),
         "html_extract": _rp("html_extract"),
+        "doc_curation_blocklist": _rp("doc_curation_blocklist"),
         "para_neardup": _rp("para_neardup"),
         "conv_pack_isolated": _rp("conv_pack_isolated"),
         "moore_lewis": _rp("moore_lewis"),

@@ -1032,6 +1032,8 @@ def _curation_core(
     sf_dir: str,
     lm_quantile: float | None = None,
     lm_buckets: int | None = None,
+    block_phrases: tuple | None = None,
+    block_max_hits: int = 0,
 ) -> dict:
     """Stages 1-4 of the naive curation replay (pipeline/curation.py
     defaults): span dedup via one global seen-set walk in doc order,
@@ -1054,11 +1056,32 @@ def _curation_core(
         .reset_index(drop=True)
     )
 
+    # stage 0b (blocklist arm only): naive per-position per-phrase
+    # startswith over the RAW text; blocked docs never enter the span
+    # walk, so their spans claim no first-occurrence slots
+    block_hits: dict[int, int] = {}
+    blocked: set[int] = set()
+    if block_phrases:
+        phrases = sorted({p.lower() for p in block_phrases})
+        for _, row in docs.iterrows():
+            low = str(row["text"]).lower()
+            n = sum(
+                1
+                for i in range(len(low))
+                if any(low.startswith(p, i) for p in phrases)
+            )
+            did = int(row["doc_id"])
+            block_hits[did] = n
+            if n > block_max_hits:
+                blocked.add(did)
+
     # stage 1: global span dedup, first occurrence by (doc_id, span_idx)
     seen: set[str] = set()
     dedup_text: dict[int, str] = {}
     n_kept: dict[int, int] = {}
     for _, row in docs.iterrows():
+        if int(row["doc_id"]) in blocked:
+            continue
         w = row["text"].split(" ")
         kept_spans = []
         for i in range(0, (len(w) + 9) // 10):
@@ -1176,7 +1199,51 @@ def _curation_core(
         "q_keep": q_keep, "contaminated": contaminated,
         "dsir_score": dsir_score, "src": src, "sampled": sampled,
         "lm_ppl": lm_ppl, "lm_thr": lm_thr,
+        "block_hits": block_hits, "blocked": blocked,
     }
+
+
+def curation_blocklist_pdf(sf_dir: str) -> pd.DataFrame:
+    """Blocklist-arm audit table (CurationConfig(use_blocklist=True)):
+    the naive per-position phrase gate runs BEFORE the span walk (blocked
+    docs claim no spans), then the default four stages + sampling."""
+    phrases = ("scan slow", "value part", "sparkle")
+    c = _curation_core(sf_dir, block_phrases=phrases, block_max_hits=2)
+    dedup_text, q_keep = c["dedup_text"], c["q_keep"]
+    contaminated, dsir_score = c["contaminated"], c["dsir_score"]
+    rows = []
+    for i in c["docs"]["doc_id"].astype(int):
+        hits = c["block_hits"].get(i, 0)
+        if i in c["blocked"]:
+            stage, score = "blocklist", 0
+        elif i not in dedup_text:
+            stage, score = "span_dup", 0
+        elif not q_keep[i]:
+            stage, score = "quality", 0
+        elif contaminated[i]:
+            stage, score = "contaminated", 0
+        elif dsir_score[i] < 0:
+            stage, score = "dsir", dsir_score[i]
+        elif not c["sampled"](i):
+            stage, score = "sampled_out", dsir_score[i]
+        else:
+            stage, score = None, dsir_score[i]
+        rows.append(
+            (i, c["n_kept"].get(i, 0), score, stage is None, hits, stage)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "n_spans_kept", "dsir_score", "kept",
+            "blocklist_hits", "drop_stage",
+        ],
+    ).astype(
+        {
+            "doc_id": "int64", "n_spans_kept": "int64",
+            "dsir_score": "int64", "kept": "bool",
+            "blocklist_hits": "int64", "drop_stage": object,
+        }
+    )
 
 
 def curation_pdf(sf_dir: str) -> pd.DataFrame:
@@ -1855,6 +1922,7 @@ def blocklist_pdf(sf_dir: str) -> pd.DataFrame:
 
 _RELATIONS = {
     "html_extract": lambda sf: html_extract_pdf(sf),
+    "doc_curation_blocklist": lambda sf: curation_blocklist_pdf(sf),
     "token_fertility": lambda sf: token_fertility_pdf(sf),
     "blocklist_hits": lambda sf: blocklist_pdf(sf),
     "cdc_neardup": lambda sf: cdc_neardup_pdf(sf),

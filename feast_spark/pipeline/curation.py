@@ -116,6 +116,16 @@ class CurationConfig:
     line_blocklist: tuple = ("lorem ipsum", "javascript")
     line_require_terminal: bool = False
     line_min_kept: int = 1
+    # OPT-IN stage 0b (literal-phrase blocklist gate,
+    # operators/blocklist.py): ONE broadcast trie-regex pass over the
+    # (possibly line-cleaned) text; documents with more than
+    # blocklist_max_hits phrase-start positions drop here ('blocklist'
+    # in the audit, position count carried as blocklist_hits). The
+    # line_blocklist above is substring-per-LINE rewriting; this is the
+    # document-grain kill switch for large enumerated phrase lists.
+    use_blocklist: bool = False
+    blocklist_phrases: tuple = ()
+    blocklist_max_hits: int = 0
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
@@ -212,6 +222,26 @@ def run_curation(
         )
     else:
         docs_in = docs
+
+    # ---- stage 0b (opt-in): blocklist gate — broadcast trie scan
+    # (map-only, no shuffle); flagged docs drop BEFORE span dedup so
+    # their spans never claim first-occurrence slots from clean docs
+    block_flags = None
+    if cfg.use_blocklist:
+        from feast_spark.operators.blocklist import blocklist_hits
+
+        bh = blocklist_hits(
+            docs_in, list(cfg.blocklist_phrases),
+            id_col="doc_id", text_col="text",
+        )
+        block_flags = bh.select(F.col("id").alias("doc_id"), "n_hits")
+        docs_in = docs_in.join(
+            bh.filter(F.col("n_hits") <= cfg.blocklist_max_hits).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
 
     # ---- stage 1: corpus span dedup (keeps source via join on the
     # surviving ids — span_dedup's 2-shuffle shape, then one id join to
@@ -354,16 +384,28 @@ def run_curation(
               "doc_id", "left")
     )
     extra_cols = []
+    stage = None
+
+    def _chain(prev, cond, name):
+        return F.when(cond, name) if prev is None else prev.when(cond, name)
+
     if cfg.use_line_clean:
         audit = audit.join(line_flags, "doc_id", "left")
-        stage = F.when(~F.col("doc_ok"), "line_clean").when(
-            F.col("n_spans_kept").isNull(), "span_dup"
-        )
+        stage = _chain(stage, ~F.col("doc_ok"), "line_clean")
         extra_cols.append(
             F.coalesce("kept_frac", F.lit(0.0)).alias("line_kept_frac")
         )
-    else:
-        stage = F.when(F.col("n_spans_kept").isNull(), "span_dup")
+    if cfg.use_blocklist:
+        audit = audit.join(block_flags, "doc_id", "left")
+        # a doc that reached stage 0b always has n_hits; NULL means
+        # line_clean dropped it first, which the prior when caught
+        stage = _chain(
+            stage, F.col("n_hits") > cfg.blocklist_max_hits, "blocklist"
+        )
+        extra_cols.append(
+            F.coalesce("n_hits", F.lit(0)).alias("blocklist_hits")
+        )
+    stage = _chain(stage, F.col("n_spans_kept").isNull(), "span_dup")
     stage = stage.when(~F.col("quality_keep"), "quality")
     if cfg.use_lm:
         audit = audit.join(lm_flags, "doc_id", "left")
