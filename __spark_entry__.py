@@ -1989,6 +1989,23 @@ def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     return run_curation(spark, d, bench, cfg).decisions
 
 
+def q_doc_curation_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # near-dup-arm curation (stage 1a): MinHash-LSH + connected
+    # components keep each duplicate component's min-id representative
+    # BEFORE span dedup (span dedup would strip the shared spans from the
+    # later copy and hide the pair). Oracle = naive LSH core + union-find
+    # + the shared stage replay. pytest-window query (driver cap is 50).
+    from feast_spark.pipeline.curation import CurationConfig, run_curation
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
+    )
+    return run_curation(
+        spark, d, bench, CurationConfig(use_neardup=True)
+    ).decisions
+
+
 def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     # round 5: HTML boilerplate removal (jusText/C4-style): script/style
     # payloads dropped, block split, word-count + link-density gates —
@@ -2099,6 +2116,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round 5 session 2 pytest-window additions + rotations
         "doc_curation_blocklist": q_doc_curation_blocklist,
+        "doc_curation_neardup": q_doc_curation_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_quality_scores": q_doc_quality_scores,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2187,6 +2205,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "token_fertility": _rp("token_fertility"),
         "html_extract": _rp("html_extract"),
         "doc_curation_blocklist": _rp("doc_curation_blocklist"),
+        "doc_curation_neardup": _rp("doc_curation_neardup"),
         "para_neardup": _rp("para_neardup"),
         "conv_pack_isolated": _rp("conv_pack_isolated"),
         "moore_lewis": _rp("moore_lewis"),

@@ -1034,6 +1034,7 @@ def _curation_core(
     lm_buckets: int | None = None,
     block_phrases: tuple | None = None,
     block_max_hits: int = 0,
+    skip_ids: set | None = None,
 ) -> dict:
     """Stages 1-4 of the naive curation replay (pipeline/curation.py
     defaults): span dedup via one global seen-set walk in doc order,
@@ -1076,11 +1077,14 @@ def _curation_core(
                 blocked.add(did)
 
     # stage 1: global span dedup, first occurrence by (doc_id, span_idx)
+    # (docs dropped by an earlier stage — blocklist or near-dup skip_ids
+    # — claim no first-occurrence slots)
+    walk_skip = blocked | set(skip_ids or ())
     seen: set[str] = set()
     dedup_text: dict[int, str] = {}
     n_kept: dict[int, int] = {}
     for _, row in docs.iterrows():
-        if int(row["doc_id"]) in blocked:
+        if int(row["doc_id"]) in walk_skip:
             continue
         w = row["text"].split(" ")
         kept_spans = []
@@ -1201,6 +1205,60 @@ def _curation_core(
         "lm_ppl": lm_ppl, "lm_thr": lm_thr,
         "block_hits": block_hits, "blocked": blocked,
     }
+
+
+def curation_neardup_pdf(sf_dir: str) -> pd.DataFrame:
+    """Near-dup-arm audit table (CurationConfig(use_neardup=True)): the
+    naive LSH pair core + union-find picks each duplicate component's
+    min-id representative BEFORE the span walk; non-representatives drop
+    at 'near_dup' and claim no span slots."""
+    pairs = minhash_pairs_pdf(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nd_drop = {
+        int(n)
+        for n in set(pairs["id_a"]) | set(pairs["id_b"])
+        if find(int(n)) != int(n)
+    }
+    c = _curation_core(sf_dir, skip_ids=nd_drop)
+    dedup_text, q_keep = c["dedup_text"], c["q_keep"]
+    contaminated, dsir_score = c["contaminated"], c["dsir_score"]
+    rows = []
+    for i in c["docs"]["doc_id"].astype(int):
+        if i in nd_drop:
+            stage, score = "near_dup", 0
+        elif i not in dedup_text:
+            stage, score = "span_dup", 0
+        elif not q_keep[i]:
+            stage, score = "quality", 0
+        elif contaminated[i]:
+            stage, score = "contaminated", 0
+        elif dsir_score[i] < 0:
+            stage, score = "dsir", dsir_score[i]
+        elif not c["sampled"](i):
+            stage, score = "sampled_out", dsir_score[i]
+        else:
+            stage, score = None, dsir_score[i]
+        rows.append((i, c["n_kept"].get(i, 0), score, stage is None, stage))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_spans_kept", "dsir_score", "kept", "drop_stage"],
+    ).astype(
+        {
+            "doc_id": "int64", "n_spans_kept": "int64",
+            "dsir_score": "int64", "kept": "bool", "drop_stage": object,
+        }
+    )
 
 
 def curation_blocklist_pdf(sf_dir: str) -> pd.DataFrame:
@@ -1923,6 +1981,7 @@ def blocklist_pdf(sf_dir: str) -> pd.DataFrame:
 _RELATIONS = {
     "html_extract": lambda sf: html_extract_pdf(sf),
     "doc_curation_blocklist": lambda sf: curation_blocklist_pdf(sf),
+    "doc_curation_neardup": lambda sf: curation_neardup_pdf(sf),
     "token_fertility": lambda sf: token_fertility_pdf(sf),
     "blocklist_hits": lambda sf: blocklist_pdf(sf),
     "cdc_neardup": lambda sf: cdc_neardup_pdf(sf),

@@ -126,6 +126,15 @@ class CurationConfig:
     use_blocklist: bool = False
     blocklist_phrases: tuple = ()
     blocklist_max_hits: int = 0
+    # OPT-IN stage 1a (fuzzy doc-grain near-dup): MinHash-LSH pairs over
+    # the RAW text + connected components; only each duplicate
+    # component's min-id representative proceeds ('near_dup' in the
+    # audit). Runs BEFORE span dedup: exact span dedup would strip the
+    # shared spans from the later copy and hide the pair. The doc-grain
+    # analogue of conv_curation's stage 3.
+    use_neardup: bool = False
+    neardup_threshold: float = 0.5
+    neardup_max_bucket: int | None = 200
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
@@ -242,6 +251,32 @@ def run_curation(
             "doc_id",
             "left_semi",
         )
+
+    # ---- stage 1a (opt-in): fuzzy doc near-dup — LSH pairs + CC, keep
+    # each component's min-id representative. The drop set is
+    # pair-table-sized: localCheckpoint it eagerly, then release the LSH
+    # scoped caches (the bm25/para_neardup pattern)
+    nd_drop = None
+    if cfg.use_neardup:
+        from feast_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+            release_dedup_caches,
+        )
+
+        nd_pairs = minhash_lsh_pairs(
+            docs_in, "doc_id", "text",
+            jaccard_threshold=cfg.neardup_threshold,
+            max_bucket_size=cfg.neardup_max_bucket,
+        )
+        nd_drop = (
+            connected_components(nd_pairs.select("id_a", "id_b"))
+            .filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("doc_id"))
+            .localCheckpoint()
+        )
+        release_dedup_caches()
+        docs_in = docs_in.join(nd_drop, "doc_id", "left_anti")
 
     # ---- stage 1: corpus span dedup (keeps source via join on the
     # surviving ids — span_dedup's 2-shuffle shape, then one id join to
@@ -405,6 +440,13 @@ def run_curation(
         extra_cols.append(
             F.coalesce("n_hits", F.lit(0)).alias("blocklist_hits")
         )
+    if cfg.use_neardup:
+        audit = audit.join(
+            F.broadcast(nd_drop.withColumn("__nd", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        stage = _chain(stage, F.coalesce("__nd", F.lit(False)), "near_dup")
     stage = _chain(stage, F.col("n_spans_kept").isNull(), "span_dup")
     stage = stage.when(~F.col("quality_keep"), "quality")
     if cfg.use_lm:

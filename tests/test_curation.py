@@ -332,3 +332,44 @@ def test_blocklist_stage_filters_and_audits(spark):
 
 def test_blocklist_default_off_schema_unchanged(spark, result):
     assert "blocklist_hits" not in result.decisions.columns
+
+
+def test_neardup_stage_keeps_min_id_representative(spark):
+    # plant whole-doc near-copies: every %71 doc re-appears (3% of words
+    # changed would need a mutator; verbatim copy under a HIGHER id is
+    # enough for LSH) — copies must drop at 'near_dup', originals survive
+    # that stage, and dropped copies claim no span slots
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    copies = base.filter(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        "text",
+    )
+    docs = base.select("doc_id", "source", "text").unionByName(copies)
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias(
+            "bench_text"
+        )
+    )
+    res = run_curation(
+        spark, docs, bench, CurationConfig(use_neardup=True)
+    )
+    try:
+        dec = res.decisions
+        assert dec.count() == docs.count()
+        nd = {r["doc_id"] for r in dec.filter("drop_stage = 'near_dup'").collect()}
+        planted = {r["doc_id"] for r in copies.select("doc_id").collect()}
+        # every planted copy drops as near_dup (min-id rep = the original)
+        assert planted <= nd
+        # no original with a planted copy was sacrificed for it
+        assert not any(p - 1_000_000 in nd for p in planted)
+        # span slots: originals keep their spans (copies claimed none) —
+        # each original with a planted copy still has n_spans_kept > 0
+        originals = {p - 1_000_000 for p in planted}
+        kept_spans = {
+            r["doc_id"]: r["n_spans_kept"]
+            for r in dec.filter(F.col("doc_id").isin(originals)).collect()
+        }
+        assert all(v > 0 for v in kept_spans.values())
+    finally:
+        res.release()
