@@ -1970,6 +1970,56 @@ def q_token_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return token_fertility(docs, model, group_col="lang")
 
 
+def q_turn_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 3: cross-conversation turn-grain exact dedup (the
+    # synthetic-SFT template killer) — every 5th conversation is cloned
+    # under a later-sorting id, so cloned assistant turns repeat across
+    # conversations; the xxhash64 arm keys the exchange on 8 bytes
+    # (portable-arm parity pinned in tests). Oracle: GENUINE DuckDB SQL
+    # over the raw turns with the same SQL-synthesized clones.
+    from feast_spark.operators.conversation import turn_dedup
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = t.filter(F.pmod(idx, F.lit(5)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    )
+    return turn_dedup(t.unionByName(clones), key_method="xxhash64")
+
+
+def q_conv_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 3: per-conversation self-repetition / agent-loop
+    # stats (run-length structure of consecutive identical assistant
+    # turns) on the loop-planted fixture. Oracle: GENUINE DuckDB SQL
+    # (lag + run-id prefix sum + run-length window) over the raw turns.
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import conversation_repetition
+
+    t = transcripts_spark(
+        spark, 100, seed=42, mega_every=50, mega_turns=200, loop_prob=0.3
+    )
+    return conversation_repetition(t, min_repeats=3)
+
+
+def q_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 3: UniMax language-balanced corpus carving at 70%
+    # of the corpus token mass — at sf0.01 the epoch cap binds for the
+    # small languages while the dominant 'en' absorbs their unused fair
+    # share (both allocation branches live). Oracle: pandas replay with
+    # the SHARED integer allocation fold (oracles.unimax_pdf).
+    from feast_spark.operators.selection import unimax_sample
+
+    docs = _t(spark, sf, "documents")
+    w = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "[ \t\n\x0b\f\r]+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    total = int(docs.select(F.sum(w)).first()[0])
+    return unimax_sample(docs, budget=total * 7 // 10, max_epochs=1)
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2041,6 +2091,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 3: turn-grain cross-conversation dedup,
+        # agent-loop run stats, UniMax language-balanced sampling
+        "turn_dedup": q_turn_dedup,
+        "conv_repetition": q_conv_repetition,
+        "unimax_sample": q_unimax_sample,
         # round 5 session 2: byte-grain CDC near-dup + blocklist scan
         # + per-language tokenizer fertility
         "cdc_neardup": q_cdc_neardup,
@@ -2070,15 +2125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_windows": q_conv_windows,
         "conv_render": q_conv_render,
         "gopher_repetition": q_gopher_repetition,
-        "text_normalize": q_text_normalize,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
         "lm_perplexity": q_lm_perplexity,
         "lm_buckets": q_lm_buckets,
         "doc_curation_lm": q_doc_curation_lm,
-        "source_cap": q_source_cap,
-        "quality_calibrate": q_quality_calibrate,
         "label_resolve_recency": q_label_resolve_recency,
         "quality_classifier": q_quality_classifier,
         # flagship + round-3 selection family
@@ -2114,6 +2166,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 3 (still pytest-oracled here)
+        "text_normalize": q_text_normalize,
+        "source_cap": q_source_cap,
+        "quality_calibrate": q_quality_calibrate,
         # round 5 session 2 pytest-window additions + rotations
         "doc_curation_blocklist": q_doc_curation_blocklist,
         "doc_curation_neardup": q_doc_curation_neardup,
@@ -2200,6 +2256,91 @@ def _all_oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM read_parquet('{derived[name]}')"
 
     return {
+        "unimax_sample": _rp("unimax_sample"),
+        "turn_dedup": f"""
+            -- GENUINE SQL twin of operators/conversation.turn_dedup on
+            -- the clone-planted corpus: every 5th conversation unioned
+            -- back under conv_id || 'd', latest-per-(conv,turn) dedup,
+            -- ASCII-ws-normalized assistant texts with >= 3 words ranked
+            -- by first occurrence in (conv_id, turn_idx) order
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), u AS (
+              SELECT * FROM raw
+              UNION ALL
+              SELECT conv_id || 'd' AS conv_id, turn_idx, role, text,
+                     tool, ts
+              FROM raw
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM u
+              ) WHERE rn = 1
+            ), e AS (
+              SELECT conv_id, turn_idx,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS norm
+              FROM d WHERE role = 'assistant'
+            ), g AS (
+              SELECT conv_id, turn_idx, norm,
+                CASE WHEN length(norm) = 0 THEN 0
+                     ELSE len(string_split(norm, ' ')) END AS n_words
+              FROM e
+            ), r AS (
+              SELECT conv_id, turn_idx,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(COUNT(*) OVER (PARTITION BY norm) AS BIGINT)
+                  AS n_copies,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY norm ORDER BY conv_id, turn_idx
+                ) AS BIGINT) AS copy_rank
+              FROM g WHERE n_words >= 3
+            )
+            SELECT *, copy_rank = 1 AS keep FROM r
+        """,
+        "conv_repetition": f"""
+            -- GENUINE SQL twin of conversation_repetition on the
+            -- loop-planted fixture: lag equality -> run-id prefix sum ->
+            -- run-length window -> per-conversation aggregates
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_loop_raw"]}')
+              ) WHERE rn = 1
+            ), a AS (
+              SELECT conv_id, turn_idx,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS norm
+              FROM d WHERE role = 'assistant'
+            ), f AS (
+              SELECT conv_id, turn_idx, norm,
+                CASE WHEN norm = lag(norm) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx
+                ) THEN 1 ELSE 0 END AS rep
+              FROM a
+            ), r AS (
+              SELECT *, SUM(1 - rep) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM f
+            ), rl AS (
+              SELECT *, COUNT(*) OVER (PARTITION BY conv_id, run_id)
+                AS run_len
+              FROM r
+            )
+            SELECT conv_id,
+              CAST(COUNT(*) AS BIGINT) AS n_role_turns,
+              CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_distinct_texts,
+              CAST(SUM(rep) AS BIGINT) AS n_consec_repeats,
+              CAST(MAX(run_len) AS BIGINT) AS max_run,
+              MAX(run_len) >= 3 AS is_loop
+            FROM rl GROUP BY conv_id
+        """,
         "cdc_neardup": _rp("cdc_neardup"),
         "blocklist_hits": _rp("blocklist_hits"),
         "token_fertility": _rp("token_fertility"),

@@ -45,7 +45,24 @@ __all__ = [
     "conversation_structure",
     "conversation_windows",
     "render_conversations",
+    "turn_dedup",
+    "conversation_repetition",
 ]
+
+# ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
+# Python re; Java \s is ASCII-only but RE2 \s EXCLUDES \x0b, so the
+# explicit class is the only spelling all three engines agree on
+_ASCII_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _norm_text(col: str = "text"):
+    """Whitespace-normalized turn text: NULL -> '', ASCII-whitespace
+    collapse, trim. NO case folding — Java lowercases ASCII-only under
+    (?i) while Python/DuckDB casefold Unicode, so a case-insensitive
+    dedup key would be a latent cross-engine divergence."""
+    return F.trim(
+        F.regexp_replace(F.coalesce(F.col(col), F.lit("")), _ASCII_WS, " ")
+    )
 
 
 def _deduped(turns: DataFrame) -> DataFrame:
@@ -395,4 +412,148 @@ def conversation_pii(turns: DataFrame) -> DataFrame:
         "flagged_turn_frac",
         F.col("n_flagged_turns").cast("double")
         / F.col("n_turns").cast("double"),
+    )
+
+
+def turn_dedup(
+    turns: DataFrame,
+    role: str = "assistant",
+    min_words: int = 3,
+    key_method: str = "portable",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Cross-conversation turn-grain exact dedup — the synthetic-SFT
+    template killer: the same assistant response pasted into thousands of
+    conversations (canned refusals, templated tool summaries, distilled
+    teacher outputs) survives every conversation-grain near-dup pass
+    because each HOST conversation is unique. Dedup at the turn grain
+    marks every repeat of a normalized response beyond its first
+    occurrence in ``(conv_id, turn_idx)`` order.
+
+    Scope: only ``role`` turns with at least ``min_words`` whitespace
+    words are eligible (short acks — "ok", "done" — legitimately repeat;
+    deduping them would gut normal dialogue). Output: one row per
+    ELIGIBLE turn — ``(conv_id, turn_idx, n_words, n_copies, copy_rank,
+    keep)`` with ``keep`` true iff the turn is its text's first
+    occurrence (``copy_rank`` 1) — ready to drive a left-semi/anti join
+    back onto the corpus.
+
+    Key arms (span_dedup's pattern): ``portable`` partitions the window
+    on the normalized STRING (what the DuckDB oracle replays by
+    construction); ``xxhash64`` partitions on the 8-byte hash so the
+    exchange carries ~24 B/turn at any corpus size — identical output
+    absent 64-bit collisions (parity-pinned in tests).
+
+    Scale shape: role/min-words filters are map-side; ONE exchange keyed
+    on the text key, with ``row_number`` + partition ``count`` sharing
+    it. Group sizes are duplicate multiplicities — a mega-template with
+    millions of copies makes a hot key; AQE skew-split handles it (the
+    sort within the group is by (conv_id, turn_idx), cheap).
+
+    Reference: feast has no text operators; semantics follow the public
+    exact-dedup family (Lee et al. 2022 dedups at document/span grain —
+    this is the same first-occurrence rule at the transcript turn grain).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    norm = _norm_text("text")
+    elig = (
+        d.filter(F.col("role") == role)
+        .select("conv_id", "turn_idx", norm.alias("__norm"))
+        .withColumn(
+            "n_words",
+            F.when(F.length("__norm") == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("__norm"), " "))
+            ).cast("long"),
+        )
+        .filter(F.col("n_words") >= int(min_words))
+    )
+    if key_method == "xxhash64":
+        keyed = elig.select(
+            "conv_id", "turn_idx", "n_words",
+            F.xxhash64("__norm").alias("__k"),
+        )
+    elif key_method == "portable":
+        keyed = elig.withColumnRenamed("__norm", "__k")
+    else:
+        raise ValueError(f"unknown key_method {key_method!r}")
+    w = Window.partitionBy("__k").orderBy("conv_id", "turn_idx")
+    return (
+        keyed.withColumn("copy_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_copies",
+            F.count(F.lit(1)).over(Window.partitionBy("__k")).cast("long"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_words",
+            "n_copies",
+            "copy_rank",
+            (F.col("copy_rank") == 1).alias("keep"),
+        )
+    )
+
+
+def conversation_repetition(
+    turns: DataFrame,
+    role: str = "assistant",
+    min_repeats: int = 3,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Per-conversation self-repetition / agent-loop statistics: an agent
+    stuck in a loop re-emits the same (normalized) text turn after turn —
+    the transcript-grain analogue of Gopher's duplicate-line fraction,
+    and the aggregate view of the quality pipeline's opt-in ``agent_loop``
+    rule (this reports run structure for EVERY conversation instead of
+    gating individual turns).
+
+    One row per conversation that has at least one ``role`` turn:
+
+    - ``n_role_turns`` — deduped turns with that role
+    - ``n_distinct_texts`` — distinct normalized texts among them
+    - ``n_consec_repeats`` — turns equal to the previous same-role turn
+    - ``max_run`` — longest run of consecutive identical texts
+    - ``is_loop`` — ``max_run >= min_repeats``
+
+    Scale shape: ONE exchange keyed ``conv_id``. The lag window, the
+    run-id prefix sum, the run-length window (clustered on
+    ``(conv_id, run)`` — hash(conv_id) already satisfies it, no second
+    exchange) and the final hash-agg all reuse it. ``n_distinct_texts``
+    is ``size(collect_set(...))`` — distinct-within-conversation, group
+    size bounded by conversation length, so no count-distinct expand.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    a = d.filter(F.col("role") == role).select(
+        "conv_id", "turn_idx", _norm_text("text").alias("__norm")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    rep = F.coalesce(
+        F.col("__norm") == F.lag("__norm").over(w), F.lit(False)
+    )
+    run = F.sum(F.when(rep, 0).otherwise(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = a.select(
+        "conv_id",
+        "__norm",
+        rep.alias("__rep"),
+        run.alias("__run"),
+    )
+    run_len = F.count(F.lit(1)).over(
+        Window.partitionBy("conv_id", "__run")
+    )
+    out = (
+        flagged.withColumn("__run_len", run_len)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_role_turns"),
+            F.size(F.collect_set("__norm")).cast("long").alias(
+                "n_distinct_texts"
+            ),
+            F.sum(F.col("__rep").cast("long")).alias("n_consec_repeats"),
+            F.max("__run_len").alias("max_run"),
+        )
+    )
+    return out.withColumn(
+        "is_loop", F.col("max_run") >= F.lit(int(min_repeats))
     )

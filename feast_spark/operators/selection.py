@@ -1407,3 +1407,141 @@ def span_dedup_incremental(
     if persist_winners:
         return deduped, batch_new_spans, winners
     return deduped, batch_new_spans
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-balanced sampling (Chung et al. 2023, public algorithm)
+# ---------------------------------------------------------------------------
+
+
+def unimax_allocation(
+    sizes: dict[str, int], budget: int, max_epochs: int = 1
+) -> dict[str, int]:
+    """UniMax budget allocation (integer-exact): visit languages in
+    ascending corpus size; each gets ``min(max_epochs * size,
+    remaining_budget // remaining_languages)`` tokens. Small languages
+    cap out at their epoch ceiling and their unused fair share flows to
+    the larger languages still in the queue — the paper's uniform-up-to-
+    an-epoch-cap distribution without any float arithmetic (the oracle
+    replays the same ``//`` fold). Ties in size break on the language
+    string so the visit order is total.
+    """
+    alloc: dict[str, int] = {}
+    remaining = int(budget)
+    order = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    for i, (lang, s) in enumerate(order):
+        fair = remaining // (len(order) - i)
+        a = min(int(max_epochs) * int(s), fair)
+        alloc[lang] = a
+        remaining -= a
+    return alloc
+
+
+def unimax_sample(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 1,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "um1",
+) -> DataFrame:
+    """UniMax language-balanced corpus carving: spend a total token
+    ``budget`` across languages so every language is sampled as uniformly
+    as possible without repeating any language more than ``max_epochs``
+    times (Chung et al. 2023, "UniMax: Fairer and More Effective Language
+    Sampling for Large-Scale Multilingual Pretraining") — the successor
+    to temperature sampling for multilingual mixes. Documents are whole:
+    within each language they are taken in deterministic ``(md5_48(seed
+    || id), id)`` order until the language's allocation is crossed (the
+    boundary-crossing document is INCLUDED, so every language with a
+    positive allocation contributes at least one document and the
+    overshoot is bounded by one document per language).
+
+    Returns the kept rows: ``(doc_id, lang, n_tokens, cum_before,
+    lang_alloc)`` where ``cum_before`` is the exclusive running token sum
+    in selection order (``cum_before < lang_alloc`` is the keep rule).
+    ``weight_col`` supplies per-document token counts; when None they are
+    whitespace word counts of ``text_col``.
+
+    Scale shape: per-language totals are one map-side-combined hash agg
+    collected to the driver (rows = #languages); the allocation fold is
+    driver-side over that tiny dict; selection order never global-sorts —
+    the running sum is the shared two-phase prefix sum
+    (:func:`_prefix_sum_starts`'s shape, grouped by language): md5-top-
+    10-bit buckets give a ≤ ``1024 x #languages``-row broadcast offset
+    table, and each map task scans only its own bucket partition. A
+    mega-language never funnels through one sort partition.
+    """
+    # non-empty split tokens: immune to leading/trailing whitespace
+    # asymmetries (Spark trim strips ONLY spaces; Java split drops only
+    # TRAILING empties) — the count is identical in Spark, DuckDB and
+    # Python re.split-with-filter
+    w = (
+        F.col(weight_col)
+        if weight_col
+        else F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\n\x0b\f\r]+"),
+                lambda x: x != "",
+            )
+        )
+    ).cast("long")
+    sized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        w.alias("n_tokens"),
+    )
+    sizes = {
+        r["lang"]: r["tot"]
+        for r in sized.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    alloc = unimax_allocation(sizes, budget, max_epochs)
+    spark = df.sparkSession
+    alloc_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(alloc.items())],
+        "lang string, lang_alloc long",
+    )
+    # grouped two-phase prefix sum: selection order inside each language
+    # is (md5_48(seed||id), id); top-10-bit buckets keep the offset table
+    # tiny and the per-bucket sort local to its map task
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = sized.withColumn("__h", h).withColumn(
+        "__b", F.shiftright(F.col("__h"), 38)
+    )
+    btot = keyed.groupBy("lang", "__b").agg(F.sum("n_tokens").alias("__tot"))
+    offs = btot.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.partitionBy("lang")
+                .orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("lang", "__b", "__off")
+    inner = (
+        Window.partitionBy("lang", "__b")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(offs), ["lang", "__b"])
+        .withColumn(
+            "cum_before",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(inner), F.lit(0)),
+        )
+        .join(F.broadcast(alloc_df), "lang")
+        .filter(F.col("cum_before") < F.col("lang_alloc"))
+        .select("doc_id", "lang", "n_tokens", "cum_before", "lang_alloc")
+    )

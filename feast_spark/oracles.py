@@ -1978,6 +1978,69 @@ def blocklist_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+
+
+def transcripts_loop_raw_pdf(sf_dir: str) -> pd.DataFrame:
+    """The loop-planted transcript fixture (loop_prob=0.3 — same params
+    as q_transcript_pipeline_loop), written RAW so the repetition
+    operator's oracle is genuine DuckDB SQL over the input turns."""
+    from feast_spark.fixtures import generate_transcripts
+
+    pdf = generate_transcripts(
+        100, seed=42, mega_every=50, mega_turns=200, loop_prob=0.3
+    )
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf.reset_index(drop=True)
+
+
+def unimax_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive replay of :func:`feast_spark.operators.selection.
+    unimax_sample` on the documents table: pandas word counts (identical
+    non-empty-token rule), the SHARED integer allocation fold
+    (``unimax_allocation`` — kernel imported verbatim, the
+    greedy_kcenter pattern), md5-order selection with an exclusive
+    cumulative sum, keep while ``cum_before < alloc``."""
+    import hashlib
+    import re
+
+    from feast_spark.operators.selection import unimax_allocation
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    n_tokens = docs["text"].map(
+        lambda t: len([x for x in ws.split(t or "")
+                       if x]) if t is not None else 0
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "lang": docs["lang"],
+            "n_tokens": n_tokens.astype("int64"),
+        }
+    )
+    total = int(pdf["n_tokens"].sum())
+    sizes = pdf.groupby("lang")["n_tokens"].sum().to_dict()
+    alloc = unimax_allocation(
+        {k: int(v) for k, v in sizes.items()}, total * 7 // 10, max_epochs=1
+    )
+    pdf["__h"] = pdf["doc_id"].map(
+        lambda i: int(
+            hashlib.md5(f"um1{i}".encode()).hexdigest()[:12], 16
+        )
+    )
+    pdf = pdf.sort_values(["lang", "__h", "doc_id"], kind="mergesort")
+    pdf["cum_before"] = (
+        pdf.groupby("lang")["n_tokens"].cumsum() - pdf["n_tokens"]
+    )
+    pdf["lang_alloc"] = pdf["lang"].map(alloc).astype("int64")
+    kept = pdf[pdf["cum_before"] < pdf["lang_alloc"]]
+    return (
+        kept[["doc_id", "lang", "n_tokens", "cum_before", "lang_alloc"]]
+        .reset_index(drop=True)
+    )
+
+
 _RELATIONS = {
     "html_extract": lambda sf: html_extract_pdf(sf),
     "doc_curation_blocklist": lambda sf: curation_blocklist_pdf(sf),
@@ -1986,6 +2049,8 @@ _RELATIONS = {
     "blocklist_hits": lambda sf: blocklist_pdf(sf),
     "cdc_neardup": lambda sf: cdc_neardup_pdf(sf),
     "transcripts_raw": lambda sf: transcripts_raw_pdf(sf),
+    "transcripts_loop_raw": lambda sf: transcripts_loop_raw_pdf(sf),
+    "unimax_sample": lambda sf: unimax_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),
     "conv_pack": lambda sf: conv_pack_pdf(),
     "conv_pii": lambda sf: conv_pii_pdf(),

@@ -387,3 +387,121 @@ def test_pack_conversations_isolated_conserves_and_never_crosses(spark):
     # by the (conv_id, chunk_idx) key; cross-mode has multi-conv seqs on
     # this fixture, so the distinction is real
     assert (cross["n_convs"] > 1).any()
+
+
+def test_turn_dedup_semantics_and_arm_parity(spark):
+    """Planted cross-conv clones are caught beyond first occurrence;
+    short turns are exempt; xxhash64 arm == portable arm bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import turn_dedup
+
+    t = transcripts_spark(spark, 40, seed=11, mega_every=20, mega_turns=60)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = t.filter(F.pmod(idx, F.lit(4)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    )
+    tt = t.unionByName(clones)
+    port = turn_dedup(tt, key_method="portable").toPandas()
+    xx = turn_dedup(tt, key_method="xxhash64").toPandas()
+    key = ["conv_id", "turn_idx"]
+    assert port.sort_values(key).reset_index(drop=True).equals(
+        xx.sort_values(key).reset_index(drop=True)
+    )
+    # every clone's eligible assistant turn is a non-first copy of the
+    # original conversation's turn: for each cloned conv there must be
+    # dropped rows, and each keep=False row has a keep=True twin whose
+    # (n_copies, n_words) agree
+    dups = port[~port["keep"]]
+    assert len(dups) > 0
+    firsts = port[port["keep"]]
+    assert (dups["copy_rank"] > 1).all()
+    assert (firsts["copy_rank"] == 1).all()
+    # group sanity: ranks within a copy group are 1..n_copies — join on
+    # nothing observable except the counts
+    assert (port["copy_rank"] <= port["n_copies"]).all()
+    # min_words gate: no eligible row below the threshold
+    assert (port["n_words"] >= 3).all()
+    # cloned conv c...0d: its assistant turns >=3 words never keep when
+    # the original precedes them lexicographically
+    cloned = port[port["conv_id"].str.endswith("d")]
+    # every (conv, turn) pair present in both original and clone with
+    # identical word count -> the clone is dropped (the original's id
+    # sorts first)
+    both = cloned.merge(
+        port[~port["conv_id"].str.endswith("d")].assign(
+            conv_id=lambda d: d["conv_id"] + "d"
+        ),
+        on=key,
+        suffixes=("_c", "_o"),
+    )
+    same = both[both["n_words_c"] == both["n_words_o"]]
+    assert len(same) > 0
+    assert not same["keep_c"].any()
+
+
+def test_turn_dedup_xx_arm_sheds_text_before_exchange(spark):
+    """The xxhash64 arm's window exchange must not carry the normalized
+    string — only the 8-byte key plus the id/count columns."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import turn_dedup
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = turn_dedup(t, key_method="xxhash64")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(__k#\d+L", plan)
+    assert m, plan[:2000]
+    # tree text prints parents ABOVE the exchange: everything above must
+    # be string-free — the normalized text is consumed map-side (the
+    # child Project computes n_words + xxhash64 and drops it), so only
+    # the 8-byte key crosses the wire
+    above = plan[: m.start()]
+    assert "__norm" not in above, above[:1500]
+
+
+def test_conversation_repetition_hand_computed(spark):
+    """Crafted conversation: runs of identical assistant texts produce
+    exact run-length stats; whitespace variants collapse to one text."""
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.conversation import conversation_repetition
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    # conv A assistant texts: x, x, y, x, x, x  -> max_run 3, repeats 3,
+    # distinct 2 ('x  again'/'x again' collapse under ws normalization)
+    seq = ["x again", "x  again", "y", "x again", "x again", "x again"]
+    for i, txt in enumerate(seq):
+        rows.append(("A", 2 * i, "user", "q", None, ts))
+        rows.append(("A", 2 * i + 1, "assistant", txt, None, ts))
+    # conv B: no assistant turns at all -> absent from output
+    rows.append(("B", 0, "user", "hello", None, ts))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = conversation_repetition(t, min_repeats=3).toPandas()
+    assert set(out["conv_id"]) == {"A"}
+    r = out.iloc[0]
+    assert r["n_role_turns"] == 6
+    assert r["n_distinct_texts"] == 2
+    assert r["n_consec_repeats"] == 3
+    assert r["max_run"] == 3
+    assert bool(r["is_loop"])
+
+
+def test_conversation_repetition_single_exchange(spark):
+    """Lag window, run-id prefix sum, run-length window and final agg all
+    reuse ONE conv_id exchange (hash(conv_id) satisfies the clustered
+    distribution of (conv_id, run))."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import conversation_repetition
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        conversation_repetition(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:3000]

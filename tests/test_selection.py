@@ -1187,3 +1187,87 @@ def test_weighted_sample_k_plan_bounds_shuffle(spark):
     # rank rewritten to WindowGroupLimit: each map task keeps <= k rows
     # per stratum BEFORE the exchange
     assert "WindowGroupLimit" in plan
+
+
+def test_unimax_allocation_integer_fold():
+    """Both branches: small languages cap at max_epochs*size, their
+    unused fair share flows to larger ones; everything integer-exact."""
+    from feast_spark.operators.selection import unimax_allocation
+
+    sizes = {"en": 1000, "de": 100, "fr": 50}
+    alloc = unimax_allocation(sizes, budget=600, max_epochs=1)
+    # ascending visit: fr fair=200 -> cap 50; de fair=(550)//2=275 ->
+    # cap 100; en fair=450 -> 450
+    assert alloc == {"fr": 50, "de": 100, "en": 450}
+    assert sum(alloc.values()) == 600
+    # epochs raise the cap
+    alloc2 = unimax_allocation(sizes, budget=600, max_epochs=4)
+    assert alloc2 == {"fr": 200, "de": 200, "en": 200}
+    # budget larger than all caps: leftover stays unspent
+    alloc3 = unimax_allocation(sizes, budget=5000, max_epochs=1)
+    assert alloc3 == {"fr": 50, "de": 100, "en": 1000}
+    # size ties visit in language order (deterministic)
+    assert unimax_allocation({"b": 10, "a": 10}, 15, 1) == {"a": 7, "b": 8}
+
+
+def test_unimax_sample_invariants(spark):
+    """Per language: kept tokens cross the allocation by at most the
+    boundary document; selection is deterministic and layout-independent;
+    every positive allocation contributes at least one document."""
+    from feast_spark.operators.selection import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = unimax_sample(docs, budget=9000, max_epochs=1).toPandas()
+    assert len(out) > 0
+    g = out.groupby("lang")
+    for lang, grp in g:
+        alloc = grp["lang_alloc"].iloc[0]
+        tot = grp["n_tokens"].sum()
+        # the boundary doc is included -> tot >= alloc (when enough
+        # supply) and removing the LAST selected doc drops below alloc
+        last = grp.sort_values("cum_before")["n_tokens"].iloc[-1]
+        assert tot - last < alloc <= tot or tot < alloc  # undersupply
+        assert (grp["cum_before"] < alloc).all()
+    # repartitioned input -> identical selection
+    out2 = (
+        unimax_sample(docs.repartition(13), budget=9000, max_epochs=1)
+        .toPandas()
+    )
+    k = ["doc_id"]
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # shared kernel agreement: per-language totals match the driver fold
+    import re as _re
+
+    sizes = out.groupby("lang")["lang_alloc"].first()
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    pdf = docs.toPandas()
+    full = {
+        lang: int(
+            pdf[pdf["lang"] == lang]["text"]
+            .map(lambda t: len([x for x in ws.split(t or "") if x]))
+            .sum()
+        )
+        for lang in pdf["lang"].unique()
+    }
+    expect = unimax_allocation(full, 9000, 1)
+    assert {k_: int(v) for k_, v in sizes.items()} == {
+        k_: v for k_, v in expect.items() if k_ in sizes.index
+    }
+
+
+def test_unimax_sample_plan_broadcasts_and_buckets(spark):
+    """Plan audit: the offset and allocation tables join via broadcast;
+    no global sort; the prefix-sum window partitions on (lang, bucket)."""
+    from feast_spark.operators.selection import unimax_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        unimax_sample(docs, budget=9000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "Sort [lang" not in plan or "SortMergeJoin" not in plan
