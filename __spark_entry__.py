@@ -2020,6 +2020,42 @@ def q_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
     return unimax_sample(docs, budget=total * 7 // 10, max_epochs=1)
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 3: time-gap sessionization inside conversations
+    # (1-minute gap on the fixture's 1-120s turn gaps, so both branches
+    # fire constantly). Oracle: GENUINE DuckDB SQL (epoch_us lag diff +
+    # session-id prefix sum) over the raw turns.
+    from feast_spark.operators.conversation import sessionize_turns
+
+    return sessionize_turns(_transcripts_fixture(spark), gap_minutes=1)
+
+
+def q_conv_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 3: benchmark decontamination at the CONVERSATION
+    # grain — the benchmark is SQL-derivable from the corpus itself
+    # (first 12 words of every 7th conversation's deduped turn 0), so
+    # the oracle is GENUINE DuckDB SQL: lateral-unnest 8-gram streams
+    # joined against the distinct benchmark gram set.
+    from feast_spark.operators.conversation import (
+        _ASCII_WS,
+        _deduped,
+        conversation_contamination,
+    )
+
+    t = _transcripts_fixture(spark)
+    d = _deduped(t)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), _ASCII_WS),
+        lambda x: x != "",
+    )
+    bench = (
+        d.filter((F.pmod(idx, F.lit(7)) == 0) & (F.col("turn_idx") == 0))
+        .select(F.array_join(F.slice(toks, 1, 12), " ").alias("bench_text"))
+    )
+    return conversation_contamination(t, bench, n=8)
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2096,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_dedup": q_turn_dedup,
         "conv_repetition": q_conv_repetition,
         "unimax_sample": q_unimax_sample,
+        "sessionize": q_sessionize,
+        "conv_contamination": q_conv_contamination,
         # round 5 session 2: byte-grain CDC near-dup + blocklist scan
         # + per-language tokenizer fertility
         "cdc_neardup": q_cdc_neardup,
@@ -2122,8 +2160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "lexical_stats": q_lexical_stats,
         "conv_structure": q_conv_structure,
-        "conv_windows": q_conv_windows,
-        "conv_render": q_conv_render,
         "gopher_repetition": q_gopher_repetition,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
@@ -2167,6 +2203,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver artifact is capped."""
     return {
         # rotated round 5 session 3 (still pytest-oracled here)
+        "conv_windows": q_conv_windows,
+        "conv_render": q_conv_render,
         "text_normalize": q_text_normalize,
         "source_cap": q_source_cap,
         "quality_calibrate": q_quality_calibrate,
@@ -2257,6 +2295,79 @@ def _all_oracle_sql() -> dict[str, str]:
 
     return {
         "unimax_sample": _rp("unimax_sample"),
+        "sessionize": f"""
+            -- GENUINE SQL twin of sessionize_turns (gap_minutes=1):
+            -- epoch_us lag diff -> threshold -> session-id prefix sum
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), g AS (
+              SELECT conv_id, turn_idx,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS gap
+              FROM d
+            ), f AS (
+              SELECT conv_id, turn_idx,
+                CAST(COALESCE(gap, -1) AS BIGINT) AS gap_us,
+                COALESCE(gap > 60000000, TRUE) AS session_start
+              FROM g
+            )
+            SELECT conv_id, turn_idx,
+              CAST(SUM(CASE WHEN session_start THEN 1 ELSE 0 END) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx,
+              gap_us, session_start
+            FROM f
+        """,
+        "conv_contamination": f"""
+            -- GENUINE SQL twin of conversation_contamination (n=8):
+            -- benchmark = first 12 words of every 7th conversation's
+            -- deduped turn 0; lateral-unnest 8-gram streams on both
+            -- sides, distinct (conv, gram) hits, zero-filled misses
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), tk AS (
+              SELECT conv_id, turn_idx,
+                list_filter(string_split_regex(COALESCE(text, ''),
+                  '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS w
+              FROM d
+            ), bench AS (
+              SELECT list_filter(string_split_regex(
+                  array_to_string(w[1:12], ' '),
+                  '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS w
+              FROM tk
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 7 = 0
+                AND turn_idx = 0
+            ), bg AS (
+              SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+              FROM bench, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+              WHERE len(w) >= 8
+            ), tg AS (
+              SELECT DISTINCT conv_id,
+                array_to_string(w[i:i+7], ' ') AS gram
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+              WHERE len(w) >= 8
+            ), h AS (
+              SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+              FROM tg JOIN bg USING (gram) GROUP BY conv_id
+            )
+            SELECT c.conv_id,
+              CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+              COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM (SELECT DISTINCT conv_id FROM d) c
+            LEFT JOIN h USING (conv_id)
+        """,
         "turn_dedup": f"""
             -- GENUINE SQL twin of operators/conversation.turn_dedup on
             -- the clone-planted corpus: every 5th conversation unioned

@@ -108,6 +108,12 @@ HEADLINE = [
     "cdc_neardup",
     "blocklist_hits",
     "html_extract",
+    # round 5 session 3: turn-grain dedup + loop stats (driver-fixture
+    # forms; the ~2M-turn corpus forms are in the conv_grain section)
+    # + UniMax sampling over the sf documents table
+    "turn_dedup",
+    "conv_repetition",
+    "unimax_sample",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -930,6 +936,47 @@ def main() -> None:
         "external_cores": wpk.external_cores,
     }
 
+    # turn-grain dedup + per-conversation loop stats on the same corpus:
+    # the conv-family operators whose cost is corpus-sized (the headline
+    # rows time the small driver fixtures). Invariants in-artifact:
+    # ranks bounded by copy counts, every conversation with an assistant
+    # turn reported, loop convs consistent with their run stats.
+    from feast_spark.operators.conversation import (
+        conversation_repetition,
+        turn_dedup,
+    )
+
+    with _Window() as wtd:
+        td = turn_dedup(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_eligible"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            F.sum((F.col("copy_rank") > F.col("n_copies")).cast("long")
+                  ).alias("rank_overflow"),
+        ).collect()[0]
+    assert td["rank_overflow"] == 0, td
+    with _Window() as wcr:
+        cr = conversation_repetition(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum(F.col("is_loop").cast("long")).alias("n_loops"),
+            F.sum((F.col("max_run") > F.col("n_role_turns")).cast("long")
+                  ).alias("run_overflow"),
+            F.sum((F.col("n_distinct_texts") > F.col("n_role_turns"))
+                  .cast("long")).alias("distinct_overflow"),
+        ).collect()[0]
+    assert cr["run_overflow"] == 0 and cr["distinct_overflow"] == 0, cr
+    conv_grain = {
+        "n_turns": n_turns,
+        "turn_dedup_wall_sec": round(wtd.wall, 3),
+        "turn_dedup_turns_per_sec": round(n_turns / wtd.wall, 1),
+        "n_eligible": int(td["n_eligible"]),
+        "n_dropped": int(td["n_dropped"]),
+        "repetition_wall_sec": round(wcr.wall, 3),
+        "repetition_turns_per_sec": round(n_turns / wcr.wall, 1),
+        "n_convs": int(cr["n_convs"]),
+        "n_loops": int(cr["n_loops"]),
+        "external_cores": [wtd.external_cores, wcr.external_cores],
+    }
+
     docs_large = _bench_docs_large(spark) if DOCS_LARGE else None
     docs_shared = _bench_docs_shared(spark) if DOCS_LARGE else None
 
@@ -990,6 +1037,7 @@ def main() -> None:
         "pipeline": pipeline,
         "pipeline_full": pipeline_full,
         "conv_pack": conv_pack,
+        "conv_grain": conv_grain,
         "docs_large": docs_large,
         "docs_shared": docs_shared,
         "scaling": scaling,

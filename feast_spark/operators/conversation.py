@@ -47,6 +47,8 @@ __all__ = [
     "render_conversations",
     "turn_dedup",
     "conversation_repetition",
+    "sessionize_turns",
+    "conversation_contamination",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -556,4 +558,103 @@ def conversation_repetition(
     )
     return out.withColumn(
         "is_loop", F.col("max_run") >= F.lit(int(min_repeats))
+    )
+
+
+def sessionize_turns(
+    turns: DataFrame, gap_minutes: int = 30, pre_deduped: bool = False
+) -> DataFrame:
+    """Time-gap session segmentation: a conversation's turns split into
+    sessions wherever the gap to the previous turn exceeds
+    ``gap_minutes`` — the standard sessionization rule (web analytics /
+    GA heuristic), applied inside each conversation. Long-lived agent
+    threads (the fixture's mega-conversations) are really many sittings;
+    downstream context assembly and packing should not attend across a
+    week-long silence.
+
+    One row per deduped turn: ``(conv_id, turn_idx, session_idx,
+    gap_us, session_start)`` — ``session_idx`` is 1-based per
+    conversation, ``gap_us`` the microsecond gap to the previous turn
+    (-1 sentinel on each conversation's first turn — never NULL, so
+    int dtypes survive the driver's pandas round-trip).
+
+    Scale shape: ONE exchange keyed ``conv_id``; the lag and the
+    session-id prefix sum share its sort. Map-only before and after.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    start = F.coalesce(
+        gap > F.lit(int(gap_minutes) * 60_000_000), F.lit(True)
+    )
+    flagged = d.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(gap, F.lit(-1)).alias("gap_us"),
+        start.alias("session_start"),
+    )
+    return flagged.withColumn(
+        "session_idx",
+        F.sum(F.col("session_start").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select(
+        "conv_id", "turn_idx", "session_idx", "gap_us", "session_start"
+    )
+
+
+def conversation_contamination(
+    turns: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    bench_text_col: str = "bench_text",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination at the CONVERSATION grain: a
+    conversation is contaminated when any of its turns contains a
+    verbatim word ``n``-gram from the benchmark — eval questions leak
+    into transcripts through the USER side (someone pasted the benchmark
+    prompt at an agent), so the doc-grain pass over rendered text is the
+    wrong grain: one row per conversation, counting DISTINCT
+    ``(conversation, gram)`` hits across all its turns.
+
+    Tokens are non-empty ASCII-whitespace splits (engine-agnostic — see
+    :func:`turn_dedup`'s normalization notes). Returns ``(conv_id,
+    n_hit_grams, contaminated)`` with zero-filled misses.
+
+    Scale shape: the benchmark gram set is broadcast (eval suites are
+    MBs; the corpus is TBs) — the corpus-side gram stream is never
+    shuffled un-pruned; the distinct + count collapse into hash
+    aggregations keyed on ``conv_id`` AFTER the broadcast join shrinks
+    the stream to hit rows only (selection.contamination_check's shape
+    at the transcript grain).
+    """
+    from feast_spark.operators.selection import word_ngrams
+
+    d = turns if pre_deduped else _deduped(turns)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), _ASCII_WS),
+        lambda x: x != "",
+    )
+    turn_grams = d.select(
+        "conv_id", F.explode(word_ngrams(toks, n)).alias("gram")
+    )
+    bench_toks = F.filter(
+        F.split(F.coalesce(F.col(bench_text_col), F.lit("")), _ASCII_WS),
+        lambda x: x != "",
+    )
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(bench_toks, n)).alias("gram")
+    ).distinct()
+    hits = (
+        turn_grams.join(F.broadcast(bench_grams), "gram")
+        .dropDuplicates(["conv_id", "gram"])
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    convs = d.select("conv_id").distinct()
+    return convs.join(F.broadcast(hits), "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+        (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
     )

@@ -505,3 +505,90 @@ def test_conversation_repetition_single_exchange(spark):
     )
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan[:3000]
+
+
+def test_sessionize_hand_computed(spark):
+    """Crafted gaps around the threshold: strict inequality, first-turn
+    sentinel, per-conversation restart."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import sessionize_turns
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    offsets = [0, 59, 119, 180]  # gaps 59s, 60s (NOT > 60), 61s
+    rows = [
+        ("A", i, "user", f"t{i}", None, t0 + timedelta(seconds=s))
+        for i, s in enumerate(offsets)
+    ] + [("B", 0, "user", "x", None, t0)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = (
+        sessionize_turns(t, gap_minutes=1)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    a = out[out["conv_id"] == "A"]
+    assert list(a["gap_us"]) == [-1, 59_000_000, 60_000_000, 61_000_000]
+    assert list(a["session_start"]) == [True, False, False, True]
+    assert list(a["session_idx"]) == [1, 1, 1, 2]
+    b = out[out["conv_id"] == "B"]
+    assert list(b["session_idx"]) == [1] and list(b["gap_us"]) == [-1]
+
+
+def test_sessionize_single_exchange(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import sessionize_turns
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        sessionize_turns(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_conversation_contamination_values_and_plan(spark):
+    """A planted benchmark n-gram is found in every conversation that
+    contains it verbatim (across turn boundaries never matches); the
+    benchmark side is broadcast and the corpus gram stream is pruned
+    BEFORE any exchange."""
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.conversation import (
+        conversation_contamination,
+    )
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    phrase = "the quick brown fox jumps over the lazy"  # 8 words
+    rows = [
+        ("A", 0, "user", f"intro {phrase} outro", None, ts),
+        ("A", 1, "assistant", phrase, None, ts),
+        ("B", 0, "user", "the quick brown fox", None, ts),  # only half
+        ("B", 1, "assistant", "jumps over the lazy", None, ts),
+        ("C", 0, "user", "nothing related here at all whatsoever really",
+         None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    bench = spark.createDataFrame([(phrase,)], "bench_text string")
+    out = (
+        conversation_contamination(t, bench, n=8)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert bool(out.loc["A", "contaminated"])
+    assert int(out.loc["A", "n_hit_grams"]) == 1  # distinct grams, not 2
+    assert not bool(out.loc["B", "contaminated"])  # split across turns
+    assert not bool(out.loc["C", "contaminated"])
+    plan = (
+        conversation_contamination(t, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
