@@ -275,6 +275,41 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "n_tokens": int(pk["tok"]),
         "turns_per_sec": round(n_turns / wall, 1),
     }
+
+    # turn-grain cross-conversation dedup at scale: every ELIGIBLE
+    # assistant turn of a clone is an exact repeat of its original's
+    # (same ts -> same latest-per-key winner), so the planted lower
+    # bound on dropped turns is the clones' eligible-turn count; ranks
+    # stay bounded by copy counts
+    from feast_spark.operators.conversation import turn_dedup
+
+    t0 = time.time()
+    td = turn_dedup(corpus, key_method="xxhash64").persist()
+    stats = td.agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sum((F.col("copy_rank") > F.col("n_copies")).cast("long")
+              ).alias("rank_overflow"),
+    ).collect()[0]
+    clone_eligible = td.filter(
+        F.col("conv_id").endswith("_clone")
+    ).count()
+    clone_dropped = td.filter(
+        F.col("conv_id").endswith("_clone") & ~F.col("keep")
+    ).count()
+    wall = round(time.time() - t0, 2)
+    assert stats["rank_overflow"] == 0, stats
+    assert clone_dropped == clone_eligible, (clone_dropped, clone_eligible)
+    assert stats["n_dropped"] >= clone_eligible
+    out["turn_dedup"] = {
+        "wall_sec": wall,
+        "n_eligible": int(stats["n_eligible"]),
+        "n_dropped": int(stats["n_dropped"]),
+        "clone_turns_planted": clone_eligible,
+        "clone_turns_dropped": clone_dropped,
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+    td.unpersist()
     corpus.unpersist()
     return out
 
