@@ -2056,6 +2056,23 @@ def q_conv_contamination(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_contamination(t, bench, n=8)
 
 
+def q_pii_exposure(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 3: cross-conversation PII ENTITY exposure (which
+    # concrete emails/phones recur across conversations — the
+    # re-identification view); clones guarantee cross-conv entities.
+    # Oracle: GENUINE DuckDB SQL — regexp_extract_all with the SAME
+    # patterns (backslashes pass through single-quoted SQL literals
+    # untouched), per-conv pre-agg, entity agg.
+    from feast_spark.operators.conversation import pii_entity_exposure
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = t.filter(F.pmod(idx, F.lit(5)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    )
+    return pii_entity_exposure(t.unionByName(clones))
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2134,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": q_unimax_sample,
         "sessionize": q_sessionize,
         "conv_contamination": q_conv_contamination,
+        "pii_exposure": q_pii_exposure,
         # round 5 session 2: byte-grain CDC near-dup + blocklist scan
         # + per-language tokenizer fertility
         "cdc_neardup": q_cdc_neardup,
@@ -2165,7 +2183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
         "lm_perplexity": q_lm_perplexity,
-        "lm_buckets": q_lm_buckets,
         "doc_curation_lm": q_doc_curation_lm,
         "label_resolve_recency": q_label_resolve_recency,
         "quality_classifier": q_quality_classifier,
@@ -2203,6 +2220,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver artifact is capped."""
     return {
         # rotated round 5 session 3 (still pytest-oracled here)
+        "lm_buckets": q_lm_buckets,
         "conv_windows": q_conv_windows,
         "conv_render": q_conv_render,
         "text_normalize": q_text_normalize,
@@ -2293,8 +2311,63 @@ def _all_oracle_sql() -> dict[str, str]:
     def _rp(name: str) -> str:
         return f"SELECT * FROM read_parquet('{derived[name]}')"
 
+    # PII patterns interpolated as VARIABLES: embedding them literally in
+    # an f-string would re-parse {2,} as a format field and \b as a
+    # backspace escape (single-quoted SQL literals then keep whatever
+    # survived) — the variable hop passes the exact pattern bytes through
+    from feast_spark.rules import SCRUB_PATTERNS as _SP
+
+    _epat = dict((n, p) for n, p, _ in _SP)["email"]
+    _ppat = dict((n, p) for n, p, _ in _SP)["phone"]
+
     return {
         "unimax_sample": _rp("unimax_sample"),
+        "pii_exposure": f"""
+            -- GENUINE SQL twin of pii_entity_exposure on the
+            -- clone-planted corpus: raw regexp_extract_all per kind
+            -- (patterns interpolated verbatim — single-quoted SQL
+            -- literals keep backslashes), per-conv pre-agg, entity agg
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), u AS (
+              SELECT * FROM raw
+              UNION ALL
+              SELECT conv_id || 'd' AS conv_id, turn_idx, role, text,
+                     tool, ts
+              FROM raw
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM u
+              ) WHERE rn = 1
+            ), e AS (
+              SELECT 'email' AS kind,
+                unnest(regexp_extract_all(COALESCE(text, ''),
+                  '{_epat}', 0)) AS entity,
+                conv_id
+              FROM d
+              UNION ALL
+              SELECT 'phone' AS kind,
+                unnest(regexp_extract_all(COALESCE(text, ''),
+                  '{_ppat}', 0)) AS entity,
+                conv_id
+              FROM d
+            ), pc AS (
+              SELECT kind, entity, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS n_in_conv
+              FROM e GROUP BY 1, 2, 3
+            ), pe AS (
+              SELECT kind, entity,
+                CAST(SUM(n_in_conv) AS BIGINT) AS n_occurrences,
+                CAST(COUNT(*) AS BIGINT) AS n_convs,
+                MIN(conv_id) AS first_conv
+              FROM pc GROUP BY 1, 2
+            )
+            SELECT *, n_convs > 1 AS cross_conv FROM pe
+        """,
         "sessionize": f"""
             -- GENUINE SQL twin of sessionize_turns (gap_minutes=1):
             -- epoch_us lag diff -> threshold -> session-id prefix sum

@@ -114,6 +114,9 @@ HEADLINE = [
     "turn_dedup",
     "conv_repetition",
     "unimax_sample",
+    "sessionize",
+    "conv_contamination",
+    "pii_exposure",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

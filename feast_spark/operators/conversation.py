@@ -49,6 +49,7 @@ __all__ = [
     "conversation_repetition",
     "sessionize_turns",
     "conversation_contamination",
+    "pii_entity_exposure",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -658,3 +659,66 @@ def conversation_contamination(
         F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
         (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def pii_entity_exposure(
+    turns: DataFrame,
+    kinds: tuple = ("email", "phone"),
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Cross-conversation PII ENTITY exposure: which concrete email /
+    phone / ... values appear, in how many distinct conversations, how
+    often — the re-identification view the per-turn scrub counters
+    (:func:`conversation_pii`) cannot give. An entity recurring across
+    many conversations is a shared contact / support address /
+    operator's own number: exactly the values a redaction review
+    prioritizes, and the ones whose consistent pseudonymization (not
+    blanket ``<EMAIL>``) preserves conversational structure.
+
+    Extraction is RAW per kind (``regexp_extract_all`` with the
+    :data:`feast_spark.rules.SCRUB_PATTERNS` patterns) — deliberately
+    NOT the scrub-order-masked counts: exposure asks "does this value
+    occur", not "what would the scrubber do first".
+
+    One row per (kind, entity): ``(kind, entity, n_occurrences,
+    n_convs, first_conv, cross_conv)``.
+
+    Scale shape: extraction is a map-only JVM regex pass; the
+    ``(kind, entity, conv_id)`` pre-aggregation is ONE map-side-combined
+    shuffle whose key includes the conversation — a mega-entity (a
+    support address in millions of conversations) is spread across
+    reducers at that grain, and only the per-conv partial rows reach the
+    second, entity-keyed agg (count-distinct without expand, skew
+    pre-reduced).
+    """
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    pats = {name: pat for name, pat, _ in SCRUB_PATTERNS}
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; have {list(pats)}")
+    d = turns if pre_deduped else _deduped(turns)
+    per_kind = [
+        d.select(
+            F.lit(k).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(pats[k]), 0
+                )
+            ).alias("entity"),
+            "conv_id",
+        )
+        for k in kinds
+    ]
+    ents = per_kind[0]
+    for df in per_kind[1:]:
+        ents = ents.unionByName(df)
+    per_conv = ents.groupBy("kind", "entity", "conv_id").agg(
+        F.count(F.lit(1)).alias("n_in_conv")
+    )
+    per_entity = per_conv.groupBy("kind", "entity").agg(
+        F.sum("n_in_conv").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv_id").alias("first_conv"),
+    )
+    return per_entity.withColumn("cross_conv", F.col("n_convs") > 1)

@@ -592,3 +592,52 @@ def test_conversation_contamination_values_and_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_entity_exposure_values(spark):
+    """Crafted entities: same email in two convs -> cross_conv; twice in
+    one conv -> n_occurrences 2 / n_convs 1; raw extraction (a phone
+    inside an email's digits would still count — exposure, not scrub)."""
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.conversation import pii_entity_exposure
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("A", 0, "user", "mail a@b.com and a@b.com again", None, ts),
+        ("B", 0, "user", "also a@b.com here", None, ts),
+        ("B", 1, "user", "call 555-123-4567 now", None, ts),
+        ("C", 0, "user", "nothing", None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = pii_entity_exposure(t).toPandas().set_index(["kind", "entity"])
+    em = out.loc[("email", "a@b.com")]
+    assert em["n_occurrences"] == 3 and em["n_convs"] == 2
+    assert em["first_conv"] == "A" and bool(em["cross_conv"])
+    ph = out.loc[("phone", "555-123-4567")]
+    assert ph["n_occurrences"] == 1 and not bool(ph["cross_conv"])
+    assert len(out) == 2  # conv C contributes nothing
+
+
+def test_pii_entity_exposure_two_bounded_aggs(spark):
+    """Plan: extraction is map-only; the first shuffle keys include
+    conv_id (mega-entity skew pre-reduced), the second is entity-keyed."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import pii_entity_exposure
+
+    t = transcripts_spark(spark, 20, seed=5, mega_every=0)
+    plan = (
+        pii_entity_exposure(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    conv_keyed = [e for e in ex if "conv_id" in e and "entity" in e]
+    entity_keyed = [e for e in ex if "conv_id" not in e and "entity" in e]
+    assert conv_keyed and entity_keyed, ex
+    assert "CartesianProduct" not in plan
