@@ -2073,6 +2073,47 @@ def q_pii_exposure(spark: SparkSession, sf: str) -> DataFrame:
     return pii_entity_exposure(t.unionByName(clones))
 
 
+def q_reply_latency(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: per-conversation assistant responsiveness —
+    # exact int64 microsecond latency sums over (user -> assistant|tool)
+    # adjacent pairs. Oracle: GENUINE DuckDB SQL (lead window over the
+    # deduped turns, conditional agg). -1 sentinel max when a
+    # conversation has no reply pair.
+    from feast_spark.operators.conversation import reply_latency
+
+    return reply_latency(_transcripts_fixture(spark))
+
+
+def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: corpus tool-call transition graph (prev_tool ->
+    # tool bigrams per conversation, ^START sentinel) — the agent-fleet
+    # behavioral fingerprint. Oracle: GENUINE DuckDB SQL (lag window
+    # over tool turns, two-level agg).
+    from feast_spark.operators.conversation import tool_transitions
+
+    return tool_transitions(_transcripts_fixture(spark))
+
+
+def q_turn_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: per-turn global-first-occurrence 8-gram novelty
+    # counts (the scoring complement of span/substring dedup). Oracle:
+    # GENUINE DuckDB SQL — lateral-unnest gram streams, ROW_NUMBER over
+    # (gram -> conv_id, turn_idx) for first occurrence, per-turn agg.
+    from feast_spark.operators.conversation import turn_novelty
+
+    return turn_novelty(_transcripts_fixture(spark), n=8)
+
+
+def q_turn_length_trend(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: per-conversation assistant response-length
+    # trend as the EXACT integer least-squares slope numerator /
+    # denominator (degeneration / rambling detection). Oracle: GENUINE
+    # DuckDB SQL replaying the same integer sums.
+    from feast_spark.operators.conversation import turn_length_trend
+
+    return turn_length_trend(_transcripts_fixture(spark))
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2144,6 +2185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 4: reply latency, tool-transition graph,
+        # per-turn n-gram novelty, response-length trend
+        "reply_latency": q_reply_latency,
+        "tool_transitions": q_tool_transitions,
+        "turn_novelty": q_turn_novelty,
+        "turn_length_trend": q_turn_length_trend,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
@@ -2171,11 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_curate": q_conv_curate,
         "conv_pii": q_conv_pii,
         "conv_pack": q_conv_pack,
-        "pii_stats": q_pii_stats,
-        "exact_k_sample": q_exact_k_sample,
         "bm25_topk": q_bm25_topk,
-        "paragraph_dedup": q_paragraph_dedup,
-        "clean_lines": q_clean_lines,
         "lexical_stats": q_lexical_stats,
         "conv_structure": q_conv_structure,
         "gopher_repetition": q_gopher_repetition,
@@ -2219,6 +2262,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 4 (still pytest-oracled here; each has
+        # a same-family sibling left in the driver window: conv_pii,
+        # weighted_sample, lexical_stats, para_neardup)
+        "pii_stats": q_pii_stats,
+        "exact_k_sample": q_exact_k_sample,
+        "clean_lines": q_clean_lines,
+        "paragraph_dedup": q_paragraph_dedup,
         # rotated round 5 session 3 (still pytest-oracled here)
         "lm_buckets": q_lm_buckets,
         "conv_windows": q_conv_windows,
@@ -2322,6 +2372,141 @@ def _all_oracle_sql() -> dict[str, str]:
 
     return {
         "unimax_sample": _rp("unimax_sample"),
+        "reply_latency": f"""
+            -- GENUINE SQL twin of reply_latency: lead window over the
+            -- deduped turns, conditional integer agg; -1 sentinel max
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), g AS (
+              SELECT conv_id, role,
+                lead(role) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS nxt_role,
+                epoch_us(lead(ts) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx))
+                  - epoch_us(ts) AS lat
+              FROM d
+            ), f AS (
+              SELECT conv_id,
+                role = 'user' AS is_user,
+                COALESCE(role = 'user'
+                  AND nxt_role IN ('assistant', 'tool'), FALSE) AS replied,
+                lat
+              FROM g
+            )
+            SELECT conv_id,
+              CAST(SUM(CASE WHEN is_user THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_user_turns,
+              CAST(SUM(CASE WHEN replied THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_replies,
+              CAST(COALESCE(SUM(CASE WHEN replied THEN lat END), 0)
+                AS BIGINT) AS total_latency_us,
+              CAST(COALESCE(MAX(CASE WHEN replied THEN lat END), -1)
+                AS BIGINT) AS max_latency_us
+            FROM f GROUP BY conv_id
+        """,
+        "tool_transitions": f"""
+            -- GENUINE SQL twin of tool_transitions: lag window over tool
+            -- turns only, (edge, conv) pre-agg, edge agg
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), t AS (
+              SELECT conv_id, turn_idx, tool FROM d WHERE tool IS NOT NULL
+            ), g AS (
+              SELECT conv_id,
+                COALESCE(lag(tool) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx),
+                  '^START') AS prev_tool,
+                tool
+              FROM t
+            ), pc AS (
+              SELECT prev_tool, tool, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM g GROUP BY 1, 2, 3
+            )
+            SELECT prev_tool, tool,
+              CAST(SUM(n) AS BIGINT) AS n_transitions,
+              CAST(COUNT(*) AS BIGINT) AS n_convs
+            FROM pc GROUP BY 1, 2
+        """,
+        "turn_novelty": f"""
+            -- GENUINE SQL twin of turn_novelty (n=8): lateral-unnest
+            -- per-turn DISTINCT 8-gram streams, global first occurrence
+            -- via ROW_NUMBER over (gram -> conv_id, turn_idx), per-turn
+            -- integer agg; turns with <8 words carry no row
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), tk AS (
+              SELECT conv_id, turn_idx,
+                list_filter(string_split_regex(COALESCE(text, ''),
+                  '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS w
+              FROM d
+            ), tg AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                array_to_string(w[i:i+7], ' ') AS gram
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+              WHERE len(w) >= 8
+            ), fo AS (
+              SELECT conv_id, turn_idx,
+                ROW_NUMBER() OVER (
+                  PARTITION BY gram ORDER BY conv_id, turn_idx) = 1
+                  AS novel
+              FROM tg
+            )
+            SELECT conv_id, turn_idx,
+              CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_novel
+            FROM fo GROUP BY conv_id, turn_idx
+        """,
+        "turn_length_trend": f"""
+            -- GENUINE SQL twin of turn_length_trend (role='assistant'):
+            -- 0-based position among role turns, exact integer
+            -- least-squares slope numerator/denominator
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), a0 AS (
+              SELECT conv_id, turn_idx,
+                CAST(len(list_filter(string_split_regex(
+                  COALESCE(text, ''), '[ \\t\\n\\x0b\\f\\r]+'),
+                  x -> x <> '')) AS BIGINT) AS w
+              FROM d WHERE role = 'assistant'
+            ), a AS (
+              SELECT conv_id, w,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) - 1
+                  AS BIGINT) AS i
+              FROM a0
+            )
+            SELECT conv_id,
+              CAST(COUNT(*) AS BIGINT) AS n_role_turns,
+              CAST(SUM(w) AS BIGINT) AS total_words,
+              CAST(COUNT(*) * SUM(i * w) - SUM(i) * SUM(w) AS BIGINT)
+                AS slope_num,
+              CAST(COUNT(*) * SUM(i * i) - SUM(i) * SUM(i) AS BIGINT)
+                AS slope_den
+            FROM a GROUP BY conv_id
+        """,
         "pii_exposure": f"""
             -- GENUINE SQL twin of pii_entity_exposure on the
             -- clone-planted corpus: raw regexp_extract_all per kind

@@ -50,6 +50,10 @@ __all__ = [
     "sessionize_turns",
     "conversation_contamination",
     "pii_entity_exposure",
+    "reply_latency",
+    "tool_transitions",
+    "turn_novelty",
+    "turn_length_trend",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -722,3 +726,193 @@ def pii_entity_exposure(
         F.min("conv_id").alias("first_conv"),
     )
     return per_entity.withColumn("cross_conv", F.col("n_convs") > 1)
+
+
+def reply_latency(
+    turns: DataFrame,
+    reply_roles: tuple = ("assistant", "tool"),
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Per-conversation assistant responsiveness: for every ``user`` turn
+    whose NEXT turn (in ``turn_idx`` order) is a reply (role in
+    ``reply_roles``), the reply latency is the microsecond gap between
+    the two event timestamps. SLO drift and queue backpressure in agent
+    fleets show up here first; a curation pass also uses it to drop
+    conversations whose replies arrived so much later that they were
+    plausibly written without the context in view.
+
+    One row per conversation, all-integer (exact — no float means):
+    ``(conv_id, n_user_turns, n_replies, total_latency_us,
+    max_latency_us)`` with ``-1`` sentinel max when no reply pairs exist
+    (sessionize_turns' int-sentinel discipline: int dtypes survive the
+    driver's pandas round-trip). Mean latency is the caller's exact
+    ``total/n`` division.
+
+    Scale shape: ONE exchange keyed ``conv_id`` — the lead window and the
+    final hash-agg share it (hash(conv_id) partitioning satisfies the
+    groupBy). Map-only before and after; mega-conversations are one
+    window partition each, bounded by conversation length.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt_role = F.lead("role").over(w)
+    lat = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    # coalesce: a conversation-final user turn has NULL lead(role) ->
+    # NULL replied; deterministic False keeps the count sums non-NULL
+    replied = F.coalesce(
+        (F.col("role") == "user") & nxt_role.isin(*reply_roles), F.lit(False)
+    )
+    per = d.select(
+        "conv_id",
+        (F.col("role") == "user").alias("__is_user"),
+        replied.alias("__replied"),
+        F.when(replied, lat).alias("__lat"),
+    )
+    return per.groupBy("conv_id").agg(
+        F.sum(F.col("__is_user").cast("long")).alias("n_user_turns"),
+        F.sum(F.col("__replied").cast("long")).alias("n_replies"),
+        F.coalesce(F.sum("__lat"), F.lit(0)).cast("long").alias(
+            "total_latency_us"
+        ),
+        F.coalesce(F.max("__lat"), F.lit(-1)).cast("long").alias(
+            "max_latency_us"
+        ),
+    )
+
+
+def tool_transitions(
+    turns: DataFrame, pre_deduped: bool = False
+) -> DataFrame:
+    """Corpus-level tool-call transition graph: among each conversation's
+    tool turns in ``turn_idx`` order, count every ``prev_tool -> tool``
+    bigram (``^START`` sentinel for a conversation's first tool call).
+    The transition matrix is the behavioral fingerprint of an agent
+    fleet — a spiking ``search -> search`` self-edge is the retry-loop
+    signature, and a never-taken edge after a prompt change is a
+    regression the per-turn rules cannot see.
+
+    One row per observed edge: ``(prev_tool, tool, n_transitions,
+    n_convs)``.
+
+    Scale shape: the lag window is ONE exchange keyed ``conv_id`` over
+    tool turns ONLY (map-side filtered — tool turns are a small fraction
+    of the corpus). The ``(prev_tool, tool, conv_id)`` pre-aggregation
+    then reuses pii_entity_exposure's skew discipline: a mega-edge is
+    spread across reducers at the conv grain, and only per-conv partial
+    rows reach the final edge-keyed agg (count-distinct without expand).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    t = d.filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.coalesce(F.lag("tool").over(w), F.lit("^START"))
+    per_conv = (
+        t.select("conv_id", prev.alias("prev_tool"), "tool")
+        .groupBy("prev_tool", "tool", "conv_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return per_conv.groupBy("prev_tool", "tool").agg(
+        F.sum("__n").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_convs"),
+    )
+
+
+def turn_novelty(
+    turns: DataFrame, n: int = 8, pre_deduped: bool = False
+) -> DataFrame:
+    """Per-turn n-gram novelty: of each turn's DISTINCT word ``n``-grams,
+    how many occur here FIRST across the whole corpus (global first
+    occurrence under the stable ``(conv_id, turn_idx)`` ordering)?
+    ``n_novel / n_grams`` is the memorization/freshness lens (novelty
+    trending to zero means the corpus is re-ingesting itself — templated
+    agent output, mirrored scrapes) and the per-turn complement of the
+    aggregate span/substring dedup view: it SCORES repetition instead of
+    removing it, so a sampler can downweight stale turns without a hard
+    drop.
+
+    Tokens are non-empty ASCII-whitespace splits (turn_dedup's
+    engine-agnostic normalization notes). One row per turn with at least
+    one ``n``-gram: ``(conv_id, turn_idx, n_grams, n_novel)`` — integer
+    counts, exact; turns shorter than ``n`` words carry no grams and no
+    row (documented; zero-filling would spend a second conv-keyed join
+    for rows the caller treats as no-ops).
+
+    Scale shape: gram explode is map-side; first-occurrence is ONE
+    gram-keyed exchange (rank-1 window on the distinct per-turn gram
+    stream — WindowGroupLimit prunes nothing here since every row is
+    consumed, but the sort key is the 8-byte-ish gram hash partition)
+    followed by ONE ``(conv_id, turn_idx)``-keyed hash-agg. No join —
+    the novelty bit rides the gram row through both exchanges. At
+    10^12 turns the gram stream dominates: swap the raw gram string for
+    ``xxhash64(gram)`` upstream of the exchange exactly as span_dedup's
+    hash arm does (8 B/gram through the shuffle) — kept as the string
+    form here because the oracle compares real grams.
+    """
+    from feast_spark.operators.selection import word_ngrams
+
+    d = turns if pre_deduped else _deduped(turns)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), _ASCII_WS),
+        lambda x: x != "",
+    )
+    grams = d.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.array_distinct(word_ngrams(toks, n))).alias("gram"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("gram").orderBy("conv_id", "turn_idx")
+    )
+    return (
+        grams.withColumn("__novel", (first == 1).cast("long"))
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__novel").alias("n_novel"),
+        )
+    )
+
+
+def turn_length_trend(
+    turns: DataFrame, role: str = "assistant", pre_deduped: bool = False
+) -> DataFrame:
+    """Per-conversation response-length trend: the least-squares slope of
+    word count against position among ``role`` turns, kept as the EXACT
+    integer numerator/denominator pair (``slope = num/den``; sign(num)
+    is the trend when ``den > 0``). Assistant responses shrinking turn
+    over turn is the degeneration signature (context exhaustion, an
+    agent giving up); steady growth flags padding/rambling — both are
+    conversation-shape defects no single-turn rule sees.
+
+    One row per conversation with at least one ``role`` turn:
+    ``(conv_id, n_role_turns, total_words, slope_num, slope_den)`` where
+    ``slope_num = n*Σ(i·w) − Σi·Σw`` and ``slope_den = n*Σi² − (Σi)²``
+    over 0-based positions ``i`` (``den = 0`` iff ``n == 1``). All
+    int64: positions and word counts are conversation-bounded, so the
+    products sit far under 2^63 even at mega-conversation length.
+
+    Scale shape: ONE exchange keyed ``conv_id`` — row_number window and
+    hash-agg share it; map-only word counts (non-empty ASCII-whitespace
+    splits, the oracle-portable tokenizer).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    wc = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), _ASCII_WS),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    a = (
+        d.filter(F.col("role") == role)
+        .select("conv_id", "turn_idx", wc.alias("__w"))
+        .withColumn("__i", F.row_number().over(w).cast("long") - 1)
+    )
+    nn = F.count(F.lit(1))
+    return a.groupBy("conv_id").agg(
+        nn.alias("n_role_turns"),
+        F.sum("__w").alias("total_words"),
+        (nn * F.sum(F.col("__i") * F.col("__w")) - F.sum("__i") * F.sum("__w"))
+        .alias("slope_num"),
+        (nn * F.sum(F.col("__i") * F.col("__i")) - F.sum("__i") * F.sum("__i"))
+        .alias("slope_den"),
+    )

@@ -641,3 +641,201 @@ def test_pii_entity_exposure_two_bounded_aggs(spark):
     entity_keyed = [e for e in ex if "conv_id" not in e and "entity" in e]
     assert conv_keyed and entity_keyed, ex
     assert "CartesianProduct" not in plan
+
+
+def test_reply_latency_hand_computed(spark):
+    """Crafted pairs: assistant AND tool replies count, a conversation-
+    final user turn doesn't, no-reply conversations get the -1 sentinel
+    and exact integer microsecond sums."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import reply_latency
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def r(c, i, role, sec):
+        return (c, i, role, f"{role} text", None, t0 + timedelta(seconds=sec))
+
+    rows = [
+        r("A", 0, "user", 0),
+        r("A", 1, "assistant", 5),
+        r("A", 2, "user", 10),
+        r("A", 3, "tool", 12),
+        r("A", 4, "user", 20),  # conversation-final user turn: no reply
+        r("B", 0, "system", 0),
+        r("B", 1, "assistant", 1),  # no user turns at all
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = reply_latency(t).toPandas().set_index("conv_id").sort_index()
+    a = out.loc["A"]
+    assert (a["n_user_turns"], a["n_replies"]) == (3, 2)
+    assert a["total_latency_us"] == 7_000_000
+    assert a["max_latency_us"] == 5_000_000
+    b = out.loc["B"]
+    assert (b["n_user_turns"], b["n_replies"]) == (0, 0)
+    assert b["total_latency_us"] == 0 and b["max_latency_us"] == -1
+
+
+def test_reply_latency_single_exchange(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import reply_latency
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        reply_latency(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_tool_transitions_hand_computed(spark):
+    """^START sentinel per conversation, self-edges, n_convs counts
+    DISTINCT conversations via the pre-agg (never a count-distinct)."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import tool_transitions
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def r(c, i, role, tool, sec):
+        return (c, i, role, "x", tool, t0 + timedelta(seconds=sec))
+
+    rows = [
+        r("A", 0, "user", None, 0),
+        r("A", 1, "tool", "search", 1),
+        r("A", 2, "user", None, 2),
+        r("A", 3, "tool", "search", 3),
+        r("A", 4, "user", None, 4),
+        r("A", 5, "tool", "browse", 5),
+        r("B", 0, "user", None, 0),
+        r("B", 1, "tool", "browse", 1),
+        r("C", 0, "user", None, 0),
+        r("C", 1, "tool", "search", 1),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = (
+        tool_transitions(t)
+        .toPandas()
+        .set_index(["prev_tool", "tool"])
+        .sort_index()
+    )
+    assert out.loc[("^START", "search")].tolist() == [2, 2]  # A and C
+    assert out.loc[("^START", "browse")].tolist() == [1, 1]
+    assert out.loc[("search", "search")].tolist() == [1, 1]
+    assert out.loc[("search", "browse")].tolist() == [1, 1]
+    assert len(out) == 4
+
+
+def test_tool_transitions_two_exchanges(spark):
+    """conv window exchange is REUSED by the (edge, conv) pre-agg
+    (hash(conv_id) satisfies any clustering containing conv_id); only
+    the final edge-keyed agg adds a second exchange."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import tool_transitions
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        tool_transitions(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_turn_novelty_hand_computed(spark):
+    """Global first occurrence under (conv_id, turn_idx) order; per-turn
+    DISTINCT grams (repeats inside one turn count once); short turns
+    carry no row."""
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.conversation import turn_novelty
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("A", 0, "user", "a b c", None, t0),        # grams: 'a b', 'b c'
+        ("A", 1, "user", "a b a b", None, t0),      # distinct: 'a b', 'b a'
+        ("B", 0, "user", "b c d", None, t0),        # 'b c' stale, 'c d' novel
+        ("B", 1, "user", "solo", None, t0),         # <2 words: no row
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = (
+        turn_novelty(t, n=2)
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    assert out.loc[("A", 0)].tolist() == [2, 2]
+    assert out.loc[("A", 1)].tolist() == [2, 1]  # 'b a' novel, 'a b' stale
+    assert out.loc[("B", 0)].tolist() == [2, 1]
+    assert ("B", 1) not in out.index and len(out) == 3
+
+
+def test_turn_novelty_two_exchanges(spark):
+    """One gram-keyed exchange (first-occurrence window) + one turn-keyed
+    agg exchange; the novelty bit rides the row — no join."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import turn_novelty
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    df = turn_novelty(t, n=8, pre_deduped=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_turn_length_trend_hand_computed(spark):
+    """Exact integer slope pair: descending word counts give a negative
+    numerator; a single role turn gives den == 0; non-role turns are
+    invisible to positions."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import turn_length_trend
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def r(c, i, role, text, sec):
+        return (c, i, role, text, None, t0 + timedelta(seconds=sec))
+
+    rows = [
+        r("A", 0, "user", "ignored words here entirely", 0),
+        r("A", 1, "assistant", "one two three four", 1),   # w=4, i=0
+        r("A", 2, "user", "u", 2),
+        r("A", 3, "assistant", "five six", 3),             # w=2, i=1
+        r("B", 0, "assistant", "only reply", 0),           # n=1 -> den 0
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = turn_length_trend(t).toPandas().set_index("conv_id").sort_index()
+    a = out.loc["A"]
+    # n=2, sum_w=6, sum_iw=2, sum_i=1, sum_i2=1
+    assert a["n_role_turns"] == 2 and a["total_words"] == 6
+    assert a["slope_num"] == 2 * 2 - 1 * 6 == -2
+    assert a["slope_den"] == 2 * 1 - 1 * 1 == 1
+    b = out.loc["B"]
+    assert b["n_role_turns"] == 1 and b["slope_den"] == 0
+
+
+def test_turn_length_trend_single_exchange(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import turn_length_trend
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        turn_length_trend(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
