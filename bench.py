@@ -117,6 +117,12 @@ HEADLINE = [
     "sessionize",
     "conv_contamination",
     "pii_exposure",
+    # round 5 session 4: conversation-shape analytics (driver-fixture
+    # forms; corpus-scale forms join the conv_grain section)
+    "reply_latency",
+    "tool_transitions",
+    "turn_novelty",
+    "turn_length_trend",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -967,6 +973,54 @@ def main() -> None:
                   .cast("long")).alias("distinct_overflow"),
         ).collect()[0]
     assert cr["run_overflow"] == 0 and cr["distinct_overflow"] == 0, cr
+
+    # round 5 session 4: conversation-shape analytics at the same corpus.
+    # Invariants in-artifact: replies bounded by user turns, transition
+    # conv counts bounded by transition counts, novelty bounded by gram
+    # counts with every gram's first occurrence counted exactly once
+    # globally, slope denominators non-negative (zero iff single turn).
+    from feast_spark.operators.conversation import (
+        reply_latency,
+        tool_transitions,
+        turn_length_trend,
+        turn_novelty,
+    )
+
+    with _Window() as wrl:
+        rl = reply_latency(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum((F.col("n_replies") > F.col("n_user_turns")).cast("long")
+                  ).alias("reply_overflow"),
+            F.sum("total_latency_us").alias("total_lat"),
+        ).collect()[0]
+    assert rl["reply_overflow"] == 0 and rl["total_lat"] >= 0, rl
+    with _Window() as wtt:
+        tt = tool_transitions(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("n_transitions").alias("n_trans"),
+            F.sum((F.col("n_convs") > F.col("n_transitions")).cast("long")
+                  ).alias("conv_overflow"),
+        ).collect()[0]
+    assert tt["conv_overflow"] == 0, tt
+    with _Window() as wtn:
+        tn = turn_novelty(spark.read.parquet(tpath), n=8).agg(
+            F.count(F.lit(1)).alias("n_turns_scored"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("n_novel").alias("novel"),
+            F.sum((F.col("n_novel") > F.col("n_grams")).cast("long")
+                  ).alias("novel_overflow"),
+        ).collect()[0]
+    assert tn["novel_overflow"] == 0 and 0 < tn["novel"] <= tn["grams"], tn
+    with _Window() as wlt:
+        lt = turn_length_trend(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum((F.col("slope_den") < 0).cast("long")).alias("neg_den"),
+            F.sum(((F.col("slope_den") == 0)
+                   != (F.col("n_role_turns") == 1)).cast("long")
+                  ).alias("den_zero_mismatch"),
+        ).collect()[0]
+    assert lt["neg_den"] == 0 and lt["den_zero_mismatch"] == 0, lt
+
     conv_grain = {
         "n_turns": n_turns,
         "turn_dedup_wall_sec": round(wtd.wall, 3),
@@ -977,7 +1031,17 @@ def main() -> None:
         "repetition_turns_per_sec": round(n_turns / wcr.wall, 1),
         "n_convs": int(cr["n_convs"]),
         "n_loops": int(cr["n_loops"]),
-        "external_cores": [wtd.external_cores, wcr.external_cores],
+        "reply_latency_wall_sec": round(wrl.wall, 3),
+        "tool_transitions_wall_sec": round(wtt.wall, 3),
+        "n_tool_edges": int(tt["n_edges"]),
+        "turn_novelty_wall_sec": round(wtn.wall, 3),
+        "turn_novelty_turns_per_sec": round(n_turns / wtn.wall, 1),
+        "novel_gram_frac": round(float(tn["novel"]) / float(tn["grams"]), 4),
+        "length_trend_wall_sec": round(wlt.wall, 3),
+        "external_cores": [
+            wtd.external_cores, wcr.external_cores, wrl.external_cores,
+            wtt.external_cores, wtn.external_cores, wlt.external_cores,
+        ],
     }
 
     docs_large = _bench_docs_large(spark) if DOCS_LARGE else None
