@@ -2114,6 +2114,75 @@ def q_turn_length_trend(spark: SparkSession, sf: str) -> DataFrame:
     return turn_length_trend(_transcripts_fixture(spark))
 
 
+def q_conv_forks(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: shared-prefix fork detection (k=2) — every 5th
+    # conversation is cloned with its tail (turn_idx >= 2) rewritten, so
+    # each such pair shares exactly the 2-turn prefix: a genuine fork,
+    # not a whole-conversation dup. Oracle: GENUINE DuckDB SQL (same
+    # md5-of-joined-prefix digest via string_agg + chr(30)).
+    from feast_spark.operators.conversation import conversation_forks
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    forked = (
+        t.filter(F.pmod(idx, F.lit(5)) == 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") >= 2,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" fork variant"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("conv_id", F.concat("conv_id", F.lit("d")))
+    )
+    return conversation_forks(t.unionByName(forked), k=2, min_group=2)
+
+
+def q_conv_templates(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: masked template mining — two clone sets rewrite
+    # assistant turns to "request completed in <varying digits> ms", so
+    # every copy is UNIQUE text (invisible to exact turn_dedup) but one
+    # template after digit masking. Oracle: GENUINE DuckDB SQL replaying
+    # the normalize+mask chain with portable regexes.
+    from feast_spark.operators.conversation import assistant_templates
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+
+    def clone(suffix: str, mult: int) -> DataFrame:
+        return (
+            t.filter(F.pmod(idx, F.lit(5)) == 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("role") == "assistant",
+                    F.concat(
+                        F.lit("request completed in "),
+                        (idx * mult + F.col("turn_idx")).cast("string"),
+                        F.lit(" ms"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+            .withColumn("conv_id", F.concat("conv_id", F.lit(suffix)))
+        )
+
+    planted = t.unionByName(clone("d1", 7)).unionByName(clone("d2", 13))
+    return assistant_templates(planted, min_count=2, min_words=3)
+
+
+def q_role_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: conversation-shape histogram (role sequences,
+    # first 8 roles — the mega-conversation fixture exercises the
+    # truncation branch while count(*) still sees every turn). Oracle:
+    # GENUINE DuckDB SQL (filtered ordered string_agg).
+    from feast_spark.operators.conversation import role_patterns
+
+    return role_patterns(_transcripts_fixture(spark), max_turns=8)
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2191,12 +2260,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "turn_novelty": q_turn_novelty,
         "turn_length_trend": q_turn_length_trend,
+        # round 5 session 4b: fork detection, template mining, shape
+        # histogram
+        "conv_forks": q_conv_forks,
+        "conv_templates": q_conv_templates,
+        "role_patterns": q_role_patterns,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
         "conv_repetition": q_conv_repetition,
         "unimax_sample": q_unimax_sample,
-        "sessionize": q_sessionize,
         "conv_contamination": q_conv_contamination,
         "pii_exposure": q_pii_exposure,
         # round 5 session 2: byte-grain CDC near-dup + blocklist scan
@@ -2219,7 +2292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pii": q_conv_pii,
         "conv_pack": q_conv_pack,
         "bm25_topk": q_bm25_topk,
-        "lexical_stats": q_lexical_stats,
         "conv_structure": q_conv_structure,
         "gopher_repetition": q_gopher_repetition,
         # round 4: trained langid + LM + source cap + quantile calibration
@@ -2244,7 +2316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_exprs": q_scalar_exprs,
         "pull_scan": q_pull_scan,
         # round 2-3 operators
-        "label_majority_vote": q_label_majority_vote,
         "stream_window_parity": q_stream_window_parity,
         "dup_clusters": q_dup_clusters,
         "historical_two_views": q_historical_two_views,
@@ -2262,6 +2333,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 4b (still pytest-oracled here; driver
+        # siblings: reply_latency/conv_repetition cover the transcript
+        # window family, clean_lines/gopher cover lexical, labels stay
+        # covered via label_resolve_recency)
+        "sessionize": q_sessionize,
+        "lexical_stats": q_lexical_stats,
+        "label_majority_vote": q_label_majority_vote,
         # rotated round 5 session 4 (still pytest-oracled here; each has
         # a same-family sibling left in the driver window: conv_pii,
         # weighted_sample, lexical_stats, para_neardup)
@@ -2625,6 +2703,129 @@ def _all_oracle_sql() -> dict[str, str]:
               COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
             FROM (SELECT DISTINCT conv_id FROM d) c
             LEFT JOIN h USING (conv_id)
+        """,
+        "conv_forks": f"""
+            -- GENUINE SQL twin of conversation_forks (k=2, min_group=2)
+            -- on the fork-planted corpus: every 5th conversation cloned
+            -- under conv_id || 'd' with its tail (turn_idx >= 2)
+            -- rewritten, so each pair shares exactly the 2-turn prefix;
+            -- md5 of role:normtext prefix turns joined by chr(30)
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), u AS (
+              SELECT * FROM raw
+              UNION ALL
+              SELECT conv_id || 'd' AS conv_id, turn_idx, role,
+                CASE WHEN turn_idx >= 2
+                     THEN COALESCE(text, '') || ' fork variant'
+                     ELSE text END AS text,
+                tool, ts
+              FROM raw
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM u
+              ) WHERE rn = 1
+            ), p AS (
+              SELECT conv_id, turn_idx, role,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS norm,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS trn
+              FROM d
+            ), pc AS (
+              SELECT conv_id,
+                md5(string_agg(role || ':' || norm,
+                    chr(30) ORDER BY turn_idx)) AS prefix_md5
+              FROM p WHERE trn <= 2
+              GROUP BY conv_id
+              HAVING COUNT(*) = 2
+            )
+            SELECT prefix_md5,
+              CAST(COUNT(*) AS BIGINT) AS n_convs,
+              MIN(conv_id) AS first_conv
+            FROM pc GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "conv_templates": f"""
+            -- GENUINE SQL twin of assistant_templates (min_count=2,
+            -- min_words=3) on the template-planted corpus: two clone
+            -- sets rewrite assistant turns to 'request completed in
+            -- <idx*mult+turn_idx> ms' — unique text, one template after
+            -- digit masking
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), cl AS (
+              SELECT conv_id || m.sfx AS conv_id, turn_idx, role,
+                CASE WHEN role = 'assistant'
+                     THEN 'request completed in ' || CAST(
+                       CAST(substring(conv_id, 2, 9) AS INT) * m.mult
+                       + turn_idx AS VARCHAR) || ' ms'
+                     ELSE text END AS text,
+                tool, ts
+              FROM raw, (VALUES ('d1', 7), ('d2', 13)) AS m(sfx, mult)
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+            ), u AS (
+              SELECT * FROM raw UNION ALL SELECT * FROM cl
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM u
+              ) WHERE rn = 1
+            ), a AS (
+              SELECT conv_id,
+                regexp_replace(
+                  trim(regexp_replace(COALESCE(text, ''),
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                  '[0-9]+', '0', 'g') AS template
+              FROM d WHERE role = 'assistant'
+            ), f AS (
+              SELECT * FROM a
+              WHERE len(list_filter(string_split(template, ' '),
+                        x -> x <> '')) >= 3
+            ), pc AS (
+              SELECT template, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM f GROUP BY 1, 2
+            )
+            SELECT template,
+              CAST(SUM(n) AS BIGINT) AS n_turns,
+              CAST(COUNT(*) AS BIGINT) AS n_convs,
+              MIN(conv_id) AS first_conv
+            FROM pc GROUP BY 1 HAVING SUM(n) >= 2
+        """,
+        "role_patterns": f"""
+            -- GENUINE SQL twin of role_patterns (max_turns=8): deduped
+            -- turns, per-conversation comma-joined role prefix (first 8
+            -- roles in turn_idx order), n_turns_total sums FULL lengths
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), p AS (
+              SELECT conv_id, turn_idx, role,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS trn
+              FROM d
+            ), pat AS (
+              SELECT conv_id,
+                string_agg(role, ',' ORDER BY turn_idx) AS role_pattern
+              FROM p WHERE trn <= 8 GROUP BY conv_id
+            ), cnt AS (
+              SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY conv_id
+            )
+            SELECT role_pattern,
+              CAST(COUNT(*) AS BIGINT) AS n_convs,
+              CAST(SUM(n) AS BIGINT) AS n_turns_total
+            FROM pat JOIN cnt USING (conv_id) GROUP BY 1
         """,
         "turn_dedup": f"""
             -- GENUINE SQL twin of operators/conversation.turn_dedup on

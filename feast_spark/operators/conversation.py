@@ -54,6 +54,9 @@ __all__ = [
     "tool_transitions",
     "turn_novelty",
     "turn_length_trend",
+    "conversation_forks",
+    "assistant_templates",
+    "role_patterns",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -915,4 +918,181 @@ def turn_length_trend(
         .alias("slope_num"),
         (nn * F.sum(F.col("__i") * F.col("__i")) - F.sum("__i") * F.sum("__i"))
         .alias("slope_den"),
+    )
+
+
+def conversation_forks(
+    turns: DataFrame,
+    k: int = 2,
+    min_group: int = 2,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Shared-prefix fork detection: group conversations whose first
+    ``k`` turns are identical (role + whitespace-normalized text, in
+    ``turn_idx`` order). Agent fleets re-run the same seed prompt under
+    retries, A/B prompt variants and best-of-n sampling; every such
+    rerun shares a verbatim prefix, and a curation pass that trains on
+    all fork siblings overweights the shared context exactly
+    ``n_convs``-fold. This is the conversation-grain complement of
+    ``turn_dedup`` (which catches repeated single turns anywhere).
+
+    One row per fork group with at least ``min_group`` members:
+    ``(prefix_md5, n_convs, first_conv)`` where ``prefix_md5`` is the
+    md5 of the ``role:text`` prefix turns joined by ``\\x1e`` (md5 for
+    engine portability — the DuckDB oracle computes the same digest) and
+    ``first_conv`` is the group's min conv_id (the canonical member a
+    dedup pass would keep). Conversations with fewer than ``k`` turns
+    carry no fingerprint (documented: a shorter conversation equal to a
+    longer one's prefix is a containment relation, not a fork).
+
+    Scale shape: the ``row_number() <= k`` filter compiles to
+    WindowGroupLimit (plan-asserted), so each conversation contributes
+    at most ``k`` rows to the conv-keyed exchange MAP-SIDE — a
+    mega-conversation's tail never shuffles. The per-conversation
+    fingerprint agg reuses that exchange (hash(conv_id) clustering);
+    the group agg is a second exchange carrying 32 hex bytes + conv_id
+    per conversation. Total: 2 exchanges, both row-bounded.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pre = (
+        d.select("conv_id", "turn_idx", "role", _norm_text().alias("__t"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    per_conv = (
+        pre.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "role", "__t"))
+            ).alias("__pfx"),
+        )
+        .filter(F.col("__n") == k)
+        .select(
+            "conv_id",
+            F.md5(
+                F.concat_ws(
+                    "\x1e",
+                    F.transform(
+                        "__pfx",
+                        lambda s: F.concat(s["role"], F.lit(":"), s["__t"]),
+                    ),
+                )
+            ).alias("prefix_md5"),
+        )
+    )
+    return (
+        per_conv.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min("conv_id").alias("first_conv"),
+        )
+        .filter(F.col("n_convs") >= min_group)
+    )
+
+
+def assistant_templates(
+    turns: DataFrame,
+    role: str = "assistant",
+    min_count: int = 2,
+    min_words: int = 3,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Masked template mining over ``role`` turns: normalize whitespace,
+    mask every digit run to ``0``, and count how often each resulting
+    template recurs across the corpus. Canned agent responses that embed
+    varying numbers — ``"Request completed in 183 ms"``, ``"Found 7
+    results"`` — are invisible to exact ``turn_dedup`` (every copy is
+    unique text) but collapse to one template here; a high-count
+    template is the synthetic-SFT boilerplate signature and a candidate
+    for downweighting before training.
+
+    One row per template with at least ``min_count`` occurrences and
+    ``min_words`` words: ``(template, n_turns, n_convs, first_conv)``.
+    ``n_convs`` is exact distinct conversations via the
+    ``(template, conv_id)`` pre-aggregation (pii_entity_exposure's skew
+    discipline — a corpus-dominating template is spread across reducers
+    at the conv grain and never meets a count-distinct expand).
+
+    Scale shape: map-only normalize/mask, then two hash-agg exchanges
+    — ``(template, conv_id)`` and ``template``. The template string
+    crosses both exchanges; at 10^12 turns swap it for ``xxhash64``
+    upstream and keep ``any_value(template)`` for display, exactly as
+    span_dedup's hash arm does (kept as the string form here because
+    the oracle compares real templates).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    tpl = F.regexp_replace(_norm_text(), "[0-9]+", "0")
+    base = d.filter(F.col("role") == role).select(
+        tpl.alias("template"), "conv_id"
+    )
+    n_words = F.size(
+        F.filter(F.split("template", " "), lambda x: x != "")
+    )
+    per_conv = (
+        base.filter(n_words >= min_words)
+        .groupBy("template", "conv_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        per_conv.groupBy("template")
+        .agg(
+            F.sum("__n").alias("n_turns"),
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min("conv_id").alias("first_conv"),
+        )
+        .filter(F.col("n_turns") >= min_count)
+    )
+
+
+def role_patterns(
+    turns: DataFrame, max_turns: int = 64, pre_deduped: bool = False
+) -> DataFrame:
+    """Corpus distribution of conversation SHAPES: each conversation's
+    role sequence (first ``max_turns`` roles, ``turn_idx`` order,
+    comma-joined) grouped and counted. The shape histogram is the
+    cheapest whole-fleet regression detector — a prompt change that
+    drops the ``user,assistant,tool,assistant`` pattern or spawns a new
+    ``user,user,...`` degenerate shape moves mass between rows here
+    before any per-turn rule fires.
+
+    One row per observed pattern: ``(role_pattern, n_convs,
+    n_turns_total)``, where ``n_turns_total`` sums the FULL conversation
+    lengths (not the truncated prefix), so ``n_turns_total >
+    len(pattern)*n_convs`` flags patterns whose members run past the
+    ``max_turns`` window.
+
+    Scale shape: ONE conv-keyed exchange — the row_number window and the
+    per-conversation agg share it; roles past ``max_turns`` enter the
+    agg as NULL structs that ``collect_list`` skips, so the grouped
+    array is bounded by ``max_turns`` while ``count(*)`` still sees
+    every turn. The pattern-keyed agg is a second exchange carrying one
+    bounded string per conversation.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    r = d.select("conv_id", "turn_idx", "role").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    per_conv = r.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") <= max_turns,
+                            F.struct("turn_idx", "role"),
+                        )
+                    )
+                ),
+                lambda s: s["role"],
+            ),
+        ).alias("role_pattern"),
+    )
+    return per_conv.groupBy("role_pattern").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("__n").alias("n_turns_total"),
     )

@@ -839,3 +839,152 @@ def test_turn_length_trend_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_conversation_forks_hand_computed(spark):
+    """Planted fork pair shares a 2-turn prefix; a whitespace-variant
+    prefix still groups (normalization); a 1-turn conversation carries
+    no fingerprint; a lone prefix (< min_group) is excluded."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import conversation_forks
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def r(c, i, role, text, sec=0):
+        return (c, i, role, text, None, t0 + timedelta(seconds=sec))
+
+    rows = [
+        # A and B fork after the shared 2-turn prefix; B's prefix text
+        # differs only in whitespace (must normalize to the same group)
+        r("A", 0, "user", "find the report"),
+        r("A", 1, "assistant", "searching now"),
+        r("A", 2, "tool", "result one"),
+        r("B", 0, "user", "  find   the report "),
+        r("B", 1, "assistant", "searching\tnow"),
+        r("B", 2, "tool", "a different result"),
+        # C: unique prefix — no group at min_group=2
+        r("C", 0, "user", "something else"),
+        r("C", 1, "assistant", "ok"),
+        # D: single turn — shorter than k, no fingerprint at all
+        r("D", 0, "user", "find the report"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = conversation_forks(t, k=2, min_group=2).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_convs"] == 2
+    assert out.iloc[0]["first_conv"] == "A"
+
+
+def test_conversation_forks_plan_bounded(spark):
+    """The rn <= k filter must compile to WindowGroupLimit (a
+    mega-conversation ships at most k rows map-side) and the whole
+    operator runs in exactly two hash exchanges (conv, then prefix)."""
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import conversation_forks
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        conversation_forks(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_assistant_templates_hand_computed(spark):
+    """Digit runs mask to one template across distinct texts; n_convs is
+    distinct conversations while n_turns counts occurrences; short
+    templates (< min_words) and other roles are excluded."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import assistant_templates
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def r(c, i, role, text):
+        return (c, i, role, text, None, t0 + timedelta(seconds=i))
+
+    rows = [
+        r("A", 0, "user", "request completed in 1 ms"),  # wrong role
+        r("A", 1, "assistant", "request completed in 183 ms"),
+        r("A", 3, "assistant", "request completed in 7 ms"),
+        r("B", 0, "assistant", "request  completed in\t42 ms"),  # ws variant
+        r("B", 1, "assistant", "found 9 results"),  # 3 words, count 1
+        r("C", 0, "assistant", "ok 123"),  # 2 words < min_words
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = (
+        assistant_templates(t, min_count=2, min_words=3)
+        .toPandas()
+        .set_index("template")
+    )
+    assert len(out) == 1
+    row = out.loc["request completed in 0 ms"]
+    assert row["n_turns"] == 3
+    assert row["n_convs"] == 2
+    assert row["first_conv"] == "A"
+
+
+def test_assistant_templates_two_exchanges(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import assistant_templates
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        assistant_templates(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_role_patterns_hand_computed(spark):
+    """Pattern truncates at max_turns while n_turns_total sums FULL
+    conversation lengths; identical shapes group across conversations."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import role_patterns
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def r(c, i, role):
+        return (c, i, role, f"t{i}", None, t0 + timedelta(seconds=i))
+
+    rows = (
+        [r("A", i, ["user", "assistant"][i % 2]) for i in range(2)]
+        + [r("B", i, ["user", "assistant"][i % 2]) for i in range(2)]
+        # C runs past max_turns=3: pattern truncates, count doesn't
+        + [r("C", i, ["user", "assistant"][i % 2]) for i in range(5)]
+    )
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = (
+        role_patterns(t, max_turns=3).toPandas().set_index("role_pattern")
+    )
+    ab = out.loc["user,assistant"]
+    assert ab["n_convs"] == 2 and ab["n_turns_total"] == 4
+    c = out.loc["user,assistant,user"]
+    assert c["n_convs"] == 1 and c["n_turns_total"] == 5
+
+
+def test_role_patterns_two_exchanges(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import role_patterns
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    plan = (
+        role_patterns(t, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
