@@ -2183,6 +2183,64 @@ def q_role_patterns(spark: SparkSession, sf: str) -> DataFrame:
     return role_patterns(_transcripts_fixture(spark), max_turns=8)
 
 
+def q_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: consistent PII pseudonymization — even doc_ids
+    # get a VARYING planted entity pair (email keyed by doc_id%7, phone
+    # by doc_id%50) so the consistency property is visible in the
+    # artifact: colliding ids share tokens across documents. Oracle:
+    # independent per-row re.subn + md5 replay (oracles.pseudonymize_pdf).
+    from feast_spark.operators.privacy import pseudonymize_entities
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.format_string(
+                    " contact user%d@example.com or call 415-555-%04d",
+                    F.pmod("doc_id", F.lit(7)).cast("int"),
+                    (F.lit(1000) + F.pmod("doc_id", F.lit(50))).cast("int"),
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = pseudonymize_entities(planted, kinds=("email", "phone"))
+    return out.select(
+        "doc_id", "text_pseudo", "n_pseudo", "n_pseudo_email", "n_pseudo_phone"
+    )
+
+
+def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: PSI distribution drift between two snapshot
+    # halves of the events table — the odd half's value column scaled
+    # 1.2x (real drift, psi >> 0) while user_id stays unshifted (psi
+    # near 0). Oracle: GENUINE DuckDB SQL replaying the exact bucket
+    # arithmetic (same float op order -> identical floor results).
+    from feast_spark.operators.profile import drift_psi
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ref = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    cur = ev.filter(F.pmod("event_id", F.lit(2)) == 1).withColumn(
+        "value", F.col("value") * F.lit(1.2)
+    )
+    return drift_psi(ref, cur, ["value", "user_id"], bins=10)
+
+
+def q_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: leak-free conversation-grain train/valid/test
+    # assignment over the transcript fixture — every turn of a
+    # conversation lands in one split by construction. Oracle: GENUINE
+    # DuckDB SQL (same md5-48 hash, same integer cut points).
+    from feast_spark.operators.selection import assign_split
+
+    t = _transcripts_fixture(spark)
+    return assign_split(
+        t, "conv_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed="hs1"
+    ).select("conv_id", "turn_idx", "split")
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2265,6 +2323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_forks": q_conv_forks,
         "conv_templates": q_conv_templates,
         "role_patterns": q_role_patterns,
+        # round 5 session 4c: consistent pseudonymization, PSI drift,
+        # leak-free conv-grain holdout split
+        "pseudonymize": q_pseudonymize,
+        "drift_psi": q_drift_psi,
+        "holdout_split": q_holdout_split,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
@@ -2292,8 +2355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pii": q_conv_pii,
         "conv_pack": q_conv_pack,
         "bm25_topk": q_bm25_topk,
-        "conv_structure": q_conv_structure,
-        "gopher_repetition": q_gopher_repetition,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
@@ -2319,7 +2380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_parity": q_stream_window_parity,
         "dup_clusters": q_dup_clusters,
         "historical_two_views": q_historical_two_views,
-        "derived_view_historical": q_derived_view_historical,
         # core relational / PIT surface
         "pit_last_click": q_pit_last_click,
         "session_window_agg": q_session_window_agg,
@@ -2337,6 +2397,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings: reply_latency/conv_repetition cover the transcript
         # window family, clean_lines/gopher cover lexical, labels stay
         # covered via label_resolve_recency)
+        "conv_structure": q_conv_structure,
+        "gopher_repetition": q_gopher_repetition,
+        "derived_view_historical": q_derived_view_historical,
         "sessionize": q_sessionize,
         "lexical_stats": q_lexical_stats,
         "label_majority_vote": q_label_majority_vote,
@@ -2448,7 +2511,95 @@ def _all_oracle_sql() -> dict[str, str]:
     _epat = dict((n, p) for n, p, _ in _SP)["email"]
     _ppat = dict((n, p) for n, p, _ in _SP)["phone"]
 
+    # holdout_split cut points: EXACTLY assign_split's accumulation
+    # (cum += frac per split name, int(cum * 2^48)) so the SQL compares
+    # against bit-identical integers
+    _hs_cum, _hs_cuts = 0.0, []
+    for _frac in (0.8, 0.1):
+        _hs_cum += _frac
+        _hs_cuts.append(int(_hs_cum * (1 << 48)))
+
     return {
+        "pseudonymize": _rp("pseudonymize"),
+        "drift_psi": """
+            -- GENUINE SQL twin of drift_psi (bins=10, eps=1e-6) on the
+            -- half-split events table with the odd half's value scaled
+            -- 1.2x; identical float op order ((v-lo)/(hi-lo))*10 makes
+            -- the floor'd buckets bit-identical
+            WITH r AS (
+              SELECT 'value' AS "column", CAST(value AS DOUBLE) AS v
+              FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+              UNION ALL
+              SELECT 'user_id', CAST(user_id AS DOUBLE)
+              FROM events WHERE event_id % 2 = 0 AND user_id IS NOT NULL
+            ), c AS (
+              SELECT 'value' AS "column",
+                     CAST(value * CAST(1.2 AS DOUBLE) AS DOUBLE) AS v
+              FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+              UNION ALL
+              SELECT 'user_id', CAST(user_id AS DOUBLE)
+              FROM events WHERE event_id % 2 = 1 AND user_id IS NOT NULL
+            ), b AS (
+              SELECT "column", MIN(v) AS lo, MAX(v) AS hi
+              FROM r GROUP BY 1
+            ), rb AS (
+              SELECT r."column",
+                CASE WHEN hi = lo THEN 0 ELSE LEAST(9, GREATEST(0,
+                  CAST(FLOOR((v - lo) / (hi - lo) * 10) AS INT)))
+                END AS bucket
+              FROM r JOIN b USING ("column")
+            ), cb AS (
+              SELECT c."column",
+                CASE WHEN hi = lo THEN 0 ELSE LEAST(9, GREATEST(0,
+                  CAST(FLOOR((v - lo) / (hi - lo) * 10) AS INT)))
+                END AS bucket
+              FROM c JOIN b USING ("column")
+            ), rc AS (
+              SELECT "column", bucket, COUNT(*) AS cnt_ref
+              FROM rb GROUP BY 1, 2
+            ), cc AS (
+              SELECT "column", bucket, COUNT(*) AS cnt_cur
+              FROM cb GROUP BY 1, 2
+            ), j AS (
+              SELECT COALESCE(rc."column", cc."column") AS "column",
+                COALESCE(rc.bucket, cc.bucket) AS bucket,
+                rc.cnt_ref, cc.cnt_cur
+              FROM rc FULL OUTER JOIN cc
+                ON rc."column" = cc."column" AND rc.bucket = cc.bucket
+            ), tr AS (
+              SELECT "column", SUM(cnt_ref) AS n_ref FROM rc GROUP BY 1
+            ), tc AS (
+              SELECT "column", SUM(cnt_cur) AS n_cur FROM cc GROUP BY 1
+            ), f AS (
+              SELECT j."column",
+                GREATEST(COALESCE(cnt_ref, 0) / CAST(n_ref AS DOUBLE),
+                         1e-6) AS p,
+                GREATEST(COALESCE(cnt_cur, 0) / CAST(n_cur AS DOUBLE),
+                         1e-6) AS q,
+                n_ref, n_cur
+              FROM j JOIN tr USING ("column") JOIN tc USING ("column")
+            )
+            SELECT "column", SUM((p - q) * ln(p / q)) AS psi,
+              CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+              CAST(MIN(n_cur) AS BIGINT) AS n_cur
+            FROM f GROUP BY 1
+        """,
+        "holdout_split": f"""
+            -- GENUINE SQL twin of assign_split (seed 'hs1',
+            -- train/valid/test .8/.1/.1): md5-48 group hash vs the same
+            -- integer cut points
+            SELECT conv_id, turn_idx,
+              CASE
+                WHEN CAST('0x' || substr(
+                       md5('hs1' || conv_id), 1, 12) AS BIGINT)
+                     < {_hs_cuts[0]} THEN 'train'
+                WHEN CAST('0x' || substr(
+                       md5('hs1' || conv_id), 1, 12) AS BIGINT)
+                     < {_hs_cuts[1]} THEN 'valid'
+                ELSE 'test'
+              END AS split
+            FROM read_parquet('{derived["transcripts_raw"]}')
+        """,
         "unimax_sample": _rp("unimax_sample"),
         "reply_latency": f"""
             -- GENUINE SQL twin of reply_latency: lead window over the

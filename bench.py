@@ -123,6 +123,11 @@ HEADLINE = [
     "tool_transitions",
     "turn_novelty",
     "turn_length_trend",
+    # round 5 session 4b: fork detection, template mining, shape histogram
+    # (driver-fixture forms; corpus-scale forms join the conv_grain section)
+    "conv_forks",
+    "conv_templates",
+    "role_patterns",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -1021,6 +1026,44 @@ def main() -> None:
         ).collect()[0]
     assert lt["neg_den"] == 0 and lt["den_zero_mismatch"] == 0, lt
 
+    # round 5 session 4b: fork/template/shape mining at the same corpus.
+    # Invariants in-artifact: every fork group holds >= 2 conversations,
+    # template turn counts bound conv counts, and the shape histogram
+    # conserves BOTH totals exactly (conversations and deduped turns).
+    from feast_spark.operators.conversation import (
+        assistant_templates,
+        conversation_forks,
+        role_patterns,
+    )
+
+    with _Window() as wcf:
+        cf = conversation_forks(spark.read.parquet(tpath)).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_groups"),
+            F.coalesce(
+                F.sum((F.col("n_convs") < 2).cast("long")), F.lit(0)
+            ).alias("under_min"),
+        ).collect()[0]
+    assert cf["under_min"] == 0, cf
+    with _Window() as wat:
+        at = assistant_templates(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_templates"),
+            F.sum((F.col("n_convs") > F.col("n_turns")).cast("long")
+                  ).alias("conv_overflow"),
+        ).collect()[0]
+    assert at["conv_overflow"] == 0, at
+    with _Window() as wrp:
+        rp = role_patterns(spark.read.parquet(tpath), max_turns=16).agg(
+            F.count(F.lit(1)).alias("n_patterns"),
+            F.sum("n_convs").alias("convs_total"),
+            F.sum("n_turns_total").alias("turns_total"),
+        ).collect()[0]
+    # repetition only reports conversations WITH assistant turns; the
+    # shape histogram covers every conversation — so >=, and the summed
+    # full lengths can't exceed the raw corpus turn count (dedup only
+    # removes rows)
+    assert int(rp["convs_total"]) >= int(cr["n_convs"]), (rp, cr)
+    assert int(rp["convs_total"]) <= int(rp["turns_total"]) <= n_turns, rp
+
     conv_grain = {
         "n_turns": n_turns,
         "turn_dedup_wall_sec": round(wtd.wall, 3),
@@ -1038,9 +1081,16 @@ def main() -> None:
         "turn_novelty_turns_per_sec": round(n_turns / wtn.wall, 1),
         "novel_gram_frac": round(float(tn["novel"]) / float(tn["grams"]), 4),
         "length_trend_wall_sec": round(wlt.wall, 3),
+        "forks_wall_sec": round(wcf.wall, 3),
+        "n_fork_groups": int(cf["n_groups"]),
+        "templates_wall_sec": round(wat.wall, 3),
+        "n_templates": int(at["n_templates"]),
+        "role_patterns_wall_sec": round(wrp.wall, 3),
+        "n_role_patterns": int(rp["n_patterns"]),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
+            wcf.external_cores, wat.external_cores, wrp.external_cores,
         ],
     }
 

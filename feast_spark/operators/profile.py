@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 from dataclasses import asdict, dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
@@ -212,3 +212,130 @@ def validate_dataset(
                         )
                     )
     return ValidationReport(ok=not errors, errors=errors)
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of the same
+    dataset, per numeric column — the monitoring step AFTER
+    :func:`validate_dataset`'s envelope checks: envelopes catch outright
+    violations (a value outside the historical range), PSI catches mass
+    MOVING between buckets while every individual value stays legal —
+    the quiet upstream change (a new traffic mix, a prompt rollout, a
+    collector bug) that reshapes a feature before any rule fires. The
+    credit-scoring convention applies unchanged: PSI < 0.1 stable,
+    0.1-0.25 investigate, > 0.25 shifted.
+
+    Buckets are ``bins`` equal-width intervals over the REFERENCE
+    column's [min, max] (the standard formulation — the reference frame
+    defines the space, current-snapshot values outside it clamp into the
+    edge buckets); both snapshots' non-null values are bucketed and
+    ``psi = sum((p - q) * ln(p / q))`` over buckets with per-bucket
+    fractions floored at ``eps`` so an empty bucket contributes a large
+    finite term instead of infinity. NULLs are excluded from bucketing
+    and reported via the count columns (validate_dataset already
+    envelopes null fractions).
+
+    Returns one row per column: ``(column, psi, n_ref, n_cur)`` with
+    counts = non-null rows on each side.
+
+    Scale shape: each snapshot is scanned ONCE regardless of how many
+    columns are profiled — a map-side explode melts the row into
+    (column, value) pairs (rows x |cols|, map-only), reference bounds
+    (|cols| rows) broadcast back onto both sides, and the only
+    exchanges are two (column, bucket) hash-aggs whose output is
+    bounded by |cols| x bins. Everything after the first agg is
+    dimension-sized.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def _melt(df: DataFrame) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("double").alias("v"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("s"))
+            .select("s.column", "s.v")
+            .filter(F.col("v").isNotNull())
+        )
+
+    mref, mcur = _melt(ref), _melt(cur)
+    bounds = mref.groupBy("column").agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
+    )
+
+    def _bucketed(m: DataFrame) -> DataFrame:
+        b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                        * F.lit(bins)
+                    ).cast("int"),
+                ),
+            )
+        )
+        return (
+            m.join(F.broadcast(bounds), "column")
+            .select("column", b.alias("bucket"))
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    cref, ccur = _bucketed(mref), _bucketed(mcur)
+    # everything below is |cols| x bins rows — dimension-sized. Totals
+    # come from a WINDOW over the joined counts (not a second agg over
+    # cref/ccur): each melted snapshot appears exactly once in the DAG,
+    # so Catalyst never re-scans an input to total it.
+    joined = cref.withColumnRenamed("cnt", "cnt_ref").join(
+        ccur.withColumnRenamed("cnt", "cnt_cur"), ["column", "bucket"], "full_outer"
+    )
+    w = Window.partitionBy("column")
+    t = joined.select(
+        "column",
+        "bucket",
+        "cnt_ref",
+        "cnt_cur",
+        # a column with zero non-null rows on one side: that side's
+        # fraction floors to eps in every bucket (all mass "missing"),
+        # instead of a NULL psi from a 0/0 division
+        F.sum(F.coalesce("cnt_ref", F.lit(0))).over(w).alias("n_ref"),
+        F.sum(F.coalesce("cnt_cur", F.lit(0))).over(w).alias("n_cur"),
+    )
+
+    def _frac(cnt: str, n: str):
+        return F.when(F.col(n) == 0, F.lit(eps)).otherwise(
+            F.greatest(F.coalesce(F.col(cnt), F.lit(0)) / F.col(n), F.lit(eps))
+        )
+
+    p, q = _frac("cnt_ref", "n_ref"), _frac("cnt_cur", "n_cur")
+    return (
+        t.select(
+            "column",
+            "n_ref",
+            "n_cur",
+            ((p - q) * F.log(p / q)).alias("__c"),
+        )
+        .groupBy("column")
+        .agg(
+            F.sum("__c").alias("psi"),
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+        )
+        .select("column", "psi", "n_ref", "n_cur")
+    )

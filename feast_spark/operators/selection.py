@@ -1545,3 +1545,61 @@ def unimax_sample(
         .filter(F.col("cum_before") < F.col("lang_alloc"))
         .select("doc_id", "lang", "n_tokens", "cum_before", "lang_alloc")
     )
+
+
+# ---------------------------------------------------------------------------
+# leak-free holdout splitting (group-grain train/valid/test)
+# ---------------------------------------------------------------------------
+
+
+def assign_split(
+    df: DataFrame,
+    key: Column | str,
+    splits: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic GROUP-grain train/valid/test assignment: every row
+    whose ``key`` hashes into the same 48-bit bucket lands in the same
+    split. Pass the conversation id (not the turn id) and a conversation
+    can never straddle train and eval — the leak-free property row-level
+    random splits lack: near-identical sibling turns of one conversation
+    in both sets leak the answer into evaluation. Same group-split
+    semantics as sklearn's GroupShuffleSplit, made reproducible across
+    runs, engines and cluster layouts by hashing instead of RNG state.
+
+    ``splits`` maps name -> fraction (must sum to 1 within 1e-9;
+    default ``{"train": .9, "valid": .05, "test": .05}``). Assignment:
+    ``h = first 48 bits of md5(seed || key)`` compared against integer
+    cut points ``floor(cum_fraction * 2^48)`` — integer-exact, so a
+    DuckDB oracle replays selection 1:1 (the established md5-uniform
+    discipline of :func:`deterministic_sample` / `weighted_sample_k`).
+    Changing ``seed`` re-draws the assignment; growing a corpus never
+    moves an existing group between splits (the hash ignores corpus
+    size), which is what makes incremental ingestion safe.
+
+    Scale shape: map-only (one md5 + a CASE per row) — no Exchange in
+    the plan; realized split sizes concentrate around the fractions by
+    group COUNT (mega-groups can skew row counts — by design: the
+    alternative, balancing rows, is exactly the leak).
+    """
+    fr = splits or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    if not fr or any(v < 0 for v in fr.values()):
+        raise ValueError("splits must be non-negative")
+    if abs(sum(fr.values()) - 1.0) > 1e-9:
+        raise ValueError(f"splits must sum to 1, got {sum(fr.values())}")
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), k.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    names = list(fr)
+    cum, cuts = 0.0, []
+    for name in names[:-1]:
+        cum += fr[name]
+        cuts.append(int(cum * (1 << 48)))
+    expr = F.lit(names[-1])
+    for name, cut in reversed(list(zip(names[:-1], cuts))):
+        expr = F.when(h < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

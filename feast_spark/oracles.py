@@ -1774,6 +1774,54 @@ def pii_stats_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+def pseudonymize_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive per-row replay of operators/privacy.pseudonymize_entities
+    under the driver query's planting (even doc_ids gain an email keyed
+    by doc_id%7 and a phone keyed by doc_id%50): plain re.subn per kind
+    in SCRUB_PATTERNS order on the progressively-replaced text, token =
+    <KIND:md5(entity)[:10]> via hashlib — no pandas str machinery, no
+    shared code path beyond the pattern constants."""
+    import hashlib
+    import re
+
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    kinds = {"email", "phone"}
+    pats = [(n, p) for n, p, _ in SCRUB_PATTERNS if n in kinds]
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = "" if text is None else str(text)
+        if int(doc_id) % 2 == 0:
+            t = (
+                t
+                + f" contact user{int(doc_id) % 7}@example.com"
+                + f" or call 415-555-{1000 + int(doc_id) % 50:04d}"
+            )
+        rec = {"doc_id": int(doc_id)}
+        total = 0
+        for name, pat in pats:
+
+            def _tok(m, _name=name):
+                h = hashlib.md5(m.group().encode("utf-8")).hexdigest()[:10]
+                return f"<{_name.upper()}:{h}>"
+
+            t, n = re.subn(pat, _tok, t)
+            rec[f"n_pseudo_{name}"] = n
+            total += n
+        rec["text_pseudo"] = t
+        rec["n_pseudo"] = total
+        rows.append(rec)
+    pdf = pd.DataFrame(rows)
+    for c in ("doc_id", "n_pseudo", "n_pseudo_email", "n_pseudo_phone"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf[
+        ["doc_id", "text_pseudo", "n_pseudo", "n_pseudo_email", "n_pseudo_phone"]
+    ]
+
+
 def cdc_neardup_pdf(
     sf_dir: str,
     avg_bits: int = 6,
@@ -2052,6 +2100,7 @@ _RELATIONS = {
     "transcripts_loop_raw": lambda sf: transcripts_loop_raw_pdf(sf),
     "unimax_sample": lambda sf: unimax_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),
+    "pseudonymize": lambda sf: pseudonymize_pdf(sf),
     "conv_pack": lambda sf: conv_pack_pdf(),
     "conv_pii": lambda sf: conv_pii_pdf(),
     "conv_curation": lambda sf: conv_curation_pdf(),
