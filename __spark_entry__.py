@@ -2241,6 +2241,33 @@ def q_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "split")
 
 
+def q_turn_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: turn-grain FUZZY near-dup — every 5th
+    # conversation cloned with ' edited copy note' appended to each
+    # assistant turn, so the copies are near- but never exact-duplicates
+    # (invisible to turn_dedup). Oracle: shared-kernel naive-LSH replay
+    # (oracles.turn_neardup_pdf).
+    from feast_spark.operators.conversation import turn_neardup_pairs
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = (
+        t.filter(F.pmod(idx, F.lit(5)) == 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("role") == "assistant",
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" edited copy note"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("conv_id", F.concat("conv_id", F.lit("d")))
+    )
+    return turn_neardup_pairs(t.unionByName(clones))
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2328,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "drift_psi": q_drift_psi,
         "holdout_split": q_holdout_split,
+        "turn_neardup": q_turn_neardup,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
@@ -2382,7 +2410,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "historical_two_views": q_historical_two_views,
         # core relational / PIT surface
         "pit_last_click": q_pit_last_click,
-        "session_window_agg": q_session_window_agg,
     }
 
 
@@ -2400,6 +2427,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_structure": q_conv_structure,
         "gopher_repetition": q_gopher_repetition,
         "derived_view_historical": q_derived_view_historical,
+        "session_window_agg": q_session_window_agg,
         "sessionize": q_sessionize,
         "lexical_stats": q_lexical_stats,
         "label_majority_vote": q_label_majority_vote,
@@ -2521,6 +2549,7 @@ def _all_oracle_sql() -> dict[str, str]:
 
     return {
         "pseudonymize": _rp("pseudonymize"),
+        "turn_neardup": _rp("turn_neardup"),
         "drift_psi": """
             -- GENUINE SQL twin of drift_psi (bins=10, eps=1e-6) on the
             -- half-split events table with the odd half's value scaled

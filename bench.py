@@ -128,6 +128,13 @@ HEADLINE = [
     "conv_forks",
     "conv_templates",
     "role_patterns",
+    # round 5 session 4c: consistent pseudonymization (corpus-sized Arrow
+    # regex pass), PSI drift, conv-grain holdout split, turn-grain fuzzy
+    # near-dup
+    "pseudonymize",
+    "drift_psi",
+    "holdout_split",
+    "turn_neardup",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -57,6 +57,7 @@ __all__ = [
     "conversation_forks",
     "assistant_templates",
     "role_patterns",
+    "turn_neardup_pairs",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -1095,4 +1096,86 @@ def role_patterns(
     return per_conv.groupBy("role_pattern").agg(
         F.count(F.lit(1)).alias("n_convs"),
         F.sum("__n").alias("n_turns_total"),
+    )
+
+
+def turn_neardup_pairs(
+    turns: DataFrame,
+    role: str = "assistant",
+    min_words: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Fuzzy near-duplicate detection at the TURN grain — the tolerance
+    arm of :func:`turn_dedup`, completing the dedup matrix (conversation
+    exact/fuzzy, turn exact, paragraph exact/fuzzy, span, substring,
+    byte-CDC): a templated assistant response whose copies differ by a
+    date, an id or a reworded sentence defeats exact turn dedup
+    (every copy is unique text) and digit masking
+    (:func:`assistant_templates` only folds number runs) — MinHash over
+    word shingles supplies the general tolerance.
+
+    Returns one row per detected pair: ``(conv_a, idx_a, conv_b, idx_b,
+    jaccard)`` with the composite ``conv_id:turn_idx`` key of ``a``
+    ordering before ``b`` and ``jaccard`` the exact distinct-shingle-set
+    similarity (>= ``jaccard_threshold``). Only ``role`` turns with at
+    least ``min_words`` normalized words participate (short acks
+    legitimately repeat; at 3-gram shingles a turn needs >= shingle_k
+    words to have a signature at all).
+
+    Composition at proven scale shapes: latest-per-key dedup + map-side
+    normalize/filter, then :func:`feast_spark.operators.dedup.
+    minhash_lsh_pairs` runs unchanged on the composite string id —
+    map-side numpy signatures, one-shuffle banded candidate generation
+    (``_bucket_pairs``), capped buckets, exact verification. The id
+    through the LSH exchanges is the ~20-byte composite string (the
+    portable arm the pandas oracle replays 1:1); at 10^12 turns swap it
+    for a packed ``xxhash64(conv_id) << idx_bits | turn_idx`` surrogate
+    + end-stage map-back join, exactly as ``paragraph_neardup_pairs``
+    packs its int64 surrogate and ``turn_dedup``'s xxhash64 arm sheds
+    the string before its exchange.
+
+    Reference: feast has no text dedup; the turn grain follows the same
+    public lineage as :func:`turn_dedup` (Lee et al. 2022 / Dolma),
+    applied to transcript turns.
+    """
+    from feast_spark.operators.dedup import minhash_lsh_pairs
+
+    d = turns if pre_deduped else _deduped(turns)
+    norm = _norm_text("text")
+    elig = (
+        d.filter(F.col("role") == role)
+        .select("conv_id", "turn_idx", norm.alias("__norm"))
+        .withColumn(
+            "n_words",
+            F.when(F.length("__norm") == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("__norm"), " "))
+            ),
+        )
+        .filter(F.col("n_words") >= int(min_words))
+        .select(
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("tid"),
+            "__norm",
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        elig, "tid", "__norm",
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold, seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    pat = "^(.*):([0-9]+)$"
+    return pairs.select(
+        F.regexp_extract("id_a", pat, 1).alias("conv_a"),
+        F.regexp_extract("id_a", pat, 2).cast("int").alias("idx_a"),
+        F.regexp_extract("id_b", pat, 1).alias("conv_b"),
+        F.regexp_extract("id_b", pat, 2).cast("int").alias("idx_b"),
+        "jaccard",
     )

@@ -240,7 +240,10 @@ def _shingle_only_table(
                 {"id": pdf[id_col], "shingles": _shingle_hash_batch(pdf[text_col], k)}
             )
 
-    return df.mapInPandas(run, "id long, shingles array<long>")
+    # id dtype is inherited from the caller (long doc ids, or composite
+    # string ids for the transcript turn grain)
+    id_dtype = dict(df.dtypes)[id_col]
+    return df.mapInPandas(run, f"id {id_dtype}, shingles array<long>")
 
 
 def _shingle_sig_table(
@@ -339,10 +342,11 @@ def _shingle_sig_table(
                     sigs[int(i)] = np.mod(a * xm1 + b, _MERSENNE)
             yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
+    id_dtype = dict(df.dtypes)[id_col]  # long doc ids or string turn ids
     schema = (
-        "id long, shingles array<long>, sig array<long>"
+        f"id {id_dtype}, shingles array<long>, sig array<long>"
         if include_shingles
-        else "id long, sig array<long>"
+        else f"id {id_dtype}, sig array<long>"
     )
     return _scale_partitions(df).mapInPandas(run, schema)
 

@@ -1774,6 +1774,59 @@ def pii_stats_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+def turn_neardup_pdf(
+    min_words: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Naive replay of turn_neardup_pairs under the driver query's
+    planting (every 5th conversation cloned under conv_id || 'd' with
+    ' edited copy note' appended to every assistant turn — near- but not
+    exact-duplicates): latest-per-key dedup, ASCII-ws normalize,
+    composite conv:idx string ids through the shared naive-LSH core."""
+    import re
+
+    from feast_spark.operators.dedup import _shingle_hash_batch
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    turns = transcripts_raw_pdf(None)
+    cl = turns[turns["conv_id"].str.slice(1, 10).astype(int) % 5 == 0].copy()
+    cl["text"] = np.where(
+        cl["role"] == "assistant",
+        cl["text"].fillna("") + " edited copy note",
+        cl["text"],
+    )
+    cl["conv_id"] = cl["conv_id"] + "d"
+    d = oracle_dedup_latest(pd.concat([turns, cl], ignore_index=True))
+    d = d[d["role"] == "assistant"]
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ids: list[str] = []
+    norms: list[str] = []
+    for conv, idx, text in zip(d["conv_id"], d["turn_idx"], d["text"]):
+        t = "" if text is None else str(text)
+        n = ws.sub(" ", t).strip()
+        if n and len(n.split(" ")) >= min_words:
+            ids.append(f"{conv}:{int(idx)}")
+            norms.append(n)
+    shingles = _shingle_hash_batch(pd.Series(norms), shingle_k)
+    rows = _minhash_pairs_core(
+        ids, shingles, num_hashes, bands, jaccard_threshold, seed
+    )
+    recs = []
+    for ia, ib, jac in rows:
+        ca, xa = ia.rsplit(":", 1)
+        cb, xb = ib.rsplit(":", 1)
+        recs.append((ca, int(xa), cb, int(xb), jac))
+    return pd.DataFrame(
+        recs, columns=["conv_a", "idx_a", "conv_b", "idx_b", "jaccard"]
+    ).astype(
+        {"idx_a": "int64", "idx_b": "int64", "jaccard": "float64"}
+    )
+
+
 def pseudonymize_pdf(sf_dir: str) -> pd.DataFrame:
     """Naive per-row replay of operators/privacy.pseudonymize_entities
     under the driver query's planting (even doc_ids gain an email keyed
@@ -2101,6 +2154,7 @@ _RELATIONS = {
     "unimax_sample": lambda sf: unimax_pdf(sf),
     "pii_stats": lambda sf: pii_stats_pdf(sf),
     "pseudonymize": lambda sf: pseudonymize_pdf(sf),
+    "turn_neardup": lambda sf: turn_neardup_pdf(),
     "conv_pack": lambda sf: conv_pack_pdf(),
     "conv_pii": lambda sf: conv_pii_pdf(),
     "conv_curation": lambda sf: conv_curation_pdf(),

@@ -988,3 +988,73 @@ def test_role_patterns_two_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_turn_neardup_pairs_planted(spark):
+    """Planted near-identical assistant turns across conversations are
+    detected; exact-equal short turns below min_words are not; the pair
+    ordering contract (composite a < b) holds."""
+    from datetime import datetime, timedelta, timezone
+
+    from feast_spark.operators.conversation import turn_neardup_pairs
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    base = (
+        "please run the integration test suite and report every failing "
+        "case with a full stack trace attached"
+    )
+
+    def r(c, i, role, text):
+        return (c, i, role, text, None, t0 + timedelta(seconds=i))
+
+    rows = [
+        r("A", 0, "user", "kick off the tests"),
+        r("A", 1, "assistant", base + " for build 4711"),
+        r("B", 0, "user", "run tests please"),
+        r("B", 1, "assistant", base + " for build 9042 thanks"),
+        # C: unrelated long assistant turn — no pair
+        r("C", 0, "assistant",
+          "completely different content about unrelated topics entirely "
+          "with no overlap whatsoever in any shingle of this response"),
+        # D/E: identical but under min_words — excluded
+        r("D", 0, "assistant", "ok done"),
+        r("E", 0, "assistant", "ok done"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = turn_neardup_pairs(t, min_words=5, jaccard_threshold=0.4).toPandas()
+    assert len(out) == 1
+    p = out.iloc[0]
+    assert (p["conv_a"], p["idx_a"], p["conv_b"], p["idx_b"]) == ("A", 1, "B", 1)
+    assert 0.4 <= p["jaccard"] < 1.0
+
+
+def test_turn_neardup_matches_naive_oracle(spark):
+    """Operator output == the shared naive-LSH replay on the fixture
+    with planted clones (the driver query's exact setup at small n)."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import turn_neardup_pairs
+    from feast_spark.oracles import turn_neardup_pdf
+
+    import __spark_entry__ as entry
+
+    got = (
+        entry.q_turn_neardup(spark, "unused")
+        .toPandas()
+        .sort_values(["conv_a", "idx_a", "conv_b", "idx_b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        turn_neardup_pdf()
+        .sort_values(["conv_a", "idx_a", "conv_b", "idx_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ("conv_a", "idx_a", "conv_b", "idx_b"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert max(abs(a - b) for a, b in zip(got["jaccard"], exp["jaccard"])) < 1e-12
