@@ -2268,6 +2268,24 @@ def q_turn_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return turn_neardup_pairs(t.unionByName(clones))
 
 
+def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 4: categorical PSI drift — the odd half remaps
+    # lang to 'xx' for doc_id%10<3 (a planted language-mix shift);
+    # top_k=3 forces the <OTHER> fold on the real category tails.
+    # Oracle: GENUINE DuckDB SQL (same top-k tie-break, fold, psi tail).
+    from feast_spark.operators.profile import drift_psi_categorical
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ref = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    cur = docs.filter(F.pmod("doc_id", F.lit(2)) == 1).withColumn(
+        "lang",
+        F.when(F.pmod("doc_id", F.lit(10)) < 3, F.lit("xx")).otherwise(
+            F.col("lang")
+        ),
+    )
+    return drift_psi_categorical(ref, cur, ["lang", "source"], top_k=3)
+
+
 def q_doc_curation_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     # blocklist-arm curation (stage 0b): the trie-regex phrase gate runs
     # BEFORE span dedup, so blocked docs never claim first-occurrence
@@ -2356,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "holdout_split": q_holdout_split,
         "turn_neardup": q_turn_neardup,
+        "drift_categorical": q_drift_categorical,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
@@ -2407,7 +2426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 2-3 operators
         "stream_window_parity": q_stream_window_parity,
         "dup_clusters": q_dup_clusters,
-        "historical_two_views": q_historical_two_views,
         # core relational / PIT surface
         "pit_last_click": q_pit_last_click,
     }
@@ -2428,6 +2446,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "derived_view_historical": q_derived_view_historical,
         "session_window_agg": q_session_window_agg,
+        "historical_two_views": q_historical_two_views,
         "sessionize": q_sessionize,
         "lexical_stats": q_lexical_stats,
         "label_majority_vote": q_label_majority_vote,
@@ -2589,6 +2608,75 @@ def _all_oracle_sql() -> dict[str, str]:
             ), cc AS (
               SELECT "column", bucket, COUNT(*) AS cnt_cur
               FROM cb GROUP BY 1, 2
+            ), j AS (
+              SELECT COALESCE(rc."column", cc."column") AS "column",
+                COALESCE(rc.bucket, cc.bucket) AS bucket,
+                rc.cnt_ref, cc.cnt_cur
+              FROM rc FULL OUTER JOIN cc
+                ON rc."column" = cc."column" AND rc.bucket = cc.bucket
+            ), tr AS (
+              SELECT "column", SUM(cnt_ref) AS n_ref FROM rc GROUP BY 1
+            ), tc AS (
+              SELECT "column", SUM(cnt_cur) AS n_cur FROM cc GROUP BY 1
+            ), f AS (
+              SELECT j."column",
+                GREATEST(COALESCE(cnt_ref, 0) / CAST(n_ref AS DOUBLE),
+                         1e-6) AS p,
+                GREATEST(COALESCE(cnt_cur, 0) / CAST(n_cur AS DOUBLE),
+                         1e-6) AS q,
+                n_ref, n_cur
+              FROM j JOIN tr USING ("column") JOIN tc USING ("column")
+            )
+            SELECT "column", SUM((p - q) * ln(p / q)) AS psi,
+              CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+              CAST(MIN(n_cur) AS BIGINT) AS n_cur
+            FROM f GROUP BY 1
+        """,
+        "drift_categorical": """
+            -- GENUINE SQL twin of drift_psi_categorical (top_k=3,
+            -- eps=1e-6) on the half-split documents table with the odd
+            -- half's lang remapped to 'xx' for doc_id%10<3
+            WITH r AS (
+              SELECT 'lang' AS "column",
+                COALESCE(CAST(lang AS VARCHAR), '<NULL>') AS v
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'source', COALESCE(CAST(source AS VARCHAR), '<NULL>')
+              FROM documents WHERE doc_id % 2 = 0
+            ), c AS (
+              SELECT 'lang' AS "column",
+                COALESCE(CAST(CASE WHEN doc_id % 10 < 3 THEN 'xx'
+                               ELSE lang END AS VARCHAR), '<NULL>') AS v
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT 'source', COALESCE(CAST(source AS VARCHAR), '<NULL>')
+              FROM documents WHERE doc_id % 2 = 1
+            ), rc0 AS (
+              SELECT "column", v, COUNT(*) AS cnt FROM r GROUP BY 1, 2
+            ), cc0 AS (
+              SELECT "column", v, COUNT(*) AS cnt FROM c GROUP BY 1, 2
+            ), tk AS (
+              SELECT "column", v FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY "column" ORDER BY cnt DESC, v ASC) AS rk
+                FROM rc0
+              ) WHERE rk <= 3
+            ), rc AS (
+              SELECT rc0."column",
+                CASE WHEN tk.v IS NOT NULL THEN rc0.v
+                     ELSE '<OTHER>' END AS bucket,
+                SUM(cnt) AS cnt_ref
+              FROM rc0 LEFT JOIN tk
+                ON rc0."column" = tk."column" AND rc0.v = tk.v
+              GROUP BY 1, 2
+            ), cc AS (
+              SELECT cc0."column",
+                CASE WHEN tk.v IS NOT NULL THEN cc0.v
+                     ELSE '<OTHER>' END AS bucket,
+                SUM(cnt) AS cnt_cur
+              FROM cc0 LEFT JOIN tk
+                ON cc0."column" = tk."column" AND cc0.v = tk.v
+              GROUP BY 1, 2
             ), j AS (
               SELECT COALESCE(rc."column", cc."column") AS "column",
                 COALESCE(rc.bucket, cc.bucket) AS bucket,

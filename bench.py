@@ -133,6 +133,7 @@ HEADLINE = [
     # near-dup
     "pseudonymize",
     "drift_psi",
+    "drift_categorical",
     "holdout_split",
     "turn_neardup",
 ]

@@ -297,11 +297,15 @@ def drift_psi(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    cref, ccur = _bucketed(mref), _bucketed(mcur)
-    # everything below is |cols| x bins rows — dimension-sized. Totals
-    # come from a WINDOW over the joined counts (not a second agg over
-    # cref/ccur): each melted snapshot appears exactly once in the DAG,
-    # so Catalyst never re-scans an input to total it.
+    return _psi_from_counts(_bucketed(mref), _bucketed(mcur), eps)
+
+
+def _psi_from_counts(cref: DataFrame, ccur: DataFrame, eps: float) -> DataFrame:
+    """PSI tail shared by the numeric and categorical fronts: both sides
+    arrive as (column, bucket, cnt) — |cols| x buckets rows, dimension-
+    sized. Totals come from a WINDOW over the joined counts (not a second
+    agg over cref/ccur): each melted snapshot appears exactly once in the
+    DAG, so Catalyst never re-scans an input to total it."""
     joined = cref.withColumnRenamed("cnt", "cnt_ref").join(
         ccur.withColumnRenamed("cnt", "cnt_cur"), ["column", "bucket"], "full_outer"
     )
@@ -339,3 +343,80 @@ def drift_psi(
         )
         .select("column", "psi", "n_ref", "n_cur")
     )
+
+
+def drift_psi_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    top_k: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """:func:`drift_psi` for CATEGORICAL columns — the transcript
+    monitoring case is exactly this: a fleet rollout that shifts the
+    language mix or the tool/source distribution moves categorical mass
+    long before any numeric envelope trips. Buckets are the REFERENCE
+    side's ``top_k`` most frequent categories per column (count desc,
+    category asc tie-break — deterministic); everything else, including
+    categories the reference never saw, folds into ``<OTHER>``, and NULL
+    is its own ``<NULL>`` category (unlike numeric PSI, a missing label
+    IS a distribution change worth seeing).
+
+    Returns the same shape as :func:`drift_psi`: ``(column, psi, n_ref,
+    n_cur)``, directly unionable with it for a mixed-type drift report.
+
+    Scale shape: one melt scan per snapshot; per-column category counts
+    are one (column, value) hash-agg each; the reference's top-k table
+    (<= |cols| x top_k rows) broadcasts back onto the CURRENT side's
+    count relation (already aggregated — the broadcast join touches
+    dimension-sized data, never the melted input); the shared PSI tail
+    is window + tiny agg. The ``<OTHER>`` fold bounds state at
+    |cols| x (top_k + 2) buckets no matter how many distinct values the
+    live corpus develops — the property that keeps the monitor alive
+    when a collector bug floods a column with unique garbage.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def _melt(df: DataFrame) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias(
+                        "v"
+                    ),
+                )
+                for c in cols
+            ]
+        )
+        return df.select(F.explode(pairs).alias("s")).select("s.column", "s.v")
+
+    # per-column category counts: ONE hash-agg per snapshot
+    cntr = _melt(ref).groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    cntc = _melt(cur).groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wk = Window.partitionBy("column").orderBy(
+        F.col("cnt").desc(), F.col("v").asc()
+    )
+    topk = (
+        cntr.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= int(top_k))
+        .select("column", "v")
+        .withColumn("__keep", F.lit(True))
+    )
+
+    def _folded(cnt: DataFrame) -> DataFrame:
+        return (
+            cnt.join(F.broadcast(topk), ["column", "v"], "left")
+            .select(
+                "column",
+                F.when(F.col("__keep"), F.col("v"))
+                .otherwise(F.lit("<OTHER>"))
+                .alias("bucket"),
+                "cnt",
+            )
+            .groupBy("column", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    return _psi_from_counts(_folded(cntr), _folded(cntc), eps)

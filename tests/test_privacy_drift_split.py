@@ -269,3 +269,81 @@ def test_assign_split_map_only_plan(spark):
     df = spark.range(100).selectExpr("CAST(id AS STRING) AS g")
     plan = _plan(assign_split(df, "g"))
     assert "Exchange" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# drift_psi_categorical
+# ---------------------------------------------------------------------------
+
+
+def test_drift_categorical_hand_computed(spark):
+    """2 categories, known masses: ref a/b = 60/40, cur a/b = 30/70."""
+    from feast_spark.operators.profile import drift_psi_categorical
+
+    ref = spark.createDataFrame([("a",)] * 60 + [("b",)] * 40, "lang string")
+    cur = spark.createDataFrame([("a",)] * 30 + [("b",)] * 70, "lang string")
+    r = drift_psi_categorical(ref, cur, ["lang"], top_k=5).collect()[0]
+    expected = (0.6 - 0.3) * math.log(0.6 / 0.3) + (0.4 - 0.7) * math.log(
+        0.4 / 0.7
+    )
+    assert abs(r["psi"] - expected) < 1e-12
+    assert r["n_ref"] == 100 and r["n_cur"] == 100
+
+
+def test_drift_categorical_other_fold_and_null(spark):
+    """Categories past top_k fold to <OTHER> (bounding state against a
+    unique-garbage flood); NULL is its own category; unseen cur
+    categories fold rather than explode the bucket space."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.profile import drift_psi_categorical
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 10 + [(None,)] * 10,
+        "lang string",
+    )
+    # cur floods with 40 distinct junk values
+    cur = spark.range(40).select(
+        F.concat(F.lit("junk"), F.col("id").cast("string")).alias("lang")
+    ).unionByName(spark.createDataFrame([("a",)] * 60, "lang string"))
+    out = drift_psi_categorical(ref, cur, ["lang"], top_k=2)
+    r = out.collect()[0]
+    assert r["n_ref"] == 100 and r["n_cur"] == 100
+    # exact replay: ref buckets a=50 b=30 OTHER=20 (c + <NULL> fold);
+    # cur a=60 OTHER=40
+    p = {"a": 0.5, "b": 0.3, "<OTHER>": 0.2}
+    q = {"a": 0.6, "b": 1e-6, "<OTHER>": 0.4}
+    expected = sum(
+        (p[k] - q[k]) * math.log(p[k] / q[k]) for k in p
+    )
+    assert abs(r["psi"] - expected) < 1e-12
+
+
+def test_drift_categorical_identical_zero(spark):
+    from feast_spark.operators.profile import drift_psi_categorical
+
+    df = spark.createDataFrame(
+        [("x",), ("y",), ("y",), (None,)], "src string"
+    )
+    r = drift_psi_categorical(df, df, ["src"], top_k=10).collect()[0]
+    assert abs(r["psi"]) < 1e-12
+
+
+def test_drift_categorical_topk_tiebreak_deterministic(spark):
+    """Equal counts break ties by category ASC — swap-stable output."""
+    from feast_spark.operators.profile import drift_psi_categorical
+
+    ref = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "lang string"
+    )
+    cur = spark.createDataFrame([("a",)] * 4, "lang string")
+    # top_k=2 with all-equal counts must keep {a, b} (asc tie-break):
+    # ref buckets a=.25 b=.25 OTHER=.5; cur a=1, b=eps, OTHER=eps
+    r = drift_psi_categorical(ref, cur, ["lang"], top_k=2).collect()[0]
+    e = 1e-6
+    expected = (
+        (0.25 - 1.0) * math.log(0.25 / 1.0)
+        + (0.25 - e) * math.log(0.25 / e)
+        + (0.5 - e) * math.log(0.5 / e)
+    )
+    assert abs(r["psi"] - expected) < 1e-12
