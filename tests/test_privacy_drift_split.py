@@ -347,3 +347,60 @@ def test_drift_categorical_topk_tiebreak_deterministic(spark):
         + (0.5 - e) * math.log(0.5 / e)
     )
     assert abs(r["psi"] - expected) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# drift over materialized feature snapshots (composition, DQM flow)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_over_materialized_conv_features(spark, tmp_path):
+    """The feast-shaped monitoring loop end-to-end: two quality-pipeline
+    runs materialize conversation features into the same feature table;
+    drift_psi compares the two runs' snapshots (numeric features) and
+    drift_psi_categorical the language mode. A corpus change (different
+    fixture seed + perturbed timing) must register as finite PSI; the
+    self-comparison is exactly zero."""
+    from datetime import datetime, timezone
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.profile import drift_psi, drift_psi_categorical
+    from feast_spark.pipeline.quality import (
+        QualityConfig,
+        run_quality_pipeline,
+    )
+
+    path = str(tmp_path / "conv_features")
+    d0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    run_quality_pipeline(
+        spark, transcripts_spark(spark, 120, seed=5, mega_every=0),
+        QualityConfig(), run_id="m0", decision_ts=d0,
+        feature_table_path=path,
+    )
+    run_quality_pipeline(
+        spark, transcripts_spark(spark, 120, seed=9, mega_every=40,
+                                 mega_turns=120),
+        QualityConfig(), run_id="m1", decision_ts=d0,
+        feature_table_path=path,
+    )
+    hist = spark.read.parquet(path)
+    created = sorted(r["created_ts"] for r in
+                     hist.select("created_ts").distinct().collect())
+    assert len(created) == 2
+    snap0 = hist.filter(hist.created_ts == created[0])
+    snap1 = hist.filter(hist.created_ts == created[1])
+
+    num = drift_psi(
+        snap0, snap1, ["mean_perplexity", "tool_call_density"], bins=10
+    ).toPandas().set_index("column")
+    assert set(num.index) == {"mean_perplexity", "tool_call_density"}
+    assert (num["psi"] >= 0).all()  # PSI is a sum of non-negative terms
+    assert num["n_ref"].iloc[0] == snap0.count()
+
+    cat = drift_psi_categorical(snap0, snap1, ["lang_mode"]).collect()[0]
+    assert cat["psi"] >= 0.0
+
+    self_num = drift_psi(
+        snap0, snap0, ["mean_perplexity", "tool_call_density"], bins=10
+    ).toPandas()
+    assert (self_num["psi"].abs() < 1e-12).all()
