@@ -416,6 +416,75 @@ class FeatureStore:
             removed += 1
         return removed
 
+    def erase_keys(
+        self,
+        view_name: str,
+        entities: DataFrame,
+        expire_history: bool = True,
+    ) -> dict:
+        """Right-to-be-forgotten erasure of serving rows by entity key —
+        the privacy counterpart of :func:`feast_spark.operators.privacy.
+        pseudonymize_entities`: pseudonymization removes identifiers from
+        TEXT; erasure removes the subject's FEATURE ROWS entirely (GDPR
+        Art. 17 at the feature-store layer; the reference's online-store
+        delete surface, generalized to the snapshot table).
+
+        ``entities`` carries the view's join-key columns (one row per
+        subject to erase — request batches are small, so the anti-join
+        broadcasts it). The new snapshot is the latest snapshot minus
+        every row whose key appears in ``entities``, committed through
+        the SAME rename-CAS chain as materialize: a concurrent
+        materialize landing between read and commit makes the CAS lose
+        and the loop re-reads the NEW latest — so the erasure is applied
+        to every row present at commit time, including rows a racing
+        writer just added for the erased subject.
+
+        ``expire_history=True`` (default) drops every OLDER snapshot
+        after the commit: an "erasure" that leaves the rows time-travel
+        readable isn't one. Pass False only when retention rules demand
+        a grace window (then run :meth:`expire_snapshots` at its end).
+        Offline-source erasure is out of scope here — that's a
+        filter-and-rewrite of the source partitions with the same
+        anti-join, performed where the source lives.
+
+        Returns ``{snapshot, rows_before, rows_after, rows_erased,
+        snapshots_expired}``.
+        """
+        from pyspark.sql import functions as F
+
+        fv = self._views[view_name]
+        keys = fv.join_keys
+        if not keys:
+            raise ValueError(f"view {view_name} has no join keys to erase by")
+        missing = [k for k in keys if k not in entities.columns]
+        if missing:
+            raise ValueError(f"entities frame missing join keys: {missing}")
+        erase = entities.select(*keys).dropDuplicates()
+        while True:
+            prev = self._latest_snapshot(view_name)
+            if prev is None:
+                raise ValueError(f"view {view_name} not materialized")
+            df = self.spark.read.parquet(prev)
+            remaining = df.join(F.broadcast(erase), keys, "left_anti")
+            rows_before = df.count()
+            snap = self._try_commit_snapshot(view_name, remaining, prev)
+            if snap is not None:
+                break
+        new_dir = os.path.join(self._serving_dir(view_name), snap)
+        rows_after = self.spark.read.parquet(new_dir).count()
+        expired = (
+            self.expire_snapshots(view_name, keep_last=1)
+            if expire_history
+            else 0
+        )
+        return {
+            "snapshot": snap,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "rows_erased": rows_before - rows_after,
+            "snapshots_expired": expired,
+        }
+
     def _commit_snapshot(self, view: str, df: DataFrame) -> str:
         """Unconditional commit (no concurrent-merge semantics needed):
         retries the CAS until a fresh id wins."""

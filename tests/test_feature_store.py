@@ -473,3 +473,148 @@ def test_optimize_serving_requires_materialization(spark, tmp_path):
     store.apply([fv])
     with pytest.raises(ValueError, match="not materialized"):
         store.optimize_serving("nomat")
+
+
+def test_erase_keys_removes_subject_rows(spark, tmp_path):
+    """GDPR erasure: the subject's rows vanish from serving, everyone
+    else's survive byte-identical, and history is expired by default so
+    time travel cannot resurrect the erased rows."""
+    root = tmp_path / "erase_repo"
+    rows = [
+        {
+            "driver_id": d,
+            "event_timestamp": _mk("2024-01-01 12:00:00"),
+            "created": _mk("2024-01-02"),
+            "conv_rate": float(d),
+        }
+        for d in range(50)
+    ]
+    feats = pd.DataFrame(rows)
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")
+    root.mkdir()
+    fpath = str(root / "src.parquet")
+    feats.to_parquet(fpath)
+
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="er",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+    store.materialize("er", _mk("2024-01-01"), _mk("2024-01-03"))
+    # a second snapshot so expire_history has history to remove
+    store._commit_snapshot("er", store.read_snapshot("er"))
+    import os as _os
+
+    serving = store._serving_dir("er")
+    assert len([d for d in _os.listdir(serving) if d.startswith("snap-")]) == 2
+
+    erase = spark.createDataFrame([(7,), (13,), (999,)], "driver_id bigint")
+    stats = store.erase_keys("er", erase)
+    assert stats["rows_before"] == 50
+    assert stats["rows_erased"] == 2  # 999 never existed
+    assert stats["rows_after"] == 48
+    assert stats["snapshots_expired"] == 2
+    got = {r.driver_id for r in store.read_snapshot("er").collect()}
+    assert got == set(range(50)) - {7, 13}
+    # only the erased snapshot remains on disk — nothing to time-travel to
+    assert [d for d in _os.listdir(serving) if d.startswith("snap-")] == [
+        stats["snapshot"]
+    ]
+
+
+def test_erase_keys_survives_concurrent_materialize(spark, tmp_path):
+    """A writer landing a snapshot between the erasure's read and commit
+    makes the CAS lose; the retry re-reads the NEW latest, so the final
+    state has the subject erased from the concurrent write too."""
+    root = tmp_path / "erase_race"
+    rows = [
+        {
+            "driver_id": d,
+            "event_timestamp": _mk("2024-01-01 12:00:00"),
+            "created": _mk("2024-01-02"),
+            "conv_rate": float(d),
+        }
+        for d in range(10)
+    ]
+    feats = pd.DataFrame(rows)
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")
+    root.mkdir()
+    fpath = str(root / "src.parquet")
+    feats.to_parquet(fpath)
+
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="race",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("conv_rate", "double")],
+    )
+    store.apply([fv])
+    store.materialize("race", _mk("2024-01-01"), _mk("2024-01-03"))
+
+    # simulate the race: steal the CAS exactly once between read+commit
+    orig = store._try_commit_snapshot
+    stolen = {"done": False}
+
+    def racing(view, df, base):
+        if not stolen["done"]:
+            stolen["done"] = True
+            # concurrent writer re-adds driver 3 with a new value
+            from pyspark.sql import functions as F
+
+            cur = store.read_snapshot("race")
+            add = cur.filter("driver_id = 3").withColumn("conv_rate", F.lit(99.0))
+            assert orig(view, cur.unionByName(add), base) is not None
+        return orig(view, df, base)
+
+    store._try_commit_snapshot = racing
+    stats = store.erase_keys("race", spark.createDataFrame([(3,)], "driver_id bigint"))
+    store._try_commit_snapshot = orig
+    assert stolen["done"]
+    # the retry saw 11 rows (10 + the racing re-add) and erased both 3s
+    assert stats["rows_before"] == 11 and stats["rows_erased"] == 2
+    got = {r.driver_id for r in store.read_snapshot("race").collect()}
+    assert 3 not in got and len(got) == 9
+
+
+def test_erase_keys_validation(spark, tmp_path):
+    root = tmp_path / "erase_val"
+    root.mkdir()
+    feats = pd.DataFrame(
+        {
+            "driver_id": [1],
+            "event_timestamp": [_mk("2024-01-01")],
+            "created": [_mk("2024-01-01")],
+            "x": [1.0],
+        }
+    )
+    for c in ("event_timestamp", "created"):
+        feats[c] = feats[c].astype("datetime64[us]")
+    fpath = str(root / "src.parquet")
+    feats.to_parquet(fpath)
+    store = FeatureStore(spark, str(root))
+    fv = FeatureView(
+        name="nv",
+        entities=[Entity("driver", "driver_id")],
+        source=ParquetSource(
+            path=fpath, timestamp_field="event_timestamp",
+            created_timestamp_column="created",
+        ),
+        schema=[Field("driver_id", "bigint"), Field("x", "double")],
+    )
+    store.apply([fv])
+    with pytest.raises(ValueError, match="missing join keys"):
+        store.erase_keys("nv", spark.createDataFrame([(1,)], "other bigint"))
+    with pytest.raises(ValueError, match="not materialized"):
+        store.erase_keys("nv", spark.createDataFrame([(1,)], "driver_id bigint"))
