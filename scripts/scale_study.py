@@ -310,6 +310,68 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
     }
     td.unpersist()
+
+    # turn-grain FUZZY near-dup at scale: every 200th conversation
+    # cloned under '_near' with ONE word appended to each assistant turn
+    # — near- but never exact-duplicates (invisible to turn_dedup). At
+    # word-3-gram shingles the planted jaccard is (w-2)/(w-1) >= 0.75
+    # for eligible turns (w >= 5), where 32x8 banding recall is ~0.95+;
+    # the bound below is deterministic for a fixed corpus/seed.
+    from feast_spark.operators.conversation import (
+        _norm_text,
+        turn_neardup_pairs,
+    )
+
+    near_src = turns.filter(F.pmod(F.xxhash64("conv_id"), F.lit(200)) == 0)
+    near = near_src.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "assistant",
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" edited")),
+        ).otherwise(F.col("text")),
+    ).withColumn("conv_id", F.concat("conv_id", F.lit("_near")))
+    fuzz = turns.unionByName(near).persist()
+    fuzz.count()
+    # planted eligible pairs: the cloned convs' assistant turns whose
+    # ORIGINAL normalized word count >= 5 (the near side then has >= 6),
+    # counted on the deduped view the operator itself sees
+    from feast_spark.operators.latest import latest_per_key
+
+    dd = latest_per_key(
+        near_src, ["conv_id", "turn_idx"], "ts",
+        strategy="agg", tiebreak_cols=["text"],
+    )
+    norm = _norm_text("text")
+    planted = (
+        dd.filter(F.col("role") == "assistant")
+        .select(norm.alias("__n"))
+        .filter(
+            F.when(F.length("__n") == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("__n"), " "))
+            )
+            >= 5
+        )
+        .count()
+    )
+    t0 = time.time()
+    pairs = turn_neardup_pairs(fuzz).persist()
+    n_pairs = pairs.count()
+    hit = pairs.filter(
+        (F.col("conv_b") == F.concat("conv_a", F.lit("_near")))
+        & (F.col("idx_a") == F.col("idx_b"))
+    ).count()
+    wall = round(time.time() - t0, 2)
+    out["turn_neardup"] = {
+        "wall_sec": wall,
+        "n_pairs": n_pairs,
+        "planted_eligible": planted,
+        "planted_recovered": hit,
+        "recall": round(hit / planted, 4) if planted else None,
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+    assert planted > 0 and hit / planted >= 0.85, out["turn_neardup"]
+    pairs.unpersist()
+    fuzz.unpersist()
     corpus.unpersist()
     return out
 
