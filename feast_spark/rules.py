@@ -188,19 +188,42 @@ def pii_stats(
     return sel.mapInPandas(_run, schema=schema)
 
 
-def scrub_text(texts: pd.Series) -> pd.Series:
+def scrub_text(
+    texts: pd.Series, mode: str = "redact", salt: str = ""
+) -> pd.Series:
     """Apply PII + toxicity scrub patterns in fixed order (vectorized).
 
     A cheap prescan (one char-class pass) gates the 5 PII replacements to
     rows that could possibly match (every PII pattern requires a digit or
     '@'); the toxicity replace is gated on its own match scan. On mostly
-    clean corpora this cuts 6 full regex passes to ~1-2."""
+    clean corpora this cuts 6 full regex passes to ~1-2.
+
+    ``mode='pseudonymize'`` swaps the fixed tags for stable per-entity
+    tokens ``<KIND:md5(salt||entity)[:10]>`` (see
+    :mod:`feast_spark.operators.privacy` for why linkage-preserving
+    scrubbing matters); defaults leave the reference-parity redact
+    contract byte-identical. Toxicity stays ``<TOX>`` in both modes —
+    a slur is not an identifier worth co-referencing."""
+    if mode not in ("redact", "pseudonymize"):
+        raise ValueError(f"unknown scrub mode {mode!r}")
     out = texts.fillna("")
     pii_candidates = out.str.contains(r"[@0-9]", regex=True)
     if pii_candidates.any():
+        import hashlib
+        import re as _re
+
         sub = out[pii_candidates]
-        for _name, pat, repl in SCRUB_PATTERNS:
-            sub = sub.str.replace(pat, repl, regex=True)
+        for name, pat, repl in SCRUB_PATTERNS:
+            if mode == "pseudonymize":
+                def _tok(m, _name=name):
+                    h = hashlib.md5(
+                        (salt + m.group()).encode("utf-8")
+                    ).hexdigest()[:10]
+                    return f"<{_name.upper()}:{h}>"
+
+                sub = sub.str.replace(_re.compile(pat), _tok, regex=True)
+            else:
+                sub = sub.str.replace(pat, repl, regex=True)
         out = out.copy()
         out[pii_candidates] = sub
     tox_hits = out.str.contains(_TOX_PATTERN, regex=True)
@@ -492,6 +515,12 @@ class RuleConfig:
     # conversation-level thresholds (applied after the PIT join)
     conv_max_mean_perplexity: float = 600.0
     conv_max_tool_density: float = 0.8
+    # scrub mode: 'redact' replaces PII with fixed tags (<EMAIL>, the
+    # reference contract); 'pseudonymize' with stable per-entity tokens
+    # <KIND:md5(salt||entity)[:10]> — co-reference survives scrubbing
+    # (operators/privacy.py rationale). Toxicity stays <TOX> either way.
+    scrub_mode: str = "redact"
+    pseudonym_salt: str = ""
 
 
 # Rule evaluation order is part of the output contract (drop_reason).
@@ -580,5 +609,7 @@ def score_turns(texts: pd.Series, cfg: RuleConfig = RuleConfig()) -> pd.DataFram
     out["perplexity"] = ppl
     out["keep"] = keep
     out["drop_reason"] = reason
-    out["scrubbed_text"] = scrub_text(s).to_numpy()
+    out["scrubbed_text"] = scrub_text(
+        s, mode=cfg.scrub_mode, salt=cfg.pseudonym_salt
+    ).to_numpy()
     return out

@@ -404,3 +404,81 @@ def test_drift_over_materialized_conv_features(spark, tmp_path):
         snap0, snap0, ["mean_perplexity", "tool_call_density"], bins=10
     ).toPandas()
     assert (self_num["psi"].abs() < 1e-12).all()
+
+
+# ---------------------------------------------------------------------------
+# pipeline scrub_mode = pseudonymize (opt-in; redact contract unchanged)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_pseudonymize_scrub_mode(spark):
+    """The flagship pipeline with RuleConfig(scrub_mode='pseudonymize')
+    emits stable per-entity tokens in scrubbed_text; defaults stay
+    byte-identical to the redact contract (same labels, same text)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from feast_spark import rules
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality import (
+        QualityConfig,
+        run_quality_pipeline,
+    )
+
+    t = transcripts_spark(spark, 60, seed=21, mega_every=0)
+    # plant one recurring entity across conversations
+    t = t.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0,
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.lit(" contact jane.doe@example.com"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    d0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    base = run_quality_pipeline(
+        spark, t, QualityConfig(), run_id="rb", decision_ts=d0
+    ).labels.toPandas()
+    pseudo = run_quality_pipeline(
+        spark, t,
+        QualityConfig(rules=rules.RuleConfig(scrub_mode="pseudonymize")),
+        run_id="rp", decision_ts=d0,
+    ).labels.toPandas()
+
+    jane = _tok("email", "jane.doe@example.com")
+    hit_b = base[base["scrubbed_text"].str.contains("<EMAIL>", regex=False)]
+    hit_p = pseudo[pseudo["scrubbed_text"].str.contains(jane, regex=False)]
+    assert len(hit_p) > 0
+    # every row carrying the planted entity's token was a redacted row
+    # in base mode (the fixture also plants OTHER organic emails, so
+    # base's <EMAIL> rows are a superset), and the planted entity maps
+    # to ONE token corpus-wide
+    assert set(zip(hit_p["conv_id"], hit_p["turn_idx"])) <= set(
+        zip(hit_b["conv_id"], hit_b["turn_idx"])
+    )
+    assert not pseudo["scrubbed_text"].str.contains("<EMAIL>", regex=False).any()
+    # labels (keep/drop) are scrub-mode-independent
+    b = base.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    p = pseudo.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (b["keep"] == p["keep"]).all()
+    assert (b["drop_reason"].fillna("") == p["drop_reason"].fillna("")).all()
+
+
+def test_scrub_text_mode_validation_and_default_parity():
+    import pandas as pd
+
+    from feast_spark import rules
+
+    s = pd.Series(["mail a@b.co now", None, "call 415-555-2671"])
+    with pytest.raises(ValueError, match="unknown scrub mode"):
+        rules.scrub_text(s, mode="nope")
+    # default call == explicit redact (the reference-parity contract)
+    assert rules.scrub_text(s).tolist() == rules.scrub_text(
+        s, mode="redact"
+    ).tolist()
+    p = rules.scrub_text(s, mode="pseudonymize").tolist()
+    assert p[0] == f"mail {_tok('email', 'a@b.co')} now"
+    assert p[2] == f"call {_tok('phone', '415-555-2671')}"
