@@ -1171,7 +1171,7 @@ def turn_neardup_pairs(
         jaccard_threshold=jaccard_threshold, seed=seed,
         max_bucket_size=max_bucket_size,
     )
-    pat = "^(.*):([0-9]+)$"
+    pat = "^(.*):(-?[0-9]+)$"
     return pairs.select(
         F.regexp_extract("id_a", pat, 1).alias("conv_a"),
         F.regexp_extract("id_a", pat, 2).cast("int").alias("idx_a"),
