@@ -564,6 +564,19 @@ def q_doc_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return _minhash_pairs_shared(spark, sf)
 
 
+def q_neardup_verify(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 5: edit-similarity confirmation of the shared
+    # MinHash candidate pairs (Lee et al. 2022's verify step). The
+    # oracle is GENUINE SQL: DuckDB re-derives levenshtein + the integer
+    # similarity itself over the replayed pair table — only the LSH
+    # candidates come from the naive replay.
+    from feast_spark.operators.dedup import neardup_verify
+
+    pairs = _minhash_pairs_shared(spark, sf)
+    d = _t(spark, sf, "documents")
+    return neardup_verify(pairs, d, "doc_id", "text", threshold=0.5)
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # t=4: 5 pigeonhole blocks of ~13 bits — exact, and the block buckets
     # stay sparse (t=8 would mean 7-bit blocks whose dense buckets explode
@@ -1909,6 +1922,15 @@ def q_moore_lewis(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_source_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 5: per-source vocabulary health (types, tokens,
+    # hapax, integer TTR) — the Heaps'-law drift alarm. GENUINE SQL
+    # oracle (unnest + two-level agg).
+    from feast_spark.operators.lexical import source_vocab_stats
+
+    return source_vocab_stats(_t(spark, sf, "documents"))
+
+
 def q_source_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # round 5: c-TF-IDF distinctive terms per source (BERTopic
     # formulation): tf(term, source) * ln(1 + n_sources/df_sources),
@@ -2082,6 +2104,35 @@ def q_reply_latency(spark: SparkSession, sf: str) -> DataFrame:
     from feast_spark.operators.conversation import reply_latency
 
     return reply_latency(_transcripts_fixture(spark))
+
+
+def q_assistant_echo(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 5: context-echo fraction per assistant turn —
+    # distinct word-trigram overlap with the immediately preceding turn.
+    # Every 6th conversation gets a fixed sentence appended to EVERY
+    # turn so planted echo exists (the raw fixture's turns rarely share
+    # trigrams); the oracle replays the plant + the whole window in
+    # GENUINE DuckDB SQL (list comprehensions + lag over lists).
+    from feast_spark.operators.conversation import assistant_echo
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    t = t.withColumn(
+        "text",
+        F.when(
+            F.pmod(idx, F.lit(6)) == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(ECHO_PLANT),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return assistant_echo(t, n=3)
+
+
+# fixed sentence planted by q_assistant_echo (module-level so the oracle
+# f-string interpolates the exact same bytes)
+ECHO_PLANT = " please review the attached report carefully today"
 
 
 def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
@@ -2357,6 +2408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 5: edit-similarity verification of LSH
+        # candidate pairs (genuine-SQL levenshtein oracle)
+        "neardup_verify": q_neardup_verify,
+        "assistant_echo": q_assistant_echo,
+        "source_vocab": q_source_vocab,
         # round 5 session 4: reply latency, tool-transition graph,
         # per-turn n-gram novelty, response-length trend
         "reply_latency": q_reply_latency,
@@ -2394,7 +2450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "conv_pack_isolated": q_conv_pack_isolated,
         "source_top_terms": q_source_top_terms,
-        "moore_lewis": q_moore_lewis,
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
@@ -2418,8 +2473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "diverse_sample": q_diverse_sample,
-        "doc_jaccard_prefix": q_doc_jaccard_prefix,
-        "tokenize_pack": q_tokenize_pack,
         # merged families (originals in extra_queries)
         "scalar_exprs": q_scalar_exprs,
         "pull_scan": q_pull_scan,
@@ -2438,6 +2491,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 5 (still pytest-oracled here; packing
+        # stays driver-covered via conv_pack/conv_pack_isolated, fuzzy
+        # near-dup via minhash/cdc/turn/para + the new verify stage)
+        "tokenize_pack": q_tokenize_pack,
+        "doc_jaccard_prefix": q_doc_jaccard_prefix,
+        "moore_lewis": q_moore_lewis,
         # rotated round 5 session 4b (still pytest-oracled here; driver
         # siblings: reply_latency/conv_repetition cover the transcript
         # window family, clean_lines/gopher cover lexical, labels stay
@@ -2555,6 +2614,7 @@ def _all_oracle_sql() -> dict[str, str]:
     # survived) — the variable hop passes the exact pattern bytes through
     from feast_spark.rules import SCRUB_PATTERNS as _SP
 
+    _ascii_pat = r"[^\x20-\x7E]"  # printable-ASCII projection (verify)
     _epat = dict((n, p) for n, p, _ in _SP)["email"]
     _ppat = dict((n, p) for n, p, _ in _SP)["phone"]
 
@@ -2718,6 +2778,52 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{derived["transcripts_raw"]}')
         """,
         "unimax_sample": _rp("unimax_sample"),
+        "assistant_echo": f"""
+            -- GENUINE SQL twin of assistant_echo: replant the echo
+            -- sentence, dedup latest-per-(conv,turn), build distinct
+            -- word-trigram lists per turn (list comprehension), lag the
+            -- list over the conv window, integer echo fraction
+            WITH r AS (
+              SELECT conv_id, turn_idx, role, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 6 = 0
+                     THEN coalesce(text, '') || '{ECHO_PLANT}'
+                     ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM r
+              ) WHERE rn = 1
+            ), w AS (
+              SELECT conv_id, turn_idx, role,
+                list_filter(
+                  string_split_regex(coalesce(text, ''),
+                                     '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '') AS ws
+              FROM d
+            ), g AS (
+              SELECT conv_id, turn_idx, role,
+                CASE WHEN len(ws) >= 3 THEN
+                  list_distinct(list_transform(
+                    range(1, len(ws) - 1),
+                    i -> array_to_string(ws[i:i+2], ' ')))
+                ELSE [] END AS gs
+              FROM w
+            ), lg AS (
+              SELECT *, lag(gs) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS pg
+              FROM g
+            )
+            SELECT conv_id, turn_idx,
+              CAST(len(gs) AS BIGINT) AS n_grams,
+              CAST(len(list_intersect(gs, pg)) AS BIGINT) AS n_echoed,
+              (CAST(len(list_intersect(gs, pg)) AS BIGINT) * 1048576)
+                // len(gs) AS echo_units
+            FROM lg
+            WHERE role = 'assistant' AND pg IS NOT NULL AND len(gs) > 0
+        """,
         "reply_latency": f"""
             -- GENUINE SQL twin of reply_latency: lead window over the
             -- deduped turns, conditional integer agg; -1 sentinel max
@@ -3212,6 +3318,37 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(sample_rank AS INT) AS sample_rank
             FROM r WHERE sample_rank <= 20
         """,
+        "source_vocab": """
+            -- GENUINE SQL twin of source_vocab_stats: explicit Java-\\s
+            -- ASCII class (VT included — RE2 \\s lacks it), no case
+            -- fold, two-level agg, integer TTR
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                string_split_regex(coalesce(text, ''),
+                                   '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT source, term, COUNT(*) AS cnt
+              FROM toks GROUP BY 1, 2
+            ), v AS (
+              SELECT source,
+                     CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_types,
+                     CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hapax
+              FROM tf GROUP BY 1
+            ), d AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            )
+            SELECT d.source AS "group", n_docs,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(n_types, 0) AS n_types,
+                   coalesce(n_hapax, 0) AS n_hapax,
+                   (n_types * 1048576) // n_tokens AS ttr_units
+            FROM d LEFT JOIN v USING (source)
+        """,
         "source_top_terms": """
             -- c-TF-IDF: same tokenizer class (ASCII \\s+ regex), same
             -- association order tf * ln(1 + n_groups/df) * 2^20, floored
@@ -3621,6 +3758,34 @@ def _all_oracle_sql() -> dict[str, str]:
             )
         """,
         "doc_minhash_pairs": _rp("doc_minhash_pairs"),
+        # genuine-SQL verify stage: only the LSH candidate pairs come
+        # from the replay; DuckDB re-derives the edit-similarity verdict
+        # natively. ASCII projection interpolated through a VARIABLE
+        # (see the PII-pattern gotcha above) so RE2 receives the \x
+        # escapes, matching Spark's Java-regex arm byte-for-byte.
+        "neardup_verify": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), '{_ascii_pat}',
+                                    '', 'g') AS vt
+              FROM documents
+            ), j AS (
+              SELECT p.id_a, p.id_b,
+                     CAST(greatest(length(a.vt), length(b.vt)) AS BIGINT)
+                       AS ml,
+                     CAST(levenshtein(a.vt, b.vt) AS BIGINT) AS lev
+              FROM read_parquet('{derived["doc_minhash_pairs"]}') p
+              JOIN t a ON a.doc_id = p.id_a
+              JOIN t b ON b.doc_id = p.id_b
+            )
+            SELECT id_a, id_b,
+                   CASE WHEN ml = 0 THEN CAST(1048576 AS BIGINT)
+                        ELSE ((ml - lev) * 1048576) // ml END AS sim_units,
+                   (CASE WHEN ml = 0 THEN CAST(1048576 AS BIGINT)
+                         ELSE ((ml - lev) * 1048576) // ml END)
+                     >= 524288 AS is_dup
+            FROM j
+        """,
         "doc_simhash_pairs": _rp("doc_simhash_pairs"),
         "doc_winnow_pairs": _rp("doc_winnow_pairs"),
         "doc_quality_scores": _rp("doc_quality_scores"),

@@ -191,3 +191,74 @@ def source_top_terms(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def source_vocab_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Vocabulary health per group: type count, token count, hapax count
+    and the integer type-token ratio ``ttr_units = n_types * units div
+    n_tokens``. The corpus-monitoring dual of per-doc lexical_stats —
+    synthetic or template-flooded slices show it first: machine-generated
+    text collapses TTR (few types re-drawn endlessly) and drives the
+    hapax fraction toward zero, while OCR/garbage slices inflate both.
+    Tracking (ttr_units, n_hapax/n_types) per source per ingest batch is
+    the cheapest drift alarm the vocabulary itself can raise (Heaps'-law
+    lens; cf. the Gopher/C4 corpus analyses).
+
+    One row per group: ``(group, n_docs, n_tokens, n_types, n_hapax,
+    ttr_units)``; groups whose docs are all blank carry zero counts and
+    NULL ttr_units. Tokens are non-empty EXPLICIT-ASCII-whitespace
+    splits (``[ \\t\\n\\x0B\\f\\r]+`` — Java ``\\s`` includes vertical
+    tab, RE2's does not, so the class is spelled out on both engines;
+    the conv_pack-oracle lesson) with NO case fold (Java vs Unicode
+    casefold divergence — turn_dedup's normalization notes).
+
+    Scale shape: tokenization is map-only; (group, term) counts are one
+    map-side-combined hash agg; the group rollup re-aggs that (already
+    unique) relation; doc counts ride a dimension-sized second agg
+    joined at the end (groups are dimension-sized — broadcast). The
+    (group, term) exchange carries each DISTINCT term once per group,
+    not the token stream; at 10^12 turns swap the term string for
+    xxhash64(term) upstream of the exchange (8 B/term, collisions
+    ~n²/2^64 — negligible for type COUNTS) exactly as span_dedup's hash
+    arm does; string form kept here because the oracle compares real
+    vocabularies.
+
+    Reference: feast profiles numeric/categorical columns only
+    (``dqm/profilers``); vocabulary profiling is a public-corpus-analysis
+    operator.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\n\x0B\f\r]+"),
+        lambda x: F.length(x) > 0,
+    )
+    tf = (
+        docs.select(F.col(group_col).alias("group"), toks.alias("_t"))
+        .select("group", F.explode("_t").alias("term"))
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    vocab = tf.groupBy("group").agg(
+        F.sum("_tf").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("_tf") == 1).cast("long")).alias("n_hapax"),
+    )
+    n_docs = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        n_docs.join(F.broadcast(vocab), "group", "left")
+        .select(
+            "group",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0).cast("long")).alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0).cast("long")).alias("n_hapax"),
+            F.expr(f"(n_types * cast({units} as bigint)) div n_tokens")
+            .alias("ttr_units"),
+        )
+    )

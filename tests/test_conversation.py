@@ -1058,3 +1058,87 @@ def test_turn_neardup_matches_naive_oracle(spark):
     for c in ("conv_a", "idx_a", "conv_b", "idx_b"):
         assert got[c].tolist() == exp[c].tolist(), c
     assert max(abs(a - b) for a, b in zip(got["jaccard"], exp["jaccard"])) < 1e-12
+
+
+def test_assistant_echo_planted_overlap_and_exclusions(spark):
+    from feast_spark.operators.conversation import assistant_echo
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        # full echo: assistant repeats the user's text verbatim
+        ("e1", 0, "user", "alpha beta gamma delta", None, ts0),
+        ("e1", 1, "assistant", "alpha beta gamma delta", None, ts0),
+        # zero echo: disjoint trigrams
+        ("e1", 2, "user", "one two three four five", None, ts0),
+        ("e1", 3, "assistant", "six seven eight nine ten", None, ts0),
+        # partial echo: shares exactly 'p q r' with the prev turn
+        ("e2", 0, "user", "p q r unrelated tail", None, ts0),
+        ("e2", 1, "assistant", "p q r different ending", None, ts0),
+        # excluded rows: conversation-opening assistant turn (no prev),
+        # short assistant turn (< n words), NULL-text assistant turn
+        ("e3", 0, "assistant", "I open the conversation", None, ts0),
+        ("e4", 0, "user", "context words here now", None, ts0),
+        ("e4", 1, "assistant", "too short", None, ts0),
+        ("e4", 2, "assistant", None, None, ts0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in assistant_echo(df, n=3).collect()
+    }
+    u = 1 << 20
+    assert out[("e1", 1)]["n_grams"] == 2 and out[("e1", 1)]["echo_units"] == u
+    assert out[("e1", 3)]["n_echoed"] == 0 and out[("e1", 3)]["echo_units"] == 0
+    # 'p q r different ending' has 3 trigrams, exactly 1 ('p q r') echoed
+    e2 = out[("e2", 1)]
+    assert (e2["n_grams"], e2["n_echoed"]) == (3, 1)
+    assert e2["echo_units"] == (1 * u) // 3
+    # opener / short / NULL rows carry no output row
+    assert ("e3", 0) not in out
+    assert ("e4", 1) not in out and ("e4", 2) not in out
+    # user turns never emit rows
+    assert all(k[0] != "e4" or k[1] == 1 for k in out if k[0] == "e4")
+
+
+def test_assistant_echo_dedups_before_lag(spark):
+    # the edited duplicate of turn 0 (later ts) must be what turn 1 sees
+    from feast_spark.operators.conversation import assistant_echo
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    ts1 = datetime(2026, 1, 1, 0, 0, 9, tzinfo=timezone.utc)
+    rows = [
+        ("d1", 0, "user", "stale version of context", None, ts0),
+        ("d1", 0, "user", "fresh words entirely different", None, ts1),
+        ("d1", 1, "assistant", "fresh words entirely different", None, ts1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    [r] = assistant_echo(df, n=3).collect()
+    assert r["echo_units"] == 1 << 20  # echoes the LATEST turn-0 text
+
+
+def test_assistant_echo_plan_single_conv_window_no_join(spark):
+    from feast_spark.operators.conversation import assistant_echo
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("c", 0, "user", "a b c d", None, ts0),
+         ("c", 1, "assistant", "a b c d", None, ts0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = (
+        assistant_echo(df, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no join anywhere (the predecessor arrives via lag), exactly one
+    # exchange: hashpartitioning(conv_id) for the window sort
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

@@ -352,3 +352,59 @@ def test_paragraph_neardup_packing_guard_raises_on_idx_overflow(spark):
     with pytest.raises(Exception, match="idx_bits|ASSERT"):
         paragraph_neardup_pairs(df, idx_bits=2).collect()
     release_dedup_caches()
+
+
+def test_neardup_verify_edit_similarity_verdicts(spark):
+    from feast_spark.operators.dedup import neardup_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact
+            (3, "the quick brown fox jumped over the lazy dog"),  # lev 2
+            (4, "a b c d"),
+            (5, "d c b a"),  # shares all unigram shingles, low edit sim
+            (6, ""),
+            (7, None),  # NULL projects to '' — empty vs empty is exact
+            (8, "café résumé x"),  # ASCII-projects to 'caf rsum x'
+            (9, "caf rsum x"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7), (8, 9)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in neardup_verify(pairs, docs, threshold=0.8).collect()
+    }
+    u = 1 << 20
+    assert out[(1, 2)]["sim_units"] == u and out[(1, 2)]["is_dup"]
+    # one substitution + one insertion over 44 chars: (44-2)*u div 44
+    assert out[(1, 3)]["sim_units"] == (44 - 2) * u // 44
+    assert out[(1, 3)]["is_dup"]
+    # order-blind shingle match fails the edit check: lev('a b c d',
+    # 'd c b a') = 6 -> sim ~ 0.14 << 0.8
+    assert not out[(4, 5)]["is_dup"]
+    assert out[(6, 7)]["sim_units"] == u and out[(6, 7)]["is_dup"]
+    # unicode strips identically on both sides -> exact after projection
+    assert out[(8, 9)]["sim_units"] == u
+
+
+def test_neardup_verify_max_chars_cap_and_plan(spark):
+    from feast_spark.operators.dedup import neardup_verify
+
+    docs = spark.createDataFrame(
+        [(1, "identical prefix " + "x" * 50 + " tail one"),
+         (2, "identical prefix " + "x" * 50 + " other ending")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    [r] = neardup_verify(pairs, docs, threshold=0.9, max_chars=60).collect()
+    assert r["sim_units"] == 1 << 20 and r["is_dup"]  # divergence is past the cap
+    plan = (
+        neardup_verify(pairs, docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan

@@ -232,3 +232,29 @@ def test_source_top_terms_plan_bounds_topk(spark):
     )
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_vocab_stats_counts_and_blank_group(spark):
+    from feast_spark.operators.lexical import source_vocab_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red red blue", "a"),
+            (2, "blue green", "a"),
+            # 'a': tokens=5, types=3 (red, blue, green), hapax=1 (green)
+            (3, "solo", "b"),
+            (4, None, "c"),
+            (5, "  ", "c"),  # all-blank group -> zero counts, NULL ttr
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group"]: r.asDict() for r in source_vocab_stats(docs).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["n_tokens"], a["n_types"], a["n_hapax"]) == (2, 5, 3, 1)
+    assert a["ttr_units"] == 3 * (1 << 20) // 5
+    b = out["b"]
+    assert (b["n_tokens"], b["n_types"], b["n_hapax"]) == (1, 1, 1)
+    assert b["ttr_units"] == 1 << 20
+    c = out["c"]
+    assert (c["n_docs"], c["n_tokens"], c["n_types"]) == (2, 0, 0)
+    assert c["ttr_units"] is None
