@@ -1931,6 +1931,18 @@ def q_source_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return source_vocab_stats(_t(spark, sf, "documents"))
 
 
+def q_compressibility(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 5: zlib compressibility per document (Dolma/DCLM
+    # compression filter) — map-only Arrow kernel; oracle is a plain
+    # python zlib loop (oracles.compressibility_pdf), no shared kernel.
+    from feast_spark.operators.lexical import compression_stats
+
+    d = _t(spark, sf, "documents")
+    return compression_stats(
+        d.repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q_source_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # round 5: c-TF-IDF distinctive terms per source (BERTopic
     # formulation): tf(term, source) * ln(1 + n_sources/df_sources),
@@ -2413,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_verify": q_neardup_verify,
         "assistant_echo": q_assistant_echo,
         "source_vocab": q_source_vocab,
+        "compressibility": q_compressibility,
         # round 5 session 4: reply latency, tool-transition graph,
         # per-turn n-gram novelty, response-length trend
         "reply_latency": q_reply_latency,
@@ -2462,7 +2475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_classifier": q_langid_classifier,
         "lm_perplexity": q_lm_perplexity,
         "doc_curation_lm": q_doc_curation_lm,
-        "label_resolve_recency": q_label_resolve_recency,
         "quality_classifier": q_quality_classifier,
         # flagship + round-3 selection family
         "transcript_pipeline": q_transcript_pipeline,
@@ -2497,6 +2509,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_pack": q_tokenize_pack,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
         "moore_lewis": q_moore_lewis,
+        "label_resolve_recency": q_label_resolve_recency,
         # rotated round 5 session 4b (still pytest-oracled here; driver
         # siblings: reply_latency/conv_repetition cover the transcript
         # window family, clean_lines/gopher cover lexical, labels stay
@@ -3758,6 +3771,7 @@ def _all_oracle_sql() -> dict[str, str]:
             )
         """,
         "doc_minhash_pairs": _rp("doc_minhash_pairs"),
+        "compressibility": _rp("compressibility"),
         # genuine-SQL verify stage: only the LSH candidate pairs come
         # from the replay; DuckDB re-derives the edit-similarity verdict
         # natively. ASCII projection interpolated through a VARIABLE

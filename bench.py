@@ -136,6 +136,13 @@ HEADLINE = [
     "drift_categorical",
     "holdout_split",
     "turn_neardup",
+    # round 5 session 5: edit-similarity verification of the shared
+    # minhash pairs (pair-bounded cost), context-echo per assistant
+    # turn, per-source vocabulary health
+    "neardup_verify",
+    "assistant_echo",
+    "source_vocab",
+    "compressibility",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -38,7 +38,14 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from feast_spark.operators.repetition import _group_runs
 
-__all__ = ["lexical_stats_pdf_batch", "lexical_stats"]
+__all__ = [
+    "lexical_stats_pdf_batch",
+    "lexical_stats",
+    "source_top_terms",
+    "source_vocab_stats",
+    "compression_stats_pdf_batch",
+    "compression_stats",
+]
 
 _QUANT = float(2**40)  # entropy quantization: integer units of 2^-40 bits
 
@@ -262,3 +269,80 @@ def source_vocab_stats(
             .alias("ttr_units"),
         )
     )
+
+
+def compression_stats_pdf_batch(
+    texts: pd.Series, level: int = 6, units: int = 1 << 20
+) -> pd.DataFrame:
+    """Per-text zlib compressibility over one Arrow batch — the shared
+    kernel (Spark arm and oracle replay call this same function, so the
+    verdict can't diverge on zlib build details)."""
+    import zlib
+
+    raw = [t.encode("utf-8") for t in texts.fillna("")]
+    raw_len = np.array([len(b) for b in raw], dtype=np.int64)
+    comp_len = np.array(
+        [len(zlib.compress(b, level)) for b in raw], dtype=np.int64
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = (comp_len * units) // np.maximum(raw_len, 1)
+    return pd.DataFrame(
+        {
+            "raw_len": raw_len,
+            "comp_len": comp_len,
+            "ratio_units": np.where(raw_len > 0, ratio, -1),
+        }
+    )
+
+
+_COMPRESSION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("raw_len", LongType()),
+        StructField("comp_len", LongType()),
+        StructField("ratio_units", LongType()),
+    ]
+)
+
+
+def compression_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """zlib compressibility per document: ``ratio_units = comp_len *
+    units div max(raw_len, 1)`` over the UTF-8 bytes (``-1`` sentinel for
+    empty/NULL text so the column stays integer through the driver
+    round-trip). The Dolma/DCLM-style compression filter: highly
+    compressible text (ratio well under ~0.3) is repeated boilerplate or
+    template spam that n-gram repetition rules undercount, and
+    INcompressible "text" (ratio near 1.0) is binary/garbage/encrypted
+    payload that character-class heuristics pass. One number catches
+    both tails.
+
+    Scale shape: map-only ``mapInPandas`` — zero shuffles at any corpus
+    size; the zlib pass is C-speed per Arrow batch and the operator
+    never widens the row (stats only, text is not re-emitted). Level 6
+    is the zlib default; the verdict is level-dependent, so pin it
+    per-corpus-release. Determinism: both arms (this operator and the
+    DuckDB-read oracle replay) call :func:`compression_stats_pdf_batch`,
+    so the environment's single zlib build is the only one in play.
+
+    Reference: feast profiles numeric/categorical columns only; the
+    compression lens is a public pretraining-curation heuristic (Dolma,
+    DCLM, RefinedWeb ancestry).
+    """
+    sel = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            stats = compression_stats_pdf_batch(pdf["text"], level, units)
+            stats.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield stats
+
+    return sel.mapInPandas(_run, schema=_COMPRESSION_SCHEMA)

@@ -2142,6 +2142,30 @@ def unimax_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def compressibility_pdf(sf_dir: str) -> pd.DataFrame:
+    """Naive per-doc python replay of compression_stats: a plain loop
+    over (doc_id, text) calling zlib directly — no shared kernel, no
+    numpy. zlib itself is the one common dependency (single C library in
+    this environment), so both arms see identical compressed lengths."""
+    import zlib
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = ("" if text is None else str(text)).encode("utf-8")
+        comp = len(zlib.compress(b, 6))
+        rows.append(
+            {
+                "doc_id": int(doc_id),
+                "raw_len": len(b),
+                "comp_len": comp,
+                "ratio_units": (comp * (1 << 20)) // len(b) if b else -1,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 _RELATIONS = {
     "html_extract": lambda sf: html_extract_pdf(sf),
     "doc_curation_blocklist": lambda sf: curation_blocklist_pdf(sf),
@@ -2186,6 +2210,7 @@ _RELATIONS = {
     "conv_pack_isolated": lambda sf: conv_pack_isolated_pdf(),
     "para_neardup": lambda sf: paragraph_neardup_pdf(sf),
     "moore_lewis": lambda sf: moore_lewis_pdf(sf),
+    "compressibility": lambda sf: compressibility_pdf(sf),
 }
 
 

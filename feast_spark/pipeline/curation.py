@@ -135,6 +135,15 @@ class CurationConfig:
     use_neardup: bool = False
     neardup_threshold: float = 0.5
     neardup_max_bucket: int | None = 200
+    # OPT-IN verify arm of stage 1a (Lee et al. 2022's confirmation
+    # step): when set, LSH candidate pairs must also pass character
+    # edit similarity >= this fraction (neardup_verify's integer
+    # verdict) before entering connected components — shingle-set
+    # matches that are order-scrambles, not clones, stop dropping
+    # documents. Cost is pair-bounded (two id-keyed joins bring
+    # ``neardup_verify_max_chars``-capped text to the pair relation).
+    neardup_verify_threshold: float | None = None
+    neardup_verify_max_chars: int | None = 2000
 
 
 def _sample_rate(cfg: CurationConfig) -> Column:
@@ -269,6 +278,14 @@ def run_curation(
             jaccard_threshold=cfg.neardup_threshold,
             max_bucket_size=cfg.neardup_max_bucket,
         )
+        if cfg.neardup_verify_threshold is not None:
+            from feast_spark.operators.dedup import neardup_verify
+
+            nd_pairs = neardup_verify(
+                nd_pairs, docs_in, "doc_id", "text",
+                threshold=cfg.neardup_verify_threshold,
+                max_chars=cfg.neardup_verify_max_chars,
+            ).filter("is_dup")
         nd_drop = (
             connected_components(nd_pairs.select("id_a", "id_b"))
             .filter(F.col("id") != F.col("component"))

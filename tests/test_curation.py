@@ -373,3 +373,52 @@ def test_neardup_stage_keeps_min_id_representative(spark):
         assert all(v > 0 for v in kept_spans.values())
     finally:
         res.release()
+
+
+def test_neardup_verify_arm_rescues_order_scrambles(spark):
+    # two docs with near-identical char-shingle SETS but wholly different
+    # order (blocked vs alternating word layout) form an LSH pair that
+    # edit-similarity verification must reject; a verbatim clone must
+    # still be confirmed and dropped. Same plant grammar as the
+    # min-id-representative test, plus the scramble.
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    blocked = " ".join(["alphabet"] * 30 + ["umbrella"] * 30)
+    alternating = " ".join(["alphabet", "umbrella"] * 30)
+    extra = spark.createDataFrame(
+        [
+            (2_000_000, "src1", blocked),
+            (2_000_001, "src1", alternating),
+            (2_000_002, "src1", blocked),  # verbatim clone of 2_000_000
+        ],
+        "doc_id long, source string, text string",
+    )
+    docs = base.select("doc_id", "source", "text").unionByName(extra)
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias(
+            "bench_text"
+        )
+    )
+
+    def near_dup_drops(cfg):
+        res = run_curation(spark, docs, bench, cfg)
+        try:
+            return {
+                r["doc_id"]
+                for r in res.decisions.filter(
+                    "drop_stage = 'near_dup'"
+                ).collect()
+            }
+        finally:
+            res.release()
+
+    # sanity: without the verify arm the scramble IS dropped (shingle
+    # sets match), proving the pair reaches connected components at all
+    plain = near_dup_drops(CurationConfig(use_neardup=True))
+    assert 2_000_001 in plain and 2_000_002 in plain
+
+    verified = near_dup_drops(
+        CurationConfig(use_neardup=True, neardup_verify_threshold=0.8)
+    )
+    assert 2_000_002 in verified  # verbatim clone confirmed
+    assert 2_000_001 not in verified  # order-scramble rescued
+    assert 2_000_000 not in verified  # representative untouched

@@ -258,3 +258,31 @@ def test_source_vocab_stats_counts_and_blank_group(spark):
     c = out["c"]
     assert (c["n_docs"], c["n_tokens"], c["n_types"]) == (2, 0, 0)
     assert c["ttr_units"] is None
+
+
+def test_compression_stats_two_tails_and_sentinel(spark):
+    import random
+
+    from feast_spark.operators.lexical import compression_stats
+
+    rng = random.Random(7)
+    garbage = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 200),          # boilerplate tail
+            (2, garbage),                          # incompressible tail
+            (3, ""),                               # sentinel
+            (4, None),                             # sentinel
+            (5, "a normal english sentence with ordinary words in it"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in compression_stats(docs).collect()}
+    u = 1 << 20
+    assert out[1]["ratio_units"] < u // 10        # repeats compress hard
+    assert out[2]["ratio_units"] > (3 * u) // 4   # randomness barely does
+    assert out[3]["ratio_units"] == -1 and out[3]["raw_len"] == 0
+    assert out[4]["ratio_units"] == -1
+    assert 0 < out[5]["ratio_units"] <= (3 * u) // 2
+    # raw_len counts UTF-8 bytes, comp_len is positive even when empty
+    assert out[5]["raw_len"] == 51 and out[5]["comp_len"] > 0
