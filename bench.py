@@ -313,6 +313,30 @@ def _bench_docs_large(spark) -> dict:
     out["minhash_pairs"]["min_jaccard"] = round(float(min_j), 4)
     out["minhash_pairs"]["planted"] = planted_pairs
 
+    # round 5 session 5: edit-similarity confirmation of the SAME pair
+    # table (Lee-et-al verify step) — cost must be pair-bounded, i.e.
+    # a small fraction of the LSH wall. Planted pairs mutate ~3% of
+    # words (~6% copy-to-copy) => edit sim >= ~0.88, so >= 99% of the
+    # planted count must confirm at 0.8; chance shingle pairs may
+    # legitimately fail the edit check.
+    from feast_spark.operators.dedup import neardup_verify
+
+    with _Window() as wv:
+        ver = neardup_verify(
+            pairs, docs, "doc_id", "text", threshold=0.8, max_chars=2000
+        ).agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum(_F.col("is_dup").cast("long")).alias("confirmed"),
+        ).collect()[0]
+    assert int(ver["n"]) == n_pairs, ver
+    assert int(ver["confirmed"]) >= 0.99 * planted_pairs, (ver, planted_pairs)
+    out["neardup_verify"] = {
+        "wall_sec": round(wv.wall, 3),
+        "pairs_verified": int(ver["n"]),
+        "confirmed": int(ver["confirmed"]),
+        "external_cores": wv.external_cores,
+    }
+
     with _Window() as w:
         comp = connected_components(pairs)
         n_dup_docs = comp.filter("id != component").count()
@@ -1079,6 +1103,24 @@ def main() -> None:
     assert int(rp["convs_total"]) >= int(cr["n_convs"]), (rp, cr)
     assert int(rp["convs_total"]) <= int(rp["turns_total"]) <= n_turns, rp
 
+    # round 5 session 5: context-echo at the same corpus — the
+    # conv-window lens whose cost is corpus-sized. Invariants
+    # in-artifact: echoed grams bounded by gram counts, echo_units
+    # bounded by the unit scale.
+    from feast_spark.operators.conversation import assistant_echo
+
+    with _Window() as wae:
+        ae = assistant_echo(spark.read.parquet(tpath), n=3).agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("n_echoed").alias("echoed"),
+            F.sum((F.col("n_echoed") > F.col("n_grams")).cast("long")
+                  ).alias("echo_overflow"),
+            F.max("echo_units").alias("max_units"),
+        ).collect()[0]
+    assert ae["echo_overflow"] == 0, ae
+    assert 0 <= int(ae["max_units"]) <= (1 << 20), ae
+
     conv_grain = {
         "n_turns": n_turns,
         "turn_dedup_wall_sec": round(wtd.wall, 3),
@@ -1102,10 +1144,14 @@ def main() -> None:
         "n_templates": int(at["n_templates"]),
         "role_patterns_wall_sec": round(wrp.wall, 3),
         "n_role_patterns": int(rp["n_patterns"]),
+        "assistant_echo_wall_sec": round(wae.wall, 3),
+        "assistant_echo_turns_per_sec": round(n_turns / wae.wall, 1),
+        "echo_gram_frac": round(float(ae["echoed"]) / float(ae["grams"]), 4),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
             wcf.external_cores, wat.external_cores, wrp.external_cores,
+            wae.external_cores,
         ],
     }
 

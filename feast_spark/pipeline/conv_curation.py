@@ -62,6 +62,16 @@ class ConvCurationConfig:
     shingle_k: int = 5
     jaccard_threshold: float = 0.5
     sample_rate: float = 0.5
+    # OPT-IN verify arm of stage 3 (Lee et al. 2022's confirmation
+    # step, the conv-grain twin of CurationConfig's): LSH pairs must
+    # also pass character edit similarity >= this fraction on the
+    # RENDERED conversations before connected components — two convs
+    # sharing shingle sets but not turn content (templated fleets with
+    # reshuffled payloads) stop collapsing. Pair-bounded cost: one
+    # render agg over the survivors + two conv-keyed joins carrying
+    # ``neardup_verify_max_chars``-capped text to the tiny pair table.
+    neardup_verify_threshold: float | None = None
+    neardup_verify_max_chars: int | None = 4000
 
 
 @dataclass
@@ -147,6 +157,18 @@ def curate_conversations(
         jaccard_threshold=cfg.jaccard_threshold,
         pre_deduped=True,
     )
+    if cfg.neardup_verify_threshold is not None:
+        from feast_spark.operators.conversation import render_conversations
+        from feast_spark.operators.dedup import neardup_verify
+
+        rendered = render_conversations(
+            d.join(surv, "conv_id", "left_semi")
+        ).select("conv_id", "text")
+        pairs = neardup_verify(
+            pairs, rendered, "conv_id", "text",
+            threshold=cfg.neardup_verify_threshold,
+            max_chars=cfg.neardup_verify_max_chars,
+        ).filter("is_dup").select("id_a", "id_b")
     comp = connected_components(pairs)
     dups = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("conv_id"), F.col("component").alias("dup_of")

@@ -154,6 +154,22 @@ def _one_size(spark, n_docs: int) -> dict:
     n_dup = comp.filter(F.col("id") != F.col("component")).count()
     out["minhash_cc"] = {"wall_sec": round(time.time() - t0, 2),
                          "pairs": n_pairs, "dups_dropped": n_dup}
+
+    # edit-similarity verify over the SAME pair table: cost must stay
+    # pair-bounded (wall << the LSH wall at every size); planted pairs
+    # are ~3%-word mutations (edit sim >= ~0.88) so >= 95% of the
+    # planted count confirms at 0.8
+    from feast_spark.operators.dedup import neardup_verify
+
+    t0 = time.time()
+    n_confirmed = (
+        neardup_verify(pairs, docs, threshold=0.8, max_chars=2000)
+        .filter("is_dup")
+        .count()
+    )
+    out["neardup_verify"] = {"wall_sec": round(time.time() - t0, 2),
+                             "confirmed": n_confirmed}
+    assert n_confirmed >= 0.95 * (n_docs // 10) * 3, n_confirmed
     release_dedup_caches()
 
     bench_df = docs.filter(F.col("doc_id") % 41 == 0).select(
@@ -372,6 +388,26 @@ def _one_size_conv(spark, n_convs: int) -> dict:
     assert planted > 0 and hit / planted >= 0.85, out["turn_neardup"]
     pairs.unpersist()
     fuzz.unpersist()
+
+    # context-echo at scale: one conv-keyed exchange, walls ~linear in
+    # turns; invariants as in bench's conv_grain section
+    from feast_spark.operators.conversation import assistant_echo
+
+    t0 = time.time()
+    ae = assistant_echo(corpus, n=3).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum((F.col("n_echoed") > F.col("n_grams")).cast("long")
+              ).alias("echo_overflow"),
+        F.max("echo_units").alias("max_units"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    assert ae["echo_overflow"] == 0, ae
+    assert ae["max_units"] is None or 0 <= int(ae["max_units"]) <= (1 << 20)
+    out["assistant_echo"] = {
+        "wall_sec": wall,
+        "turns_scored": int(ae["n_scored"]),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
     corpus.unpersist()
     return out
 

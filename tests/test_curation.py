@@ -422,3 +422,70 @@ def test_neardup_verify_arm_rescues_order_scrambles(spark):
     assert 2_000_002 in verified  # verbatim clone confirmed
     assert 2_000_001 not in verified  # order-scramble rescued
     assert 2_000_000 not in verified  # representative untouched
+
+
+def test_conv_neardup_verify_arm_rescues_scrambles(spark):
+    # two structurally identical conversations whose turns share char
+    # shingles (same two words, blocked vs alternating layout) but
+    # differ entirely in order: LSH pairs them, edit-similarity must
+    # reject; a verbatim conversation clone must still drop.
+    from feast_spark.pipeline.conv_curation import (
+        ConvCurationConfig,
+        curate_conversations,
+    )
+
+    from datetime import datetime, timezone
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    blocked = " ".join(["alphabet"] * 24 + ["umbrella"] * 24)
+    alternating = " ".join(["alphabet", "umbrella"] * 24)
+
+    def conv(cid, text):
+        return [
+            (cid, 0, "user", text, None, ts0),
+            (cid, 1, "assistant", text, None, ts0),
+            (cid, 2, "user", text, None, ts0),
+            (cid, 3, "assistant", text, None, ts0),
+        ]
+
+    rows = conv("ca", blocked) + conv("cb", alternating) + conv("cc", blocked)
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    from feast_spark import rules
+
+    # relax the quality gate (two-word vocab fails stopword/repetition
+    # rules) and sample nothing out — the near-dup stage is the subject
+    cfg_kw = dict(
+        rule_config=rules.RuleConfig(
+            min_words=1, max_top2gram_frac=1.0, min_stopword_ratio=0.0,
+            allowed_langs=None, max_perplexity=1e9,
+        ),
+        min_keep_frac=0.0,
+        sample_rate=1.0,
+    )
+
+    def stage_of(cfg):
+        res = curate_conversations(spark, t, cfg)
+        try:
+            return {
+                r["conv_id"]: r["drop_stage"]
+                for r in res.decisions.collect()
+            }
+        finally:
+            res.release()
+
+    plain = stage_of(ConvCurationConfig(**cfg_kw))
+    # sanity: without verify, BOTH cb (scramble) and cc (clone) collapse
+    # into ca's component
+    assert plain["ca"] == "kept"
+    assert plain["cb"] == "near_dup" and plain["cc"] == "near_dup"
+
+    verified = stage_of(
+        ConvCurationConfig(neardup_verify_threshold=0.8, **cfg_kw)
+    )
+    assert verified["ca"] == "kept"
+    assert verified["cc"] == "near_dup"  # verbatim clone confirmed
+    assert verified["cb"] == "kept"  # order-scramble rescued
