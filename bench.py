@@ -1119,6 +1119,7 @@ def main() -> None:
             F.max("echo_units").alias("max_units"),
         ).collect()[0]
     assert ae["echo_overflow"] == 0, ae
+    assert int(ae["n_scored"]) > 0, ae
     assert 0 <= int(ae["max_units"]) <= (1 << 20), ae
 
     conv_grain = {
@@ -1146,7 +1147,9 @@ def main() -> None:
         "n_role_patterns": int(rp["n_patterns"]),
         "assistant_echo_wall_sec": round(wae.wall, 3),
         "assistant_echo_turns_per_sec": round(n_turns / wae.wall, 1),
-        "echo_gram_frac": round(float(ae["echoed"]) / float(ae["grams"]), 4),
+        "echo_gram_frac": round(
+            float(ae["echoed"]) / max(float(ae["grams"]), 1.0), 4
+        ),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
