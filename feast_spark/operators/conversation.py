@@ -58,6 +58,7 @@ __all__ = [
     "assistant_templates",
     "role_patterns",
     "turn_neardup_pairs",
+    "assistant_echo",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -218,7 +219,9 @@ def conversation_windows(turns: DataFrame, token_budget: int = 64) -> DataFrame:
     )
 
 
-def render_conversations(turns: DataFrame, sep: str = "\n") -> DataFrame:
+def render_conversations(
+    turns: DataFrame, sep: str = "\n", pre_deduped: bool = False
+) -> DataFrame:
     """Flatten each conversation to one training string with loss-mask
     offsets.
 
@@ -232,8 +235,9 @@ def render_conversations(turns: DataFrame, sep: str = "\n") -> DataFrame:
     Offsets are computed algebraically from the same prefix-sum identity
     the renderer uses — ``offset_k = sum_{t<k}(len(role_t) + 2 +
     len(text_t) + len(sep))`` — via ``aggregate`` over the sorted struct
-    array, entirely JVM-side (no UDF)."""
-    d = _deduped(turns).select(
+    array, entirely JVM-side (no UDF). ``pre_deduped`` skips the
+    internal latest-per-key pass when the caller already ran it."""
+    d = (turns if pre_deduped else _deduped(turns)).select(
         "conv_id",
         F.struct(
             F.col("turn_idx"),

@@ -274,9 +274,12 @@ def source_vocab_stats(
 def compression_stats_pdf_batch(
     texts: pd.Series, level: int = 6, units: int = 1 << 20
 ) -> pd.DataFrame:
-    """Per-text zlib compressibility over one Arrow batch — the shared
-    kernel (Spark arm and oracle replay call this same function, so the
-    verdict can't diverge on zlib build details)."""
+    """Per-text zlib compressibility over one Arrow batch. The oracle
+    (``oracles.compressibility_pdf``) deliberately does NOT share this
+    kernel — it is an independent plain-python loop; the single zlib C
+    library in this environment is the only common dependency, so
+    compressed lengths agree while the surrounding arithmetic is
+    re-derived on both sides."""
     import zlib
 
     raw = [t.encode("utf-8") for t in texts.fillna("")]
@@ -284,8 +287,8 @@ def compression_stats_pdf_batch(
     comp_len = np.array(
         [len(zlib.compress(b, level)) for b in raw], dtype=np.int64
     )
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = (comp_len * units) // np.maximum(raw_len, 1)
+    # pure int64 arithmetic; divisor clamped, no float path
+    ratio = (comp_len * units) // np.maximum(raw_len, 1)
     return pd.DataFrame(
         {
             "raw_len": raw_len,
@@ -326,9 +329,11 @@ def compression_stats(
     size; the zlib pass is C-speed per Arrow batch and the operator
     never widens the row (stats only, text is not re-emitted). Level 6
     is the zlib default; the verdict is level-dependent, so pin it
-    per-corpus-release. Determinism: both arms (this operator and the
-    DuckDB-read oracle replay) call :func:`compression_stats_pdf_batch`,
-    so the environment's single zlib build is the only one in play.
+    per-corpus-release. Determinism: the oracle replay
+    (``oracles.compressibility_pdf``) re-derives everything in an
+    independent plain-python loop; only zlib itself (one C build in
+    this environment) is shared, so compressed lengths — and nothing
+    else — are common by construction.
 
     Reference: feast profiles numeric/categorical columns only; the
     compression lens is a public pretraining-curation heuristic (Dolma,

@@ -161,8 +161,19 @@ def curate_conversations(
         from feast_spark.operators.conversation import render_conversations
         from feast_spark.operators.dedup import neardup_verify
 
+        # consumed twice below (member ids + verify join) — checkpoint so
+        # the LSH job runs once; the pair table is tiny by stage-3 design
+        pairs = pairs.localCheckpoint()
+        members = (
+            pairs.select(F.col("id_a").alias("conv_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("conv_id")))
+            .distinct()
+        )
+        # render ONLY the pair-member conversations (d is already
+        # deduped; the members relation is pair-bounded, so this agg
+        # touches a vanishing fraction of the survivor turns)
         rendered = render_conversations(
-            d.join(surv, "conv_id", "left_semi")
+            d.join(members, "conv_id", "left_semi"), pre_deduped=True
         ).select("conv_id", "text")
         pairs = neardup_verify(
             pairs, rendered, "conv_id", "text",
