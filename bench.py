@@ -314,8 +314,10 @@ def _bench_docs_large(spark) -> dict:
     out["minhash_pairs"]["planted"] = planted_pairs
 
     # round 5 session 5: edit-similarity confirmation of the SAME pair
-    # table (Lee-et-al verify step) — cost must be pair-bounded, i.e.
-    # a small fraction of the LSH wall. Planted pairs mutate ~3% of
+    # table (Lee-et-al verify step) — cost is pair-bounded: linear in
+    # |pairs| x max_chars^2 DP cells (the cap is the cost lever; at the
+    # planted 15k pairs x 2000-char cap this wall is comparable to the
+    # LSH wall itself, recorded honestly here). Planted pairs mutate ~3% of
     # words (~6% copy-to-copy) => edit sim >= ~0.88, so >= 99% of the
     # planted count must confirm at 0.8; chance shingle pairs may
     # legitimately fail the edit check.

@@ -156,9 +156,10 @@ def _one_size(spark, n_docs: int) -> dict:
                          "pairs": n_pairs, "dups_dropped": n_dup}
 
     # edit-similarity verify over the SAME pair table: cost must stay
-    # pair-bounded (wall << the LSH wall at every size); planted pairs
-    # are ~3%-word mutations (edit sim >= ~0.88) so >= 95% of the
-    # planted count confirms at 0.8
+    # pair-bounded (wall grows with the PAIR count, not the corpus —
+    # the ratio column is the evidence); planted pairs are ~3%-word
+    # mutations (edit sim >= ~0.88) so >= 95% of the planted count
+    # confirms at 0.8
     from feast_spark.operators.dedup import neardup_verify
 
     t0 = time.time()
