@@ -338,6 +338,24 @@ def _bench_docs_large(spark) -> dict:
         "confirmed": int(ver["confirmed"]),
         "external_cores": wv.external_cores,
     }
+    # banded early-exit arm over the SAME pairs: verdict parity is
+    # asserted in-artifact (confirmed counts equal); the wall delta is
+    # the recorded evidence for the 10^12-row cost lever
+    with _Window() as wvb:
+        verb = neardup_verify(
+            pairs, docs, "doc_id", "text", threshold=0.8, max_chars=2000,
+            early_exit=True,
+        ).agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum(_F.col("is_dup").cast("long")).alias("confirmed"),
+        ).collect()[0]
+    assert int(verb["n"]) == n_pairs, verb
+    assert int(verb["confirmed"]) == int(ver["confirmed"]), (verb, ver)
+    out["neardup_verify_banded"] = {
+        "wall_sec": round(wvb.wall, 3),
+        "confirmed": int(verb["confirmed"]),
+        "external_cores": wvb.external_cores,
+    }
 
     with _Window() as w:
         comp = connected_components(pairs)

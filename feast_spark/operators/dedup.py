@@ -1161,6 +1161,7 @@ def neardup_verify(
     threshold: float = 0.8,
     max_chars: int | None = None,
     units: int = 1 << 20,
+    early_exit: bool = False,
 ) -> DataFrame:
     """Edit-similarity CONFIRMATION of near-duplicate candidate pairs
     (Lee et al. 2022 'Deduplicating Training Data Makes Language Models
@@ -1191,6 +1192,21 @@ def neardup_verify(
 
     Returns ``(id_a, id_b, sim_units, is_dup)``.
 
+    ``early_exit=True`` is the scale arm: the per-pair DP budget is the
+    bane at 10^12 rows (|pairs| x max_chars^2 cells), and the verdict
+    only needs ``lev <= L`` where ``L = ml * (units - thr_units) div
+    units`` (exactly equivalent to ``sim_units >= thr_units`` — both
+    sides integer, floor(x) >= k <=> x >= k). Spark's banded 3-arg
+    ``levenshtein(l, r, L)`` computes O(L * len) cells and returns -1
+    the moment the distance provably exceeds L — a ~1/(1-threshold)
+    cell reduction for confirming pairs and far earlier exits for the
+    (typical) rejected majority. ``is_dup`` is bit-identical to the
+    exact arm (parity-tested); ``sim_units`` is exact for confirmed
+    pairs and NULL for rejected ones (the banded DP never learns the
+    true distance past L) — so the exact arm stays the oracle-checked
+    default and both curation verify arms run this one, consuming only
+    ``is_dup``.
+
     Reference: feast has no dedup surface (public-pipeline operator).
     """
     proj = F.regexp_replace(
@@ -1207,8 +1223,29 @@ def neardup_verify(
         .withColumn(
             "_ml", F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
         )
-        .withColumn("_lev", F.levenshtein("_ta", "_tb").cast("long"))
     )
+    if early_exit:
+        # banded DP: lev <= L <=> sim_units >= thr_units (see docstring)
+        j = j.withColumn(
+            "_L", F.expr(f"(_ml * {units - thr_units}) div {units}")
+        ).withColumn(
+            # the python wrapper only takes an int literal threshold;
+            # the Catalyst expression itself accepts a per-row column
+            "_lev",
+            F.expr("levenshtein(_ta, _tb, cast(_L as int))").cast("long"),
+        )
+        is_dup = F.col("_lev") >= 0
+        sim = F.when(F.col("_ml") == 0, F.lit(units).cast("long")).otherwise(
+            F.when(is_dup, F.expr(f"((_ml - _lev) * {units}) div _ml"))
+        )
+        return j.select(
+            "id_a",
+            "id_b",
+            sim.alias("sim_units"),
+            # empty-vs-empty: lev = 0 <= L = 0, confirmed on both arms
+            is_dup.alias("is_dup"),
+        )
+    j = j.withColumn("_lev", F.levenshtein("_ta", "_tb").cast("long"))
     sim = F.when(F.col("_ml") == 0, F.lit(units).cast("long")).otherwise(
         F.expr(f"((_ml - _lev) * {units}) div _ml")
     )

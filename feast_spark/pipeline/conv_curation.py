@@ -175,10 +175,13 @@ def curate_conversations(
         rendered = render_conversations(
             d.join(members, "conv_id", "left_semi"), pre_deduped=True
         ).select("conv_id", "text")
+        # banded early-exit arm: only is_dup is consumed (parity-pinned
+        # to the exact oracle-checked arm)
         pairs = neardup_verify(
             pairs, rendered, "conv_id", "text",
             threshold=cfg.neardup_verify_threshold,
             max_chars=cfg.neardup_verify_max_chars,
+            early_exit=True,
         ).filter("is_dup").select("id_a", "id_b")
     comp = connected_components(pairs)
     dups = comp.filter(F.col("id") != F.col("component")).select(

@@ -281,10 +281,13 @@ def run_curation(
         if cfg.neardup_verify_threshold is not None:
             from feast_spark.operators.dedup import neardup_verify
 
+            # banded early-exit arm: the pipeline consumes only is_dup,
+            # which is parity-pinned to the exact (oracle-checked) arm
             nd_pairs = neardup_verify(
                 nd_pairs, docs_in, "doc_id", "text",
                 threshold=cfg.neardup_verify_threshold,
                 max_chars=cfg.neardup_verify_max_chars,
+                early_exit=True,
             ).filter("is_dup")
         nd_drop = (
             connected_components(nd_pairs.select("id_a", "id_b"))

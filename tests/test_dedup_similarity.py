@@ -408,3 +408,56 @@ def test_neardup_verify_max_chars_cap_and_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_neardup_verify_early_exit_parity(spark):
+    # banded-DP arm: is_dup bit-identical to the exact arm across the
+    # similarity spectrum; sim_units exact where confirmed, NULL where
+    # the band exits early
+    import random
+
+    from feast_spark.operators.dedup import neardup_verify
+
+    rng = random.Random(11)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+    docs, pairs = [], []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randrange(5, 60))]
+        mut = list(base)
+        # mutation rate sweeps 0..~60%: pairs straddle every threshold
+        for _ in range(int(len(mut) * (i / 40) * 0.6)):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        docs += [(2 * i, " ".join(base)), (2 * i + 1, " ".join(mut))]
+        pairs.append((2 * i, 2 * i + 1))
+    # unrelated-doc pairs: rejected even at threshold 0.5
+    for i in range(0, 40, 4):
+        pairs.append((2 * i, 2 * ((i + 17) % 40)))
+    docs += [(1000, ""), (1001, None)]
+    pairs.append((1000, 1001))
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    for thr in (0.5, 0.8, 0.95):
+        exact = {
+            (r["id_a"], r["id_b"]): r.asDict()
+            for r in neardup_verify(pdf, ddf, threshold=thr).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"]): r.asDict()
+            for r in neardup_verify(
+                pdf, ddf, threshold=thr, early_exit=True
+            ).collect()
+        }
+        assert set(exact) == set(banded)
+        confirmed = rejected = 0
+        for k, e in exact.items():
+            b = banded[k]
+            assert b["is_dup"] == e["is_dup"], (thr, k, e, b)
+            if e["is_dup"]:
+                assert b["sim_units"] == e["sim_units"], (thr, k, e, b)
+                confirmed += 1
+            else:
+                assert b["sim_units"] is None, (thr, k, b)
+                rejected += 1
+        # the sweep must actually exercise both branches
+        assert confirmed > 0 and rejected > 0, (thr, confirmed, rejected)
