@@ -2147,6 +2147,100 @@ def q_assistant_echo(spark: SparkSession, sf: str) -> DataFrame:
 ECHO_PLANT = " please review the attached report carefully today"
 
 
+def q_truncation(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 6: truncated-generation QA per assistant turn
+    # (odd code fence / long turn ending mid-sentence — the token-budget
+    # cut signature per-turn quality rules score as healthy text).
+    # Every 9th conversation's assistant turns get a planted artifact:
+    # even turn_idx an unterminated fence, odd turn_idx a 96-char tail
+    # cut mid-word. Map-only; oracle: GENUINE DuckDB SQL (same
+    # length-difference counts, right/contains verdicts).
+    from feast_spark.operators.textqa import generation_artifacts
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    plantable = (F.pmod(idx, F.lit(9)) == 0) & (F.col("role") == "assistant")
+    t = t.withColumn(
+        "text",
+        F.when(
+            plantable & (F.pmod(F.col("turn_idx"), F.lit(2)) == 0),
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(TRUNC_PLANT_FENCE)),
+        )
+        .when(
+            plantable,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(TRUNC_PLANT_CUT)),
+        )
+        .otherwise(F.col("text")),
+    )
+    return generation_artifacts(t, min_chars=80)
+
+
+# planted by q_truncation (module-level so the oracle f-string
+# interpolates the exact same bytes; no braces/quotes that would need
+# f-string or SQL escaping beyond the chr(10) newlines)
+TRUNC_PLANT_FENCE = "\n```\ndef f(:"
+TRUNC_PLANT_CUT = (
+    " and the generation kept going until the token budget was"
+    " exhausted and the text was cut right at"
+)
+SUFFIX_LOOP_PLANT = " let me check that again"
+
+
+def q_suffix_loops(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 6: trailing-periodicity decode-loop detector —
+    # the intra-turn repetition lens gopher_repetition (doc-grain
+    # fractions) and conv_repetition (identical consecutive TURNS)
+    # both miss. Every 8th conversation's assistant turns get a 5-word
+    # phrase appended 5x (period 5, repeats 5). Map-only higher-order
+    # slice comparisons; oracle: GENUINE DuckDB SQL (lateral unnest of
+    # periods 1..8, list-slice mismatch scan, ROW_NUMBER argmax).
+    from feast_spark.operators.conversation import _deduped
+    from feast_spark.operators.textqa import suffix_loop_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    t = t.withColumn(
+        "text",
+        F.when(
+            (F.pmod(idx, F.lit(8)) == 0) & (F.col("role") == "assistant"),
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.repeat(F.lit(SUFFIX_LOOP_PLANT), 5),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return suffix_loop_stats(
+        _deduped(t), id_cols=("conv_id", "turn_idx"), max_period=8
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 6: pairwise exact-content overlap matrix between
+    # ingest sources (CCNet/RefinedWeb per-dump dedup matrices) — every
+    # 10th document re-ingested under a planted 'mirror' source so
+    # containment/jaccard have known mass. One corpus hash-agg + a
+    # digest-keyed self-join; dimension-sized frames broadcast. Oracle:
+    # GENUINE DuckDB SQL (distinct digests, self-join, zero-filled
+    # pair frame).
+    from feast_spark.operators.dedup import cross_source_overlap
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    clones = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).withColumn(
+        "source", F.lit("mirror")
+    )
+    return cross_source_overlap(d.unionByName(clones))
+
+
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 6: Flesch-Kincaid grade level per document,
+    # integer-quantized ([aeiouy]+ syllable nuclei, [.!?]+ sentence
+    # groups, one fixed float op order so DuckDB floors the identical
+    # double). Map-only. Oracle: GENUINE DuckDB SQL.
+    from feast_spark.operators.lexical import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents"))
+
+
 def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 4: corpus tool-call transition graph (prev_tool ->
     # tool bigrams per conversation, ^START sentinel) — the agent-fleet
@@ -2420,6 +2514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 6: truncated-generation QA, decode-loop
+        # detector, cross-source overlap matrix, readability
+        "truncation": q_truncation,
+        "suffix_loops": q_suffix_loops,
+        "source_overlap": q_source_overlap,
+        "readability": q_readability,
         # round 5 session 5: edit-similarity verification of LSH
         # candidate pairs (genuine-SQL levenshtein oracle)
         "neardup_verify": q_neardup_verify,
@@ -2481,13 +2581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": q_doc_curation,
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
-        "contamination_check": q_contamination_check,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
-        "diverse_sample": q_diverse_sample,
-        # merged families (originals in extra_queries)
-        "scalar_exprs": q_scalar_exprs,
-        "pull_scan": q_pull_scan,
         # round 2-3 operators
         "stream_window_parity": q_stream_window_parity,
         "dup_clusters": q_dup_clusters,
@@ -2503,6 +2598,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 6 (still pytest-oracled here; driver
+        # siblings: conv_contamination keeps decontamination in-window,
+        # semantic_dedup keeps the embedding family, pit_last_click +
+        # transcript_pipeline keep scan/PIT/scalar surfaces covered)
+        "contamination_check": q_contamination_check,
+        "diverse_sample": q_diverse_sample,
+        "scalar_exprs": q_scalar_exprs,
+        "pull_scan": q_pull_scan,
         # rotated round 5 session 5 (still pytest-oracled here; packing
         # stays driver-covered via conv_pack/conv_pack_isolated, fuzzy
         # near-dup via minhash/cdc/turn/para + the new verify stage)
@@ -2791,6 +2894,179 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{derived["transcripts_raw"]}')
         """,
         "unimax_sample": _rp("unimax_sample"),
+        "truncation": f"""
+            -- GENUINE SQL twin of generation_artifacts: replant the
+            -- truncation artifacts (fence on even turn_idx, mid-word cut
+            -- on odd), dedup latest-per-(conv,turn), then re-derive every
+            -- signal with length-difference counts and right/contains
+            WITH r AS (
+              SELECT conv_id, turn_idx, role, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 9 = 0
+                          AND role = 'assistant'
+                     THEN CASE WHEN turn_idx % 2 = 0
+                          THEN coalesce(text, '') || '{TRUNC_PLANT_FENCE}'
+                          ELSE coalesce(text, '') || '{TRUNC_PLANT_CUT}'
+                          END
+                     ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM r
+              ) WHERE rn = 1
+            ), b AS (
+              SELECT conv_id, turn_idx, coalesce(text, '') AS t,
+                regexp_replace(coalesce(text, ''),
+                               '[ \t\n\x0b\f\r]+$', '') AS st
+              FROM d WHERE role = 'assistant'
+            ), m AS (
+              SELECT conv_id, turn_idx,
+                CAST(length(t) AS BIGINT) AS n_chars,
+                CAST((length(t) - length(replace(t, '```', ''))) // 3
+                     AS BIGINT) AS n_fences,
+                CAST(length(t) - length(replace(t, '(', '')) AS BIGINT)
+                  - CAST(length(t) - length(replace(t, ')', '')) AS BIGINT)
+                  AS paren_delta,
+                CAST(length(t) - length(replace(t, '[', '')) AS BIGINT)
+                  - CAST(length(t) - length(replace(t, ']', '')) AS BIGINT)
+                  AS bracket_delta,
+                CAST(length(t) - length(replace(t, '{{', '')) AS BIGINT)
+                  - CAST(length(t) - length(replace(t, '}}', '')) AS BIGINT)
+                  AS brace_delta,
+                (length(st) = 0
+                 OR contains('.!?"''`)]}}*_', right(st, 1))) AS ends_clean,
+                (right(st, 3) = '...' OR right(st, 1) = '…')
+                  AS trailing_ellipsis
+              FROM b
+            )
+            SELECT conv_id, turn_idx, n_chars, n_fences,
+              (n_fences % 2 = 0) AS fence_balanced,
+              paren_delta, bracket_delta, brace_delta,
+              ends_clean, trailing_ellipsis,
+              ((n_fences % 2 = 1)
+               OR (n_chars >= 80 AND NOT ends_clean)) AS truncated
+            FROM m
+        """,
+        "suffix_loops": f"""
+            -- GENUINE SQL twin of suffix_loop_stats: replant the 5x
+            -- loop phrase, dedup, then for each period p in 1..8 scan
+            -- trailing block repeats via list slicing; ROW_NUMBER argmax
+            -- on (loop_words DESC, p ASC)
+            WITH r AS (
+              SELECT conv_id, turn_idx, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 8 = 0
+                          AND role = 'assistant'
+                     THEN coalesce(text, '')
+                          || repeat('{SUFFIX_LOOP_PLANT}', 5)
+                     ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM r
+              ) WHERE rn = 1
+            ), w AS (
+              SELECT conv_id, turn_idx,
+                list_filter(string_split_regex(coalesce(text, ''),
+                  '[ \t\n\x0b\f\r]+'), x -> x <> '') AS ws
+              FROM d
+            ), c AS (
+              SELECT conv_id, turn_idx, len(ws) AS n, pp.p AS p,
+                CASE WHEN len(ws) >= 2 * pp.p
+                          AND (len(ws) // pp.p) >= 2 THEN
+                  coalesce(
+                    (list_filter(generate_series(2, len(ws) // pp.p),
+                       i -> ws[len(ws) - i*pp.p + 1 : len(ws) - i*pp.p + pp.p]
+                            <> ws[len(ws) - pp.p + 1 : len(ws)]))[1] - 1,
+                    len(ws) // pp.p)
+                ELSE 1 END AS reps
+              FROM w, (SELECT unnest(generate_series(1, 8)) AS p) pp
+            ), s AS (
+              SELECT conv_id, turn_idx, n, p, reps,
+                CASE WHEN reps >= 2 THEN reps * p ELSE 0 END AS lw,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY (CASE WHEN reps >= 2 THEN reps * p ELSE 0 END)
+                           DESC, p ASC) AS rk
+              FROM c
+            )
+            SELECT conv_id, turn_idx, CAST(n AS BIGINT) AS n_words,
+              CAST(CASE WHEN lw > 0 THEN p ELSE 0 END AS INT) AS period,
+              CAST(CASE WHEN lw > 0 THEN reps ELSE 1 END AS INT)
+                AS n_repeats,
+              CAST(lw AS BIGINT) AS loop_words,
+              CASE WHEN n > 0
+                   THEN (CAST(lw AS BIGINT) * 1048576) // n
+                   ELSE CAST(0 AS BIGINT) END AS loop_units
+            FROM s WHERE rk = 1
+        """,
+        "source_overlap": """
+            -- GENUINE SQL twin of cross_source_overlap + the mirror
+            -- plant: distinct (source, md5-of-normalized-text) relation,
+            -- digest self-join, zero-filled all-pairs frame. regexp
+            -- needs the 'g' flag (DuckDB replaces first match only by
+            -- default; Spark replaces all)
+            WITH base AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'mirror' AS source, text FROM documents
+              WHERE doc_id % 10 = 0
+            ), nz AS (
+              SELECT source AS g,
+                trim(regexp_replace(coalesce(text, ''),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nt
+              FROM base
+            ), d AS (
+              SELECT DISTINCT g, md5(nt) AS h FROM nz WHERE nt <> ''
+            ), sizes AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+            ), sh AS (
+              SELECT a.g AS source_a, b.g AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM d a JOIN d b USING (h) WHERE a.g < b.g GROUP BY 1, 2
+            )
+            SELECT sa.g AS source_a, sb.g AS source_b,
+              sa.n AS n_a, sb.n AS n_b,
+              coalesce(n_shared, 0) AS n_shared,
+              (coalesce(n_shared, 0) * 1048576) // sa.n
+                AS containment_a_units,
+              (coalesce(n_shared, 0) * 1048576) // sb.n
+                AS containment_b_units,
+              (coalesce(n_shared, 0) * 1048576)
+                // (sa.n + sb.n - coalesce(n_shared, 0)) AS jaccard_units
+            FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+            LEFT JOIN sh ON sh.source_a = sa.g AND sh.source_b = sb.g
+        """,
+        "readability": """
+            -- GENUINE SQL twin of readability_scores: [aeiouy]+ nuclei,
+            -- [.!?]+ sentence groups clamped >= 1, FK formula in the
+            -- exact Spark float op order, every literal CAST to DOUBLE
+            -- (DuckDB parses 0.39 as DECIMAL)
+            WITH b AS (
+              SELECT doc_id,
+                len(list_filter(string_split_regex(coalesce(text, ''),
+                  '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS w,
+                greatest(len(regexp_extract_all(coalesce(text, ''),
+                  '[.!?]+')), 1) AS s,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                  '[aeiouy]+')) AS syl
+              FROM documents
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+              CAST(s AS BIGINT) AS n_sentences,
+              CAST(syl AS BIGINT) AS n_syllables,
+              CAST(FLOOR((CAST(0.39 AS DOUBLE)
+                    * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                  + CAST(11.8 AS DOUBLE)
+                    * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+                  - CAST(15.59 AS DOUBLE))
+                  * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS fk_units
+            FROM b WHERE w > 0
+        """,
         "assistant_echo": f"""
             -- GENUINE SQL twin of assistant_echo: replant the echo
             -- sentence, dedup latest-per-(conv,turn), build distinct

@@ -143,6 +143,13 @@ HEADLINE = [
     "assistant_echo",
     "source_vocab",
     "compressibility",
+    # round 5 session 6: truncated-generation QA + decode-loop detector
+    # (driver-fixture forms; corpus-scale forms join the conv_grain
+    # section), cross-source overlap matrix, FK readability
+    "truncation",
+    "suffix_loops",
+    "source_overlap",
+    "readability",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -1142,6 +1149,47 @@ def main() -> None:
     assert int(ae["n_scored"]) > 0, ae
     assert 0 <= int(ae["max_units"]) <= (1 << 20), ae
 
+    # round 5 session 6: generation-artifact QA at the same corpus —
+    # both map-only, so these walls ARE the scan+dedup cost at this
+    # grain. Invariants in-artifact: a truncated verdict implies one of
+    # its two causes; loop accounting stays inside the turn.
+    from feast_spark.operators.textqa import (
+        generation_artifacts,
+        suffix_loop_stats,
+    )
+    from feast_spark.operators.conversation import _deduped
+
+    with _Window() as wga:
+        ga = generation_artifacts(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+            F.sum(
+                (
+                    F.col("truncated")
+                    & F.col("fence_balanced")
+                    & F.col("ends_clean")
+                ).cast("long")
+            ).alias("causeless"),
+        ).collect()[0]
+    assert ga["causeless"] == 0, ga
+    assert 0 <= int(ga["n_truncated"]) <= int(ga["n_scored"]), ga
+    with _Window() as wsl:
+        sl = suffix_loop_stats(
+            _deduped(spark.read.parquet(tpath)),
+            id_cols=("conv_id", "turn_idx"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("loop_words") > F.col("n_words")).cast("long")
+                  ).alias("loop_overflow"),
+            F.sum(((F.col("period") == 0) != (F.col("loop_words") == 0))
+                  .cast("long")).alias("period_mismatch"),
+            F.max("loop_units").alias("max_loop_units"),
+            F.sum((F.col("loop_units") >= (1 << 19)).cast("long")
+                  ).alias("n_half_loop"),
+        ).collect()[0]
+    assert sl["loop_overflow"] == 0 and sl["period_mismatch"] == 0, sl
+    assert 0 <= int(sl["max_loop_units"]) <= (1 << 20), sl
+
     conv_grain = {
         "n_turns": n_turns,
         "turn_dedup_wall_sec": round(wtd.wall, 3),
@@ -1170,11 +1218,19 @@ def main() -> None:
         "echo_gram_frac": round(
             float(ae["echoed"]) / max(float(ae["grams"]), 1.0), 4
         ),
+        "truncation_wall_sec": round(wga.wall, 3),
+        "truncation_turns_per_sec": round(n_turns / wga.wall, 1),
+        "truncated_frac": round(
+            float(ga["n_truncated"]) / max(float(ga["n_scored"]), 1.0), 4
+        ),
+        "suffix_loop_wall_sec": round(wsl.wall, 3),
+        "suffix_loop_turns_per_sec": round(n_turns / wsl.wall, 1),
+        "n_half_loop_turns": int(sl["n_half_loop"]),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
             wcf.external_cores, wat.external_cores, wrp.external_cores,
-            wae.external_cores,
+            wae.external_cores, wga.external_cores, wsl.external_cores,
         ],
     }
 

@@ -1443,3 +1443,95 @@ def cdc_neardup_pairs(
         )
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Pairwise exact-content overlap matrix between ingest sources —
+    the corpus-lineage view of exact dedup. Curation decides per-DOC
+    (keep one copy); a pipeline operator ALSO needs the source-pair
+    picture: a crawl snapshot that is 40% contained in last month's, a
+    vendor drop that duplicates an existing slice, a mirror detected
+    before it floods the mixture weights (the CCNet/RefinedWeb dedup
+    analyses report exactly this matrix across dumps).
+
+    One row per UNordered source pair (``source_a < source_b``
+    lexicographically), zero-filled so absent overlap is an explicit 0:
+    ``(source_a, source_b, n_a, n_b, n_shared, containment_a_units,
+    containment_b_units, jaccard_units)`` where ``n_*`` count DISTINCT
+    normalized texts per source (ASCII-whitespace collapse + trim; NO
+    case fold — the cross-engine casefold divergence note in
+    ``conversation.py``), ``n_shared`` counts normalized texts present
+    in both, and the three fractions are exact integers
+    (``x * units div y``). Blank-normalized docs are excluded (an empty
+    doc in two sources is not shared content).
+
+    Scale shape: ONE hash-agg exchange builds the distinct
+    (source, md5) relation map-side-combined; the pair counts come from
+    a self-join keyed by the hash (each key carries at most n_sources
+    rows — per-key fan-out is bounded by the DIMENSION, not the
+    corpus, so there is no skew amplification); source sizes and the
+    final zero-filled pair frame are dimension-sized broadcasts. At
+    10^12 rows swap the md5 string for ``xxhash64(norm)`` upstream of
+    the distinct (8 B/doc through both exchanges, collisions ~n^2/2^64
+    — negligible for COUNTS) exactly as span_dedup's hash arm does;
+    md5 kept here because the oracle compares real digests.
+
+    Reference: feast has no corpus-lineage surface; public-pipeline
+    operator (per-dump dedup matrices in CCNet §3 / RefinedWeb §4).
+    """
+    from feast_spark.operators.conversation import _ASCII_WS
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), _ASCII_WS, " "
+        )
+    )
+    d = (
+        docs.select(F.col(group_col).alias("g"), F.md5(norm).alias("h"), norm.alias("_n"))
+        .filter(F.length("_n") > 0)
+        .select("g", "h")
+        .distinct()
+    )
+    sizes = d.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shared = (
+        d.alias("a")
+        .join(d.alias("b"), "h")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .crossJoin(F.broadcast(sizes.alias("sb")))
+        .filter(F.col("sa.g") < F.col("sb.g"))
+        .select(
+            F.col("sa.g").alias("source_a"),
+            F.col("sb.g").alias("source_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    u = int(units)
+    return (
+        pairs.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.expr(f"(coalesce(n_shared, 0) * cast({u} as bigint)) div n_a")
+            .alias("containment_a_units"),
+            F.expr(f"(coalesce(n_shared, 0) * cast({u} as bigint)) div n_b")
+            .alias("containment_b_units"),
+            F.expr(
+                f"(coalesce(n_shared, 0) * cast({u} as bigint))"
+                " div (n_a + n_b - coalesce(n_shared, 0))"
+            ).alias("jaccard_units"),
+        )
+    )

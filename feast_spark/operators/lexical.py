@@ -351,3 +351,66 @@ def compression_stats(
             yield stats
 
     return sel.mapInPandas(_run, schema=_COMPRESSION_SCHEMA)
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Flesch-Kincaid-style readability per document, integer-quantized
+    — the classic web-filter lens orthogonal to stop-word/perplexity
+    gates (C4-era corpora filtered on it; extreme grade levels on BOTH
+    tails mark boilerplate/listicle text and run-on machine output).
+
+    Syllables use the standard deterministic approximation: the number
+    of ``[aeiouy]+`` vowel groups in the lowercased text ("syllable
+    nuclei"; hyphenation dictionaries are neither portable nor needed
+    for a relative filter). Sentences count ``[.!?]+`` terminator
+    GROUPS ("Stop!!" is one sentence), clamped to >= 1; words are
+    non-empty ASCII-whitespace splits.
+
+    One row per doc with at least one word: ``(doc_id, n_words,
+    n_sentences, n_syllables, fk_units)`` where ``fk_units =
+    floor((0.39*(w/s) + 11.8*(syl/w) - 15.59) * units)`` — the FK
+    grade-level formula with its published constants, evaluated in ONE
+    fixed float op order (two divisions, two multiplies, two adds, one
+    final multiply) so DuckDB reproduces the exact double, then floored
+    to an exact integer (the cross-engine float discipline used by
+    ``source_top_terms``).
+
+    Scale shape: map-only — three ``regexp_count``/split expressions
+    per row, no exchange, no Python. Scan-bound at any corpus size.
+
+    Reference: feast has no text-quality surface; public formula
+    (Kincaid et al. 1975) and public filter practice.
+    """
+    from feast_spark.operators.conversation import _ASCII_WS
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(
+        F.filter(F.split(t, _ASCII_WS), lambda x: F.length(x) > 0)
+    ).cast("long")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit("[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    syls = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    u = float(int(units))
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST(FLOOR((0.39D * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+            " + 11.8D * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+            f" - 15.59D) * {u!r}D) AS BIGINT)"
+        ).alias("fk_units"),
+    )

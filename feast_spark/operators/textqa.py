@@ -1,0 +1,221 @@
+"""Generation-artifact QA: detectors for the two classic failure modes
+of model-written text that per-turn quality rules do not see.
+
+``generation_artifacts`` flags TRUNCATED generations — turns cut off by
+a token budget mid-sentence or mid-code-fence. A truncated assistant
+turn scores healthy on length/stop-words/perplexity (the prefix of good
+text is good text) yet teaches the model to stop mid-thought; every
+SFT-curation stack drops or repairs them.
+
+``suffix_loop_stats`` flags DECODE LOOPS — the trailing periodic
+repetition signature of greedy/low-temperature sampling failures
+("I'm sorry. I'm sorry. I'm sorry."). It is deliberately distinct from
+the two repetition lenses already here: ``gopher_repetition`` measures
+corpus-style duplicate n-gram FRACTIONS over a whole document, and
+``conversation_repetition`` measures runs of identical consecutive
+TURNS; neither sees a loop that lives INSIDE one turn's tail, because
+the looped text is unique corpus-wide and the turn as a whole is not a
+duplicate of its neighbours.
+
+Both operators are MAP-ONLY over the (deduped) turn relation — no
+exchange of their own, so they ride whatever partitioning the scan
+gives at any corpus size. All verdict arithmetic is integer/boolean
+(engine-portable; the DuckDB oracles re-derive it in genuine SQL).
+
+Reference: feast has no transcript-QA surface (``sdk/python/feast``
+profiles numeric/categorical feature columns only, ``dqm/profilers``);
+these are public-pipeline operators (truncation repair and loop
+filtering per the open SFT-data-cleaning playbooks; repetition-loop
+analyses in the decoding literature, e.g. Holtzman et al. 2020).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["generation_artifacts", "suffix_loop_stats"]
+
+# ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
+# Python re (conversation.py's note: Java \s is ASCII-only but RE2's
+# \s EXCLUDES \x0b, so the explicit class is the only common spelling)
+_ASCII_WS = "[ \t\n\x0b\f\r]+"
+
+# characters a COMPLETE prose/code turn plausibly ends on: sentence
+# enders, closing quotes/brackets/fence backtick, markdown emphasis. A
+# long turn ending on anything else (letter, digit, comma, colon,
+# operator...) is the mid-sentence-cut signature.
+_CLEAN_ENDINGS = ".!?\"'`)]}*_"
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of a literal ``needle`` via the length-difference
+    trick — stays in whole-stage codegen, no regex engine involved.
+    The double division is exact (differences are needle-multiples far
+    below 2^52) and the cast floors to the exact integer."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def generation_artifacts(
+    turns: DataFrame,
+    role: str = "assistant",
+    min_chars: int = 80,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Truncation / malformed-output QA per ``role`` turn.
+
+    One row per ``role`` turn: ``(conv_id, turn_idx, n_chars, n_fences,
+    fence_balanced, paren_delta, bracket_delta, brace_delta,
+    ends_clean, trailing_ellipsis, truncated)``.
+
+    - ``n_fences`` — occurrences of the markdown code-fence ```` ``` ````;
+      an ODD count means the generation stopped inside a code block.
+    - ``*_delta`` — opening minus closing count for ``()``, ``[]``,
+      ``{}``. Exposed as signals only (prose legitimately unbalances
+      parens — "1)" lists, emoticons), NOT folded into the verdict.
+    - ``ends_clean`` — after stripping trailing ASCII whitespace, the
+      final character is a sentence ender / closing quote / bracket /
+      fence backtick (or the text is empty). A long turn that ends on a
+      letter, digit, comma or operator was almost certainly cut by a
+      token budget.
+    - ``trailing_ellipsis`` — stripped text ends with ``...`` or
+      ``…`` (a softer cut marker; surfaced separately because some
+      styles end complete thoughts with it).
+    - ``truncated`` — the verdict: unbalanced fence, OR a turn of at
+      least ``min_chars`` characters that does not end clean. Short
+      turns are exempt ("ok", "42" — fragments are normal replies).
+
+    Scale shape: pure map over the deduped turn relation — length /
+    replace / right are all whole-stage-codegen expressions, the only
+    regex is the single trailing-whitespace strip, no exchange, no
+    Python. At 10^12 turns this is scan-bound.
+    """
+    from feast_spark.operators.conversation import _deduped
+
+    d = turns if pre_deduped else _deduped(turns)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    stripped = F.regexp_replace(t, _ASCII_WS + "$", "")
+    last = F.right(stripped, F.lit(1))
+    n_fences = _count_occurrences(t, "```")
+    ends_clean = (F.length(stripped) == 0) | F.contains(
+        F.lit(_CLEAN_ENDINGS), last
+    )
+    fence_balanced = F.pmod(n_fences, F.lit(2)) == 0
+    return d.filter(F.col("role") == role).select(
+        "conv_id",
+        "turn_idx",
+        F.length(t).cast("long").alias("n_chars"),
+        n_fences.alias("n_fences"),
+        fence_balanced.alias("fence_balanced"),
+        (_count_occurrences(t, "(") - _count_occurrences(t, ")")).alias(
+            "paren_delta"
+        ),
+        (_count_occurrences(t, "[") - _count_occurrences(t, "]")).alias(
+            "bracket_delta"
+        ),
+        (_count_occurrences(t, "{") - _count_occurrences(t, "}")).alias(
+            "brace_delta"
+        ),
+        ends_clean.alias("ends_clean"),
+        ((F.right(stripped, F.lit(3)) == "...") | (last == "…")).alias(
+            "trailing_ellipsis"
+        ),
+        (
+            ~fence_balanced
+            | ((F.length(t) >= int(min_chars)) & ~ends_clean)
+        ).alias("truncated"),
+    )
+
+
+def suffix_loop_stats(
+    df: DataFrame,
+    id_cols: tuple = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    max_period: int = 8,
+    min_repeats: int = 2,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Trailing-periodicity decode-loop detector, text grain (works on
+    any relation with id columns + a text column — turns or documents).
+
+    For each row, over the non-empty ASCII-whitespace word splits
+    ``w[1..n]``: for every period ``p in 1..max_period`` count how many
+    consecutive copies of the final ``p``-word block terminate the text
+    (``reps(p)`` — maximal ``r`` such that the last ``r*p`` words are
+    ``r`` verbatim copies of the last ``p`` words). The reported loop
+    is the one covering the most words, tie broken toward the SMALLEST
+    period (so "no no no no" reports p=1 r=4, not p=2 r=2).
+
+    One row per input row: ``(*id_cols, n_words, period, n_repeats,
+    loop_words, loop_units)`` where ``loop_words = period * n_repeats``
+    when ``n_repeats >= min_repeats`` else 0 (with ``period`` 0 and
+    ``n_repeats`` 1 in the no-loop case), and ``loop_units =
+    loop_words * units div n_words`` — the integer fraction of the turn
+    consumed by its trailing loop. ``loop_units`` near ``units`` is the
+    hard-loop signature; a gate at e.g. ``units div 2`` catches turns
+    whose second half is pure repetition.
+
+    Scale shape: MAP-ONLY — the per-p repeat counts are JVM
+    higher-order-function expressions over the word array (slice
+    comparisons against the final block; the first mismatching repeat
+    index bounds the count), evaluated per row with no exchange, no
+    Python, no join. Cost per row is O(sum_p n/p) = O(n * H(max_period))
+    slice comparisons worst case — linear in turn length for fixed
+    ``max_period``. At 10^12 turns this is scan-bound exactly like the
+    heuristic rule pass.
+    """
+    ids = list(id_cols)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _ASCII_WS),
+        lambda x: x != "",
+    )
+    d = df.select(*ids, toks.alias("__w"), F.size(toks).alias("__n"))
+
+    # per-p candidate structs: (p, reps). reps is bounded by the first
+    # repeat index whose block mismatches the final block.
+    def _cand(p: int) -> str:
+        m = f"(__n div {p})"
+        reps = f"""
+          CASE WHEN {m} < 2 THEN 1 ELSE
+            coalesce(
+              try_element_at(
+                filter(sequence(2, {m}),
+                       i -> NOT (slice(__w, __n - i*{p} + 1, {p})
+                                 = slice(__w, __n - {p} + 1, {p}))),
+                1) - 1,
+              {m})
+          END"""
+        return (
+            f"named_struct('p', {p}, 'reps', "
+            f"CASE WHEN __n >= {2 * p} THEN ({reps}) ELSE 1 END)"
+        )
+
+    cands = ",".join(_cand(p) for p in range(1, int(max_period) + 1))
+    # best = max over (loop_words, -p): most words covered, then the
+    # smallest period — struct comparison is lexicographic by field
+    best = F.expr(
+        f"""array_max(transform(array({cands}),
+              c -> named_struct(
+                'lw', CASE WHEN c.reps >= {int(min_repeats)}
+                           THEN c.reps * c.p ELSE 0 END,
+                'negp', -c.p, 'p', c.p, 'reps', c.reps)))"""
+    )
+    b = d.select(*ids, "__n", best.alias("__b"))
+    return b.select(
+        *ids,
+        F.col("__n").cast("long").alias("n_words"),
+        F.expr("CASE WHEN __b.lw > 0 THEN __b.p ELSE 0 END")
+        .cast("int")
+        .alias("period"),
+        F.expr("CASE WHEN __b.lw > 0 THEN __b.reps ELSE 1 END")
+        .cast("int")
+        .alias("n_repeats"),
+        F.col("__b.lw").cast("long").alias("loop_words"),
+        F.expr(
+            f"CASE WHEN __n > 0 THEN (cast(__b.lw as bigint) * {int(units)}) div __n "
+            "ELSE cast(0 as bigint) END"
+        ).alias("loop_units"),
+    )

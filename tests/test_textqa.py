@@ -1,0 +1,267 @@
+"""Generation-artifact QA operators (truncation detector, decode-loop
+detector) + cross-source overlap matrix + readability."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, None, TS) for c, i, r, t in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+# ---------------------------------------------------------------- truncation
+
+
+def test_generation_artifacts_verdicts(spark):
+    from feast_spark.operators.textqa import generation_artifacts
+
+    long_clean = "x" * 100 + " and the final sentence terminates properly."
+    long_cut = "word " * 30 + "and then it was cut right in the middle of a"
+    rows = [
+        ("c1", 0, "user", "ignored role"),
+        ("c1", 1, "assistant", "Code:\n```python\nprint(1)\n"),  # odd fence
+        ("c1", 2, "assistant", long_clean),
+        ("c1", 3, "assistant", long_cut),
+        ("c2", 0, "assistant", "ok"),  # short fragment: exempt
+        ("c2", 1, "assistant", "Fine.\n```py\na\n```\nDone."),  # balanced
+        ("c2", 2, "assistant", ""),
+        ("c2", 3, "assistant", None),
+    ]
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in generation_artifacts(_turns(spark, rows), min_chars=80).collect()
+    }
+    assert ("c1", 0) not in out  # user turn filtered
+    assert out[("c1", 1)]["n_fences"] == 1
+    assert not out[("c1", 1)]["fence_balanced"]
+    assert out[("c1", 1)]["truncated"]
+    assert out[("c1", 2)]["ends_clean"] and not out[("c1", 2)]["truncated"]
+    assert not out[("c1", 3)]["ends_clean"] and out[("c1", 3)]["truncated"]
+    assert not out[("c2", 0)]["truncated"]  # short, unclean end, exempt
+    assert out[("c2", 1)]["n_fences"] == 2 and not out[("c2", 1)]["truncated"]
+    for k in [("c2", 2), ("c2", 3)]:
+        assert out[k]["n_chars"] == 0 and not out[k]["truncated"]
+
+
+def test_generation_artifacts_signals(spark):
+    from feast_spark.operators.textqa import generation_artifacts
+
+    rows = [
+        ("c1", 0, "assistant", "Deep (nested [brackets {everywhere"),
+        ("c1", 1, "assistant", "To be continued...   "),
+        ("c1", 2, "assistant", "Or the single char…"),
+    ]
+    out = {
+        r["turn_idx"]: r
+        for r in generation_artifacts(_turns(spark, rows)).collect()
+    }
+    assert out[0]["paren_delta"] == 1
+    assert out[0]["bracket_delta"] == 1
+    assert out[0]["brace_delta"] == 1
+    assert out[1]["trailing_ellipsis"]  # trailing ws stripped first
+    assert out[2]["trailing_ellipsis"]
+    # '...' ends on '.', a clean ending — ellipsis is a SIGNAL, not a verdict
+    assert out[1]["ends_clean"] and not out[1]["truncated"]
+
+
+def test_generation_artifacts_dedups_latest(spark):
+    from feast_spark.operators.textqa import generation_artifacts
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "assistant", "old truncated version that is quite long and ends mid", None, TS),
+            ("c1", 0, "assistant", "Repaired version. Properly terminated sentence here, long enough to be checked.", None, TS + dt.timedelta(hours=1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    [r] = generation_artifacts(df, min_chars=40).collect()
+    assert not r["truncated"]  # latest (repaired) row wins
+
+
+def test_generation_artifacts_plan_map_only(spark):
+    from feast_spark.operators.textqa import generation_artifacts
+
+    df = _turns(spark, [("c1", 0, "assistant", "hello there.")])
+    plan = generation_artifacts(df, pre_deduped=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- decode loops
+
+
+def _naive_loop(text: str, max_p: int = 8, min_reps: int = 2):
+    w = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text or "") if t]
+    n = len(w)
+    best = (0, 0, 0, 1)  # (lw, -p, p, reps)
+    for p in range(1, max_p + 1):
+        m = n // p
+        reps = 1
+        if n >= 2 * p and m >= 2:
+            block = w[n - p:]
+            reps = m
+            for i in range(2, m + 1):
+                if w[n - i * p: n - i * p + p] != block:
+                    reps = i - 1
+                    break
+        lw = reps * p if reps >= min_reps else 0
+        cand = (lw, -p, p, reps)
+        if cand > best:
+            best = cand
+    lw, _, p, reps = best
+    if lw == 0:
+        p, reps = 0, 1
+    return n, p, reps, lw, (lw * (1 << 20)) // n if n else 0
+
+
+def test_suffix_loop_planted_periods(spark):
+    from feast_spark.operators.textqa import suffix_loop_stats
+
+    rows = [
+        (1, "no loop in this sentence at all"),
+        (2, "stop stop stop stop"),  # p=1 r=4 (not p=2 r=2)
+        (3, "prefix words then let me check again let me check again let me check again"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in suffix_loop_stats(df, id_cols=("doc_id",)).collect()
+    }
+    assert out[1]["loop_words"] == 0 and out[1]["period"] == 0
+    assert (out[2]["period"], out[2]["n_repeats"]) == (1, 4)
+    assert out[2]["loop_units"] == 1 << 20  # whole turn is loop
+    assert (out[3]["period"], out[3]["n_repeats"], out[3]["loop_words"]) == (4, 3, 12)
+    assert out[4]["n_words"] == 0 and out[4]["loop_units"] == 0
+    assert out[5]["n_words"] == 0
+
+
+def test_suffix_loop_matches_naive_randomized(spark):
+    from feast_spark.operators.textqa import suffix_loop_stats
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "ab"]
+    texts = []
+    for _ in range(120):
+        n = int(rng.integers(0, 14))
+        words = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        texts.append(" ".join(words))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["period"], r["n_repeats"], r["loop_words"], r["loop_units"])
+        for r in suffix_loop_stats(df, id_cols=("doc_id",)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _naive_loop(t), (i, t, got[i], _naive_loop(t))
+
+
+def test_suffix_loop_min_repeats_and_plan(spark):
+    from feast_spark.operators.textqa import suffix_loop_stats
+
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y x y x y")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in suffix_loop_stats(df, id_cols=("doc_id",), min_repeats=3).collect()
+    }
+    assert out[1]["loop_words"] == 0  # only 2 repeats < 3
+    assert out[2]["loop_words"] == 6
+    plan = suffix_loop_stats(df, id_cols=("doc_id",))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- overlap
+
+
+def test_cross_source_overlap_counts(spark):
+    from feast_spark.operators.dedup import cross_source_overlap
+
+    rows = [
+        ("s1", "alpha beta"), ("s1", "gamma  delta"), ("s1", "only one"),
+        ("s1", ""), ("s1", "alpha beta"),  # blank + in-source dup collapse
+        ("s2", "alpha   beta"), ("s2", "gamma delta"), ("s2", "other two"),
+        ("s3", "alpha beta"), ("s3", None),
+        ("s4", "nothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_overlap(df).collect()
+    }
+    assert len(out) == 6  # all C(4,2) pairs, zero-filled
+    r12 = out[("s1", "s2")]
+    assert (r12["n_a"], r12["n_b"], r12["n_shared"]) == (3, 3, 2)
+    assert r12["jaccard_units"] == (2 * (1 << 20)) // 4
+    assert out[("s1", "s3")]["containment_b_units"] == 1 << 20
+    assert out[("s1", "s4")]["n_shared"] == 0
+    assert out[("s3", "s4")]["n_shared"] == 0
+
+
+def test_cross_source_overlap_broadcasts(spark):
+    from feast_spark.operators.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [("s1", "a b"), ("s2", "a b")], "source string, text string"
+    )
+    plan = cross_source_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    # dimension-sized frames broadcast; the corpus-side self-join is a
+    # hash join on the digest, never a nested-loop over doc rows
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------- readability
+
+
+def test_readability_scores_exact(spark):
+    from feast_spark.operators.lexical import readability_scores
+
+    rows = [
+        (1, "The cat sat on the mat. It was happy!"),
+        (2, "ok"),
+        (3, ""),
+        (4, None),
+        (5, "No terminator here just words flowing on and on"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    assert set(out) == {1, 2, 5}  # zero-word docs dropped
+
+    def fk(w, s, syl):
+        return math.floor(
+            (0.39 * (w / s) + 11.8 * (syl / w) - 15.59) * float(1 << 20)
+        )
+
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (9, 2)
+    assert r1["fk_units"] == fk(9, 2, r1["n_syllables"])
+    assert out[2]["n_sentences"] == 1  # clamped
+    assert out[5]["fk_units"] == fk(
+        out[5]["n_words"], 1, out[5]["n_syllables"]
+    )
+
+
+def test_readability_plan_map_only(spark):
+    from feast_spark.operators.lexical import readability_scores
+
+    df = spark.createDataFrame([(1, "a.")], "doc_id long, text string")
+    plan = readability_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
