@@ -2241,6 +2241,32 @@ def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     return readability_scores(_t(spark, sf, "documents"))
 
 
+def q_label_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 6: keep/drop transition matrix between two
+    # pipeline runs (default rules vs rules.strict_config()) on the SAME
+    # fixture — the filter-ablation diff. Oracle: GENUINE SQL full-outer
+    # join of the two derived label tables (default run's naive replay +
+    # the strict-run replay), transition agg re-derived in SQL.
+    from feast_spark import rules
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.labels import label_drift
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    transcripts = transcripts_spark(
+        spark, 100, seed=42, mega_every=50, mega_turns=200
+    )
+    a = run_quality_pipeline(
+        spark, transcripts, QualityConfig(), run_id="da",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    ).labels
+    b = run_quality_pipeline(
+        spark, transcripts, QualityConfig(rules=rules.strict_config()),
+        run_id="db",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    ).labels
+    return label_drift(a, b)
+
+
 def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 4: corpus tool-call transition graph (prev_tool ->
     # tool bigrams per conversation, ^START sentinel) — the agent-fleet
@@ -2520,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_loops": q_suffix_loops,
         "source_overlap": q_source_overlap,
         "readability": q_readability,
+        "label_drift": q_label_drift,
         # round 5 session 5: edit-similarity verification of LSH
         # candidate pairs (genuine-SQL levenshtein oracle)
         "neardup_verify": q_neardup_verify,
@@ -2529,7 +2556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 session 4: reply latency, tool-transition graph,
         # per-turn n-gram novelty, response-length trend
         "reply_latency": q_reply_latency,
-        "tool_transitions": q_tool_transitions,
         "turn_novelty": q_turn_novelty,
         "turn_length_trend": q_turn_length_trend,
         # round 5 session 4b: fork detection, template mining, shape
@@ -2606,6 +2632,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample": q_diverse_sample,
         "scalar_exprs": q_scalar_exprs,
         "pull_scan": q_pull_scan,
+        "tool_transitions": q_tool_transitions,
         # rotated round 5 session 5 (still pytest-oracled here; packing
         # stays driver-covered via conv_pack/conv_pack_isolated, fuzzy
         # near-dup via minhash/cdc/turn/para + the new verify stage)
@@ -2894,6 +2921,38 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{derived["transcripts_raw"]}')
         """,
         "unimax_sample": _rp("unimax_sample"),
+        "label_drift": f"""
+            -- GENUINE SQL twin of label_drift: both sides are the
+            -- pipeline's NAIVE pandas replays (default + strict rules,
+            -- same fixture); the transition matrix itself is re-derived
+            -- in SQL (full outer join + null-safe text compare + agg)
+            WITH a AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN keep THEN '<kept>'
+                     ELSE coalesce(drop_reason, '<none>') END AS state_a,
+                scrubbed_text AS ta
+              FROM read_parquet('{derived["transcript_pipeline"]}')
+            ), b AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN keep THEN '<kept>'
+                     ELSE coalesce(drop_reason, '<none>') END AS state_b,
+                scrubbed_text AS tb
+              FROM read_parquet('{derived["transcript_labels_strict"]}')
+            ), j AS (
+              SELECT
+                coalesce(state_a, '<absent>') AS state_a,
+                coalesce(state_b, '<absent>') AS state_b,
+                (a.conv_id IS NOT NULL AND b.conv_id IS NOT NULL
+                 AND ta IS DISTINCT FROM tb) AS chg
+              FROM a FULL OUTER JOIN b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            )
+            SELECT state_a, state_b,
+              CAST(COUNT(*) AS BIGINT) AS n_turns,
+              CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_text_changed
+            FROM j GROUP BY 1, 2
+        """,
         "truncation": f"""
             -- GENUINE SQL twin of generation_artifacts: replant the
             -- truncation artifacts (fence on even turn_idx, mid-word cut

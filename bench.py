@@ -150,6 +150,7 @@ HEADLINE = [
     "suffix_loops",
     "source_overlap",
     "readability",
+    "label_drift",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

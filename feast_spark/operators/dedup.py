@@ -367,6 +367,28 @@ def minhash_signatures(
     return _shingle_sig_table(df, id_col, text_col, shingle_k, num_hashes, seed)
 
 
+def _band_bucket_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) band-bucket rows from a (id, sig) signature table —
+    map-only: each band's key is xxhash64 over its signature slice. NULL
+    signatures (blank text) emit no rows."""
+    rows_per_band = num_hashes // bands
+    band_structs = ",".join(
+        "struct({bi} as band, xxhash64(concat_ws(',', {cols})) as bh)".format(
+            bi=bi,
+            cols=", ".join(
+                f"element_at(sig, {j + 1})"
+                for j in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return (
+        sigs.filter(F.col("sig").isNotNull())
+        .select("id", F.explode(F.expr(f"array({band_structs})")).alias("b"))
+        .select("id", F.col("b.band"), F.col("b.bh"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -415,21 +437,9 @@ def minhash_lsh_pairs(
         )
     )
 
-    band_structs = ",".join(
-        "struct({bi} as band, xxhash64(concat_ws(',', {cols})) as bh)".format(
-            bi=bi,
-            cols=", ".join(
-                f"element_at(sig, {j + 1})"
-                for j in range(bi * rows_per_band, (bi + 1) * rows_per_band)
-            ),
-        )
-        for bi in range(bands)
-    )
     # NARROW bucket rows: ids only — neither shingles nor sigs enter the
     # candidate shuffle
-    buckets = sigs.filter(F.col("sig").isNotNull()).select(
-        "id", F.explode(F.expr(f"array({band_structs})")).alias("b")
-    ).select("id", F.col("b.band"), F.col("b.bh"))
+    buckets = _band_bucket_rows(sigs, num_hashes, bands)
 
     # candidate pairs persisted: reused by the gate AND by the
     # candidate-id projection feeding the verify-side shingle recompute.
@@ -1535,3 +1545,131 @@ def cross_source_overlap(
             ).alias("jaccard_units"),
         )
     )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    prior_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Fuzzy near-dup for a GROWING corpus: drop new documents that
+    near-duplicate anything the committed corpus has already kept, plus
+    in-batch near-dup families — the MinHash arm of the incremental
+    dedup matrix (``span_dedup_incremental`` / ``paragraph_dedup_
+    incremental`` are the exact grains; this is the tolerant doc grain
+    a fresh crawl snapshot needs against last month's corpus).
+
+    Returns ``(kept_docs, new_sigs)``: the surviving new docs (original
+    columns) and their signature rows ``(id, sig)`` — the append-only
+    state a caller commits per batch (~``8*num_hashes`` B/doc; text is
+    NEVER stored in state).
+
+    Match semantics (deliberately signature-only): a pair is a
+    near-dup when it band-collides AND its signature agreement
+    ``|{j: sig_a[j]=sig_b[j]}| >= ceil(num_hashes * jaccard_threshold)``
+    — the unbiased MinHash Jaccard estimate. The batch operator
+    (:func:`minhash_lsh_pairs`) re-verifies candidates with EXACT
+    shingle Jaccard, which needs both texts; against committed state
+    only signatures exist, so the estimate IS the contract — uniformly,
+    in-batch too, so a pair's verdict does not depend on which batch
+    carried its members. At num_hashes=32 the estimate's std is
+    ~sqrt(j(1-j)/32) <= 0.09 — border pairs may flip, clones do not.
+
+    Drop rule: a new doc drops if (a) it matches ANY prior-kept doc, or
+    (b) it belongs to an in-batch near-dup component
+    (:func:`connected_components` over the estimate-verified pairs) and
+    is not the component's min-id representative, or (c) its component
+    representative was itself dropped via (a) — the component is one
+    content cluster and the corpus already holds a copy of it.
+
+    Scale shape: signatures are one map-only Arrow pass over the NEW
+    batch only; prior state is read as (id, sig) and its band keys are
+    re-derived map-side (8 B ids + band keys through the candidate
+    join — never text). The cross join is keyed (band, bh) with
+    degenerate prior buckets capped (:func:`_cap_buckets`); in-batch
+    pairs ride the one-shuffle :func:`_bucket_pairs` kernel. State
+    grows by kept-doc signatures only, so N batches cost N scans of
+    their own docs plus joins against an O(corpus) but 260-B/doc
+    relation — the same marginal-batch shape proven for the span state.
+
+    Reference: feast materialize_incremental (``feature_store.py:2546``)
+    processes only the new interval; near-dup state is the
+    corpus-curation extension (public: MinHash per Broder '97, the
+    incremental-crawl dedup practice in CCNet/RefinedWeb).
+    """
+    min_matches = int(-(-num_hashes * jaccard_threshold // 1))  # ceil
+    sigs_new = _scoped_persist(
+        _shingle_sig_table(
+            new_docs, id_col, text_col, shingle_k, num_hashes, seed,
+            include_shingles=False,
+        )
+    )
+    est_matches = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> int(x = y)), 0,"
+        " (acc, v) -> acc + v)"
+    )
+    buckets_new = _band_bucket_rows(sigs_new, num_hashes, bands)
+
+    # (a) cross-batch: new ids matching ANY prior-kept signature
+    cross_drop = None
+    if prior_sigs is not None:
+        buckets_prior = _cap_buckets(
+            _band_bucket_rows(prior_sigs, num_hashes, bands),
+            ["band", "bh"],
+            max_bucket_size,
+        )
+        cross_cand = (
+            buckets_new.join(
+                buckets_prior.withColumnRenamed("id", "prior_id"),
+                ["band", "bh"],
+            )
+            .select("id", "prior_id")
+            .dropDuplicates(["id", "prior_id"])
+        )
+        cross_drop = (
+            cross_cand.join(
+                sigs_new.select("id", F.col("sig").alias("sig_a")), "id"
+            )
+            .join(
+                prior_sigs.select(
+                    F.col("id").alias("prior_id"), F.col("sig").alias("sig_b")
+                ),
+                "prior_id",
+            )
+            .filter(est_matches >= F.lit(min_matches))
+            .select("id")
+            .distinct()
+        )
+
+    # (b)/(c) in-batch components over estimate-verified pairs
+    pairs = (
+        _bucket_pairs(buckets_new, ["band", "bh"], max_bucket_size)
+        .join(sigs_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .filter(est_matches >= F.lit(min_matches))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    batch_drop = comp.filter(F.col("id") != F.col("component")).select("id")
+    if cross_drop is not None:
+        # (c): components whose representative is cross-dropped
+        rep_dropped = (
+            comp.join(
+                cross_drop.withColumnRenamed("id", "component"), "component"
+            ).select("id")
+        )
+        batch_drop = batch_drop.union(cross_drop).union(rep_dropped)
+    drop_ids = batch_drop.distinct().withColumnRenamed("id", id_col)
+
+    kept = new_docs.join(drop_ids, id_col, "left_anti")
+    new_sigs = sigs_new.filter(F.col("sig").isNotNull()).join(
+        kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return kept, new_sigs

@@ -223,3 +223,67 @@ def resolve_majority_vote_reference(
     # preserve the source frame's column order (conflict_resolver.py:155)
     ordered = [c for c in df.columns if c in out.columns]
     return out.select(*ordered)
+
+
+def label_drift(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Keep/drop TRANSITION MATRIX between two pipeline runs — the
+    regression diff for quality-filter iteration: change a threshold,
+    re-run, and read exactly which verdict mass moved where ('kept' ->
+    'perplexity': the new bar bites; 'too_short' -> 'kept': a loosened
+    gate) plus how many surviving turns changed scrubbed TEXT (a scrub
+    pattern edit shows up here even when every verdict is stable).
+
+    Inputs are two label tables of the quality pipeline's shape
+    (``key_cols`` + ``keep`` + ``drop_reason`` + ``scrubbed_text``).
+    Output: one row per (state_a, state_b) with ``n_turns`` and
+    ``n_text_changed``, where a state is ``'<kept>'``, the drop reason,
+    or ``'<absent>'`` when the run did not emit the turn at all (input
+    corpus changed between runs). ``n_text_changed`` counts turns
+    present in BOTH runs whose scrubbed text differs (null-safe).
+
+    Scale shape: one full-outer join keyed on ``key_cols`` (both sides
+    shuffle once on the conversation key — the pipeline's native
+    partitioning, so co-partitioned label snapshots join without a
+    re-shuffle) into a hash agg whose group count is bounded by
+    (#reasons + 2)^2 — dimension-sized output at any corpus size.
+
+    Reference: feast diffs REGISTRY objects (``diff/registry_diff.py``);
+    diffing two runs' row-level verdicts is the data-plane counterpart
+    a quality pipeline needs (public practice: filter-ablation matrices
+    in C4/Gopher/Dolma appendices).
+    """
+    keys = list(key_cols)
+
+    def _state(side: DataFrame, suffix: str) -> DataFrame:
+        st = F.when(F.col("keep"), F.lit("<kept>")).otherwise(
+            F.coalesce(F.col("drop_reason"), F.lit("<none>"))
+        )
+        return side.select(
+            *keys,
+            st.alias(f"state_{suffix}"),
+            F.col("scrubbed_text").alias(f"__t{suffix}"),
+            F.lit(True).alias(f"__p{suffix}"),
+        )
+
+    j = _state(labels_a, "a").join(_state(labels_b, "b"), keys, "full_outer")
+    chg = (
+        F.coalesce("__pa", F.lit(False))
+        & F.coalesce("__pb", F.lit(False))
+        & ~F.col("__ta").eqNullSafe(F.col("__tb"))
+    )
+    return (
+        j.select(
+            F.coalesce("state_a", F.lit("<absent>")).alias("state_a"),
+            F.coalesce("state_b", F.lit("<absent>")).alias("state_b"),
+            chg.alias("__chg"),
+        )
+        .groupBy("state_a", "state_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.col("__chg").cast("long")).alias("n_text_changed"),
+        )
+    )

@@ -749,7 +749,8 @@ def quality_scores_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def transcript_labels_pdf(loop: bool = False) -> pd.DataFrame:
+def transcript_labels_pdf(loop: bool = False, strict: bool = False) -> pd.DataFrame:
+    from feast_spark import rules
     from feast_spark.fixtures import generate_transcripts
     from feast_spark.pipeline.oracle import oracle_labels
     from feast_spark.pipeline.quality import QualityConfig
@@ -758,9 +759,15 @@ def transcript_labels_pdf(loop: bool = False) -> pd.DataFrame:
         100, seed=42, mega_every=50, mega_turns=200,
         loop_prob=0.3 if loop else 0.0,
     )
+    if strict:
+        cfg = QualityConfig(rules=rules.strict_config())
+    elif loop:
+        cfg = QualityConfig(loop_min_repeats=3)
+    else:
+        cfg = QualityConfig()
     labels = oracle_labels(
         transcripts,
-        QualityConfig(loop_min_repeats=3) if loop else QualityConfig(),
+        cfg,
         decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
         created_ts=datetime(2025, 6, 1, tzinfo=timezone.utc),
     )
@@ -2197,6 +2204,8 @@ _RELATIONS = {
     "doc_quality_scores": lambda sf: quality_scores_pdf(sf),
     "transcript_pipeline": lambda sf: transcript_labels_pdf(),
     "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
+    # same fixture under rules.strict_config() — the label_drift B run
+    "transcript_labels_strict": lambda sf: transcript_labels_pdf(strict=True),
     "conv_neardup": lambda sf: conv_neardup_pdf(),
     "bpe_tokens": lambda sf: bpe_tokens_pdf(sf),
     "tokenize_pack": lambda sf: tokenize_pack_pdf(sf),

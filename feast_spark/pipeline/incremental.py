@@ -79,6 +79,27 @@ def _paras_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "paras")
 
 
+def _minhash_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "minhash")
+
+
+def _load_prior_minhash(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """MinHash signature state (id, sig) of every COMMITTED batch — the
+    same commit-order contract as :func:`_load_prior_paras`: signature
+    partitions are written before the spans ``_SUCCESS`` gate, so a
+    listed batch always has its partition when the stage was enabled."""
+    paths = [
+        p
+        for b in _committed_batches(state_dir)
+        if os.path.exists(
+            p := os.path.join(_minhash_dir(state_dir), f"batch={b}")
+        )
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def _load_prior_paras(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Paragraph-hash state of every COMMITTED batch. Commit order makes
     the spans partition's ``_SUCCESS`` the single commit point: paras are
@@ -185,6 +206,35 @@ def run_curation_incremental(
         n_after_paragraph = docs_in.count()
     else:
         docs_in = new_docs
+
+    # stage 1f (opt-in, shares the batch path's cfg.use_neardup knobs):
+    # fuzzy doc near-dup vs self + ALL committed batches' signature
+    # state — the tolerant grain the exact span/paragraph states can't
+    # cover (a crawl re-snapshot with small edits). Runs BEFORE span
+    # dedup for the batch path's reason: span dedup would strip the
+    # shared spans from the later copy and hide the near-pair. Both
+    # outputs are materialized eagerly (localCheckpoint) so the
+    # operator's scoped signature cache can be released here.
+    new_mh = None
+    n_after_neardup = None
+    if cfg.use_neardup:
+        from feast_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            release_dedup_caches,
+        )
+
+        prior_mh = _load_prior_minhash(spark, state_dir)
+        kept_nd, new_mh = minhash_dedup_incremental(
+            docs_in,
+            prior_mh,
+            jaccard_threshold=cfg.neardup_threshold,
+            max_bucket_size=cfg.neardup_max_bucket,
+        )
+        new_mh = new_mh.localCheckpoint()
+        nd_kept_ids = kept_nd.select("doc_id").localCheckpoint()
+        release_dedup_caches()
+        docs_in = docs_in.join(nd_kept_ids, "doc_id", "left_semi")
+        n_after_neardup = nd_kept_ids.count()
 
     # stage 1: span dedup vs self + all prior batches. persist_winners
     # caches the first-occurrence window (the batch's widest shuffle) so
@@ -416,6 +466,11 @@ def run_curation_incremental(
             if n_after_paragraph is not None
             else {}
         ),
+        **(
+            {"after_neardup": n_after_neardup}
+            if n_after_neardup is not None
+            else {}
+        ),
         "after_span_dedup": n_after_span,
         "after_quality": int(row["q"]),
         "after_decontamination": int(row["c"]),
@@ -438,9 +493,14 @@ def run_curation_incremental(
         json.dump(lineage, f)
     for commit_artifact in deferred_artifacts:
         commit_artifact()
-    # paras BEFORE spans: the spans partition's _SUCCESS is the batch's
-    # single commit point, so a crash between the two writes leaves the
-    # batch uncommitted and the retry overwrites both partitions cleanly
+    # minhash/paras BEFORE spans: the spans partition's _SUCCESS is the
+    # batch's single commit point, so a crash between the writes leaves
+    # the batch uncommitted and the retry overwrites all partitions
+    # cleanly
+    if new_mh is not None:
+        new_mh.write.mode("overwrite").parquet(
+            os.path.join(_minhash_dir(state_dir), f"batch={batch_id}")
+        )
     if new_paras is not None:
         new_paras.write.mode("overwrite").parquet(
             os.path.join(_paras_dir(state_dir), f"batch={batch_id}")

@@ -523,6 +523,15 @@ class RuleConfig:
     pseudonym_salt: str = ""
 
 
+def strict_config() -> "RuleConfig":
+    """The canonical 'tightened' rule set used by the label-drift
+    fixtures/oracles (shared so the Spark run and the naive replay face
+    byte-identical thresholds): word floor 2 -> 4, perplexity ceiling
+    400 -> 250. Chosen to flip verdict mass through two DIFFERENT rules
+    on the transcript fixture."""
+    return RuleConfig(min_words=4, max_perplexity=250.0)
+
+
 # Rule evaluation order is part of the output contract (drop_reason).
 RULE_ORDER = [
     "too_short",

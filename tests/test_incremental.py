@@ -488,3 +488,134 @@ def test_curate_stream_micro_batches_match_manual_incremental(spark, tmp_path):
         for r in spark.read.parquet(f"{m_state}/kept/*").collect()
     }
     assert kept_stream == kept_manual
+
+
+# ---------------------------------------------------------------------------
+# minhash_dedup_incremental (fuzzy doc-grain state)
+# ---------------------------------------------------------------------------
+
+
+def _mh_vocab():
+    import random, string
+
+    rng = random.Random(9)
+    return [
+        "".join(rng.choices(string.ascii_lowercase, k=rng.randint(3, 9)))
+        for _ in range(5000)
+    ]
+
+
+def _mh_doc(i, vocab, base=None, mutate=0):
+    import random
+
+    if base is None:
+        return " ".join(random.Random(i).choices(vocab, k=60))
+    toks = base.split()
+    r = random.Random(1000 + i)
+    for _ in range(mutate):
+        toks[r.randrange(len(toks))] = r.choice(vocab)
+    return " ".join(toks)
+
+
+def test_minhash_incremental_cross_and_in_batch(spark):
+    from feast_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        release_dedup_caches,
+    )
+
+    v = _mh_vocab()
+    b1 = [(i, _mh_doc(i, v)) for i in range(20)] + [(101, _mh_doc(3, v))]
+    kept1, sigs1 = minhash_dedup_incremental(
+        _docs(spark, b1), None, jaccard_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in kept1.collect()) == list(range(20))
+    sigs1 = sigs1.localCheckpoint()
+    release_dedup_caches()
+
+    b2 = [
+        (201, _mh_doc(201, v)),                                  # fresh
+        (202, _mh_doc(202, v, base=_mh_doc(7, v), mutate=3)),    # ~ prior 7
+        (203, _mh_doc(5, v)),                                    # == prior 5
+        (204, ""),                                               # blank
+        (205, _mh_doc(205, v)),                                  # fresh
+        (206, _mh_doc(206, v, base=_mh_doc(205, v), mutate=2)),  # ~ 205 in-batch
+    ]
+    kept2, sigs2 = minhash_dedup_incremental(
+        _docs(spark, b2), sigs1, jaccard_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == [201, 204, 205]
+    # blank doc survives but leaves NO signature in state
+    assert sorted(r.id for r in sigs2.collect()) == [201, 205]
+    release_dedup_caches()
+
+
+def test_minhash_incremental_component_rep_cross_drop(spark):
+    # A ~ B in-batch (A the min-id rep), A ~ prior, B NOT ~ prior:
+    # the whole component drops — the corpus already holds its content
+    from feast_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        release_dedup_caches,
+    )
+
+    v = _mh_vocab()
+    prior = [(1, _mh_doc(1, v))]
+    _, sigs1 = minhash_dedup_incremental(
+        _docs(spark, prior), None, jaccard_threshold=0.5
+    )
+    sigs1 = sigs1.localCheckpoint()
+    release_dedup_caches()
+
+    a = _mh_doc(301, v, base=_mh_doc(1, v), mutate=2)   # ~ prior 1
+    b = _mh_doc(302, v, base=a, mutate=3)               # ~ a (chained)
+    fresh = _mh_doc(303, v)
+    kept, _ = minhash_dedup_incremental(
+        _docs(spark, [(301, a), (302, b), (303, fresh)]),
+        sigs1,
+        jaccard_threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [303]
+    release_dedup_caches()
+
+
+def test_incremental_pipeline_neardup_stage(spark, tmp_path):
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    b1, b2, bench = _corpus_batches(spark)
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(use_neardup=True)
+
+    r1 = run_curation_incremental(spark, b1, bench, state, "b1", cfg)
+    assert "after_neardup" in r1.stage_counts
+    assert os.path.exists(os.path.join(state, "minhash", "batch=b1"))
+    r1.release()
+
+    # plant near-clones of three batch-1 docs into batch 2 (two word
+    # swaps each) under fresh max ids
+    max_id = b2.agg(F.max("doc_id")).collect()[0][0]
+    seeds = b1.orderBy("doc_id").limit(3).collect()
+    planted = []
+    for k, row in enumerate(seeds):
+        toks = row["text"].split()
+        toks[min(2, len(toks) - 1)] = "zzzq"
+        planted.append(
+            (max_id + 1 + k, " ".join(toks), row["source"])
+        )
+    b2p = b2.select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(planted, "doc_id long, text string, source string")
+    )
+    planted_ids = {p[0] for p in planted}
+
+    r2 = run_curation_incremental(spark, b2p, bench, state, "b2", cfg)
+    kept2 = {r["doc_id"] for r in r2.kept.collect()}
+    assert not (kept2 & planted_ids)  # every planted near-clone dropped
+    assert r2.stage_counts["after_neardup"] <= r2.stage_counts["input"] - len(planted)
+    r2.release()
+
+    # state committed for both batches; signatures unique per id
+    mh = spark.read.parquet(f"{state}/minhash/*")
+    assert mh.count() == mh.select("id").distinct().count()
+
+    # resume returns the committed result without recompute
+    r2b = run_curation_incremental(spark, b2p, bench, state, "b2", cfg)
+    assert r2b.resumed and r2b.stage_counts == r2.stage_counts

@@ -351,3 +351,38 @@ def test_odfv_singleton_validation_and_apply(spark):
     df = spark.createDataFrame([(1,), (2,)], "x long")
     got = odfv.apply(df).toPandas().sort_values("x")
     assert got.plus1.tolist() == [2, 3]
+
+
+def test_label_drift_transitions_and_sentinels(spark):
+    from feast_spark.operators.labels import label_drift
+
+    a = spark.createDataFrame(
+        [
+            ("c1", 0, True, None, "hello"),
+            ("c1", 1, False, "too_short", "x"),
+            ("c1", 2, True, None, "same text"),
+            ("c2", 0, True, None, "only in a"),
+        ],
+        "conv_id string, turn_idx int, keep boolean, drop_reason string, "
+        "scrubbed_text string",
+    )
+    b = spark.createDataFrame(
+        [
+            ("c1", 0, False, "perplexity", "hello"),     # kept -> perplexity
+            ("c1", 1, False, "too_short", "x"),          # stable
+            ("c1", 2, True, None, "different text"),     # kept, text changed
+            ("c3", 0, True, None, "only in b"),
+        ],
+        "conv_id string, turn_idx int, keep boolean, drop_reason string, "
+        "scrubbed_text string",
+    )
+    out = {
+        (r["state_a"], r["state_b"]): (r["n_turns"], r["n_text_changed"])
+        for r in label_drift(a, b).collect()
+    }
+    assert out[("<kept>", "perplexity")] == (1, 0)
+    assert out[("too_short", "too_short")] == (1, 0)
+    assert out[("<kept>", "<kept>")] == (1, 1)  # the text change
+    assert out[("<kept>", "<absent>")] == (1, 0)
+    assert out[("<absent>", "<kept>")] == (1, 0)
+    assert sum(n for n, _ in out.values()) == 5
