@@ -2267,6 +2267,18 @@ def q_label_drift(spark: SparkSession, sf: str) -> DataFrame:
     return label_drift(a, b)
 
 
+def q_conv_language(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 6: per-conversation language profile + turn-level
+    # code-switch count (langs alternating inside one conversation — a
+    # retrieval/translation artifact per-turn gates can't see). langid
+    # is the shared kernel (derived turn_langs relation); the
+    # mode/switch rollup is GENUINE SQL (counts + ROW_NUMBER mode with
+    # lexicographic tie, lag window for switches).
+    from feast_spark.operators.conversation import conversation_language
+
+    return conversation_language(_transcripts_fixture(spark))
+
+
 def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 4: corpus tool-call transition graph (prev_tool ->
     # tool bigrams per conversation, ^START sentinel) — the agent-fleet
@@ -2547,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "readability": q_readability,
         "label_drift": q_label_drift,
+        "conv_language": q_conv_language,
         # round 5 session 5: edit-similarity verification of LSH
         # candidate pairs (genuine-SQL levenshtein oracle)
         "neardup_verify": q_neardup_verify,
@@ -2557,7 +2570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-turn n-gram novelty, response-length trend
         "reply_latency": q_reply_latency,
         "turn_novelty": q_turn_novelty,
-        "turn_length_trend": q_turn_length_trend,
         # round 5 session 4b: fork detection, template mining, shape
         # histogram
         "conv_forks": q_conv_forks,
@@ -2633,6 +2645,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_exprs": q_scalar_exprs,
         "pull_scan": q_pull_scan,
         "tool_transitions": q_tool_transitions,
+        "turn_length_trend": q_turn_length_trend,
         # rotated round 5 session 5 (still pytest-oracled here; packing
         # stays driver-covered via conv_pack/conv_pack_isolated, fuzzy
         # near-dup via minhash/cdc/turn/para + the new verify stage)
@@ -2921,6 +2934,37 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{derived["transcripts_raw"]}')
         """,
         "unimax_sample": _rp("unimax_sample"),
+        "conv_language": f"""
+            -- conv_language twin: per-turn langs from the shared-kernel
+            -- derived relation; mode re-derived via counts + ROW_NUMBER
+            -- (cnt DESC, lang ASC — Spark's mode(lang, true) tie rule),
+            -- switches via lag over turn order — GENUINE SQL rollup
+            WITH l AS (
+              SELECT conv_id, turn_idx, lang
+              FROM read_parquet('{derived["turn_langs"]}')
+            ), c AS (
+              SELECT conv_id, lang, COUNT(*) AS cnt FROM l GROUP BY 1, 2
+            ), m AS (
+              SELECT conv_id, lang AS lang_mode,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY cnt DESC, lang ASC) AS rk
+              FROM c
+            ), p AS (
+              SELECT conv_id, lang,
+                lag(lang) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM l
+            ), s AS (
+              SELECT conv_id,
+                CAST(COUNT(*) AS BIGINT) AS n_turns,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+              FROM p GROUP BY 1
+            )
+            SELECT s.conv_id, n_turns, lang_mode, n_langs, n_switches
+            FROM s JOIN m ON s.conv_id = m.conv_id AND m.rk = 1
+        """,
         "label_drift": f"""
             -- GENUINE SQL twin of label_drift: both sides are the
             -- pipeline's NAIVE pandas replays (default + strict rules,

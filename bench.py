@@ -151,6 +151,7 @@ HEADLINE = [
     "source_overlap",
     "readability",
     "label_drift",
+    "conv_language",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

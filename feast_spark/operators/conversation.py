@@ -1252,3 +1252,68 @@ def assistant_echo(
             .alias("echo_units"),
         )
     )
+
+
+def conversation_language(
+    turns: DataFrame, pre_deduped: bool = False
+) -> DataFrame:
+    """Per-conversation language profile: heuristic langid per turn
+    (the shared ``rules.language_id`` kernel — one Arrow pass, same
+    determinism contract as the pipeline's ``lang`` column), rolled up
+    to ``(conv_id, n_turns, lang_mode, n_langs, n_switches)`` where
+    ``n_switches`` counts turn boundaries whose language CHANGES — the
+    code-switching lens. A conversation whose turns alternate languages
+    is usually a retrieval/translation artifact or an agent answering
+    in the wrong language; per-turn language gates pass every turn
+    individually and the conv-level ``lang_mode`` alone cannot see the
+    alternation.
+
+    ``lang_mode`` uses Spark's deterministic ``mode(lang, true)`` —
+    ties resolve to the lexicographically smallest value, matching the
+    pipeline's conv-feature contract (SURVEY §7 determinism; the
+    DuckDB oracle re-derives the mode via counts + ROW_NUMBER since
+    DuckDB's ``mode()`` leaves ties unspecified).
+
+    Scale shape: langid is one map-only Arrow pass over the deduped
+    turns; the switch count rides ONE conv_id-keyed sort window and the
+    rollup re-aggregates on the same key (AQE reuses the exchange).
+    Mega-conversations cost one sort run each — rows are (conv, idx,
+    lang) triples, text never enters the window.
+
+    Reference: the pipeline's ``conversation_features`` carries
+    ``lang_mode`` (feast-style conv feature); the switch count is the
+    corpus-analysis extension (public code-switching literature / CCNet
+    per-segment langid practice).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    sel = d.select("conv_id", "turn_idx", "text")
+
+    def _run(batches):
+        import pandas as pd
+
+        from feast_spark import rules
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "lang": rules.language_id(pdf["text"]),
+                }
+            )
+
+    langs = sel.mapInPandas(
+        _run, "conv_id string, turn_idx int, lang string"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lg = langs.withColumn("__prev", F.lag("lang").over(w))
+    return lg.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.expr("mode(lang, true)").alias("lang_mode"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(
+            (
+                F.col("__prev").isNotNull() & (F.col("__prev") != F.col("lang"))
+            ).cast("long")
+        ).alias("n_switches"),
+    )

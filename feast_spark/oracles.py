@@ -778,6 +778,26 @@ def transcript_labels_pdf(loop: bool = False, strict: bool = False) -> pd.DataFr
     return out.reset_index(drop=True)
 
 
+def turn_langs_pdf() -> pd.DataFrame:
+    """(conv_id, turn_idx, lang) for the deduped transcript fixture —
+    the python-kernel half of the conv_language oracle (language_id is
+    the SHARED kernel, same sharing note as lexical_stats; the
+    relational rollup is re-derived in SQL)."""
+    from feast_spark import rules
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    turns = transcripts_raw_pdf(None)
+    d = oracle_dedup_latest(turns).reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "conv_id": d["conv_id"].astype(object),
+            "turn_idx": d["turn_idx"].astype("int32"),
+            "lang": rules.language_id(d["text"]).astype(object),
+        }
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # embedding LSH (top-k and near-dup pairs)
 # ---------------------------------------------------------------------------
@@ -2206,6 +2226,10 @@ _RELATIONS = {
     "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
     # same fixture under rules.strict_config() — the label_drift B run
     "transcript_labels_strict": lambda sf: transcript_labels_pdf(strict=True),
+    # per-turn language ids (shared language_id kernel, like the
+    # pipeline's lang column) — the conv_language oracle re-derives the
+    # mode/switch rollup in GENUINE SQL on top of this
+    "turn_langs": lambda sf: turn_langs_pdf(),
     "conv_neardup": lambda sf: conv_neardup_pdf(),
     "bpe_tokens": lambda sf: bpe_tokens_pdf(sf),
     "tokenize_pack": lambda sf: tokenize_pack_pdf(sf),

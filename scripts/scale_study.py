@@ -125,6 +125,44 @@ def _one_size(spark, n_docs: int) -> dict:
                             "docs": n_lex}
     assert n_lex == n_docs
 
+    # session-6: FK readability (map-only — must be pure scan cost) and
+    # the cross-source overlap matrix (corpus-wide distinct + digest
+    # self-join; a planted mirror source carries every 10th doc so
+    # n_shared has known mass at both sizes)
+    from feast_spark.operators.lexical import readability_scores
+
+    t0 = time.time()
+    n_read = readability_scores(docs).count()
+    out["readability"] = {"wall_sec": round(time.time() - t0, 2),
+                          "docs": n_read}
+    assert n_read == n_docs  # fixture text always has words
+
+    from feast_spark.operators.dedup import cross_source_overlap
+
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "source", F.lit("mirror")
+    )
+    t0 = time.time()
+    ov = cross_source_overlap(docs.unionByName(mirror)).collect()
+    out["source_overlap"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "pairs": len(ov),
+        "mirror_shared": sum(
+            r["n_shared"] for r in ov if r["source_b"] == "mirror"
+            or r["source_a"] == "mirror"
+        ),
+    }
+    # every mirror doc is a verbatim copy: its normalized text must be
+    # found in its home source (dup-group collapse makes >= distinct
+    # mirror texts, so compare against the distinct mirror side)
+    mirror_rows = [r for r in ov if "mirror" in (r["source_a"], r["source_b"])]
+    m_total = sum(r["n_shared"] for r in mirror_rows)
+    m_size = max(
+        (r["n_b"] if r["source_b"] == "mirror" else r["n_a"])
+        for r in mirror_rows
+    )
+    assert m_total >= m_size, (m_total, m_size)
+
     # byte-grain CDC near-dup: planted 3%-mutated copies share chunk
     # runs; recall must hold at 10x, walls ~linear (the chunk table is
     # map-only; the only shuffles are chunk-keyed)
@@ -409,6 +447,30 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "turns_scored": int(ae["n_scored"]),
         "turns_per_sec": round(n_turns / wall, 1),
     }
+
+    # session-6: decode-loop detector (map-only higher-order slice
+    # comparisons — must be pure scan cost; loop accounting stays
+    # inside each turn at both sizes)
+    from feast_spark.operators.conversation import _deduped
+    from feast_spark.operators.textqa import suffix_loop_stats
+
+    t0 = time.time()
+    sl = suffix_loop_stats(
+        _deduped(corpus), id_cols=("conv_id", "turn_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("loop_words") > F.col("n_words")).cast("long")
+              ).alias("overflow"),
+        F.max("loop_units").alias("max_units"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    assert sl["overflow"] == 0, sl
+    assert 0 <= int(sl["max_units"]) <= (1 << 20), sl
+    out["suffix_loops"] = {
+        "wall_sec": wall,
+        "turns": int(sl["n_rows"]),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
     corpus.unpersist()
     return out
 
@@ -437,13 +499,14 @@ def main() -> None:
                 for k in ("span_dedup_xx", "substring_dedup_xx",
                           "tokenize_pack", "paragraph_dedup_xx", "bm25_topk",
                           "clean_lines", "lexical_stats", "minhash_cc",
-                          "curation", "shard_export")
+                          "curation", "shard_export", "readability",
+                          "source_overlap")
             },
             **{
                 k: round(
                     cbig[k]["wall_sec"] / max(csmall[k]["wall_sec"], 1e-9)
                     / (cbig["n_turns"] / csmall["n_turns"]), 3)
-                for k in ("conv_curate", "conv_pack")
+                for k in ("conv_curate", "conv_pack", "suffix_loops")
             },
         },
     }

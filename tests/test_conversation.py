@@ -1142,3 +1142,54 @@ def test_assistant_echo_plan_single_conv_window_no_join(spark):
     # exchange: hashpartitioning(conv_id) for the window sort
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_conversation_language_modes_and_switches(spark):
+    import datetime as dt
+
+    from feast_spark.operators.conversation import conversation_language
+
+    TS = dt.datetime(2026, 1, 1)
+    en = "the and is with for this that have from they"
+    de = "der die und ist nicht das ein ich sie wir"
+    rows = [
+        # c1: en -> de -> en -> de = 3 switches, mode tie en/de -> 'de'
+        ("c1", 0, "user", en, None, TS),
+        ("c1", 1, "assistant", de, None, TS),
+        ("c1", 2, "user", en, None, TS),
+        ("c1", 3, "assistant", de, None, TS),
+        # c2: all en, 0 switches
+        ("c2", 0, "user", en, None, TS),
+        ("c2", 1, "assistant", en, None, TS),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in conversation_language(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_langs"], c1["n_switches"]) == (4, 2, 3)
+    assert c1["lang_mode"] == "de"  # tie -> lexicographically smallest
+    c2 = out["c2"]
+    assert (c2["lang_mode"], c2["n_switches"]) == ("en", 0)
+
+
+def test_conversation_language_dedups_latest(spark):
+    import datetime as dt
+
+    from feast_spark.operators.conversation import conversation_language
+
+    en = "the and is with for this that have from they"
+    de = "der die und ist nicht das ein ich sie wir"
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", de, None, dt.datetime(2026, 1, 1)),
+            ("c1", 0, "user", en, None, dt.datetime(2026, 1, 2)),  # latest
+            ("c1", 1, "assistant", en, None, dt.datetime(2026, 1, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    [r] = conversation_language(df).collect()
+    assert (r["lang_mode"], r["n_switches"], r["n_turns"]) == ("en", 0, 2)
