@@ -3039,7 +3039,8 @@ def _all_oracle_sql() -> dict[str, str]:
                   - CAST(length(t) - length(replace(t, '}}', '')) AS BIGINT)
                   AS brace_delta,
                 (length(st) = 0
-                 OR contains('.!?"''`)]}}*_', right(st, 1))) AS ends_clean,
+                 OR contains('.!?"''`)]}}*_。！？；）」』】》”’…',
+                             right(st, 1))) AS ends_clean,
                 (right(st, 3) = '...' OR right(st, 1) = '…')
                   AS trailing_ellipsis
               FROM b

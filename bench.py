@@ -613,6 +613,56 @@ def _bench_docs_large(spark) -> dict:
         "span_equivalence_ok": True,
     }
 
+    # fuzzy incremental arm (session 6): two batches with the MinHash
+    # signature state on — batch 2 carries planted near-clones (suffix-
+    # mutated copies of every 50th batch-1 doc under fresh ids) that
+    # ONLY the fuzzy state can catch before span dedup; every planted
+    # clone must be absent from batch-2's kept set.
+    from dataclasses import replace as _dc_replace
+
+    inc_mh = "/tmp/feast_spark_bench/inc_state_mh"
+    shutil.rmtree(inc_mh, ignore_errors=True)
+    nd_cfg = _dc_replace(cur_cfg, use_neardup=True)
+    b1 = docs.filter(F.col("doc_id") < step)
+    clones = (
+        b1.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zq zq zq")))
+    )
+    n_planted = clones.count()
+    b2 = (
+        docs.filter(
+            (F.col("doc_id") >= step) & (F.col("doc_id") < 2 * step)
+        ).unionByName(clones.select(*docs.columns))
+    )
+    mh_walls = []
+    with _Window() as w1:
+        r1 = run_curation_incremental(
+            spark, b1, bench_items, inc_mh, "m0", nd_cfg
+        )
+        c1 = r1.stage_counts
+    r1.release()
+    mh_walls.append(round(w1.wall, 3))
+    with _Window() as w2:
+        r2 = run_curation_incremental(
+            spark, b2, bench_items, inc_mh, "m1", nd_cfg
+        )
+        c2 = r2.stage_counts
+        kept_planted = r2.kept.filter(
+            F.col("doc_id") >= 10_000_000
+        ).count()
+    r2.release()
+    mh_walls.append(round(w2.wall, 3))
+    assert kept_planted == 0, kept_planted
+    assert c2["after_neardup"] <= c2["input"] - n_planted, (c2, n_planted)
+    out["incremental_curation"]["fuzzy"] = {
+        "batch_walls_sec": mh_walls,
+        "n_planted_cross_clones": n_planted,
+        "planted_kept": 0,
+        "after_neardup": [c1["after_neardup"], c2["after_neardup"]],
+        "external_cores": [w1.external_cores, w2.external_cores],
+    }
+
     # SemDeDup at 50k vectors with planted ground truth (1 near-copy of
     # member 0 per 10-vec group, cosine ~0.999): drops must recover the
     # planted set.

@@ -1585,9 +1585,12 @@ def minhash_dedup_incremental(
     Drop rule: a new doc drops if (a) it matches ANY prior-kept doc, or
     (b) it belongs to an in-batch near-dup component
     (:func:`connected_components` over the estimate-verified pairs) and
-    is not the component's min-id representative, or (c) its component
-    representative was itself dropped via (a) — the component is one
-    content cluster and the corpus already holds a copy of it.
+    is not the component's min-id representative, or (c) ANY member of
+    its component was dropped via (a) — the component is one content
+    cluster, and if the committed corpus already holds a near-copy of
+    any member, admitting the representative would re-add content the
+    corpus has (the prior match landing on a non-rep member must still
+    kill the whole cluster).
 
     Scale shape: signatures are one map-only Arrow pass over the NEW
     batch only; prior state is read as (id, sig) and its band keys are
@@ -1604,6 +1607,7 @@ def minhash_dedup_incremental(
     corpus-curation extension (public: MinHash per Broder '97, the
     incremental-crawl dedup practice in CCNet/RefinedWeb).
     """
+    assert num_hashes % bands == 0  # the batch operator's fail-fast
     min_matches = int(-(-num_hashes * jaccard_threshold // 1))  # ceil
     sigs_new = _scoped_persist(
         _shingle_sig_table(
@@ -1659,13 +1663,13 @@ def minhash_dedup_incremental(
     comp = connected_components(pairs)
     batch_drop = comp.filter(F.col("id") != F.col("component")).select("id")
     if cross_drop is not None:
-        # (c): components whose representative is cross-dropped
-        rep_dropped = (
-            comp.join(
-                cross_drop.withColumnRenamed("id", "component"), "component"
-            ).select("id")
+        # (c): components with ANY cross-dropped member kill ALL their
+        # members — including the min-id representative rule (b) keeps
+        hit_comps = (
+            comp.join(cross_drop, "id").select("component").distinct()
         )
-        batch_drop = batch_drop.union(cross_drop).union(rep_dropped)
+        comp_dropped = comp.join(hit_comps, "component").select("id")
+        batch_drop = batch_drop.union(cross_drop).union(comp_dropped)
     drop_ids = batch_drop.distinct().withColumnRenamed("id", id_col)
 
     kept = new_docs.join(drop_ids, id_col, "left_anti")

@@ -36,16 +36,19 @@ from pyspark.sql import functions as F
 
 __all__ = ["generation_artifacts", "suffix_loop_stats"]
 
-# ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
-# Python re (conversation.py's note: Java \s is ASCII-only but RE2's
-# \s EXCLUDES \x0b, so the explicit class is the only common spelling)
-_ASCII_WS = "[ \t\n\x0b\f\r]+"
+# the ONE cross-engine whitespace class (see conversation.py for the
+# Java-vs-RE2 rationale) — imported, not re-declared, so the contract
+# lives in one place
+from feast_spark.operators.conversation import _ASCII_WS
 
 # characters a COMPLETE prose/code turn plausibly ends on: sentence
-# enders, closing quotes/brackets/fence backtick, markdown emphasis. A
-# long turn ending on anything else (letter, digit, comma, colon,
-# operator...) is the mid-sentence-cut signature.
-_CLEAN_ENDINGS = ".!?\"'`)]}*_"
+# enders, closing quotes/brackets/fence backtick, markdown emphasis,
+# plus their CJK/typographic forms (。！？ etc. — the pipeline is
+# multilingual and zh turns end on fullwidth punctuation; an ASCII-only
+# set would flag every long zh turn truncated). A long turn ending on
+# anything else (letter, digit, comma, colon, operator...) is the
+# mid-sentence-cut signature.
+_CLEAN_ENDINGS = ".!?\"'`)]}*_。！？；）」』】》”’…"
 
 
 def _count_occurrences(col, needle: str):
@@ -160,10 +163,11 @@ def suffix_loop_stats(
 
     Scale shape: MAP-ONLY — the per-p repeat counts are JVM
     higher-order-function expressions over the word array (slice
-    comparisons against the final block; the first mismatching repeat
-    index bounds the count), evaluated per row with no exchange, no
-    Python, no join. Cost per row is O(sum_p n/p) = O(n * H(max_period))
-    slice comparisons worst case — linear in turn length for fixed
+    comparisons against the final block), evaluated per row with no
+    exchange, no Python, no join. Cost note: Catalyst's ``filter`` HOF
+    has no early exit, so every candidate repeat index is compared —
+    O(n) word comparisons per period, O(n * max_period) total per row
+    (8n at the default), still linear in turn length for fixed
     ``max_period``. At 10^12 turns this is scan-bound exactly like the
     heuristic rule pass.
     """

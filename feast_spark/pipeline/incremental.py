@@ -83,6 +83,15 @@ def _minhash_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "minhash")
 
 
+# signature parameters baked into committed MinHash state. Recorded as a
+# sidecar at first commit and ASSERTED on every later batch: signatures
+# under different (num_hashes, bands, shingle_k, seed) are silently
+# incomparable (zip_with over different-length arrays yields NULL
+# estimates -> every cross-batch match vanishes without an error), so a
+# parameter drift must fail fast instead.
+_MH_PARAMS = {"num_hashes": 32, "bands": 8, "shingle_k": 5, "seed": 42}
+
+
 def _load_prior_minhash(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """MinHash signature state (id, sig) of every COMMITTED batch — the
     same commit-order contract as :func:`_load_prior_paras`: signature
@@ -223,12 +232,29 @@ def run_curation_incremental(
             release_dedup_caches,
         )
 
+        mh_params_path = os.path.join(state_dir, "minhash_params.json")
+        if os.path.exists(mh_params_path):
+            with open(mh_params_path) as f:
+                on_disk = json.load(f)
+            if on_disk != _MH_PARAMS:
+                raise ValueError(
+                    "committed MinHash state was built with different "
+                    f"signature parameters ({on_disk} != {_MH_PARAMS}); "
+                    "rebuild the state or restore the parameters"
+                )
+        else:
+            deferred_artifacts.append(
+                lambda p=mh_params_path: json.dump(
+                    _MH_PARAMS, open(p, "w")
+                )
+            )
         prior_mh = _load_prior_minhash(spark, state_dir)
         kept_nd, new_mh = minhash_dedup_incremental(
             docs_in,
             prior_mh,
             jaccard_threshold=cfg.neardup_threshold,
             max_bucket_size=cfg.neardup_max_bucket,
+            **_MH_PARAMS,
         )
         new_mh = new_mh.localCheckpoint()
         nd_kept_ids = kept_nd.select("doc_id").localCheckpoint()

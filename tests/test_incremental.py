@@ -619,3 +619,65 @@ def test_incremental_pipeline_neardup_stage(spark, tmp_path):
     # resume returns the committed result without recompute
     r2b = run_curation_incremental(spark, b2p, bench, state, "b2", cfg)
     assert r2b.resumed and r2b.stage_counts == r2.stage_counts
+
+
+def test_minhash_incremental_nonrep_member_match_kills_component(spark):
+    # rule (c) with the prior match landing on a NON-rep member: the
+    # whole component must drop, including the min-id representative
+    # (half-overlap construction: wide est margins around threshold 0.3)
+    from feast_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        release_dedup_caches,
+    )
+
+    # 2/3-word-overlap chain P ~ B ~ A with A vs P disjoint-dominant
+    # (measured signature estimates 12 / 17 / 5 of 32 against the
+    # threshold-0.3 cut at 10); bands=16 makes the 2-row band collision
+    # probability near-certain at these similarities
+    v = _mh_vocab()
+    x1 = [v[i] for i in range(30)]
+    x2 = [v[30 + i] for i in range(30)]     # the only P <-> A overlap
+    r3 = [v[100 + i] for i in range(30)]
+    r4 = [v[130 + i] for i in range(30)]
+    p_text = " ".join(x1 + x2 + [v[60 + i] for i in range(30)])
+    b_text = " ".join(x1 + x2 + r3)         # ~2/3 vs P
+    a_text = " ".join(x2 + r3 + r4)         # ~2/3 vs B, ~1/3 vs P
+
+    _, sigs1 = minhash_dedup_incremental(
+        _docs(spark, [(1, p_text)]), None, jaccard_threshold=0.3, bands=16
+    )
+    sigs1 = sigs1.localCheckpoint()
+    release_dedup_caches()
+
+    kept, _ = minhash_dedup_incremental(
+        _docs(
+            spark,
+            [(400, a_text), (401, b_text), (402, " ".join(v[1000:1060]))],
+        ),
+        sigs1,
+        jaccard_threshold=0.3,
+        bands=16,
+    )
+    assert sorted(r_.doc_id for r_ in kept.collect()) == [402]
+    release_dedup_caches()
+
+
+def test_minhash_incremental_param_drift_fails_fast(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from feast_spark.pipeline.curation import CurationConfig
+    from feast_spark.pipeline.incremental import run_curation_incremental
+
+    b1, b2, bench = _corpus_batches(spark)
+    state = str(tmp_path / "state")
+    cfg = CurationConfig(use_neardup=True)
+    run_curation_incremental(spark, b1, bench, state, "b1", cfg).release()
+    sidecar = os.path.join(state, "minhash_params.json")
+    assert os.path.exists(sidecar)
+    params = _json.load(open(sidecar))
+    params["num_hashes"] = 64
+    _json.dump(params, open(sidecar, "w"))
+    with _pytest.raises(ValueError, match="signature parameters"):
+        run_curation_incremental(spark, b2, bench, state, "b2", cfg)

@@ -265,3 +265,21 @@ def test_readability_plan_map_only(spark):
     plan = readability_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_generation_artifacts_cjk_clean_endings(spark):
+    from feast_spark.operators.textqa import generation_artifacts
+
+    zh = "这是一个足够长的中文回答" * 8  # > 80 chars, complete
+    rows = [
+        ("c1", 0, "assistant", zh + "。"),
+        ("c1", 1, "assistant", zh + "！"),
+        ("c1", 2, "assistant", zh),  # long, ends mid-character-run
+    ]
+    out = {
+        r["turn_idx"]: r
+        for r in generation_artifacts(_turns(spark, rows), min_chars=80).collect()
+    }
+    assert out[0]["ends_clean"] and not out[0]["truncated"]
+    assert out[1]["ends_clean"] and not out[1]["truncated"]
+    assert not out[2]["ends_clean"] and out[2]["truncated"]
