@@ -77,8 +77,13 @@ def _cap_buckets(
     if not max_bucket_size:
         return buckets
     sizes = buckets.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    # sizes has one row per DISTINCT bucket — corpus-scaled, and Catalyst's
+    # static estimate for the python-sourced subtree can come out tiny
+    # enough to auto-broadcast it (the minhash_lsh_pairs failure mode).
+    # SHUFFLE_HASH keeps it partitioned on the same key the count already
+    # shuffled on, so AQE coalesces the exchanges.
     return (
-        buckets.join(sizes, bucket_cols)
+        buckets.join(sizes.hint("shuffle_hash"), bucket_cols)
         .filter(F.col("__bsz") <= max_bucket_size)
         .drop("__bsz")
     )
@@ -454,11 +459,29 @@ def minhash_lsh_pairs(
     # (measured 59k -> a few hundred at sf0.1) at the small recall cost
     # quantified in the docstring. The driver oracle replicates the gate
     # bit-for-bit, so the operator's contract stays deterministic.
+    # every join below pairs two CORPUS-SCALED relations (candidate
+    # pairs, signatures, candidate shingles). Catalyst's static size
+    # estimate for these cached python-sourced subtrees can come out
+    # tiny, and an auto-broadcast of a pair table that is actually GBs
+    # collects it to the driver — measured failure at 1.45M turns
+    # (maxResultSize blown by a 1 GB BroadcastExchange build). The
+    # SHUFFLE_HASH hint pins the scale-correct strategy: both sides
+    # partition on the id, the hinted side builds per-partition maps
+    # (build memory = relation/partitions, never driver-resident); at
+    # bench sizes the extra exchange is a few MB.
     if gate_factor is not None:
         min_matches = -(-num_hashes * jaccard_threshold * gate_factor // 1)  # ceil
         gated = (
-            cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-            .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+            cand.join(
+                sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+                .hint("shuffle_hash"),
+                "id_a",
+            )
+            .join(
+                sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+                .hint("shuffle_hash"),
+                "id_b",
+            )
             .filter(
                 F.expr(
                     "aggregate(zip_with(sig_a, sig_b, (x, y) -> int(x = y)), 0,"
@@ -478,14 +501,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
     small = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).join(
-        cand_ids, "id"
+        cand_ids.hint("shuffle_hash"), "id"
     )
     # joined twice below (id_a side and id_b side) — without the persist
     # the candidate-shingle python pass runs once per join
     shing = _scoped_persist(_shingle_only_table(small, "id", "__t", shingle_k))
     verified = (
-        gated.join(shing.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(shing.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        gated.join(
+            shing.withColumnRenamed("id", "id_a")
+            .withColumnRenamed("shingles", "sh_a")
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            shing.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("shingles", "sh_b")
+            .hint("shuffle_hash"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"),
@@ -594,8 +627,13 @@ def connected_components(
         sig = new_sig
     # star edges point node -> component min; add the roots themselves
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # both sides are dup-graph-scaled (every node of every duplicate
+    # family) — corpus-scaled on dup-heavy corpora, and the static size
+    # estimate of the checkpointed subtree is unreliable, so pin the
+    # partitioned anti join rather than risk a driver-resident broadcast
+    # of the whole node set.
     roots = comp.select(F.col("component").alias("id")).distinct().join(
-        comp.select("id"), "id", "left_anti"
+        comp.select("id").hint("shuffle_hash"), "id", "left_anti"
     )
     return comp.union(
         roots.select("id", F.col("id").alias("component"))
@@ -1226,10 +1264,22 @@ def neardup_verify(
         proj = F.substring(proj, 1, max_chars)
     t = docs.select(F.col(id_col).alias("_vid"), proj.alias("_vt"))
     thr_units = int(math.floor(threshold * units))
+    # SHUFFLE_HASH: the text side is corpus-scaled — an auto-broadcast
+    # (possible under Catalyst's static size guesses for python-derived
+    # subtrees; see minhash_lsh_pairs) would pull capped text for the
+    # WHOLE corpus to the driver. Hinted, both joins partition on the id.
     j = (
         pairs.select("id_a", "id_b")
-        .join(t.select(F.col("_vid").alias("id_a"), F.col("_vt").alias("_ta")), "id_a")
-        .join(t.select(F.col("_vid").alias("id_b"), F.col("_vt").alias("_tb")), "id_b")
+        .join(
+            t.select(F.col("_vid").alias("id_a"), F.col("_vt").alias("_ta"))
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            t.select(F.col("_vid").alias("id_b"), F.col("_vt").alias("_tb"))
+            .hint("shuffle_hash"),
+            "id_b",
+        )
         .withColumn(
             "_ml", F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
         )
@@ -1629,9 +1679,13 @@ def minhash_dedup_incremental(
             ["band", "bh"],
             max_bucket_size,
         )
+        # SHUFFLE_HASH hints for the same reason as minhash_lsh_pairs:
+        # prior state is corpus-scaled — an auto-broadcast of it would
+        # collect the committed corpus's signatures to the driver
         cross_cand = (
             buckets_new.join(
-                buckets_prior.withColumnRenamed("id", "prior_id"),
+                buckets_prior.withColumnRenamed("id", "prior_id")
+                .hint("shuffle_hash"),
                 ["band", "bh"],
             )
             .select("id", "prior_id")
@@ -1639,12 +1693,14 @@ def minhash_dedup_incremental(
         )
         cross_drop = (
             cross_cand.join(
-                sigs_new.select("id", F.col("sig").alias("sig_a")), "id"
+                sigs_new.select("id", F.col("sig").alias("sig_a"))
+                .hint("shuffle_hash"),
+                "id",
             )
             .join(
                 prior_sigs.select(
                     F.col("id").alias("prior_id"), F.col("sig").alias("sig_b")
-                ),
+                ).hint("shuffle_hash"),
                 "prior_id",
             )
             .filter(est_matches >= F.lit(min_matches))
@@ -1655,8 +1711,16 @@ def minhash_dedup_incremental(
     # (b)/(c) in-batch components over estimate-verified pairs
     pairs = (
         _bucket_pairs(buckets_new, ["band", "bh"], max_bucket_size)
-        .join(sigs_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .join(
+            sigs_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            sigs_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+            .hint("shuffle_hash"),
+            "id_b",
+        )
         .filter(est_matches >= F.lit(min_matches))
         .select("id_a", "id_b")
     )
@@ -1672,8 +1736,17 @@ def minhash_dedup_incremental(
         batch_drop = batch_drop.union(cross_drop).union(comp_dropped)
     drop_ids = batch_drop.distinct().withColumnRenamed("id", id_col)
 
-    kept = new_docs.join(drop_ids, id_col, "left_anti")
+    # drop_ids is dup-mass-scaled (a near-all-dup batch drops ~the whole
+    # batch) — the same wrong-tiny-estimate broadcast risk, so the anti
+    # join is pinned partitioned too.
+    kept = new_docs.join(drop_ids.hint("shuffle_hash"), id_col, "left_anti")
+    # kept is batch-scaled (and, embedded in a later batch's plan via
+    # prior_sigs, effectively corpus-scaled) — an auto-broadcast of it
+    # here pulls every kept id to the driver. SHUFFLE_HASH pins the
+    # partitioned semi join.
     new_sigs = sigs_new.filter(F.col("sig").isNotNull()).join(
-        kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        kept.select(F.col(id_col).alias("id")).hint("shuffle_hash"),
+        "id",
+        "left_semi",
     )
     return kept, new_sigs

@@ -70,6 +70,59 @@ def test_minhash_bucket_join_is_equijoin(spark):
     release_dedup_caches()
 
 
+def test_minhash_verify_joins_never_broadcast_corpus_sides(spark):
+    """The gate/verify joins of minhash_lsh_pairs pair corpus-scaled
+    relations (candidate pairs x signatures x candidate shingles).
+    Catalyst's static size estimate for the cached python-sourced
+    subtrees can come out tiny, and an auto-BroadcastExchange of a pair
+    table that is actually GBs collects it to the driver — measured
+    failure at 1.45M turns (driver.maxResultSize blown by a ~1 GB
+    broadcast build). The SHUFFLE_HASH hints must keep every one of
+    these joins off the broadcast path."""
+    from feast_spark.operators.dedup import minhash_lsh_pairs, release_dedup_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    release_dedup_caches()
+
+
+def test_neardup_verify_joins_never_broadcast_text_side(spark):
+    """neardup_verify joins capped TEXT onto the pair relation twice —
+    an auto-broadcast of the text side would pull the whole corpus's
+    capped text to the driver. Hinted SHUFFLE_HASH on both id joins."""
+    from feast_spark.operators.dedup import neardup_verify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = docs.selectExpr("doc_id as id_a", "doc_id + 1 as id_b").limit(50)
+    plan = plan_of(neardup_verify(pairs, docs, "doc_id", "text", max_chars=500))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_minhash_incremental_never_broadcasts_prior_state(spark):
+    """minhash_dedup_incremental joins the new batch against PRIOR
+    committed signature state (corpus-scaled, grows every batch) — an
+    auto-broadcast of it would collect the whole committed corpus's
+    signatures to the driver. All four sig joins are SHUFFLE_HASH."""
+    from feast_spark.fixtures import documents_spark
+    from feast_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = documents_spark(spark, 40, seed=11).select("doc_id", "text")
+    prior = documents_spark(spark, 40, seed=12).selectExpr(
+        "doc_id + 1000 as doc_id", "text"
+    )
+    _, prior_sigs = minhash_dedup_incremental(prior, None)
+    kept, _ = minhash_dedup_incremental(docs, prior_sigs)
+    plan = plan_of(kept)
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     from feast_spark.operators.similarity import cosine_topk
 
