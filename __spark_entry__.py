@@ -564,6 +564,27 @@ def q_doc_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return _minhash_pairs_shared(spark, sf)
 
 
+def q_minhash_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 7: similarity profile / retention curve of the
+    # banded candidate table — sizes the verify stage and the expected
+    # dup mass for EVERY threshold in one job, before committing to a
+    # full dedup pass. The oracle replays only the per-pair candidate
+    # estimates (numpy twin of the signature math); the histogram +
+    # cumulative window is GENUINE SQL.
+    from feast_spark.operators.dedup import (
+        minhash_est_histogram,
+        release_dedup_caches,
+    )
+
+    # result is <= num_hashes+1 rows: materialize eagerly, release the
+    # scope-persisted signature relation here (the q_bm25_topk lesson)
+    out = minhash_est_histogram(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    ).localCheckpoint()
+    release_dedup_caches()
+    return out
+
+
 def q_neardup_verify(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 5: edit-similarity confirmation of the shared
     # MinHash candidate pairs (Lee et al. 2022's verify step). The
@@ -2552,6 +2573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 7: MinHash threshold-retention profile
+        # (candidate-estimate histogram, genuine-SQL aggregation oracle)
+        "minhash_profile": q_minhash_profile,
         # round 5 session 6: truncated-generation QA, decode-loop
         # detector, cross-source overlap matrix, readability
         "truncation": q_truncation,
@@ -2617,7 +2641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship + round-3 selection family
         "transcript_pipeline": q_transcript_pipeline,
         "doc_curation": q_doc_curation,
-        "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
@@ -2636,6 +2659,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 7 (still pytest-oracled here; the span
+        # family stays driver-covered via substring_dedup)
+        "span_dedup": q_span_dedup,
         # rotated round 5 session 6 (still pytest-oracled here; driver
         # siblings: conv_contamination keeps decontamination in-window,
         # semantic_dedup keeps the embedding family, pit_last_click +
@@ -4151,6 +4177,26 @@ def _all_oracle_sql() -> dict[str, str]:
             )
         """,
         "doc_minhash_pairs": _rp("doc_minhash_pairs"),
+        # genuine-SQL aggregation: only the per-pair candidate estimates
+        # come from the numpy replay; DuckDB derives the histogram, the
+        # integer jaccard units, and the top-down cumulative retention
+        # column natively. num_hashes=32 = the operator default. SUM()
+        # OVER on BIGINT is HUGEINT in DuckDB — cast back.
+        "minhash_profile": f"""
+            WITH h AS (
+              SELECT est AS est_matches, COUNT(*) AS n_pairs
+              FROM read_parquet('{derived["minhash_cand_est"]}')
+              GROUP BY est
+            )
+            SELECT est_matches,
+                   (est_matches * 1048576) // 32 AS est_jaccard_units,
+                   n_pairs,
+                   CAST(SUM(n_pairs) OVER (
+                     ORDER BY est_matches DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS pairs_at_or_above
+            FROM h
+        """,
         "compressibility": _rp("compressibility"),
         # genuine-SQL verify stage: only the LSH candidate pairs come
         # from the replay; DuckDB re-derives the edit-similarity verdict

@@ -528,6 +528,88 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def minhash_est_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Similarity profile of the banded-candidate pair table — the
+    retention curve for EVERY threshold choice in one job.
+
+    One row per distinct signature-match count observed among banded
+    candidates, integer-exact:
+
+    - ``est_matches`` — matching signature components (0..num_hashes);
+      ``est_matches / num_hashes`` is the unbiased Jaccard estimate
+    - ``est_jaccard_units`` — ``est_matches * 2^20 div num_hashes``
+    - ``n_pairs`` — candidate pairs at exactly this estimate
+    - ``pairs_at_or_above`` — cumulative from the top: the number of
+      pairs a dedup run would VERIFY when its signature gate cuts at
+      this estimate (``minhash_lsh_pairs`` gates at
+      ``ceil(num_hashes * threshold * gate_factor)``, and
+      ``minhash_dedup_incremental`` drops at
+      ``ceil(num_hashes * threshold)``) — so one histogram sizes the
+      verify stage and the expected dup mass for every candidate
+      threshold before committing to a full dedup pass.
+
+    Cost: the signature/bucket/pair kernels of :func:`minhash_lsh_pairs`
+    (all SHUFFLE_HASH-pinned, bucket-capped) plus one hash aggregation;
+    the cumulative window runs over at most ``num_hashes + 1`` rows, so
+    its single-partition sort is model-sized, never corpus-sized.
+    Callers own cache release via :func:`release_dedup_caches` once the
+    (tiny) result is materialized."""
+    assert num_hashes % bands == 0
+    sigs = _scoped_persist(
+        _shingle_sig_table(
+            df, id_col, text_col, shingle_k, num_hashes, seed,
+            include_shingles=False,
+        )
+    )
+    buckets = _band_bucket_rows(sigs, num_hashes, bands)
+    cand = _bucket_pairs(buckets, ["band", "bh"], max_bucket_size)
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> int(x = y)), 0,"
+        " (acc, v) -> acc + v)"
+    )
+    # sigs joined twice — corpus-scaled both times, hence the hints
+    # (see minhash_lsh_pairs)
+    pair_est = (
+        cand.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+            .hint("shuffle_hash"),
+            "id_b",
+        )
+        .select(est.cast("bigint").alias("est_matches"))
+    )
+    hist = pair_est.groupBy("est_matches").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    cum = Window.orderBy(F.col("est_matches").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.select(
+            "est_matches",
+            F.expr(f"(est_matches * 1048576) div {num_hashes}").alias(
+                "est_jaccard_units"
+            ),
+            "n_pairs",
+            F.sum("n_pairs").over(cum).alias("pairs_at_or_above"),
+        )
+        .orderBy("est_matches")
+    )
+
+
 # round count of the most recent connected_components() call — read by
 # tests asserting the O(log n) convergence bound (Kiveris et al. Thm 2)
 last_cc_rounds: int = 0

@@ -68,6 +68,53 @@ def _doc_shingles(sf_dir: str, k: int) -> tuple[np.ndarray, list[np.ndarray]]:
     return docs["doc_id"].to_numpy(), _shingle_hash_batch(docs["text"], k)
 
 
+def minhash_cand_est_pdf(
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Naive replay of the BANDED CANDIDATE pair table with the
+    per-pair signature-match count — the per-pair half of
+    ``minhash_est_histogram`` (the histogram itself is re-derived in
+    GENUINE SQL by the driver oracle). Same bucketing/signature math as
+    :func:`_minhash_pairs_core`, no gate, no verify."""
+    from feast_spark.operators.dedup import _perm_params
+
+    ids, shingles = _doc_shingles(sf_dir, shingle_k)
+    a, b = _perm_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    sigs: dict[int, np.ndarray] = {}
+    for i in range(len(ids)):
+        arr = shingles[i]
+        if len(arr) == 0:
+            continue
+        xm = np.mod(arr, _MERSENNE)
+        sig = np.mod(a[:, None] * xm[None, :] + b[:, None], _MERSENNE).min(axis=1)
+        sigs[i] = sig
+        for bi in range(bands):
+            key = (bi, *sig[bi * rows_per_band : (bi + 1) * rows_per_band].tolist())
+            buckets[key].append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                ia, ib = (i, j) if ids[i] < ids[j] else (j, i)
+                cand.add((ia, ib))
+    # candidate ids are positional indexes; map back through ids — but the
+    # (ia, ib) ordering above already compared doc ids, so emit doc ids
+    rows = [
+        (int(ids[i]), int(ids[j]), int((sigs[i] == sigs[j]).sum()))
+        for i, j in sorted(cand)
+    ]
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "est"]).astype(
+        {"id_a": "int64", "id_b": "int64", "est": "int64"}
+    )
+
+
 def minhash_pairs_pdf(
     sf_dir: str,
     num_hashes: int = 32,
@@ -2218,6 +2265,7 @@ _RELATIONS = {
     "export_shards": lambda sf: export_manifest_pdf(sf),
     "quality_classifier": lambda sf: classifier_pdf(sf),
     "doc_minhash_pairs": lambda sf: minhash_pairs_pdf(sf),
+    "minhash_cand_est": lambda sf: minhash_cand_est_pdf(sf),
     "doc_simhash_pairs": lambda sf: simhash_pairs_pdf(sf, hamming_threshold=4),
     "dup_clusters": lambda sf: dup_clusters_pdf(sf),
     "doc_winnow_pairs": lambda sf: winnow_pairs_pdf(sf),

@@ -123,6 +123,25 @@ def test_minhash_incremental_never_broadcasts_prior_state(spark):
     assert "ShuffledHashJoin" in plan
 
 
+def test_minhash_profile_sig_joins_never_broadcast(spark):
+    """minhash_est_histogram joins the corpus-scaled signature relation
+    onto the candidate pairs twice — same SHUFFLE_HASH discipline as
+    minhash_lsh_pairs. The cumulative window is bounded (num_hashes+1
+    rows) so its single-partition sort is fine; the JOINS must not
+    broadcast."""
+    from feast_spark.operators.dedup import (
+        minhash_est_histogram,
+        release_dedup_caches,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_est_histogram(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    release_dedup_caches()
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     from feast_spark.operators.similarity import cosine_topk
 
