@@ -1889,6 +1889,34 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 7: quality-ordered token-budget carving — keep the
+    # most lexically diverse docs (integer TTR units) until 30k tokens
+    # are spent, crossing doc included. GENUINE SQL oracle: DuckDB
+    # re-derives the score, the integer quantization, the md5-48 tie
+    # order and the exclusive running-sum cut natively (the bucket
+    # decomposition is provably the global (bucket DESC, h, id) order).
+    from feast_spark.operators.selection import select_token_budget
+
+    # regex built as a PYTHON string (the explicit ASCII-ws class) — a
+    # SQL literal would mangle \x0b (Spark SQL has no \x escapes)
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "[ \t\n\x0b\f\r]+"),
+        lambda x: x != "",
+    )
+    scored = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.size(F.array_distinct(words)).cast("long").alias("__nd"),
+            F.size(words).cast("long").alias("__n"),
+        )
+        .withColumn("ttr_units", F.expr("(__nd * 1048576) div (__n + 1)"))
+    )
+    return select_token_budget(scored, 30_000, "ttr_units")
+
+
 def q_conv_pack_isolated(spark: SparkSession, sf: str) -> DataFrame:
     # round 5: document-isolated packing (no cross-conversation
     # attention): each conversation chunks independently into seq_len
@@ -2575,7 +2603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round 5 session 7: MinHash threshold-retention profile
         # (candidate-estimate histogram, genuine-SQL aggregation oracle)
+        # + quality-ordered token-budget carving (full genuine-SQL
+        # oracle incl. the md5-48 tie order and running-sum cut)
         "minhash_profile": q_minhash_profile,
+        "token_budget": q_token_budget,
         # round 5 session 6: truncated-generation QA, decode-loop
         # detector, cross-source overlap matrix, readability
         "truncation": q_truncation,
@@ -2622,7 +2653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
         # isolated conversation packing, per-source c-TF-IDF terms
         "para_neardup": q_para_neardup,
-        "weighted_sample": q_weighted_sample,
         "conv_pack_isolated": q_conv_pack_isolated,
         "source_top_terms": q_source_top_terms,
         # round 4 session 6: conversation-level operators (transcripts)
@@ -2660,8 +2690,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver artifact is capped."""
     return {
         # rotated round 5 session 7 (still pytest-oracled here; the span
-        # family stays driver-covered via substring_dedup)
+        # family stays driver-covered via substring_dedup, sampling via
+        # unimax_sample + token_budget)
         "span_dedup": q_span_dedup,
+        "weighted_sample": q_weighted_sample,
         # rotated round 5 session 6 (still pytest-oracled here; driver
         # siblings: conv_contamination keeps decontamination in-window,
         # semantic_dedup keeps the embedding family, pit_last_click +
@@ -3736,6 +3768,46 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars, sample_key,
                    CAST(sample_rank AS INT) AS sample_rank
             FROM r WHERE sample_rank <= 20
+        """,
+        "token_budget": """
+            -- GENUINE SQL twin of select_token_budget over TTR-scored
+            -- documents: same ASCII-ws tokenizer class, integer TTR
+            -- units, integer score quantization (n_buckets=4096, step =
+            -- ceil((mx-mn+1)/4096) as (mx-mn+4096)//4096), md5-48 tie
+            -- order, exclusive running-sum cut at 30000 tokens with the
+            -- crossing doc kept. The operator's bucket decomposition is
+            -- provably this global (bkt DESC, h, doc_id) order.
+            WITH ws AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(coalesce(text, ''),
+                                          '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS w
+              FROM documents
+            ), sized AS (
+              SELECT doc_id,
+                     CAST((len(list_distinct(w)) * 1048576)
+                          // (len(w) + 1) AS BIGINT) AS score,
+                     CAST(len(w) AS BIGINT) AS n_tokens
+              FROM ws
+            ), mm AS (
+              SELECT min(score) AS mn, max(score) AS mx FROM sized
+            ), b AS (
+              SELECT s.doc_id, s.score, s.n_tokens,
+                     (s.score - mm.mn)
+                       // GREATEST(1, (mm.mx - mm.mn + 4096) // 4096)
+                       AS bkt,
+                     CAST('0x' || substr(md5('tb1' ||
+                       CAST(s.doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+              FROM sized s CROSS JOIN mm
+            ), o AS (
+              SELECT doc_id, score, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY bkt DESC, h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cb
+              FROM b
+            )
+            SELECT doc_id, score, n_tokens FROM o WHERE cb < 30000
         """,
         "source_vocab": """
             -- GENUINE SQL twin of source_vocab_stats: explicit Java-\\s

@@ -1437,6 +1437,147 @@ def unimax_allocation(
     return alloc
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "tb1",
+) -> DataFrame:
+    """Quality-ordered token-budget carving: keep the highest-``score``
+    documents (whole) until a total token ``budget`` is spent — the
+    mix-carving step that turns a scored corpus into a training set of a
+    target size.
+
+    Selection rule (integer-exact, engine-portable): scores quantize to
+    ``score_bucket = (score - min) div step`` with
+    ``step = ceil((max - min + 1) / n_buckets)`` (pure int math);
+    documents are ordered by ``(score_bucket DESC,
+    md5_48(seed || id), id)`` — scores within one quantization step
+    rank as equal and tie-break in portable hash order, unbiased among
+    equals — and a document is kept iff its EXCLUSIVE running token sum
+    is ``< budget`` (the budget-crossing document is included, so the
+    overshoot is bounded by one document, the :func:`unimax_sample`
+    convention). With the integer-units scorers used throughout this
+    package the score range is usually ≤ ``n_buckets``, step = 1, and
+    the quantization is exact. ``score_col`` must be integral;
+    ``weight_col`` supplies per-document token counts, default = the
+    portable non-empty-split word count.
+
+    Scale shape — the global order is NEVER materialized as a sort:
+    scores quantize into ``n_buckets`` integer-width buckets
+    (``(score - min) div step``, pure int math), one map-side-combined
+    hash agg produces the ≤ ``n_buckets``-row bucket-total table, and a
+    window over THAT bounded table classifies each bucket as fully kept
+    (tokens before + own total ≤ budget), dropped (tokens before ≥
+    budget), or THE single straddling bucket. Fully-kept buckets pass
+    through a broadcast semi join — no window, no sort, no per-doc
+    state. Only the straddling bucket's documents (≤ one bucket of the
+    score distribution) run the grouped two-phase md5-prefix sum
+    (1024-bucket broadcast offset table, per-map-task local sort —
+    the :func:`unimax_sample` kernel). The only driver round-trip is
+    the 1-row (min, max) score agg.
+
+    Returns kept rows ``(doc_id, score, n_tokens)``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        F.col(weight_col)
+        if weight_col
+        else F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\n\x0b\f\r]+"),
+                lambda x: x != "",
+            )
+        )
+    ).cast("long")
+    sized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("long").alias("score"),
+        w.alias("n_tokens"),
+    )
+    mm = sized.agg(F.min("score").alias("mn"), F.max("score").alias("mx")).first()
+    if mm["mn"] is None:
+        return sized.limit(0)
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    # integer bucket width — ceil((mx-mn+1)/n_buckets), never 0
+    step = max(1, -((mn - mx - 1) // n_buckets))
+    # integer div — a float `/` + cast would misround near 2^53
+    bucketed = sized.withColumn(
+        "__bkt", F.expr(f"(score - {mn}) div {step}")
+    )
+    # bounded bucket-total table (≤ n_buckets rows): tokens strictly
+    # ABOVE each bucket via a window over the bounded frame — its single
+    # partition is n_buckets-sized, never corpus-sized
+    above = (
+        Window.orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn("__before", F.coalesce(F.sum("__tot").over(above), F.lit(0)))
+    )
+    full = btot.filter(F.col("__before") + F.col("__tot") <= F.lit(budget)).select(
+        "__bkt"
+    )
+    straddle = btot.filter(
+        (F.col("__before") < F.lit(budget))
+        & (F.col("__before") + F.col("__tot") > F.lit(budget))
+    ).select("__bkt", (F.lit(budget) - F.col("__before")).alias("__rem"))
+
+    kept_full = bucketed.join(F.broadcast(full), "__bkt", "left_semi")
+
+    # straddling bucket only: grouped two-phase md5 prefix sum (the
+    # unimax kernel — top-10-bit hash buckets, broadcast offsets, local
+    # per-bucket sorts)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    sdocs = bucketed.join(F.broadcast(straddle), "__bkt").withColumn(
+        "__h", h
+    ).withColumn("__b", F.shiftright(F.col("__h"), 38))
+    boffs = (
+        sdocs.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__b", "__off")
+    )
+    inner = (
+        Window.partitionBy("__b")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_straddle = (
+        sdocs.join(F.broadcast(boffs), "__b")
+        .withColumn(
+            "__cum",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(inner), F.lit(0)),
+        )
+        .filter(F.col("__cum") < F.col("__rem"))
+    )
+    cols = ["doc_id", "score", "n_tokens"]
+    return kept_full.select(*cols).union(kept_straddle.select(*cols))
+
+
 def unimax_sample(
     df: DataFrame,
     budget: int,

@@ -1271,3 +1271,94 @@ def test_unimax_sample_plan_broadcasts_and_buckets(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "Sort [lang" not in plan or "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# select_token_budget
+# ---------------------------------------------------------------------------
+
+
+def _stb_replay(pdf, budget, n_buckets=4096, seed="tb1"):
+    """Pure-python replay of the documented global rule: order by
+    (score_bucket DESC, md5_48, id), keep while exclusive cum < budget."""
+    import hashlib
+
+    mn, mx = int(pdf["score"].min()), int(pdf["score"].max())
+    step = max(1, -((mn - mx - 1) // n_buckets))
+
+    def h(i):
+        return int(hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:12], 16)
+
+    rows = sorted(
+        pdf.itertuples(index=False),
+        key=lambda r: (-((int(r.score) - mn) // step), h(r.doc_id), r.doc_id),
+    )
+    kept, cum = [], 0
+    for r in rows:
+        if cum < budget:
+            kept.append(int(r.doc_id))
+        cum += int(r.n_tokens)
+    return sorted(kept)
+
+
+def test_select_token_budget_matches_global_rule_replay(spark):
+    from feast_spark.operators.selection import select_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 37).cast("long").alias("q")
+    )
+    out = select_token_budget(scored, 8000, "q").toPandas()
+    # exclusive-cum rule: total kept crosses the budget by at most the
+    # boundary document
+    assert out["n_tokens"].sum() >= 8000
+    assert out["n_tokens"].sum() - out["n_tokens"].max() < 8000
+    # replay needs every doc's (score, n_tokens): a budget beyond the
+    # corpus total returns the full scored/sized table
+    full = select_token_budget(scored, 10**12, "q").toPandas()
+    replay = _stb_replay(full, 8000)
+    assert sorted(out["doc_id"]) == replay
+    # layout independence
+    out2 = select_token_budget(scored.repartition(13), 8000, "q").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_select_token_budget_edges(spark):
+    from feast_spark.operators.selection import select_token_budget
+
+    d = _docs(
+        spark,
+        [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "j")],
+    ).withColumn("s", F.col("doc_id").cast("long"))
+    # budget >= corpus -> keep all
+    assert select_token_budget(d, 1000, "s").count() == 4
+    # tiny budget -> exactly the crossing doc (highest score bucket first)
+    one = select_token_budget(d, 1, "s").toPandas()
+    assert list(one["doc_id"]) == [4]
+    # empty input
+    assert select_token_budget(d.filter("doc_id < 0"), 5, "s").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        select_token_budget(d, 0, "s")
+
+
+def test_select_token_budget_plan_is_sortfree_outside_straddle(spark):
+    """Plan audit: the bucket flag tables join via broadcast; the
+    fully-kept branch never sorts or windows corpus rows; no cartesian;
+    the only corpus-keyed window partitions on the straddle hash
+    bucket."""
+    from feast_spark.operators.selection import select_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 37).cast("long").alias("q")
+    )
+    plan = (
+        select_token_budget(scored, 8000, "q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    # the corpus-grain window partitions on the straddle bucket key
+    assert "windowspecdefinition(__b" in plan
