@@ -125,6 +125,25 @@ def _one_size(spark, n_docs: int) -> dict:
                             "docs": n_lex}
     assert n_lex == n_docs
 
+    # session-7: token-budget carving — budget scales with the corpus so
+    # the straddle bucket does real work at both sizes; the exclusive-
+    # cum contract (crossing doc included, overshoot <= one doc) is
+    # asserted in-study
+    from feast_spark.operators.selection import select_token_budget
+
+    tb_budget = n_docs * 40
+    scored = docs.withColumn("q", (F.col("doc_id") % 97).cast("long"))
+    t0 = time.time()
+    tb = select_token_budget(scored, tb_budget, "q").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max("n_tokens").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    out["token_budget"] = {"wall_sec": round(time.time() - t0, 2),
+                           "docs_kept": int(tb["n"])}
+    assert tb["tot"] >= tb_budget, (tb["tot"], tb_budget)
+    assert tb["tot"] - tb["mx"] < tb_budget, (tb["tot"], tb["mx"], tb_budget)
+
     # session-6: FK readability (map-only — must be pure scan cost) and
     # the cross-source overlap matrix (corpus-wide distinct + digest
     # self-join; a planted mirror source carries every 10th doc so
@@ -183,6 +202,27 @@ def _one_size(spark, n_docs: int) -> dict:
     assert n_cdc_planted >= 0.95 * planted, (n_cdc_planted, planted)
     assert n_cdc <= 1.02 * n_cdc_planted, (n_cdc, n_cdc_planted)
     cdc.unpersist()
+    release_dedup_caches()
+
+    # session-7: threshold-retention profile (shares the signature/
+    # bucket/pair kernels; output bounded at num_hashes+1 rows) — the
+    # cumulative column must be internally consistent at both sizes
+    from feast_spark.operators.dedup import minhash_est_histogram
+
+    t0 = time.time()
+    hist = sorted(
+        minhash_est_histogram(docs, "doc_id", "text").collect(),
+        key=lambda r: r["est_matches"],
+    )
+    out["minhash_profile"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "rows": len(hist),
+        "candidates": int(hist[0]["pairs_at_or_above"]) if hist else 0,
+    }
+    assert len(hist) <= 33, len(hist)
+    cums = [r["pairs_at_or_above"] for r in hist]
+    assert all(a >= b for a, b in zip(cums, cums[1:])), cums
+    assert cums[0] == sum(r["n_pairs"] for r in hist), hist
     release_dedup_caches()
 
     t0 = time.time()
@@ -500,7 +540,8 @@ def main() -> None:
                           "tokenize_pack", "paragraph_dedup_xx", "bm25_topk",
                           "clean_lines", "lexical_stats", "minhash_cc",
                           "curation", "shard_export", "readability",
-                          "source_overlap")
+                          "source_overlap", "token_budget",
+                          "minhash_profile")
             },
             **{
                 k: round(
