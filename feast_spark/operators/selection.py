@@ -1482,6 +1482,15 @@ def select_token_budget(
     the 1-row (min, max) score agg.
 
     Returns kept rows ``(doc_id, score, n_tokens)``.
+
+    Cost note: the input subtree is evaluated once per consumer (the
+    (min, max) agg, the bucket totals, the fully-kept branch, and the
+    straddle branch) — four LINEAR scans, no extra shuffle. When the
+    score/weight derive from expensive text expressions, materialize the
+    scored frame first (or pass ``weight_col``) so the re-scans read
+    three narrow columns instead of re-tokenizing text; the operator
+    deliberately takes no persist of its own so no cache outlives the
+    call unaccounted (the bm25 cache-release lesson).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
