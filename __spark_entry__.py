@@ -2167,6 +2167,30 @@ def q_reply_latency(spark: SparkSession, sf: str) -> DataFrame:
     return reply_latency(_transcripts_fixture(spark))
 
 
+def q_conv_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 8: key/temporal integrity QA over the RAW delivery
+    # (pre-dedup). The fixture already plants duplicate (conv, turn) keys
+    # (dup_prob edits with +1s ts); on top of that every 7th conversation
+    # gets turn 2's ts shifted back an hour (a ts inversion) and every
+    # 9th%3 conversation loses turn 1 entirely (an index gap). Oracle:
+    # GENUINE DuckDB SQL — same plant, key-grain agg, lag window, conv
+    # rollup, epoch-millis span.
+    from feast_spark.operators.conversation import conversation_integrity
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.filter(
+        ~((F.pmod(idx, F.lit(9)) == 3) & (F.col("turn_idx") == 1))
+    ).withColumn(
+        "ts",
+        F.when(
+            (F.pmod(idx, F.lit(7)) == 0) & (F.col("turn_idx") == 2),
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(F.col("ts")),
+    )
+    return conversation_integrity(planted)
+
+
 def q_assistant_echo(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 5: context-echo fraction per assistant turn —
     # distinct word-trigram overlap with the immediately preceding turn.
@@ -2623,7 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressibility": q_compressibility,
         # round 5 session 4: reply latency, tool-transition graph,
         # per-turn n-gram novelty, response-length trend
-        "reply_latency": q_reply_latency,
+        "conv_integrity": q_conv_integrity,
         "turn_novelty": q_turn_novelty,
         # round 5 session 4b: fork detection, template mining, shape
         # histogram
@@ -2689,6 +2713,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 8 (still pytest-oracled here; conv-grain
+        # analytics stay driver-covered via conv_integrity, assistant_echo,
+        # conv_repetition, role_patterns)
+        "reply_latency": q_reply_latency,
         # rotated round 5 session 7 (still pytest-oracled here; the span
         # family stays driver-covered via substring_dedup, sampling via
         # unimax_sample + token_budget)
@@ -3274,6 +3302,47 @@ def _all_oracle_sql() -> dict[str, str]:
                 // len(gs) AS echo_units
             FROM lg
             WHERE role = 'assistant' AND pg IS NOT NULL AND len(gs) > 0
+        """,
+        "conv_integrity": f"""
+            -- GENUINE SQL twin of conversation_integrity on the planted
+            -- corpus: every 9th%3 conversation loses turn 1 (index gap),
+            -- every 7th gets turn 2's ts shifted back an hour (inversion);
+            -- key-grain agg -> lag window -> conv rollup, epoch-ms span
+            WITH planted AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 7 = 0
+                          AND turn_idx = 2
+                     THEN ts - INTERVAL 1 HOUR ELSE ts END AS ts
+              FROM read_parquet('{derived["transcripts_raw"]}')
+              WHERE NOT (CAST(substring(conv_id, 2, 9) AS INT) % 9 = 3
+                         AND turn_idx = 1)
+            ), key AS (
+              SELECT conv_id, turn_idx,
+                CAST(COUNT(*) AS BIGINT) AS copies, MAX(ts) AS kts
+              FROM planted GROUP BY conv_id, turn_idx
+            ), w AS (
+              SELECT *, LAG(kts) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+              FROM key
+            ), agg AS (
+              SELECT conv_id,
+                CAST(SUM(copies) AS BIGINT) AS n_rows_raw,
+                CAST(COUNT(*) AS BIGINT) AS n_turns,
+                CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_keys,
+                MIN(turn_idx) AS first_idx,
+                CAST(MAX(turn_idx) AS BIGINT) - CAST(MIN(turn_idx) AS BIGINT)
+                  + 1 - CAST(COUNT(*) AS BIGINT) AS n_idx_gaps,
+                CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND kts < prev_ts
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_ts_inversions,
+                epoch_ms(MAX(kts)) - epoch_ms(MIN(kts)) AS span_ms
+              FROM w GROUP BY conv_id
+            )
+            SELECT *,
+              (n_dup_keys = 0 AND first_idx = 0 AND n_idx_gaps = 0
+               AND n_ts_inversions = 0) AS integrity_ok
+            FROM agg
         """,
         "reply_latency": f"""
             -- GENUINE SQL twin of reply_latency: lead window over the

@@ -59,6 +59,7 @@ __all__ = [
     "role_patterns",
     "turn_neardup_pairs",
     "assistant_echo",
+    "conversation_integrity",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -1316,4 +1317,77 @@ def conversation_language(
                 F.col("__prev").isNotNull() & (F.col("__prev") != F.col("lang"))
             ).cast("long")
         ).alias("n_switches"),
+    )
+
+
+def conversation_integrity(turns: DataFrame) -> DataFrame:
+    """Per-conversation key/temporal integrity QA — the ingest-side
+    complement of :func:`conversation_structure` (which validates ROLE
+    protocol on already-deduped turns; this validates the KEYS and the
+    CLOCK of the raw delivery itself).
+
+    An at-least-once collector (the reference's push/stream ingest shape,
+    ``infra/materialization`` + push source) delivers duplicate
+    ``(conv_id, turn_idx)`` keys; a resumed agent run re-numbers or skips
+    turn indices; clock skew between emitting services makes ``ts`` run
+    backwards relative to turn order. Each of those breaks a downstream
+    assumption (latest-per-key dedup, contiguous packing windows,
+    sessionization gaps), so they are surfaced per conversation BEFORE the
+    quality pipeline rather than debugged after it.
+
+    One row per ``conv_id``:
+
+    - ``n_rows_raw`` — raw delivered rows (pre-dedup)
+    - ``n_turns`` — distinct ``(conv_id, turn_idx)`` keys
+    - ``n_dup_keys`` — keys delivered more than once
+    - ``first_idx`` — minimum ``turn_idx`` (0 expected)
+    - ``n_idx_gaps`` — missing indices inside ``[min_idx, max_idx]``
+    - ``n_ts_inversions`` — deduped turns whose latest ``ts`` is STRICTLY
+      before the previous turn's (turn_idx order); equality is legal
+      (batched writes share a stamp)
+    - ``span_ms`` — ``max(ts) - min(ts)`` in milliseconds (BIGINT; exact
+      on both engines via epoch-millis, no fractional-second doubles)
+    - ``integrity_ok`` — all of the above clean
+
+    Plan: key-grain hash-agg (map-side combine collapses duplicate keys
+    before the exchange) -> ``conv_id`` window (lag) -> ``conv_id``
+    hash-agg that reuses the window's partitioning — two exchanges total,
+    and the second carries one row per TURN KEY, never the raw duplicate
+    stream. Group sizes are conversation lengths (mega-conv skew bounded
+    by AQE), identical to every other conv-grain operator here; at 10^12
+    turns nothing is driver-side and no state outlives the two shuffles.
+    """
+    key = turns.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("__copies"),
+        F.max("ts").alias("__ts"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    k = key.withColumn("__prev_ts", F.lag("__ts").over(w))
+    out = k.groupBy("conv_id").agg(
+        F.sum("__copies").cast("long").alias("n_rows_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("__copies") > 1).cast("long")).alias("n_dup_keys"),
+        F.min("turn_idx").alias("first_idx"),
+        (
+            F.max("turn_idx").cast("long")
+            - F.min("turn_idx").cast("long")
+            + F.lit(1)
+            - F.count(F.lit(1))
+        ).alias("n_idx_gaps"),
+        F.sum(
+            (
+                F.col("__prev_ts").isNotNull()
+                & (F.col("__ts") < F.col("__prev_ts"))
+            ).cast("long")
+        ).alias("n_ts_inversions"),
+        (F.unix_millis(F.max("__ts")) - F.unix_millis(F.min("__ts"))).alias(
+            "span_ms"
+        ),
+    )
+    return out.withColumn(
+        "integrity_ok",
+        (F.col("n_dup_keys") == 0)
+        & (F.col("first_idx") == 0)
+        & (F.col("n_idx_gaps") == 0)
+        & (F.col("n_ts_inversions") == 0),
     )

@@ -1193,3 +1193,58 @@ def test_conversation_language_dedups_latest(spark):
     )
     [r] = conversation_language(df).collect()
     assert (r["lang_mode"], r["n_switches"], r["n_turns"]) == ("en", 0, 2)
+
+
+def test_conversation_integrity_hand_computed(spark):
+    # round 5 session 8: dup keys, index gaps, ts inversions, span
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def t(c, i, sec):
+        return (c, i, "user", "x", None, ts0.replace(minute=sec // 60, second=sec % 60))
+
+    rows = [
+        # c1: clean 0..2, monotonic
+        t("c1", 0, 0), t("c1", 1, 5), t("c1", 2, 10),
+        # c2: dup key at 0 (two deliveries), gap (0,2), inversion at 2
+        t("c2", 0, 0), t("c2", 0, 30), t("c2", 2, 7),
+        # c3: first_idx != 0, equal ts (NOT an inversion — strict <)
+        t("c3", 1, 4), t("c3", 2, 4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    from feast_spark.operators.conversation import conversation_integrity
+
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_integrity(df).collect()
+    }
+    c1 = got["c1"]
+    assert (c1["n_rows_raw"], c1["n_dup_keys"], c1["n_idx_gaps"]) == (3, 0, 0)
+    assert c1["n_ts_inversions"] == 0 and c1["integrity_ok"]
+    assert c1["span_ms"] == 10_000
+    c2 = got["c2"]
+    # dedup keeps ts=30 for key 0; turn 2 at ts=7 < 30 -> inversion
+    assert (c2["n_rows_raw"], c2["n_turns"], c2["n_dup_keys"]) == (3, 2, 1)
+    assert (c2["n_idx_gaps"], c2["n_ts_inversions"]) == (1, 1)
+    assert c2["span_ms"] == 30_000 - 7_000
+    assert not c2["integrity_ok"]
+    c3 = got["c3"]
+    assert c3["first_idx"] == 1 and c3["n_ts_inversions"] == 0
+    assert not c3["integrity_ok"]  # first_idx != 0
+
+
+def test_conversation_integrity_two_exchanges(spark):
+    # key-grain agg -> conv window -> conv agg: exactly two exchanges
+    # (the conv agg reuses the window's hashpartitioning(conv_id))
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import conversation_integrity
+
+    t = transcripts_spark(spark, 10, seed=7)
+    plan = (
+        conversation_integrity(t)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
