@@ -2191,6 +2191,26 @@ def q_conv_integrity(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_integrity(planted)
 
 
+def q_role_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 8: distinct-n mode-collapse lens — every 4th
+    # conversation's assistant turns are rewritten to one fixed sentence,
+    # so the assistant side's distinct-bigram mass craters relative to
+    # the user side while each turn stays individually fluent. Oracle:
+    # GENUINE DuckDB SQL (same plant, list_transform bigrams, two aggs).
+    from feast_spark.operators.textqa import role_ngram_diversity
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.withColumn(
+        "text",
+        F.when(
+            (F.pmod(idx, F.lit(4)) == 0) & (F.col("role") == "assistant"),
+            F.lit("the request completed successfully without further action"),
+        ).otherwise(F.col("text")),
+    )
+    return role_ngram_diversity(planted, n=2)
+
+
 def q_assistant_echo(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 5: context-echo fraction per assistant turn —
     # distinct word-trigram overlap with the immediately preceding turn.
@@ -2648,7 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 session 4: reply latency, tool-transition graph,
         # per-turn n-gram novelty, response-length trend
         "conv_integrity": q_conv_integrity,
-        "turn_novelty": q_turn_novelty,
+        "role_diversity": q_role_diversity,
         # round 5 session 4b: fork detection, template mining, shape
         # histogram
         "conv_forks": q_conv_forks,
@@ -2717,6 +2737,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics stay driver-covered via conv_integrity, assistant_echo,
         # conv_repetition, role_patterns)
         "reply_latency": q_reply_latency,
+        "turn_novelty": q_turn_novelty,
         # rotated round 5 session 7 (still pytest-oracled here; the span
         # family stays driver-covered via substring_dedup, sampling via
         # unimax_sample + token_budget)
@@ -3409,6 +3430,51 @@ def _all_oracle_sql() -> dict[str, str]:
               CAST(SUM(n) AS BIGINT) AS n_transitions,
               CAST(COUNT(*) AS BIGINT) AS n_convs
             FROM pc GROUP BY 1, 2
+        """,
+        "role_diversity": f"""
+            -- GENUINE SQL twin of role_ngram_diversity (n=2) on the
+            -- collapse-planted corpus: every 4th conversation's assistant
+            -- turns become one fixed sentence; deduped turns, ASCII-ws
+            -- normalized, RS-joined bigrams, (role, gram) agg + rollup
+            WITH planted AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 4 = 0
+                          AND role = 'assistant'
+                     THEN 'the request completed successfully without further action'
+                     ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM planted
+              ) WHERE rn = 1
+            ), e AS (
+              SELECT role,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nt
+              FROM d
+            ), wds AS (
+              SELECT role, string_split(nt, ' ') AS w
+              FROM e WHERE length(nt) > 0
+            ), g AS (
+              SELECT role,
+                unnest(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || chr(30) || w[i + 1])) AS gram
+              FROM wds WHERE len(w) >= 2
+            ), c AS (
+              SELECT role, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM g GROUP BY role, gram
+            )
+            SELECT role,
+              CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+              CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+              CAST(MAX(cnt) AS BIGINT) AS max_gram_count,
+              (CAST(COUNT(*) AS BIGINT) * 1048576) // SUM(cnt)
+                AS diversity_units,
+              (CAST(MAX(cnt) AS BIGINT) * 1048576) // SUM(cnt) AS top_units
+            FROM c GROUP BY role
         """,
         "turn_novelty": f"""
             -- GENUINE SQL twin of turn_novelty (n=8): lateral-unnest

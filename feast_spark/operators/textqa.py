@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["generation_artifacts", "suffix_loop_stats"]
+__all__ = ["generation_artifacts", "suffix_loop_stats", "role_ngram_diversity"]
 
 # the ONE cross-engine whitespace class (see conversation.py for the
 # Java-vs-RE2 rationale) — imported, not re-declared, so the contract
@@ -222,4 +222,85 @@ def suffix_loop_stats(
             f"CASE WHEN __n > 0 THEN (cast(__b.lw as bigint) * {int(units)}) div __n "
             "ELSE cast(0 as bigint) END"
         ).alias("loop_units"),
+    )
+
+
+def role_ngram_diversity(
+    turns: DataFrame,
+    n: int = 2,
+    role_col: str = "role",
+    pre_deduped: bool = False,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-role distinct word-n-gram diversity — the distinct-n
+    mode-collapse lens (Li et al. 2016's "distinct" metric, the standard
+    diversity measure in the generation literature) at corpus grain.
+
+    A fleet whose assistant collapses onto a few templates keeps per-turn
+    rules happy (each turn is fluent) and largely evades exact turn dedup
+    (digits/names vary), but its DISTINCT-n-gram mass craters relative to
+    the user side. One row per role:
+
+    - ``total_ngrams`` / ``distinct_ngrams`` — n-gram stream size and its
+      distinct count (word n-grams over ASCII-ws tokens, RS-joined)
+    - ``max_gram_count`` — the single most repeated n-gram's count
+    - ``diversity_units`` — ``distinct * 2^20 // total`` (integer
+      distinct-n ratio; low = collapse)
+    - ``top_units`` — ``max_count * 2^20 // total`` (mass of the worst
+      single template)
+
+    Plan: map-side split + slice-transform builds the gram array with NO
+    join or window; explode feeds ONE (role, gram) hash-agg (map-side
+    combine collapses repeats before the exchange) and the role rollup
+    reuses nothing but role-sized rows. At 10^12 turns the exchange
+    carries the distinct-per-partition gram stream; pass
+    ``hash_grams=True`` to shuffle 8-byte ``xxhash64`` surrogates instead
+    of gram strings (counts identical modulo documented 2^-64-scale
+    collisions) — the portable string arm exists for the DuckDB oracle.
+
+    Reference: feast profiles numeric/categorical columns only
+    (``dqm/profilers``); this is a public-metric operator.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from feast_spark.operators.conversation import _deduped, _norm_text
+
+    d = turns if pre_deduped else _deduped(turns)
+    nt = d.select(
+        F.col(role_col).alias("role"), _norm_text("text").alias("__nt")
+    ).filter(F.length("__nt") > 0)
+    words = nt.select(
+        "role", F.split("__nt", " ").alias("__w")
+    ).filter(F.size("__w") >= n)
+    grams = words.select(
+        "role",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__w) - {n}),"
+                f" i -> concat_ws(chr(30), slice(__w, i + 1, {n})))"
+            )
+        ).alias("gram"),
+    )
+    if hash_grams:
+        grams = grams.select("role", F.xxhash64("gram").alias("gram"))
+    counts = grams.groupBy("role", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    out = counts.groupBy("role").agg(
+        F.sum("__cnt").cast("long").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        F.max("__cnt").cast("long").alias("max_gram_count"),
+    )
+    return out.select(
+        "role",
+        "total_ngrams",
+        "distinct_ngrams",
+        "max_gram_count",
+        # exact int64 division (`div`), never a double round-trip
+        F.expr("(distinct_ngrams * 1048576) div total_ngrams").alias(
+            "diversity_units"
+        ),
+        F.expr("(max_gram_count * 1048576) div total_ngrams").alias(
+            "top_units"
+        ),
     )

@@ -283,3 +283,92 @@ def test_generation_artifacts_cjk_clean_endings(spark):
     assert out[0]["ends_clean"] and not out[0]["truncated"]
     assert out[1]["ends_clean"] and not out[1]["truncated"]
     assert not out[2]["ends_clean"] and out[2]["truncated"]
+
+
+# ---------------------------------------------------------------------------
+# role_ngram_diversity (round 5 session 8)
+# ---------------------------------------------------------------------------
+
+
+def _naive_diversity(rows, n):
+    """Independent python replay: rows = (role, text)."""
+    import re as _re
+    from collections import Counter
+
+    per_role: dict[str, Counter] = {}
+    for role, text in rows:
+        nt = _re.sub(r"[ \t\n\x0b\f\r]+", " ", text or "").strip()
+        if not nt:
+            continue
+        w = nt.split(" ")
+        for i in range(len(w) - n + 1):
+            per_role.setdefault(role, Counter())["\x1e".join(w[i : i + n])] += 1
+    out = {}
+    for role, c in per_role.items():
+        total = sum(c.values())
+        out[role] = {
+            "total_ngrams": total,
+            "distinct_ngrams": len(c),
+            "max_gram_count": max(c.values()),
+            "diversity_units": len(c) * (1 << 20) // total,
+            "top_units": max(c.values()) * (1 << 20) // total,
+        }
+    return out
+
+
+def test_role_diversity_matches_naive_trigrams(spark):
+    rows = [
+        ("user", "alpha beta gamma delta epsilon"),
+        ("user", "beta gamma delta zeta"),
+        ("assistant", "ok done. ok done. ok done."),
+        ("assistant", "ok done. ok done."),
+        ("assistant", "  "),  # blank -> no grams
+        ("tool", "xy"),  # 1 word < n -> no grams
+    ]
+    df = _turns(
+        spark, [(f"c{i}", 0, r, t) for i, (r, t) in enumerate(rows)]
+    )
+    from feast_spark.operators.textqa import role_ngram_diversity
+
+    got = {r["role"]: r.asDict() for r in role_ngram_diversity(df, n=3).collect()}
+    exp = _naive_diversity(rows, 3)
+    assert set(got) == set(exp)  # tool/blank rows contribute nothing
+    for role in exp:
+        for k, v in exp[role].items():
+            assert got[role][k] == v, (role, k, got[role][k], v)
+
+
+def test_role_diversity_detects_collapse(spark):
+    # collapsed assistant (one template) vs diverse user: assistant's
+    # diversity_units crater, top_units saturate
+    rows = []
+    for i in range(30):
+        rows.append((f"c{i}", 0, "user", f"unique question number {i} about topic{i}"))
+        rows.append((f"c{i}", 1, "assistant", "the request completed successfully"))
+    from feast_spark.operators.textqa import role_ngram_diversity
+
+    got = {r["role"]: r.asDict() for r in role_ngram_diversity(_turns(spark, rows), n=2).collect()}
+    # 4-word template -> 3 bigrams, each with count 30 of 90 total
+    assert got["assistant"]["distinct_ngrams"] == 3
+    assert got["assistant"]["diversity_units"] < got["user"]["diversity_units"] // 10
+    assert got["assistant"]["top_units"] == 30 * (1 << 20) // 90
+
+
+def test_role_diversity_hash_arm_parity_and_plan(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.textqa import role_ngram_diversity
+
+    t = transcripts_spark(spark, 30, seed=11, mega_every=0)
+    a = {r["role"]: r.asDict() for r in role_ngram_diversity(t, n=2).collect()}
+    b = {
+        r["role"]: r.asDict()
+        for r in role_ngram_diversity(t, n=2, hash_grams=True).collect()
+    }
+    assert a == b  # 8-byte surrogate arm identical (no collisions here)
+    # two hash exchanges: (role, gram) counts + role rollup; no window/sort
+    plan = (
+        role_ngram_diversity(t, n=2, hash_grams=True, pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "Sort " not in plan
