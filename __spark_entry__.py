@@ -2211,6 +2211,37 @@ def q_role_diversity(spark: SparkSession, sf: str) -> DataFrame:
     return role_ngram_diversity(planted, n=2)
 
 
+def q_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 8: fenced code-block census — three plant classes
+    # (tagged python on every 3rd conversation's assistant turns, inline
+    # sql on every 5th's user turns, bare fences on every 7th%4's
+    # assistant turns; first CASE arm wins) so tag histogram, code mass
+    # and doc counts all bind. Oracle: GENUINE DuckDB SQL — same plant,
+    # same RE2-compatible fence regex, lateral unnest, two aggs.
+    from feast_spark.operators.textqa import code_block_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    planted = t.withColumn(
+        "text",
+        F.when(
+            (F.pmod(idx, F.lit(3)) == 1) & (F.col("role") == "assistant"),
+            F.concat(F.lit("```python\n"), txt, F.lit("\n```")),
+        )
+        .when(
+            (F.pmod(idx, F.lit(5)) == 2) & (F.col("role") == "user"),
+            F.concat(F.lit("see ```sql\n"), txt, F.lit("\n``` done")),
+        )
+        .when(
+            (F.pmod(idx, F.lit(7)) == 4) & (F.col("role") == "assistant"),
+            F.concat(F.lit("```\n"), txt, F.lit("\n```")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return code_block_stats(planted, id_col="conv_id")
+
+
 def q_assistant_echo(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 5: context-echo fraction per assistant turn —
     # distinct word-trigram overlap with the immediately preceding turn.
@@ -2664,7 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_verify": q_neardup_verify,
         "assistant_echo": q_assistant_echo,
         "source_vocab": q_source_vocab,
-        "compressibility": q_compressibility,
+        "code_blocks": q_code_blocks,
         # round 5 session 4: reply latency, tool-transition graph,
         # per-turn n-gram novelty, response-length trend
         "conv_integrity": q_conv_integrity,
@@ -2738,6 +2769,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conv_repetition, role_patterns)
         "reply_latency": q_reply_latency,
         "turn_novelty": q_turn_novelty,
+        "compressibility": q_compressibility,
         # rotated round 5 session 7 (still pytest-oracled here; the span
         # family stays driver-covered via substring_dedup, sampling via
         # unimax_sample + token_budget)
@@ -2876,6 +2908,8 @@ def _all_oracle_sql() -> dict[str, str]:
     # backspace escape (single-quoted SQL literals then keep whatever
     # survived) — the variable hop passes the exact pattern bytes through
     from feast_spark.rules import SCRUB_PATTERNS as _SP
+
+    from feast_spark.operators.textqa import _FENCE_PATTERN as _fence
 
     _ascii_pat = r"[^\x20-\x7E]"  # printable-ASCII projection (verify)
     _epat = dict((n, p) for n, p, _ in _SP)["email"]
@@ -3430,6 +3464,62 @@ def _all_oracle_sql() -> dict[str, str]:
               CAST(SUM(n) AS BIGINT) AS n_transitions,
               CAST(COUNT(*) AS BIGINT) AS n_convs
             FROM pc GROUP BY 1, 2
+        """,
+        "code_blocks": f"""
+            -- GENUINE SQL twin of code_block_stats on the fence-planted
+            -- corpus. The fence regex is interpolated through a VARIABLE
+            -- (same bytes as Spark's F.lit pattern; the embedded literal
+            -- newline is legal inside a quoted SQL literal and RE2
+            -- matches it as itself).
+            WITH planted AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE
+                  WHEN CAST(substring(conv_id, 2, 9) AS INT) % 3 = 1
+                       AND role = 'assistant'
+                  THEN '```python' || chr(10) || COALESCE(text, '')
+                       || chr(10) || '```'
+                  WHEN CAST(substring(conv_id, 2, 9) AS INT) % 5 = 2
+                       AND role = 'user'
+                  THEN 'see ```sql' || chr(10) || COALESCE(text, '')
+                       || chr(10) || '``` done'
+                  WHEN CAST(substring(conv_id, 2, 9) AS INT) % 7 = 4
+                       AND role = 'assistant'
+                  THEN '```' || chr(10) || COALESCE(text, '')
+                       || chr(10) || '```'
+                  ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM planted
+              ) WHERE rn = 1
+            ), ex AS (
+              SELECT conv_id,
+                regexp_extract_all(COALESCE(text, ''), '{_fence}', 1) AS tags,
+                regexp_extract_all(COALESCE(text, ''), '{_fence}', 2) AS bodies
+              FROM d
+            ), b AS (
+              SELECT conv_id, tags, bodies,
+                unnest(generate_series(1, len(tags))) AS i
+              FROM ex WHERE len(tags) > 0
+            ), blk AS (
+              SELECT conv_id,
+                CASE WHEN tags[i] = '' THEN '<none>' ELSE tags[i] END AS lang,
+                length(bodies[i]) AS chars
+              FROM b
+            ), pd AS (
+              SELECT lang, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS blocks,
+                CAST(SUM(chars) AS BIGINT) AS chrs
+              FROM blk GROUP BY lang, conv_id
+            )
+            SELECT lang,
+              CAST(SUM(blocks) AS BIGINT) AS n_blocks,
+              CAST(SUM(chrs) AS BIGINT) AS n_code_chars,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pd GROUP BY lang
         """,
         "role_diversity": f"""
             -- GENUINE SQL twin of role_ngram_diversity (n=2) on the

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["generation_artifacts", "suffix_loop_stats", "role_ngram_diversity"]
+__all__ = ["generation_artifacts", "suffix_loop_stats", "role_ngram_diversity", "code_block_stats"]
 
 # the ONE cross-engine whitespace class (see conversation.py for the
 # Java-vs-RE2 rationale) — imported, not re-declared, so the contract
@@ -303,4 +303,71 @@ def role_ngram_diversity(
         F.expr("(max_gram_count * 1048576) div total_ngrams").alias(
             "top_units"
         ),
+    )
+
+
+# fence tag then body, lazily up to the closing fence; (?s:) scopes
+# DOTALL to the body so the tag class still stops at the newline. The
+# same pattern bytes run under Java regex (Spark) and RE2 (DuckDB) —
+# both support non-greedy + scoped flags; an unterminated trailing
+# fence matches nothing on both engines (truncation QA for that lives
+# in generation_artifacts' odd-fence-count signal).
+_FENCE_PATTERN = "```([A-Za-z0-9_+#.-]*)\n((?s:.*?))```"
+
+
+def code_block_stats(
+    turns: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Fenced code-block mining over markdown-ish turns — the code-mass
+    census a code-heavy transcript corpus is curated by (language mix,
+    per-language code volume, how many documents carry each language).
+
+    One row per fence language tag (``<none>`` for bare fences):
+
+    - ``n_blocks`` — closed fenced blocks with that tag
+    - ``n_code_chars`` — total characters inside those fences
+    - ``n_docs`` — distinct ``id_col`` values carrying at least one
+
+    Plan: ONE map-side regex pass per row extracts tag and body arrays
+    (`arrays_zip` + explode — no join, the text column never leaves its
+    partition un-reduced); a (lang, id) pre-aggregation bounds the
+    distinct-doc count before the language rollup, so a mega-document
+    with thousands of blocks collapses map-side and the second exchange
+    carries dimension-sized rows. Nothing here is corpus-scale state.
+
+    Reference: feast has no text mining surface; fence grammar is the
+    CommonMark fenced-code-block shape restricted to backtick fences.
+    """
+    from feast_spark.operators.conversation import _deduped
+
+    if not pre_deduped and {"conv_id", "turn_idx", "ts"} <= set(turns.columns):
+        turns = _deduped(turns)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ex = turns.select(
+        F.col(id_col).alias("__id"),
+        F.arrays_zip(
+            F.regexp_extract_all(t, F.lit(_FENCE_PATTERN), F.lit(1)).alias("tag"),
+            F.regexp_extract_all(t, F.lit(_FENCE_PATTERN), F.lit(2)).alias("body"),
+        ).alias("__z"),
+    )
+    blocks = ex.select(
+        "__id", F.explode("__z").alias("__b")
+    ).select(
+        "__id",
+        F.when(F.col("__b.tag") == "", F.lit("<none>"))
+        .otherwise(F.col("__b.tag"))
+        .alias("lang"),
+        F.length("__b.body").cast("long").alias("__chars"),
+    )
+    per_doc = blocks.groupBy("lang", "__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__blocks"),
+        F.sum("__chars").cast("long").alias("__doc_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("__blocks").cast("long").alias("n_blocks"),
+        F.sum("__doc_chars").cast("long").alias("n_code_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
     )

@@ -372,3 +372,66 @@ def test_role_diversity_hash_arm_parity_and_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
     assert "Sort " not in plan
+
+
+# ---------------------------------------------------------------------------
+# code_block_stats (round 5 session 8)
+# ---------------------------------------------------------------------------
+
+
+def test_code_block_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", "intro ```python\nx=1\ny=2\n``` and ```\nplain\n``` end"),
+            ("d2", "```sql\nSELECT 1\n``` plus unterminated ```python\nnope"),
+            ("d2b", "```python\nz\n``` and again ```python\nw\n```"),
+            ("d3", "no fences at all"),
+            ("d4", None),
+        ],
+        "conv_id string, text string",
+    )
+    from feast_spark.operators.textqa import code_block_stats
+
+    got = {
+        r["lang"]: r.asDict()
+        for r in code_block_stats(df, pre_deduped=True).collect()
+    }
+    # python: d1 one block "x=1\ny=2\n" (8 chars), d2b two blocks (2+2)
+    assert got["python"]["n_blocks"] == 3
+    assert got["python"]["n_code_chars"] == 8 + 2 + 2
+    assert got["python"]["n_docs"] == 2
+    # bare fence -> <none>; "plain\n" = 6 chars
+    assert got["<none>"] == {
+        "lang": "<none>", "n_blocks": 1, "n_code_chars": 6, "n_docs": 1,
+    }
+    # the unterminated trailing fence contributes nothing
+    assert got["sql"]["n_blocks"] == 1 and got["sql"]["n_code_chars"] == 9
+    assert set(got) == {"python", "<none>", "sql"}
+
+
+def test_code_block_stats_dedups_and_plan(spark):
+    # duplicate (conv, turn) keys: only the latest row's fences count
+    from datetime import datetime, timezone
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "assistant", "```go\nold\n```", None, ts0),
+            ("c1", 0, "assistant", "```rust\nnew!\n```", None,
+             ts0.replace(second=9)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    from feast_spark.operators.textqa import code_block_stats
+
+    got = {r["lang"]: r.asDict() for r in code_block_stats(df).collect()}
+    assert set(got) == {"rust"} and got["rust"]["n_code_chars"] == 5
+    # pre-deduped shape: map-side regex extract, (lang, id) pre-agg +
+    # lang rollup — exactly two exchanges, no sort, no python eval
+    plan = (
+        code_block_stats(df.drop("ts"), pre_deduped=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "Sort " not in plan and "BatchEvalPython" not in plan
