@@ -2211,6 +2211,22 @@ def q_role_diversity(spark: SparkSession, sf: str) -> DataFrame:
     return role_ngram_diversity(planted, n=2)
 
 
+def q_alpha_rates(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 8: temperature mixture allocation (p^alpha,
+    # alpha=0.5) over per-source char mass — dyadic alpha composes from
+    # correctly-rounded sqrt only, so s_units is bit-identical on both
+    # engines; everything downstream is int64. Oracle: FULL genuine SQL.
+    from feast_spark.operators.selection import temperature_sample_rates
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("char_mass")
+    )
+    return temperature_sample_rates(
+        counts, "source", "char_mass", alpha=0.5, budget=1_000_000
+    )
+
+
 def q_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 8: fenced code-block census — three plant classes
     # (tagged python on every 3rd conversation's assistant turns, inline
@@ -2728,7 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
         # isolated conversation packing, per-source c-TF-IDF terms
         "para_neardup": q_para_neardup,
-        "conv_pack_isolated": q_conv_pack_isolated,
+        "alpha_rates": q_alpha_rates,
         "source_top_terms": q_source_top_terms,
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
@@ -2770,6 +2786,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_latency": q_reply_latency,
         "turn_novelty": q_turn_novelty,
         "compressibility": q_compressibility,
+        "conv_pack_isolated": q_conv_pack_isolated,
         # rotated round 5 session 7 (still pytest-oracled here; the span
         # family stays driver-covered via substring_dedup, sampling via
         # unimax_sample + token_budget)
@@ -3464,6 +3481,35 @@ def _all_oracle_sql() -> dict[str, str]:
               CAST(SUM(n) AS BIGINT) AS n_transitions,
               CAST(COUNT(*) AS BIGINT) AS n_convs
             FROM pc GROUP BY 1, 2
+        """,
+        "alpha_rates": """
+            -- FULL genuine-SQL twin of temperature_sample_rates
+            -- (alpha=0.5, budget 1e6) over per-source char mass; sqrt is
+            -- IEEE-correctly-rounded on both engines and the
+            -- power-of-two units scale is exact, so s_units matches
+            -- bit-for-bit; shares/budgets are pure int64 floor division
+            WITH counts AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS char_mass
+              FROM documents GROUP BY source
+            ), s AS (
+              SELECT source, char_mass,
+                CAST(floor(sqrt(CAST(char_mass AS DOUBLE)) * 1048576)
+                     AS BIGINT) AS s_units
+              FROM counts
+            ), tot AS (
+              SELECT CAST(SUM(char_mass) AS BIGINT) AS tw,
+                     CAST(SUM(s_units) AS BIGINT) AS ts
+              FROM s
+            )
+            SELECT source, char_mass,
+              CAST((CAST(char_mass AS HUGEINT) * 1048576) // tw
+                   AS BIGINT) AS p_units,
+              s_units,
+              CAST((CAST(s_units AS HUGEINT) * 1048576) // ts
+                   AS BIGINT) AS q_units,
+              CAST((CAST(s_units AS HUGEINT) * 1000000) // ts
+                   AS BIGINT) AS budget_tokens
+            FROM s, tot
         """,
         "code_blocks": f"""
             -- GENUINE SQL twin of code_block_stats on the fence-planted

@@ -1753,3 +1753,92 @@ def assign_split(
     for name, cut in reversed(list(zip(names[:-1], cuts))):
         expr = F.when(h < cut, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def temperature_sample_rates(
+    counts: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-based mixture allocation — the ``p^alpha`` sampling
+    rule of the multilingual-pretraining literature (mT5 / XLM-R style:
+    raise each group's share to ``alpha`` < 1 and renormalize, boosting
+    low-resource groups without UniMax's hard epoch cap; alpha=1 is
+    proportional, alpha->0 approaches uniform).
+
+    ``counts`` is an already-aggregated dimension-sized relation (one row
+    per language/source with a BIGINT ``weight_col`` — token or char
+    mass). Returns it with:
+
+    - ``p_units``  — ``weight * units div total_weight`` (exact int share)
+    - ``s_units``  — ``floor(weight^alpha * units)`` (the tempered mass)
+    - ``q_units``  — ``s_units * units div total_s`` (tempered share)
+    - ``budget_tokens`` — ``budget * s_units div total_s`` (when given)
+
+    Cross-engine exactness: ``alpha`` must be dyadic in {0.25, 0.5,
+    0.75, 1.0}. ``w^alpha`` is then COMPOSED from IEEE-correctly-rounded
+    primitives only — ``sqrt`` (both Java's Math.sqrt and DuckDB's libm
+    sqrt are correctly rounded by IEEE-754), one multiply for 0.75, and
+    a power-of-two scale by ``units`` (exponent shift, no rounding) —
+    so ``s_units`` is bit-identical on both engines, unlike a ``pow``
+    call (libm pow is NOT correctly rounded and may differ by an ulp
+    between runtimes). Everything after ``s_units`` is int64 arithmetic.
+
+    Scale shape: the input is dimension-sized by contract (the caller's
+    groupBy produced it), so the singleton totals row is computed once
+    and broadcast back — no window over a single partition, no skew.
+    Building ``counts`` from a 10^12-row corpus is the caller's one
+    hash-agg; this operator adds one broadcast join.
+    """
+    if alpha not in (0.25, 0.5, 0.75, 1.0):
+        raise ValueError(
+            f"alpha must be dyadic in {{0.25, 0.5, 0.75, 1.0}} for "
+            f"cross-engine exactness (sqrt composition, not pow); "
+            f"got {alpha}"
+        )
+    w = F.col(weight_col).cast("double")
+    if alpha == 1.0:
+        tempered = w
+    elif alpha == 0.5:
+        tempered = F.sqrt(w)
+    elif alpha == 0.25:
+        tempered = F.sqrt(F.sqrt(w))
+    else:  # 0.75: one correctly-rounded multiply of two exact-rounded roots
+        tempered = F.sqrt(w) * F.sqrt(F.sqrt(w))
+    x = counts.select(
+        F.col(group_col),
+        F.col(weight_col),
+        F.floor(tempered * F.lit(int(units))).cast("long").alias("s_units"),
+    )
+    tot = x.agg(
+        F.sum(weight_col).cast("long").alias("__tw"),
+        F.sum("s_units").cast("long").alias("__ts"),
+    )
+    j = x.crossJoin(F.broadcast(tot))
+    # the numerators (weight*units, s_units*units, budget*s_units) overflow
+    # int64 once weights pass ~2^43, so each product runs in DECIMAL(38,0)
+    # (exact 128-bit integer arithmetic); Spark's IntegralDivide returns
+    # BIGINT and the quotients are shares <= units / <= budget, so the
+    # final values always fit int64. The DuckDB oracle mirrors this with
+    # HUGEINT. No rounding anywhere: decimal-scale-0 multiply + int div.
+    def _exact_div(num_col: str, factor: int, den: str) -> Column:
+        return F.expr(
+            f"(CAST({num_col} AS DECIMAL(38,0)) * {factor}) div {den}"
+        ).cast("long")
+
+    out = j.select(
+        group_col,
+        weight_col,
+        _exact_div(weight_col, int(units), "__tw").alias("p_units"),
+        "s_units",
+        _exact_div("s_units", int(units), "__ts").alias("q_units"),
+        *(
+            [_exact_div("s_units", int(budget), "__ts").alias("budget_tokens")]
+            if budget is not None
+            else []
+        ),
+    )
+    return out

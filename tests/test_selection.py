@@ -1362,3 +1362,67 @@ def test_select_token_budget_plan_is_sortfree_outside_straddle(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     # the corpus-grain window partitions on the straddle bucket key
     assert "windowspecdefinition(__b" in plan
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample_rates (round 5 session 8)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_match_python_replay(spark):
+    import math
+
+    sizes = {"en": 9_000_000, "de": 640_000, "zh": 250_000, "sw": 4_100}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sizes.items()], "lang string, tokens long"
+    )
+    from feast_spark.operators.selection import temperature_sample_rates
+
+    U = 1 << 20
+    for alpha in (0.25, 0.5, 0.75, 1.0):
+        def temper(w):
+            a, b = math.sqrt(w), math.sqrt(math.sqrt(w))
+            return {0.25: b, 0.5: a, 0.75: a * b, 1.0: float(w)}[alpha]
+
+        s = {k: math.floor(temper(v) * U) for k, v in sizes.items()}
+        tw, ts = sum(sizes.values()), sum(s.values())
+        got = {
+            r["lang"]: r.asDict()
+            for r in temperature_sample_rates(
+                df, "lang", "tokens", alpha=alpha, budget=500_000
+            ).collect()
+        }
+        for k in sizes:
+            assert got[k]["s_units"] == s[k], (alpha, k)
+            assert got[k]["p_units"] == sizes[k] * U // tw
+            assert got[k]["q_units"] == s[k] * U // ts
+            assert got[k]["budget_tokens"] == 500_000 * s[k] // ts
+        # tempering flattens: low-resource share rises monotonically as
+        # alpha drops (sw's tempered share >= its proportional share)
+        assert got["sw"]["q_units"] >= got["sw"]["p_units"]
+        # floor division never over-allocates
+        assert sum(g["budget_tokens"] for g in got.values()) <= 500_000
+
+
+def test_temperature_rates_rejects_non_dyadic_alpha(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("en", 10)], "lang string, tokens long")
+    from feast_spark.operators.selection import temperature_sample_rates
+
+    with _pytest.raises(ValueError, match="dyadic"):
+        temperature_sample_rates(df, "lang", "tokens", alpha=0.3)
+
+
+def test_temperature_rates_broadcasts_totals(spark):
+    df = spark.createDataFrame(
+        [("en", 100), ("de", 50)], "lang string, tokens long"
+    )
+    from feast_spark.operators.selection import temperature_sample_rates
+
+    plan = (
+        temperature_sample_rates(df, "lang", "tokens")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle of groups
