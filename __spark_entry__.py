@@ -2227,6 +2227,95 @@ def q_alpha_rates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pii_echo(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 9: cross-ROLE PII leakage — entities a user turn
+    # introduces that the assistant repeats verbatim. Plants: every user
+    # turn carries u<cid>@example.com (first occurrence = first user
+    # turn); every 3rd conversation's assistant turns echo it; every 5th
+    # conversation's assistant turns introduce a<cid>@relay.net with no
+    # user occurrence (exercises the first-role filter). Oracle: GENUINE
+    # DuckDB SQL — same plants, regexp_extract_all with the shared
+    # patterns, one entity-grain agg with arg_min as the introducing
+    # role.
+    from feast_spark.operators.conversation import pii_echo
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    cid = F.col("conv_id")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    planted = t.withColumn(
+        "text",
+        F.concat(
+            txt,
+            F.when(
+                F.col("role") == "user",
+                F.concat(F.lit(" u"), cid, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.pmod(idx, F.lit(3)) == 0) & (F.col("role") == "assistant"),
+                F.concat(F.lit(" resent to u"), cid, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.pmod(idx, F.lit(5)) == 0) & (F.col("role") == "assistant"),
+                F.concat(F.lit(" via a"), cid, F.lit("@relay.net")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_echo(planted, kinds=("email", "phone"))
+
+
+def q_tool_errors(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 9: per-tool invocation/failure census. Plant:
+    # tool turns where (cid*7 + turn_idx) % 4 == 0 are prefixed with an
+    # error banner, so every tool name accumulates a deterministic error
+    # fraction; embedded words (terror/exceptional) in organic text stay
+    # unmatched (anchored explicit-case alternation, no (?i)). Oracle:
+    # GENUINE DuckDB SQL — same plant, same regex via RE2, (tool, conv)
+    # pre-agg then tool agg.
+    from feast_spark.operators.conversation import tool_error_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "tool")
+            & (F.pmod(idx * 7 + F.col("turn_idx"), F.lit(4)) == 0),
+            F.concat(
+                F.lit("Error: upstream timed out; "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tool_error_stats(planted)
+
+
+def q_fork_mask(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 9: the curation ACTION for fork groups — keep every
+    # sibling's distinct tail but mask the shared k-turn prefix on all
+    # non-representative members (reps = min conv_id). Same clone plant
+    # as conv_forks (every 5th conversation cloned under 'd' with its
+    # tail rewritten). Oracle: GENUINE DuckDB SQL — digest replay via
+    # string_agg, group agg, two joins back to the ranked turns.
+    from feast_spark.operators.conversation import mask_fork_prefixes
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = t.filter(F.pmod(idx, F.lit(5)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") >= 2,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" fork variant")),
+        ).otherwise(F.col("text")),
+    )
+    u = t.unionByName(clones)
+    return mask_fork_prefixes(u, k=2, min_group=2).select(
+        "conv_id", "turn_idx", "fork_md5", "is_rep", "keep_turn"
+    )
+
+
 def q_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 8: fenced code-block census — three plant classes
     # (tagged python on every 3rd conversation's assistant turns, inline
@@ -2720,21 +2809,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram
         "conv_forks": q_conv_forks,
         "conv_templates": q_conv_templates,
-        "role_patterns": q_role_patterns,
+        # round 5 session 9: cross-role PII leakage, per-tool failure
+        # census, fork-prefix masking (the conv_forks curation action)
+        "pii_echo": q_pii_echo,
+        "tool_errors": q_tool_errors,
+        "fork_mask": q_fork_mask,
         # round 5 session 4c: consistent pseudonymization, PSI drift,
         # leak-free conv-grain holdout split
         "pseudonymize": q_pseudonymize,
         "drift_psi": q_drift_psi,
         "holdout_split": q_holdout_split,
         "turn_neardup": q_turn_neardup,
-        "drift_categorical": q_drift_categorical,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
         "conv_repetition": q_conv_repetition,
         "unimax_sample": q_unimax_sample,
         "conv_contamination": q_conv_contamination,
-        "pii_exposure": q_pii_exposure,
         # round 5 session 2: byte-grain CDC near-dup + blocklist scan
         # + per-language tokenizer fertility
         "cdc_neardup": q_cdc_neardup,
@@ -2780,9 +2871,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 9 (still pytest-oracled here; PII stays
+        # driver-covered via conv_pii + pii_echo, drift via drift_psi,
+        # conv shape via conv_forks/conv_templates/role_diversity)
+        "pii_exposure": q_pii_exposure,
+        "role_patterns": q_role_patterns,
+        "drift_categorical": q_drift_categorical,
         # rotated round 5 session 8 (still pytest-oracled here; conv-grain
         # analytics stay driver-covered via conv_integrity, assistant_echo,
-        # conv_repetition, role_patterns)
+        # conv_repetition)
         "reply_latency": q_reply_latency,
         "turn_novelty": q_turn_novelty,
         "compressibility": q_compressibility,
@@ -2931,6 +3028,8 @@ def _all_oracle_sql() -> dict[str, str]:
     _ascii_pat = r"[^\x20-\x7E]"  # printable-ASCII projection (verify)
     _epat = dict((n, p) for n, p, _ in _SP)["email"]
     _ppat = dict((n, p) for n, p, _ in _SP)["phone"]
+
+    from feast_spark.operators.conversation import TOOL_ERROR_PATTERN as _terr
 
     # holdout_split cut points: EXACTLY assign_split's accumulation
     # (cum += frac per split name, int(cum * 2^48)) so the SQL compares
@@ -3680,6 +3779,165 @@ def _all_oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) * SUM(i * i) - SUM(i) * SUM(i) AS BIGINT)
                 AS slope_den
             FROM a GROUP BY conv_id
+        """,
+        "pii_echo": f"""
+            -- GENUINE SQL twin of pii_echo on the echo-planted corpus:
+            -- every user turn carries u<conv>@example.com, every 3rd
+            -- conversation's assistant turns echo it, every 5th's
+            -- assistant turns introduce a<conv>@relay.net (filtered —
+            -- the first occurrence is not a user turn). One entity-grain
+            -- agg; arg_min resolves the introducing role.
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role,
+                COALESCE(text, '')
+                || CASE WHEN role = 'user'
+                     THEN ' u' || conv_id || '@example.com' ELSE '' END
+                || CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 3 = 0
+                          AND role = 'assistant'
+                     THEN ' resent to u' || conv_id || '@example.com'
+                     ELSE '' END
+                || CASE WHEN CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+                          AND role = 'assistant'
+                     THEN ' via a' || conv_id || '@relay.net' ELSE '' END
+                AS text, tool, ts
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), e AS (
+              SELECT conv_id, turn_idx, role, 'email' AS kind,
+                unnest(regexp_extract_all(COALESCE(text, ''),
+                  '{_epat}', 0)) AS entity
+              FROM d
+              UNION ALL
+              SELECT conv_id, turn_idx, role, 'phone' AS kind,
+                unnest(regexp_extract_all(COALESCE(text, ''),
+                  '{_ppat}', 0)) AS entity
+              FROM d
+            ), a AS (
+              SELECT conv_id, kind, entity,
+                CAST(MIN(turn_idx) AS INTEGER) AS first_src_idx,
+                arg_min(role, turn_idx) AS first_role,
+                CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_echoes,
+                CAST(COALESCE(MIN(CASE WHEN role = 'assistant'
+                                       THEN turn_idx END), -1)
+                     AS INTEGER) AS first_echo_idx
+              FROM e GROUP BY 1, 2, 3
+            )
+            SELECT conv_id, kind, entity, first_src_idx, n_echoes,
+              first_echo_idx, n_echoes > 0 AS echoed
+            FROM a WHERE first_role = 'user'
+        """,
+        "tool_errors": f"""
+            -- GENUINE SQL twin of tool_error_stats on the error-planted
+            -- corpus ((cid*7 + turn_idx) % 4 == 0 tool turns prefixed
+            -- with an error banner); same anchored explicit-case
+            -- alternation via RE2, (tool, conv) pre-agg then tool agg
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role,
+                CASE WHEN role = 'tool'
+                      AND (CAST(substring(conv_id, 2, 9) AS INT) * 7
+                           + turn_idx) % 4 = 0
+                     THEN 'Error: upstream timed out; ' || COALESCE(text, '')
+                     ELSE text END AS text,
+                tool, ts
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), calls AS (
+              SELECT COALESCE(tool, '<unknown>') AS tool, conv_id,
+                CASE WHEN regexp_matches(COALESCE(text, ''), '{_terr}')
+                     THEN 1 ELSE 0 END AS err
+              FROM d WHERE role = 'tool'
+            ), pc AS (
+              SELECT tool, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(err) AS BIGINT) AS n_err
+              FROM calls GROUP BY 1, 2
+            ), a AS (
+              SELECT tool,
+                CAST(SUM(n) AS BIGINT) AS n_calls,
+                CAST(COUNT(*) AS BIGINT) AS n_convs,
+                CAST(SUM(n_err) AS BIGINT) AS n_errors,
+                MIN(CASE WHEN n_err > 0 THEN conv_id END)
+                  AS first_error_conv
+              FROM pc GROUP BY 1
+            )
+            SELECT tool, n_calls, n_convs, n_errors, first_error_conv,
+              (n_errors * 1048576) // n_calls AS error_units
+            FROM a
+        """,
+        "fork_mask": f"""
+            -- GENUINE SQL twin of mask_fork_prefixes (k=2, min_group=2)
+            -- on the fork-planted corpus (conv_forks' clone plant):
+            -- digest replay via string_agg, group agg, joins back onto
+            -- the ranked deduped turns
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), u AS (
+              SELECT * FROM raw
+              UNION ALL
+              SELECT conv_id || 'd' AS conv_id, turn_idx, role,
+                CASE WHEN turn_idx >= 2
+                     THEN COALESCE(text, '') || ' fork variant'
+                     ELSE text END AS text,
+                tool, ts
+              FROM raw
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM u
+              ) WHERE rn = 1
+            ), r AS (
+              SELECT conv_id, turn_idx,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS trn
+              FROM d
+            ), p AS (
+              SELECT conv_id, turn_idx, role,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS trn
+              FROM d
+            ), pc AS (
+              SELECT conv_id,
+                md5(string_agg(role || ':' || norm,
+                    chr(30) ORDER BY turn_idx)) AS prefix_md5
+              FROM p WHERE trn <= 2
+              GROUP BY conv_id
+              HAVING COUNT(*) = 2
+            ), g AS (
+              SELECT prefix_md5, MIN(conv_id) AS rep
+              FROM pc GROUP BY 1 HAVING COUNT(*) >= 2
+            ), cf AS (
+              SELECT pc.conv_id, pc.prefix_md5,
+                pc.conv_id = g.rep AS is_rep
+              FROM pc JOIN g USING (prefix_md5)
+            )
+            SELECT r.conv_id, r.turn_idx,
+              cf.prefix_md5 AS fork_md5,
+              COALESCE(cf.is_rep, FALSE) AS is_rep,
+              NOT (cf.prefix_md5 IS NOT NULL AND NOT cf.is_rep
+                   AND r.trn <= 2) AS keep_turn
+            FROM r LEFT JOIN cf USING (conv_id)
         """,
         "pii_exposure": f"""
             -- GENUINE SQL twin of pii_entity_exposure on the

@@ -960,34 +960,7 @@ def conversation_forks(
     per conversation. Total: 2 exchanges, both row-bounded.
     """
     d = turns if pre_deduped else _deduped(turns)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    pre = (
-        d.select("conv_id", "turn_idx", "role", _norm_text().alias("__t"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-    )
-    per_conv = (
-        pre.groupBy("conv_id")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.array_sort(
-                F.collect_list(F.struct("turn_idx", "role", "__t"))
-            ).alias("__pfx"),
-        )
-        .filter(F.col("__n") == k)
-        .select(
-            "conv_id",
-            F.md5(
-                F.concat_ws(
-                    "\x1e",
-                    F.transform(
-                        "__pfx",
-                        lambda s: F.concat(s["role"], F.lit(":"), s["__t"]),
-                    ),
-                )
-            ).alias("prefix_md5"),
-        )
-    )
+    per_conv = _prefix_digest_per_conv(d, k)
     return (
         per_conv.groupBy("prefix_md5")
         .agg(
@@ -1390,4 +1363,245 @@ def conversation_integrity(turns: DataFrame) -> DataFrame:
         & (F.col("first_idx") == 0)
         & (F.col("n_idx_gaps") == 0)
         & (F.col("n_ts_inversions") == 0),
+    )
+
+
+def pii_echo(
+    turns: DataFrame,
+    kinds: tuple = ("email", "phone"),
+    source_role: str = "user",
+    echo_roles: tuple = ("assistant",),
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Cross-ROLE PII leakage: entities (emails, phones, ...) whose FIRST
+    occurrence in a conversation is a ``source_role`` turn and that a
+    later ``echo_roles`` turn repeats verbatim. A user pasting their own
+    address is expected exposure; the ASSISTANT repeating it back is the
+    model amplifying it — post-scrub QA reviews exactly these rows, and
+    consistent pseudonymization (``pseudonymize_entities``) is evaluated
+    by whether the echo survives as the SAME pseudonym. Neither
+    :func:`conversation_pii` (per-turn counters) nor
+    :func:`pii_entity_exposure` (cross-conversation recurrence) sees the
+    within-conversation role boundary this operator is about.
+
+    One row per ``(conv_id, kind, entity)`` whose first occurrence is a
+    ``source_role`` turn: ``first_src_idx`` (that turn), ``n_echoes``
+    (occurrences in ``echo_roles`` turns — every one is strictly after
+    ``first_src_idx`` by construction, since the first occurrence is the
+    source turn), ``first_echo_idx`` (-1 sentinel when never echoed),
+    ``echoed``.
+
+    Scale shape: extraction is the map-only JVM ``regexp_extract_all``
+    pass shared with the PII family; then ONE hash agg keyed
+    ``(conv_id, kind, entity)`` — ``min_by(role, turn_idx)`` resolves the
+    introducing role inside the agg (one role per turn key, so ties are
+    value-equal), and the echo counters are conditional sums, so no
+    window, no join, no second pass over text. Mega-conversation skew is
+    bounded by the entity term of the key.
+    """
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    pats = {name: pat for name, pat, _ in SCRUB_PATTERNS}
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; have {list(pats)}")
+    d = turns if pre_deduped else _deduped(turns)
+    per_kind = [
+        d.select(
+            "conv_id",
+            F.col("turn_idx"),
+            "role",
+            F.lit(k).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(pats[k]), 0
+                )
+            ).alias("entity"),
+        )
+        for k in kinds
+    ]
+    occ = per_kind[0]
+    for df in per_kind[1:]:
+        occ = occ.unionByName(df)
+    is_echo = F.col("role").isin(*echo_roles)
+    agg = occ.groupBy("conv_id", "kind", "entity").agg(
+        F.min("turn_idx").alias("first_src_idx"),
+        F.min_by("role", "turn_idx").alias("__first_role"),
+        F.sum(is_echo.cast("long")).alias("n_echoes"),
+        F.coalesce(
+            F.min(F.when(is_echo, F.col("turn_idx"))), F.lit(-1)
+        ).alias("first_echo_idx"),
+    )
+    return (
+        agg.filter(F.col("__first_role") == source_role)
+        .drop("__first_role")
+        .withColumn("echoed", F.col("n_echoes") > 0)
+    )
+
+
+# explicit-case alternation, NOT (?i): Java lowercases ASCII-only under
+# CASE_INSENSITIVE while DuckDB's RE2 casefolds more — the html_extract
+# lesson. Word-ish anchoring via the separator classes keeps "terror"
+# or "exceptional" from matching.
+TOOL_ERROR_PATTERN = (
+    "(^|[ \t(\\[])([Ee]rror|ERROR|[Ee]xception|[Tt]raceback|"
+    "[Ff]ail(ed|ure)?|[Tt]ime[d]? ?out)([ \t:.,)\\]]|$)"
+)
+
+
+def tool_error_stats(
+    turns: DataFrame,
+    error_pattern: str = TOOL_ERROR_PATTERN,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Per-tool invocation/failure census over ``tool``-role turns — the
+    agent-fleet operations lens: a tool whose output is mostly error text
+    poisons every conversation that called it, and those turns pass
+    per-turn quality rules (error messages are fluent English).
+    ``tool_transitions`` profiles call SEQUENCES; this profiles call
+    OUTCOMES.
+
+    One row per distinct ``tool`` name: ``n_calls``, ``n_convs`` (exact
+    distinct via the ``(tool, conv_id)`` pre-aggregation — the
+    pii_entity_exposure skew discipline), ``n_errors`` (output text
+    matching ``error_pattern``), ``error_units`` (``n_errors * 2^20 div
+    n_calls`` — exact int64 fraction), and ``first_error_conv`` (min
+    conv_id among erroring calls; NULL when the tool never errored).
+
+    Scale shape: one map-only JVM ``rlike`` pass, two hash-agg exchanges
+    whose keys include/collapse to the tool dimension. The pattern is an
+    explicit-case alternation (no ``(?i)``) so Spark's Java regex and the
+    DuckDB oracle's RE2 agree byte-for-byte.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    calls = d.filter(F.col("role") == "tool").select(
+        F.coalesce(F.col("tool"), F.lit("<unknown>")).alias("tool"),
+        "conv_id",
+        F.coalesce(F.col("text"), F.lit(""))
+        .rlike(error_pattern)
+        .alias("__err"),
+    )
+    per_conv = calls.groupBy("tool", "conv_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__err").cast("long")).alias("__n_err"),
+    )
+    agg = per_conv.groupBy("tool").agg(
+        F.sum("__n").alias("n_calls"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("__n_err").alias("n_errors"),
+        F.min(F.when(F.col("__n_err") > 0, F.col("conv_id"))).alias(
+            "first_error_conv"
+        ),
+    )
+    return agg.withColumn(
+        "error_units",
+        F.expr(f"(n_errors * {1 << 20}) div n_calls"),
+    )
+
+
+def _prefix_digest_per_conv(d: DataFrame, k: int) -> DataFrame:
+    """(conv_id, prefix_md5) for every conversation with >= k turns:
+    md5 of the first-k ``role:normtext`` turns joined by \\x1e, in
+    turn_idx order. WindowGroupLimit bounds each conversation to k rows
+    map-side. Shared by conversation_forks and mask_fork_prefixes."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pre = (
+        d.select("conv_id", "turn_idx", "role", _norm_text().alias("__t"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    return (
+        pre.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "role", "__t"))
+            ).alias("__pfx"),
+        )
+        .filter(F.col("__n") == k)
+        .select(
+            "conv_id",
+            F.md5(
+                F.concat_ws(
+                    "\x1e",
+                    F.transform(
+                        "__pfx",
+                        lambda s: F.concat(s["role"], F.lit(":"), s["__t"]),
+                    ),
+                )
+            ).alias("prefix_md5"),
+        )
+    )
+
+
+def mask_fork_prefixes(
+    turns: DataFrame,
+    k: int = 2,
+    min_group: int = 2,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """The curation ACTION for :func:`conversation_forks`' findings:
+    annotate every turn so a training pass sees each shared fork prefix
+    exactly ONCE. Dropping whole fork siblings (near-dup style) throws
+    away their distinct tails — retries and best-of-n continuations are
+    real, valuable data; only the shared k-turn prefix is overweighted.
+    So: the group's min-conv_id member is the REPRESENTATIVE and keeps
+    everything; every other member keeps its tail but has its first k
+    turns marked ``keep_turn = false`` (a packer maps that straight onto
+    the loss mask, exactly as ``pack_conversations`` masks non-assistant
+    turns).
+
+    Output = the deduped turns plus three columns:
+
+    - ``fork_md5`` — the group digest, NULL unless the conversation is in
+      a group with >= ``min_group`` members
+    - ``is_rep`` — true for every turn of the group's min-conv_id member
+      (false, not NULL, outside groups — the column is a filter target)
+    - ``keep_turn`` — false exactly on the first-k turns of non-rep group
+      members
+
+    Scale shape: the digest pass is conversation_forks' (WindowGroupLimit
+    bounds it to k rows per conversation map-side); the group agg carries
+    32 hex bytes per conversation. The digest and group relations join
+    back to the turn relation on ``conv_id`` with SHUFFLE_HASH pinned —
+    both are conversation-DIMENSION-sized (every conversation has a
+    digest row), far too big to broadcast at 10^12 turns, and the
+    turn-side exchange is the same hash(conv_id) clustering the digest
+    window already established.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    digests = _prefix_digest_per_conv(d, k)
+    groups = (
+        digests.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("__n_convs"),
+            F.min("conv_id").alias("__rep"),
+        )
+        .filter(F.col("__n_convs") >= min_group)
+    )
+    conv_flags = (
+        digests.join(groups.hint("shuffle_hash"), "prefix_md5", "inner")
+        .select(
+            "conv_id",
+            F.col("prefix_md5").alias("fork_md5"),
+            (F.col("conv_id") == F.col("__rep")).alias("is_rep"),
+        )
+    )
+    # rank within the deduped conversation = the SAME first-k positions
+    # the digest hashed (row_number over turn_idx); recomputed here on
+    # the turn relation so the join carries only 3 small columns
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = d.withColumn("__rn", F.row_number().over(w))
+    out = ranked.join(conv_flags.hint("shuffle_hash"), "conv_id", "left")
+    return (
+        out.withColumn("is_rep", F.coalesce("is_rep", F.lit(False)))
+        .withColumn(
+            "keep_turn",
+            ~(
+                F.col("fork_md5").isNotNull()
+                & ~F.col("is_rep")
+                & (F.col("__rn") <= k)
+            ),
+        )
+        .drop("__rn")
     )

@@ -1248,3 +1248,281 @@ def test_conversation_integrity_two_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# pii_echo (round 5 session 9)
+# ---------------------------------------------------------------------------
+
+
+def _pii_turns(spark):
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def t(c, i, role, text, sec=0):
+        return (c, i, role, text, None, ts0.replace(second=sec % 60, minute=sec // 60))
+
+    rows = [
+        # c1: user introduces an email at 0; assistant echoes it TWICE
+        t("c1", 0, "user", "mail me at a@x.com please", 0),
+        t("c1", 1, "assistant", "sure, a@x.com it is", 1),
+        t("c1", 2, "user", "thanks", 2),
+        t("c1", 3, "assistant", "sent to a@x.com", 3),
+        # c2: ASSISTANT introduces the email first -> filtered out
+        t("c2", 0, "user", "what is support's address", 0),
+        t("c2", 1, "assistant", "write to help@y.org", 1),
+        t("c2", 2, "user", "ok help@y.org noted", 2),
+        # c3: user email never echoed; plus a phone echoed once
+        t("c3", 0, "user", "I am b@z.net, call 555-123-4567", 0),
+        t("c3", 1, "assistant", "calling 555-123-4567 now", 1),
+        # c4: duplicate-key delivery — edited later row removes the email,
+        # so after latest-per-key dedup the entity never existed
+        t("c4", 0, "user", "my mail is gone@old.com", 0),
+        t("c4", 1, "assistant", "ok gone@old.com", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from pyspark.sql import functions as F
+
+    edited = (
+        df.filter((F.col("conv_id") == "c4"))
+        .withColumn("text", F.lit("redacted"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+    )
+    return df.unionByName(edited)
+
+
+def test_pii_echo_hand_computed(spark):
+    from feast_spark.operators.conversation import pii_echo
+
+    out = {
+        (r["conv_id"], r["kind"], r["entity"]): r.asDict()
+        for r in pii_echo(_pii_turns(spark)).collect()
+    }
+    e1 = out[("c1", "email", "a@x.com")]
+    assert e1["first_src_idx"] == 0
+    assert e1["n_echoes"] == 2 and e1["first_echo_idx"] == 1 and e1["echoed"]
+    # assistant-introduced entity is NOT a user->assistant leak
+    assert ("c2", "email", "help@y.org") not in out
+    e3 = out[("c3", "email", "b@z.net")]
+    assert e3["n_echoes"] == 0 and e3["first_echo_idx"] == -1 and not e3["echoed"]
+    p3 = out[("c3", "phone", "555-123-4567")]
+    assert p3["n_echoes"] == 1 and p3["first_echo_idx"] == 1
+    # c4's entity was removed by the later-ts edit before extraction
+    assert not any(c == "c4" for (c, _, _) in out)
+
+
+def test_pii_echo_matches_python_replay(spark):
+    import re
+
+    from feast_spark.fixtures import generate_transcripts
+    from feast_spark.operators.conversation import pii_echo
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    pdf = generate_transcripts(60, seed=11)
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["conv_id"], r["kind"], r["entity"]): (
+            r["first_src_idx"],
+            r["n_echoes"],
+            r["first_echo_idx"],
+        )
+        for r in pii_echo(df).collect()
+    }
+    # naive replay: latest-per-key dedup, per-occurrence scan
+    d = (
+        pdf.sort_values(["ts", "text"])
+        .groupby(["conv_id", "turn_idx"], as_index=False)
+        .last()
+    )
+    pats = {n: re.compile(p) for n, p, _ in SCRUB_PATTERNS if n in ("email", "phone")}
+    occ: dict = {}
+    for _, row in d.iterrows():
+        for kind, pat in pats.items():
+            for m in pat.findall(row["text"] or ""):
+                occ.setdefault((row["conv_id"], kind, m), []).append(
+                    (int(row["turn_idx"]), row["role"])
+                )
+    want = {}
+    for key, lst in occ.items():
+        lst.sort()
+        if lst[0][1] != "user":
+            continue
+        echoes = [i for i, r in lst if r == "assistant"]
+        want[key] = (lst[0][0], len(echoes), min(echoes) if echoes else -1)
+    assert got == want and len(want) > 0
+
+
+def test_pii_echo_single_agg_no_join(spark):
+    from feast_spark.operators.conversation import pii_echo
+
+    plan = _plan(pii_echo(_pii_turns(spark), kinds=("email",)))
+    assert "Join" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# tool_error_stats (round 5 session 9)
+# ---------------------------------------------------------------------------
+
+
+def _tool_turns(spark):
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def t(c, i, role, text, tool=None, sec=0):
+        return (c, i, role, text, tool, ts0.replace(second=sec % 60, minute=sec // 60))
+
+    rows = [
+        t("c1", 0, "user", "search for x"),
+        t("c1", 1, "tool", "3 results found", "search", 1),
+        t("c1", 2, "tool", "Error: upstream timed out", "search", 2),
+        t("c2", 0, "tool", "Traceback (most recent call last):", "exec", 0),
+        t("c2", 1, "tool", "terror and exceptional are fine words", "exec", 1),
+        t("c2", 2, "tool", "ok", "search", 2),
+        # unknown tool name on a tool turn
+        t("c3", 0, "tool", "request FAILED", None, 0),
+        # assistant text with 'Error' is NOT a tool call
+        t("c3", 1, "assistant", "Error: not counted", None, 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_tool_error_stats_hand_computed(spark):
+    from feast_spark.operators.conversation import tool_error_stats
+
+    out = {r["tool"]: r.asDict() for r in tool_error_stats(_tool_turns(spark)).collect()}
+    s = out["search"]
+    assert s["n_calls"] == 3 and s["n_convs"] == 2 and s["n_errors"] == 1
+    assert s["error_units"] == (1 << 20) // 3
+    assert s["first_error_conv"] == "c1"
+    e = out["exec"]
+    # 'terror'/'exceptional' embedded words must NOT match (anchored classes)
+    assert e["n_calls"] == 2 and e["n_errors"] == 1
+    u = out["<unknown>"]
+    # 'FAILED' is not in the explicit-case alternation; stays clean
+    assert u["n_calls"] == 1 and u["n_errors"] == 0
+    assert u["first_error_conv"] is None
+
+
+def test_tool_error_stats_two_exchanges(spark):
+    from feast_spark.operators.conversation import tool_error_stats
+
+    plan = _plan(tool_error_stats(_tool_turns(spark)))
+    assert plan.count("Exchange hashpartitioning") <= 3  # dedup + 2 aggs
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mask_fork_prefixes (round 5 session 9)
+# ---------------------------------------------------------------------------
+
+
+def _fork_turns(spark):
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def t(c, i, role, text, sec=0):
+        return (c, i, role, text, None, ts0.replace(second=sec % 60, minute=sec // 60))
+
+    rows = [
+        # fork family: a1/a2/a3 share the 2-turn prefix, distinct tails
+        t("a1", 0, "user", "same seed prompt", 0),
+        t("a1", 1, "assistant", "same first reply", 1),
+        t("a1", 2, "user", "tail one", 2),
+        t("a2", 0, "user", "same  seed   prompt", 0),  # ws-normalized equal
+        t("a2", 1, "assistant", "same first reply", 1),
+        t("a2", 2, "user", "tail two", 2),
+        t("a2", 3, "assistant", "more tail", 3),
+        t("a3", 0, "user", "same seed prompt", 0),
+        t("a3", 1, "assistant", "same first reply", 1),
+        # singleton: unique prefix
+        t("b1", 0, "user", "different prompt", 0),
+        t("b1", 1, "assistant", "different reply", 1),
+        t("b1", 2, "user", "b tail", 2),
+        # too short for a fingerprint (k=2)
+        t("s1", 0, "user", "same seed prompt", 0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_mask_fork_prefixes_hand_computed(spark):
+    from feast_spark.operators.conversation import mask_fork_prefixes
+
+    out = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in mask_fork_prefixes(_fork_turns(spark), k=2).collect()
+    }
+    assert len(out) == 13
+    # representative (min conv_id) keeps everything
+    for i in range(3):
+        r = out[("a1", i)]
+        assert r["is_rep"] and r["keep_turn"] and r["fork_md5"] is not None
+    # siblings: first k turns masked, tails kept
+    for c in ("a2", "a3"):
+        assert not out[(c, 0)]["keep_turn"] and not out[(c, 0)]["is_rep"]
+        assert not out[(c, 1)]["keep_turn"]
+    assert out[("a2", 2)]["keep_turn"] and out[("a2", 3)]["keep_turn"]
+    # all family members share one digest
+    digests = {out[(c, 0)]["fork_md5"] for c in ("a1", "a2", "a3")}
+    assert len(digests) == 1
+    # singleton + short conversations: untouched, no group
+    for key in (("b1", 0), ("b1", 2), ("s1", 0)):
+        r = out[key]
+        assert r["fork_md5"] is None and not r["is_rep"] and r["keep_turn"]
+
+
+def test_mask_fork_prefixes_consistent_with_forks(spark):
+    from feast_spark.operators.conversation import (
+        conversation_forks,
+        mask_fork_prefixes,
+    )
+
+    from feast_spark.fixtures import transcripts_spark
+    from pyspark.sql import functions as F
+
+    t = transcripts_spark(spark, 40, seed=5, mega_every=0)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = t.filter(F.pmod(idx, F.lit(4)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    ).withColumn(
+        "text",
+        F.when(F.col("turn_idx") >= 2, F.concat(F.coalesce("text", F.lit("")), F.lit(" v2"))).otherwise(F.col("text")),
+    )
+    u = t.unionByName(clones)
+    forks = conversation_forks(u, k=2, min_group=2)
+    masked = mask_fork_prefixes(u, k=2, min_group=2)
+    # one rep per fork group; masked prefix turn count = k * (members - 1)
+    f = {r["prefix_md5"]: r for r in forks.collect()}
+    m = masked.filter("fork_md5 is not null")
+    reps = {
+        r["fork_md5"]: r["n"]
+        for r in m.filter("is_rep").groupBy("fork_md5").agg(
+            F.count_distinct("conv_id").alias("n")
+        ).collect()
+    }
+    dropped = {
+        r["fork_md5"]: r["n"]
+        for r in m.filter("NOT keep_turn").groupBy("fork_md5").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(f) == set(reps)
+    for h, row in f.items():
+        assert reps[h] == 1
+        assert dropped[h] == 2 * (row["n_convs"] - 1)
+    # masking never touches a turn outside the first k of a non-rep member
+    bad = masked.filter("NOT keep_turn AND (is_rep OR fork_md5 IS NULL)").count()
+    assert bad == 0
+
+
+def test_mask_fork_prefixes_no_broadcast_of_conv_relations(spark):
+    from feast_spark.operators.conversation import mask_fork_prefixes
+
+    plan = _plan(mask_fork_prefixes(_fork_turns(spark)))
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Join type:") == 2 and "ShuffledHashJoin" in plan
