@@ -152,6 +152,22 @@ HEADLINE = [
     "readability",
     "label_drift",
     "conv_language",
+    # round 5 session 7: minhash threshold-retention profile (shares the
+    # signature kernel), quality-ordered token-budget carving
+    "minhash_profile",
+    "token_budget",
+    # round 5 session 8: fenced code-block census, conversation
+    # key/temporal integrity, per-role distinct-n diversity, temperature
+    # mixture allocation
+    "code_blocks",
+    "conv_integrity",
+    "role_diversity",
+    "alpha_rates",
+    # round 5 session 9: cross-role PII echo, per-tool failure census,
+    # fork-prefix masking
+    "pii_echo",
+    "tool_errors",
+    "fork_mask",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
