@@ -2316,6 +2316,42 @@ def q_fork_mask(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pref_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 9: DPO preference-pair construction from fork
+    # groups — conv_forks' clone plant gives shared-prefix siblings with
+    # divergent tails; score = total assistant chars over the RAW
+    # delivery (exact int64, ASCII fixture), so the tail-rewritten clone
+    # outscores its original and every >=2-member group with a score gap
+    # emits one (chosen, rejected) pair. 2-turn conversations clone to
+    # identical twins (no tail to rewrite) -> score tie -> provably no
+    # pair. Oracle: FULL GENUINE SQL (digest replay, score agg, window
+    # rank extrema).
+    from feast_spark.operators.conversation import preference_pairs
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    clones = t.filter(F.pmod(idx, F.lit(5)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") >= 2,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" fork variant")),
+        ).otherwise(F.col("text")),
+    )
+    u = t.unionByName(clones)
+    scores = (
+        u.filter(F.col("role") == "assistant")
+        .groupBy("conv_id")
+        .agg(
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    return preference_pairs(u, scores, k=2)
+
+
 def q_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 8: fenced code-block census — three plant classes
     # (tagged python on every 3rd conversation's assistant turns, inline
@@ -2814,12 +2850,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_echo": q_pii_echo,
         "tool_errors": q_tool_errors,
         "fork_mask": q_fork_mask,
+        "pref_pairs": q_pref_pairs,
         # round 5 session 4c: consistent pseudonymization, PSI drift,
         # leak-free conv-grain holdout split
         "pseudonymize": q_pseudonymize,
         "drift_psi": q_drift_psi,
         "holdout_split": q_holdout_split,
-        "turn_neardup": q_turn_neardup,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats, UniMax language-balanced sampling
         "turn_dedup": q_turn_dedup,
@@ -2877,6 +2913,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_exposure": q_pii_exposure,
         "role_patterns": q_role_patterns,
         "drift_categorical": q_drift_categorical,
+        "turn_neardup": q_turn_neardup,
         # rotated round 5 session 8 (still pytest-oracled here; conv-grain
         # analytics stay driver-covered via conv_integrity, assistant_echo,
         # conv_repetition)
@@ -3938,6 +3975,71 @@ def _all_oracle_sql() -> dict[str, str]:
               NOT (cf.prefix_md5 IS NOT NULL AND NOT cf.is_rep
                    AND r.trn <= 2) AS keep_turn
             FROM r LEFT JOIN cf USING (conv_id)
+        """,
+        "pref_pairs": f"""
+            -- FULL GENUINE SQL twin of preference_pairs (k=2) on the
+            -- fork-planted corpus: assistant-char scores over the RAW
+            -- delivery, digest replay over the deduped turns, window
+            -- rank extrema with the (score, conv_id) tie order
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), u AS (
+              SELECT * FROM raw
+              UNION ALL
+              SELECT conv_id || 'd' AS conv_id, turn_idx, role,
+                CASE WHEN turn_idx >= 2
+                     THEN COALESCE(text, '') || ' fork variant'
+                     ELSE text END AS text,
+                tool, ts
+              FROM raw
+              WHERE CAST(substring(conv_id, 2, 9) AS INT) % 5 = 0
+            ), sc AS (
+              SELECT conv_id,
+                CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS score
+              FROM u WHERE role = 'assistant' GROUP BY 1
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM u
+              ) WHERE rn = 1
+            ), p AS (
+              SELECT conv_id, turn_idx, role,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
+                ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS trn
+              FROM d
+            ), pc AS (
+              SELECT conv_id,
+                md5(string_agg(role || ':' || norm,
+                    chr(30) ORDER BY turn_idx)) AS prefix_md5
+              FROM p WHERE trn <= 2
+              GROUP BY conv_id
+              HAVING COUNT(*) = 2
+            ), j AS (
+              SELECT pc.conv_id, pc.prefix_md5, sc.score
+              FROM pc JOIN sc USING (conv_id)
+            ), a AS (
+              SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_convs
+              FROM j GROUP BY 1
+            ), r AS (
+              SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY prefix_md5
+                  ORDER BY score DESC, conv_id DESC) AS rhi,
+                ROW_NUMBER() OVER (PARTITION BY prefix_md5
+                  ORDER BY score ASC, conv_id ASC) AS rlo
+              FROM j
+            )
+            SELECT a.prefix_md5, a.n_convs,
+              hi.conv_id AS chosen_conv, lo.conv_id AS rejected_conv,
+              hi.score AS chosen_score, lo.score AS rejected_score,
+              hi.score - lo.score AS margin
+            FROM a
+            JOIN (SELECT * FROM r WHERE rhi = 1) hi USING (prefix_md5)
+            JOIN (SELECT * FROM r WHERE rlo = 1) lo USING (prefix_md5)
+            WHERE a.n_convs >= 2 AND hi.score > lo.score
         """,
         "pii_exposure": f"""
             -- GENUINE SQL twin of pii_entity_exposure on the

@@ -168,6 +168,7 @@ HEADLINE = [
     "pii_echo",
     "tool_errors",
     "fork_mask",
+    "pref_pairs",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -1605,3 +1605,69 @@ def mask_fork_prefixes(
         )
         .drop("__rn")
     )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    conv_scores: DataFrame,
+    k: int = 2,
+    score_col: str = "score",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) dataset construction from fork groups:
+    conversations sharing a verbatim ``k``-turn prefix (retries /
+    best-of-n reruns — :func:`conversation_forks`' groups) diverge only
+    in their continuations, so a per-conversation quality score turns
+    each group into training pairs — the highest-scored member is
+    ``chosen``, the lowest ``rejected``, and the shared prefix is the
+    prompt both completions condition on. This is the construction step
+    every preference-tuning recipe needs and no per-turn filter
+    produces.
+
+    ``conv_scores`` is ``(conv_id, <score_col>)`` with an INTEGER score
+    (BIGINT — callers quantize floats to units first, the engine-wide
+    exactness discipline). One row per fork group that yields a pair:
+    ``(prefix_md5, n_convs, chosen_conv, rejected_conv, chosen_score,
+    rejected_score, margin)`` with ``margin = chosen - rejected > 0``
+    strictly — a group whose members all tie emits nothing (there is no
+    preference signal in a tie).
+
+    Determinism: chosen is the lexicographic MAX of ``(score, conv_id)``
+    and rejected the MIN, so score ties inside the pair selection break
+    on conv_id identically in Spark (struct ordering) and the SQL oracle
+    (window rank) — but a chosen/rejected pair only survives when the
+    SCORES differ, so the tie-break never manufactures a preference.
+
+    Scale shape: the digest pass is the shared WindowGroupLimit kernel
+    (k rows per conversation map-side); scores join the conv-dimension
+    digest relation on ``conv_id`` with SHUFFLE_HASH pinned (both sides
+    conversation-sized); the group agg carries two 8-byte extrema per
+    group. No text ever reaches the pair relation — rendering the
+    actual prompt/completion strings is the packer's job
+    (:func:`render_conversations` on the winner ids).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    digests = _prefix_digest_per_conv(d, k)
+    scored = digests.join(conv_scores.hint("shuffle_hash"), "conv_id")
+    agg = scored.groupBy("prefix_md5").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.max(F.struct(F.col(score_col), F.col("conv_id"))).alias("__hi"),
+        F.min(F.struct(F.col(score_col), F.col("conv_id"))).alias("__lo"),
+    )
+    return (
+        agg.filter(
+            (F.col("n_convs") >= 2)
+            & (F.col("__hi")[score_col] > F.col("__lo")[score_col])
+        )
+        .select(
+            "prefix_md5",
+            "n_convs",
+            F.col("__hi")["conv_id"].alias("chosen_conv"),
+            F.col("__lo")["conv_id"].alias("rejected_conv"),
+            F.col("__hi")[score_col].alias("chosen_score"),
+            F.col("__lo")[score_col].alias("rejected_score"),
+            (F.col("__hi")[score_col] - F.col("__lo")[score_col]).alias(
+                "margin"
+            ),
+        )
+    )

@@ -1526,3 +1526,64 @@ def test_mask_fork_prefixes_no_broadcast_of_conv_relations(spark):
     plan = _plan(mask_fork_prefixes(_fork_turns(spark)))
     assert "BroadcastHashJoin" not in plan
     assert plan.count("Join type:") == 2 and "ShuffledHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs (round 5 session 9)
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_hand_computed(spark):
+    from feast_spark.operators.conversation import preference_pairs
+
+    turns = _fork_turns(spark)  # a1/a2/a3 fork family + b1 + short s1
+    scores = spark.createDataFrame(
+        [("a1", 10), ("a2", 30), ("a3", 20), ("b1", 99), ("s1", 5)],
+        "conv_id string, score long",
+    )
+    out = preference_pairs(turns, scores, k=2).collect()
+    assert len(out) == 1  # b1 is a singleton group; s1 has no fingerprint
+    r = out[0].asDict()
+    assert r["n_convs"] == 3
+    assert r["chosen_conv"] == "a2" and r["chosen_score"] == 30
+    assert r["rejected_conv"] == "a1" and r["rejected_score"] == 10
+    assert r["margin"] == 20
+
+
+def test_preference_pairs_all_tie_emits_nothing(spark):
+    from feast_spark.operators.conversation import preference_pairs
+
+    turns = _fork_turns(spark)
+    scores = spark.createDataFrame(
+        [("a1", 7), ("a2", 7), ("a3", 7), ("b1", 1), ("s1", 1)],
+        "conv_id string, score long",
+    )
+    assert preference_pairs(turns, scores, k=2).count() == 0
+
+
+def test_preference_pairs_partial_tie_breaks_on_conv_id(spark):
+    from feast_spark.operators.conversation import preference_pairs
+
+    turns = _fork_turns(spark)
+    # two members tie at the TOP; pair still emitted vs the lower one,
+    # chosen = max (score, conv_id) -> a3
+    scores = spark.createDataFrame(
+        [("a1", 5), ("a2", 9), ("a3", 9), ("b1", 1), ("s1", 1)],
+        "conv_id string, score long",
+    )
+    r = preference_pairs(turns, scores, k=2).collect()[0].asDict()
+    assert r["chosen_conv"] == "a3" and r["rejected_conv"] == "a1"
+    assert r["margin"] == 4
+
+
+def test_preference_pairs_no_broadcast_of_conv_relations(spark):
+    from feast_spark.operators.conversation import preference_pairs
+
+    turns = _fork_turns(spark)
+    scores = spark.createDataFrame(
+        [("a1", 1), ("a2", 2), ("a3", 3), ("b1", 4), ("s1", 5)],
+        "conv_id string, score long",
+    )
+    plan = _plan(preference_pairs(turns, scores))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
