@@ -3743,9 +3743,10 @@ def _all_oracle_sql() -> dict[str, str]:
               CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
               CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
               CAST(MAX(cnt) AS BIGINT) AS max_gram_count,
-              (CAST(COUNT(*) AS BIGINT) * 1048576) // SUM(cnt)
-                AS diversity_units,
-              (CAST(MAX(cnt) AS BIGINT) * 1048576) // SUM(cnt) AS top_units
+              CAST((CAST(COUNT(*) AS BIGINT) * 1048576) // SUM(cnt)
+                   AS BIGINT) AS diversity_units,
+              CAST((CAST(MAX(cnt) AS BIGINT) * 1048576) // SUM(cnt)
+                   AS BIGINT) AS top_units
             FROM c GROUP BY role
         """,
         "turn_novelty": f"""

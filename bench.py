@@ -1259,6 +1259,83 @@ def main() -> None:
     assert sl["loop_overflow"] == 0 and sl["period_mismatch"] == 0, sl
     assert 0 <= int(sl["max_loop_units"]) <= (1 << 20), sl
 
+    # round 5 session 9: the fork-family curation action + preference
+    # pairs at the same corpus. Invariants in-artifact: every non-rep
+    # group member contributes exactly k masked turns (n_masked = k *
+    # n_masked_convs), exactly one representative per group, preference
+    # margins strictly positive and never self-paired.
+    from feast_spark.operators.conversation import (
+        mask_fork_prefixes,
+        preference_pairs,
+    )
+
+    # the fixture has no organic shared prefixes, so plant them at the
+    # corpus grain exactly like the driver query: every 25th conversation
+    # cloned under a 'd' suffix with its tail (turn_idx >= 2) rewritten —
+    # original + clone share the 2-turn prefix, tails diverge
+    _raw = spark.read.parquet(tpath)
+    _fidx = F.substring("conv_id", 2, 9).cast("int")
+    _clones = _raw.filter(F.pmod(_fidx, F.lit(25)) == 0).withColumn(
+        "conv_id", F.concat("conv_id", F.lit("d"))
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") >= 2,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" fork variant")),
+        ).otherwise(F.col("text")),
+    )
+    forked = _raw.unionByName(_clones)
+    n_planted = _raw.filter(F.pmod(_fidx, F.lit(25)) == 0).select(
+        "conv_id"
+    ).distinct().count()
+
+    with _Window() as wfm:
+        fm = mask_fork_prefixes(forked, k=2).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("keep_turn")).cast("long")).alias("n_masked"),
+            F.count_distinct(
+                F.when(~F.col("keep_turn"), F.col("conv_id"))
+            ).alias("n_masked_convs"),
+            F.count_distinct("fork_md5").alias("n_groups"),
+            F.count_distinct(
+                F.when(F.col("is_rep"), F.col("conv_id"))
+            ).alias("n_reps"),
+        ).collect()[0]
+    assert int(fm["n_masked"]) == 2 * int(fm["n_masked_convs"]), fm
+    assert int(fm["n_reps"]) == int(fm["n_groups"]), fm
+    # every planted clone pair with >= 2 turns forms a group; clones of
+    # 1-turn conversations carry no fingerprint, so >= is the bound
+    assert int(fm["n_masked_convs"]) >= int(0.8 * n_planted), (fm, n_planted)
+    with _Window() as wpp:
+        raw = forked
+        sc = (
+            raw.filter(F.col("role") == "assistant")
+            .groupBy("conv_id")
+            .agg(
+                F.sum(F.length(F.coalesce("text", F.lit(""))))
+                .cast("long")
+                .alias("score")
+            )
+        )
+        pp = preference_pairs(raw, sc, k=2).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("margin") <= 0).cast("long")), F.lit(0)
+            ).alias("bad_margin"),
+            F.coalesce(
+                F.sum(
+                    (F.col("chosen_conv") == F.col("rejected_conv")).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            ).alias("self_pair"),
+        ).collect()[0]
+    assert int(pp["bad_margin"]) == 0 and int(pp["self_pair"]) == 0, pp
+    # clone tails (>= 3-turn conversations with an assistant tail turn)
+    # outscore their originals -> pairs exist at corpus scale
+    assert int(pp["n_pairs"]) > 0, (pp, n_planted)
+
     conv_grain = {
         "n_turns": n_turns,
         "turn_dedup_wall_sec": round(wtd.wall, 3),
@@ -1295,11 +1372,17 @@ def main() -> None:
         "suffix_loop_wall_sec": round(wsl.wall, 3),
         "suffix_loop_turns_per_sec": round(n_turns / wsl.wall, 1),
         "n_half_loop_turns": int(sl["n_half_loop"]),
+        "fork_mask_wall_sec": round(wfm.wall, 3),
+        "fork_mask_turns_per_sec": round(n_turns / wfm.wall, 1),
+        "n_masked_turns": int(fm["n_masked"]),
+        "pref_pairs_wall_sec": round(wpp.wall, 3),
+        "n_pref_pairs": int(pp["n_pairs"]),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
             wcf.external_cores, wat.external_cores, wrp.external_cores,
             wae.external_cores, wga.external_cores, wsl.external_cores,
+            wfm.external_cores, wpp.external_cores,
         ],
     }
 

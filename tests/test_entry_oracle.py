@@ -81,6 +81,29 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    # the DRIVER compares via a dtype-sensitive value hash (int64 1 and
+    # float64 1.0 serialize differently): a DuckDB HUGEINT output column
+    # (e.g. an un-CAST `// SUM(...)`) lands in pandas as float64 and
+    # fails the driver even when every value is integral and equal — so
+    # pin the dtype CLASS here, not just value equality (caught live:
+    # role_diversity at sf0.01, round 5 session 9)
+    def _kind(dt) -> str:
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            return "datetime"
+        if pd.api.types.is_bool_dtype(dt):
+            return "bool"
+        if pd.api.types.is_integer_dtype(dt):
+            return "int"
+        if pd.api.types.is_float_dtype(dt):
+            return "float"
+        return "object"
+
+    kind_bad = [
+        (c, str(got[c].dtype), str(exp[c].dtype))
+        for c in got.columns
+        if _kind(got[c].dtype) != _kind(exp[c].dtype)
+    ]
+    assert not kind_bad, f"{name}: dtype-class mismatches {kind_bad}"
     for c in got.columns:
         ga, ea = got[c].tolist(), exp[c].tolist()
         bad = [
