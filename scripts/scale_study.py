@@ -406,6 +406,36 @@ def _one_size_conv(spark, n_convs: int) -> dict:
     }
     td.unpersist()
 
+    # fork-prefix masking at scale: every planted verbatim '_clone'
+    # shares its FULL prefix with the original, every fixture
+    # conversation has >= 3 turns, and '_clone' sorts after any digit —
+    # so each (orig, clone) pair is a fork group with the original as
+    # rep and the clone carrying exactly k=2 masked turns
+    from feast_spark.operators.conversation import mask_fork_prefixes
+
+    t0 = time.time()
+    fm = mask_fork_prefixes(corpus, k=2).agg(
+        F.sum((~F.col("keep_turn")).cast("long")).alias("n_masked"),
+        F.count_distinct(
+            F.when(~F.col("keep_turn"), F.col("conv_id"))
+        ).alias("n_masked_convs"),
+        F.count_distinct("fork_md5").alias("n_groups"),
+        F.count_distinct(
+            F.when(F.col("is_rep"), F.col("conv_id"))
+        ).alias("n_reps"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    assert int(fm["n_masked"]) == 2 * int(fm["n_masked_convs"]), fm
+    assert int(fm["n_reps"]) == int(fm["n_groups"]), fm
+    assert int(fm["n_masked_convs"]) >= n_clones, (fm, n_clones)
+    out["fork_mask"] = {
+        "wall_sec": wall,
+        "n_groups": int(fm["n_groups"]),
+        "n_masked_turns": int(fm["n_masked"]),
+        "clones_planted": n_clones,
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
     # turn-grain FUZZY near-dup at scale: every 200th conversation
     # cloned under '_near' with ONE word appended to each assistant turn
     # — near- but never exact-duplicates (invisible to turn_dedup). At
@@ -547,7 +577,8 @@ def main() -> None:
                 k: round(
                     cbig[k]["wall_sec"] / max(csmall[k]["wall_sec"], 1e-9)
                     / (cbig["n_turns"] / csmall["n_turns"]), 3)
-                for k in ("conv_curate", "conv_pack", "suffix_loops")
+                for k in ("conv_curate", "conv_pack", "suffix_loops",
+                          "fork_mask")
             },
         },
     }
