@@ -2280,7 +2280,12 @@ def q_tool_errors(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         F.when(
             (F.col("role") == "tool")
-            & (F.pmod(idx * 7 + F.col("turn_idx"), F.lit(4)) == 0),
+            & (
+                F.pmod(
+                    idx.cast("long") * 7 + F.col("turn_idx"), F.lit(4)
+                )
+                == 0
+            ),
             F.concat(
                 F.lit("Error: upstream timed out; "),
                 F.coalesce(F.col("text"), F.lit("")),
@@ -3743,9 +3748,9 @@ def _all_oracle_sql() -> dict[str, str]:
               CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
               CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
               CAST(MAX(cnt) AS BIGINT) AS max_gram_count,
-              CAST((CAST(COUNT(*) AS BIGINT) * 1048576) // SUM(cnt)
+              CAST((CAST(COUNT(*) AS HUGEINT) * 1048576) // SUM(cnt)
                    AS BIGINT) AS diversity_units,
-              CAST((CAST(MAX(cnt) AS BIGINT) * 1048576) // SUM(cnt)
+              CAST((CAST(MAX(cnt) AS HUGEINT) * 1048576) // SUM(cnt)
                    AS BIGINT) AS top_units
             FROM c GROUP BY role
         """,
@@ -3883,7 +3888,7 @@ def _all_oracle_sql() -> dict[str, str]:
             ), pl AS (
               SELECT conv_id, turn_idx, role,
                 CASE WHEN role = 'tool'
-                      AND (CAST(substring(conv_id, 2, 9) AS INT) * 7
+                      AND (CAST(substring(conv_id, 2, 9) AS BIGINT) * 7
                            + turn_idx) % 4 = 0
                      THEN 'Error: upstream timed out; ' || COALESCE(text, '')
                      ELSE text END AS text,
@@ -4023,7 +4028,8 @@ def _all_oracle_sql() -> dict[str, str]:
               SELECT pc.conv_id, pc.prefix_md5, sc.score
               FROM pc JOIN sc USING (conv_id)
             ), a AS (
-              SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_convs
+              SELECT prefix_md5,
+                CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
               FROM j GROUP BY 1
             ), r AS (
               SELECT *,
@@ -4041,6 +4047,7 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM r WHERE rhi = 1) hi USING (prefix_md5)
             JOIN (SELECT * FROM r WHERE rlo = 1) lo USING (prefix_md5)
             WHERE a.n_convs >= 2 AND hi.score > lo.score
+              AND hi.conv_id <> lo.conv_id
         """,
         "pii_exposure": f"""
             -- GENUINE SQL twin of pii_entity_exposure on the

@@ -60,6 +60,13 @@ __all__ = [
     "turn_neardup_pairs",
     "assistant_echo",
     "conversation_integrity",
+    "conversation_language",
+    "conversation_pii",
+    "pack_conversations",
+    "pii_echo",
+    "tool_error_stats",
+    "mask_fork_prefixes",
+    "preference_pairs",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -1442,10 +1449,17 @@ def pii_echo(
 # explicit-case alternation, NOT (?i): Java lowercases ASCII-only under
 # CASE_INSENSITIVE while DuckDB's RE2 casefolds more — the html_extract
 # lesson. Word-ish anchoring via the separator classes keeps "terror"
-# or "exceptional" from matching.
+# or "exceptional" from matching. The boundary classes include \n\r so
+# multi-line tool outputs match on interior lines, and — critically for
+# cross-engine parity — so the bare `$`/`^` anchors are only ever needed
+# at the TRUE ends of the text: Java's `$` (sans MULTILINE) also matches
+# before a final line terminator while RE2's matches only at
+# end-of-text; with \n in the class that position is covered by the
+# class on both engines and the anchors agree byte-for-byte (divergence
+# caught by the round-5 review on 'process Failed\n').
 TOOL_ERROR_PATTERN = (
-    "(^|[ \t(\\[])([Ee]rror|ERROR|[Ee]xception|[Tt]raceback|"
-    "[Ff]ail(ed|ure)?|[Tt]ime[d]? ?out)([ \t:.,)\\]]|$)"
+    "(^|[ \t\r\n(\\[])([Ee]rror|ERROR|[Ee]xception|[Tt]raceback|"
+    "[Ff]ail(ed|ure)?|[Tt]ime[d]? ?out)([ \t\r\n:.,)\\]]|$)"
 )
 
 
@@ -1649,8 +1663,14 @@ def preference_pairs(
     d = turns if pre_deduped else _deduped(turns)
     digests = _prefix_digest_per_conv(d, k)
     scored = digests.join(conv_scores.hint("shuffle_hash"), "conv_id")
+    # n_convs counts DISTINCT conversations and the pair filter requires
+    # chosen != rejected: a conv_scores relation that (against contract)
+    # carries duplicate conv_id rows can otherwise inflate the member
+    # count and emit a self-pair with a fabricated margin (round-5
+    # review) — with these guards duplicates can at worst duplicate a
+    # legitimate extremum, never manufacture a pair
     agg = scored.groupBy("prefix_md5").agg(
-        F.count(F.lit(1)).alias("n_convs"),
+        F.count_distinct("conv_id").alias("n_convs"),
         F.max(F.struct(F.col(score_col), F.col("conv_id"))).alias("__hi"),
         F.min(F.struct(F.col(score_col), F.col("conv_id"))).alias("__lo"),
     )
@@ -1658,6 +1678,7 @@ def preference_pairs(
         agg.filter(
             (F.col("n_convs") >= 2)
             & (F.col("__hi")[score_col] > F.col("__lo")[score_col])
+            & (F.col("__hi")["conv_id"] != F.col("__lo")["conv_id"])
         )
         .select(
             "prefix_md5",

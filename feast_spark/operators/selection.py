@@ -1774,7 +1774,9 @@ def temperature_sample_rates(
     mass). Returns it with:
 
     - ``p_units``  — ``weight * units div total_weight`` (exact int share)
-    - ``s_units``  — ``floor(weight^alpha * units)`` (the tempered mass)
+    - ``s_units``  — ``floor(weight^alpha * units)`` (the tempered mass;
+      at ``alpha=1.0`` the scale is 1, i.e. ``s_units = weight`` — the
+      scale is alpha-specific and cancels in every ratio)
     - ``q_units``  — ``s_units * units div total_s`` (tempered share)
     - ``budget_tokens`` — ``budget * s_units div total_s`` (when given)
 
@@ -1800,18 +1802,30 @@ def temperature_sample_rates(
             f"got {alpha}"
         )
     w = F.col(weight_col).cast("double")
+    # s_units is the tempered mass in an ALPHA-SPECIFIC scale — only the
+    # ratios s_units/total_s matter downstream, so the scale cancels.
+    # alpha=1.0 uses scale 1 (s_units = weight, exact int64, no double
+    # round-trip): scaling by `units` there would overflow int64 at
+    # weight > 2^43 (round-5 review finding). Fractional alphas stay on
+    # floor(w^alpha * units): safe to weight ~2^57 at alpha=0.75 and
+    # ~2^86 at alpha=0.5 — a 10^12-turn corpus tops out around 10^15
+    # chars total, orders of magnitude inside both bounds.
     if alpha == 1.0:
-        tempered = w
+        tempered_units = F.col(weight_col).cast("long")
     elif alpha == 0.5:
-        tempered = F.sqrt(w)
+        tempered_units = F.floor(F.sqrt(w) * F.lit(int(units))).cast("long")
     elif alpha == 0.25:
-        tempered = F.sqrt(F.sqrt(w))
+        tempered_units = F.floor(
+            F.sqrt(F.sqrt(w)) * F.lit(int(units))
+        ).cast("long")
     else:  # 0.75: one correctly-rounded multiply of two exact-rounded roots
-        tempered = F.sqrt(w) * F.sqrt(F.sqrt(w))
+        tempered_units = F.floor(
+            F.sqrt(w) * F.sqrt(F.sqrt(w)) * F.lit(int(units))
+        ).cast("long")
     x = counts.select(
         F.col(group_col),
         F.col(weight_col),
-        F.floor(tempered * F.lit(int(units))).cast("long").alias("s_units"),
+        tempered_units.alias("s_units"),
     )
     tot = x.agg(
         F.sum(weight_col).cast("long").alias("__tw"),

@@ -296,13 +296,19 @@ def role_ngram_diversity(
         "total_ngrams",
         "distinct_ngrams",
         "max_gram_count",
-        # exact int64 division (`div`), never a double round-trip
-        F.expr("(distinct_ngrams * 1048576) div total_ngrams").alias(
-            "diversity_units"
-        ),
-        F.expr("(max_gram_count * 1048576) div total_ngrams").alias(
-            "top_units"
-        ),
+        # exact integer division, never a double round-trip; the
+        # numerator runs in DECIMAL(38,0) because distinct_ngrams can
+        # pass 2^43 at 10^12-turn scale, where an int64 multiply by 2^20
+        # wraps (round-5 review; IntegralDivide returns BIGINT and the
+        # quotient is a share <= 2^20, so the result always fits)
+        F.expr(
+            "(CAST(distinct_ngrams AS DECIMAL(38,0)) * 1048576)"
+            " div total_ngrams"
+        ).cast("long").alias("diversity_units"),
+        F.expr(
+            "(CAST(max_gram_count AS DECIMAL(38,0)) * 1048576)"
+            " div total_ngrams"
+        ).cast("long").alias("top_units"),
     )
 
 
@@ -343,8 +349,19 @@ def code_block_stats(
     """
     from feast_spark.operators.conversation import _deduped
 
-    if not pre_deduped and {"conv_id", "turn_idx", "ts"} <= set(turns.columns):
-        turns = _deduped(turns)
+    if not pre_deduped:
+        if {"conv_id", "turn_idx", "ts"} <= set(turns.columns):
+            turns = _deduped(turns)
+        else:
+            # never guess: a renamed-key frame would silently skip the
+            # requested dedup and double-count duplicate deliveries
+            # (round-5 review) — non-transcript inputs must acknowledge
+            # their own dedup responsibility explicitly
+            raise ValueError(
+                "pre_deduped=False needs the canonical transcript keys "
+                "(conv_id, turn_idx, ts) for latest-per-key dedup; pass "
+                "pre_deduped=True for doc-grain or renamed-key inputs"
+            )
     t = F.coalesce(F.col(text_col), F.lit(""))
     ex = turns.select(
         F.col(id_col).alias("__id"),

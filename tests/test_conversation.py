@@ -1587,3 +1587,32 @@ def test_preference_pairs_no_broadcast_of_conv_relations(spark):
     plan = _plan(preference_pairs(turns, scores))
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_preference_pairs_duplicate_scores_never_self_pair(spark):
+    from feast_spark.operators.conversation import preference_pairs
+
+    turns = _fork_turns(spark)
+    # contract violation: duplicate conv_id rows in conv_scores — must
+    # not inflate n_convs past distinct members or emit a self-pair
+    scores = spark.createDataFrame(
+        [("a1", 10), ("a1", 30), ("a2", 20), ("a3", 20),
+         ("b1", 1), ("b1", 9), ("s1", 1)],
+        "conv_id string, score long",
+    )
+    rows = preference_pairs(turns, scores, k=2).collect()
+    # a1 holds BOTH extrema (10 and 30), so the self-pair guard
+    # suppresses the group entirely — conservative: a fabricated margin
+    # never becomes a training pair; b1's dup scores can't make a
+    # singleton a group either
+    assert rows == []
+    # duplicates that do NOT own both extrema still yield a sane pair
+    scores2 = spark.createDataFrame(
+        [("a1", 10), ("a1", 25), ("a2", 30), ("a3", 5),
+         ("b1", 1), ("s1", 1)],
+        "conv_id string, score long",
+    )
+    (r,) = preference_pairs(turns, scores2, k=2).collect()
+    assert r["n_convs"] == 3  # distinct members, not score rows
+    assert r["chosen_conv"] == "a2" and r["rejected_conv"] == "a3"
+    assert r["margin"] == 25

@@ -1380,11 +1380,13 @@ def test_temperature_rates_match_python_replay(spark):
 
     U = 1 << 20
     for alpha in (0.25, 0.5, 0.75, 1.0):
-        def temper(w):
+        def temper_units(w):
             a, b = math.sqrt(w), math.sqrt(math.sqrt(w))
-            return {0.25: b, 0.5: a, 0.75: a * b, 1.0: float(w)}[alpha]
+            if alpha == 1.0:
+                return w  # scale 1: exact int64, no double round-trip
+            return math.floor({0.25: b, 0.5: a, 0.75: a * b}[alpha] * U)
 
-        s = {k: math.floor(temper(v) * U) for k, v in sizes.items()}
+        s = {k: temper_units(v) for k, v in sizes.items()}
         tw, ts = sum(sizes.values()), sum(s.values())
         got = {
             r["lang"]: r.asDict()
@@ -1426,3 +1428,24 @@ def test_temperature_rates_broadcasts_totals(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan  # no shuffle of groups
+
+
+def test_temperature_rates_alpha1_huge_weights_exact(spark):
+    # alpha=1.0 takes the identity scale: no double round-trip, no
+    # int64 overflow even at weights far past 2^43 (round-5 review)
+    from feast_spark.operators.selection import temperature_sample_rates
+
+    big = 1 << 50
+    df = spark.createDataFrame(
+        [("en", big), ("sw", 3)], "lang string, tokens long"
+    )
+    got = {
+        r["lang"]: r.asDict()
+        for r in temperature_sample_rates(
+            df, "lang", "tokens", alpha=1.0, budget=10**6
+        ).collect()
+    }
+    U = 1 << 20
+    assert got["en"]["s_units"] == big
+    assert got["en"]["q_units"] == big * U // (big + 3)
+    assert got["sw"]["budget_tokens"] == 10**6 * 3 // (big + 3)

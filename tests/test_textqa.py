@@ -435,3 +435,16 @@ def test_code_block_stats_dedups_and_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
     assert "Sort " not in plan and "BatchEvalPython" not in plan
+
+
+def test_code_block_stats_rejects_undeduplicable_schema(spark):
+    import pytest as _pytest
+
+    from feast_spark.operators.textqa import code_block_stats
+
+    df = spark.createDataFrame(
+        [("d1", "```\nx\n```")], "doc_id string, text string"
+    )
+    with _pytest.raises(ValueError, match="pre_deduped"):
+        code_block_stats(df, id_col="doc_id")
+    assert code_block_stats(df, id_col="doc_id", pre_deduped=True).count() == 1
