@@ -72,6 +72,16 @@ class ConvCurationConfig:
     # ``neardup_verify_max_chars``-capped text to the tiny pair table.
     neardup_verify_threshold: float | None = None
     neardup_verify_max_chars: int | None = 4000
+    # OPT-IN stage 5 (round 5 session 9): fork-prefix masking over the
+    # KEPT conversations. Near-dup (stage 3) drops whole-conversation
+    # clones, but fork SIBLINGS — retries / best-of-n reruns sharing a
+    # verbatim k-turn prefix with genuinely distinct tails — survive it
+    # by design (their tails dominate the shingle sets). When set, the
+    # result carries ``kept_turns``: the deduped turns of every kept
+    # conversation annotated by :func:`mask_fork_prefixes` so a packer
+    # trains each shared prefix exactly once (``keep_turn`` -> loss
+    # mask). Turn-grain output; the conv-grain tables are unchanged.
+    fork_mask_k: int | None = None
 
 
 @dataclass
@@ -79,6 +89,9 @@ class ConvCurationResult:
     kept: DataFrame
     decisions: DataFrame
     config: ConvCurationConfig = field(default_factory=ConvCurationConfig)
+    # stage-5 output (cfg.fork_mask_k): deduped turns of kept
+    # conversations + (fork_md5, is_rep, keep_turn); None when off
+    kept_turns: DataFrame | None = None
     _cached: list = field(default_factory=list)
 
     def release(self) -> None:
@@ -221,6 +234,22 @@ def curate_conversations(
         F.coalesce("__kept", F.lit(False)).alias("kept"),
         stage.alias("drop_stage"),
     )
+    # stage 5 (opt-in): fork-prefix masking over the kept conversations'
+    # turns — groups are computed AMONG the kept set (a dropped
+    # conversation's prefix should not mask a survivor's turns)
+    kept_turns = None
+    if cfg.fork_mask_k is not None:
+        from feast_spark.operators.conversation import mask_fork_prefixes
+
+        kt = d.join(kept.select("conv_id"), "conv_id", "left_semi")
+        kept_turns = mask_fork_prefixes(
+            kt, k=cfg.fork_mask_k, pre_deduped=True
+        )
+
     return ConvCurationResult(
-        kept=kept, decisions=decisions, config=cfg, _cached=cached
+        kept=kept,
+        decisions=decisions,
+        config=cfg,
+        kept_turns=kept_turns,
+        _cached=cached,
     )

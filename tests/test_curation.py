@@ -489,3 +489,75 @@ def test_conv_neardup_verify_arm_rescues_scrambles(spark):
     assert verified["ca"] == "kept"
     assert verified["cc"] == "near_dup"  # verbatim clone confirmed
     assert verified["cb"] == "kept"  # order-scramble rescued
+
+
+def test_conv_fork_mask_stage_masks_sibling_prefixes(spark):
+    # opt-in stage 5: fork SIBLINGS (shared 2-turn prefix, genuinely
+    # distinct tails) survive near-dup by design; kept_turns must mask
+    # exactly the non-rep members' prefix turns
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.conv_curation import (
+        ConvCurationConfig,
+        curate_conversations,
+    )
+
+    t = transcripts_spark(spark, 40, seed=21, mega_every=0)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    # fork plant: clone every 4th conv, REWRITE the tail entirely so the
+    # sibling is nowhere near a near-dup of its original
+    siblings = (
+        t.filter(F.pmod(idx, F.lit(4)) == 0)
+        .withColumn("conv_id", F.concat("conv_id", F.lit("f")))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") >= 2,
+                F.concat(
+                    F.lit("completely different continuation branch "),
+                    F.md5(F.concat("conv_id", F.col("turn_idx").cast("string"))),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    )
+    cfg = ConvCurationConfig(sample_rate=1.0, fork_mask_k=2)
+    res = curate_conversations(spark, t.unionByName(siblings), cfg)
+    try:
+        assert res.kept_turns is not None
+        kt = res.kept_turns.persist()
+        kept_ids = {r["conv_id"] for r in res.kept.collect()}
+        # kept_turns covers exactly the kept conversations
+        assert {r["conv_id"] for r in kt.select("conv_id").distinct().collect()} == kept_ids
+        masked = kt.filter("NOT keep_turn").collect()
+        # masking only hits non-rep fork members' first-k turns
+        for r in masked:
+            assert r["turn_idx"] is not None and not r["is_rep"]
+            assert r["fork_md5"] is not None
+        # every kept (orig, sibling) pair with >=2 turns forms a group:
+        # the sibling ('f' suffix sorts after digits) carries exactly 2
+        # masked turns
+        masked_by_conv = {}
+        for r in masked:
+            masked_by_conv.setdefault(r["conv_id"], 0)
+            masked_by_conv[r["conv_id"]] += 1
+        pairs = [
+            c for c in kept_ids
+            if c.endswith("f") and c[:-1] in kept_ids
+        ]
+        assert pairs, "plant produced no kept fork pairs"
+        for c in pairs:
+            assert masked_by_conv.get(c) == 2, (c, masked_by_conv.get(c))
+        kt.unpersist()
+    finally:
+        res.release()
+
+
+def test_conv_fork_mask_default_off(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.conv_curation import curate_conversations
+
+    t = transcripts_spark(spark, 10, seed=3, mega_every=0)
+    res = curate_conversations(spark, t)
+    try:
+        assert res.kept_turns is None
+    finally:
+        res.release()
