@@ -3921,7 +3921,8 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM pc GROUP BY 1
             )
             SELECT tool, n_calls, n_convs, n_errors, first_error_conv,
-              (n_errors * 1048576) // n_calls AS error_units
+              CAST((CAST(n_errors AS HUGEINT) * 1048576) // n_calls
+                   AS BIGINT) AS error_units
             FROM a
         """,
         "fork_mask": f"""

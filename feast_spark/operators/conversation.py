@@ -1507,9 +1507,15 @@ def tool_error_stats(
             "first_error_conv"
         ),
     )
+    # DECIMAL numerator: a pathological fleet tool can log 10^12-scale
+    # error counts, where an int64 multiply by 2^20 wraps (the engine's
+    # 2^43 rule); IntegralDivide returns BIGINT and the quotient is a
+    # fraction <= 2^20
     return agg.withColumn(
         "error_units",
-        F.expr(f"(n_errors * {1 << 20}) div n_calls"),
+        F.expr(
+            f"(CAST(n_errors AS DECIMAL(38,0)) * {1 << 20}) div n_calls"
+        ).cast("long"),
     )
 
 
