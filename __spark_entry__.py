@@ -2813,6 +2813,85 @@ def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_html_text(docs)
 
 
+def q_alternation_repair(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 10: alternation REPAIR after a turn-grain filter —
+    # dropping turns where (cid*3 + turn_idx) % 5 == 2 leaves same-role
+    # runs behind (exactly the post-quality-filter state), which merge
+    # into single turns with texts joined in turn order. Oracle: GENUINE
+    # DuckDB SQL — same filter, dedup, lag/run windows, ordered
+    # string_agg.
+    from feast_spark.operators.conversation import repair_alternation
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("long")
+    filt = t.filter(F.pmod(idx * 3 + F.col("turn_idx"), F.lit(5)) != 2)
+    return repair_alternation(filt)
+
+
+def q_context_fit(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 10: context-window FIT — keep the system prompt
+    # plus the longest suffix of remaining turns fitting a 48-token
+    # budget (mega-conversations keep only their tail). Oracle: GENUINE
+    # DuckDB SQL — same word counts, system-pin charge, suffix-sum
+    # window.
+    from feast_spark.operators.conversation import fit_context_budget
+
+    return fit_context_budget(_transcripts_fixture(spark), 48)
+
+
+def q_system_prompts(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 10: fleet system-prompt census. Plant: system
+    # turns carry one of three canned profile prompts (cid % 3), so the
+    # census has three real buckets plus <none>. Oracle: GENUINE DuckDB
+    # SQL — same plant, dedup, first-system arg_min, md5 digest, agg.
+    from feast_spark.operators.conversation import system_prompt_census
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "system",
+            F.concat(
+                F.lit("You are agent profile "),
+                F.pmod(idx, F.lit(3)).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return system_prompt_census(planted)
+
+
+def q_special_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 10: chat-template special-token leakage census.
+    # Plants: (cid*5+turn_idx)%11==0 appends an im_start/im_end pair,
+    # %13==1 appends </s>, (cid*7+turn_idx)%17==2 appends an INST pair —
+    # deterministic leak mass per (marker, role). Oracle: GENUINE DuckDB
+    # SQL — same plants, dedup, replace-based counting over a markers
+    # VALUES table, (marker, role, conv) pre-agg.
+    from feast_spark.operators.textqa import special_token_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("long")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    planted = t.withColumn(
+        "text",
+        F.when(
+            F.pmod(idx * 5 + F.col("turn_idx"), F.lit(11)) == 0,
+            F.concat(txt, F.lit(" <|im_start|>assistant oops <|im_end|>")),
+        )
+        .when(
+            F.pmod(idx * 5 + F.col("turn_idx"), F.lit(13)) == 1,
+            F.concat(txt, F.lit("</s>")),
+        )
+        .when(
+            F.pmod(idx * 7 + F.col("turn_idx"), F.lit(17)) == 2,
+            F.concat(txt, F.lit(" [INST] retry [/INST]")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return special_token_stats(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -2822,6 +2901,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 10: alternation repair, context-window fit,
+        # system-prompt census, special-token leakage census — all with
+        # genuine DuckDB SQL oracles over the raw turns
+        "alternation_repair": q_alternation_repair,
+        "context_fit": q_context_fit,
+        "system_prompts": q_system_prompts,
+        "special_tokens": q_special_tokens,
         # round 5 session 7: MinHash threshold-retention profile
         # (candidate-estimate histogram, genuine-SQL aggregation oracle)
         # + quality-ordered token-budget carving (full genuine-SQL
@@ -2829,11 +2915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_profile": q_minhash_profile,
         "token_budget": q_token_budget,
         # round 5 session 6: truncated-generation QA, decode-loop
-        # detector, cross-source overlap matrix, readability
+        # detector
         "truncation": q_truncation,
         "suffix_loops": q_suffix_loops,
-        "source_overlap": q_source_overlap,
-        "readability": q_readability,
         "label_drift": q_label_drift,
         "conv_language": q_conv_language,
         # round 5 session 5: edit-similarity verification of LSH
@@ -2856,16 +2940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_errors": q_tool_errors,
         "fork_mask": q_fork_mask,
         "pref_pairs": q_pref_pairs,
-        # round 5 session 4c: consistent pseudonymization, PSI drift,
-        # leak-free conv-grain holdout split
+        # round 5 session 4c: consistent pseudonymization, PSI drift
         "pseudonymize": q_pseudonymize,
         "drift_psi": q_drift_psi,
-        "holdout_split": q_holdout_split,
         # round 5 session 3: turn-grain cross-conversation dedup,
-        # agent-loop run stats, UniMax language-balanced sampling
+        # agent-loop run stats
         "turn_dedup": q_turn_dedup,
         "conv_repetition": q_conv_repetition,
-        "unimax_sample": q_unimax_sample,
         "conv_contamination": q_conv_contamination,
         # round 5 session 2: byte-grain CDC near-dup + blocklist scan
         # + per-language tokenizer fertility
@@ -2912,6 +2993,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 10 (still pytest-oracled here; window
+        # keeps same-family siblings: truncation/suffix_loops for textqa,
+        # token_budget/alpha_rates for selection, cross-source lenses via
+        # source_vocab/source_top_terms)
+        "readability": q_readability,
+        "source_overlap": q_source_overlap,
+        "holdout_split": q_holdout_split,
+        "unimax_sample": q_unimax_sample,
         # rotated round 5 session 9 (still pytest-oracled here; PII stays
         # driver-covered via conv_pii + pii_echo, drift via drift_psi,
         # conv shape via conv_forks/conv_templates/role_diversity)
@@ -3084,6 +3173,169 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "alternation_repair": f"""
+            -- GENUINE SQL twin of repair_alternation on the filtered
+            -- corpus ((cid*3 + turn_idx) % 5 == 2 turns dropped): dedup,
+            -- lag/run windows, ordered string_agg with the \\n\\n join
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), f AS (
+              SELECT * FROM raw
+              WHERE (CAST(substring(conv_id, 2, 9) AS BIGINT) * 3
+                     + turn_idx) % 5 != 2
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM f
+              ) WHERE rn = 1
+            ), r AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                COALESCE(text, '') AS t,
+                CASE WHEN role = lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx)
+                     THEN 0 ELSE 1 END AS nr
+              FROM d
+            ), rr AS (
+              SELECT *, SUM(nr) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS run
+              FROM r
+            )
+            SELECT conv_id, CAST(run - 1 AS INTEGER) AS turn_idx,
+              MIN(role) AS role,
+              string_agg(t, chr(10) || chr(10) ORDER BY turn_idx) AS text,
+              MIN(tool) AS tool,
+              CAST(epoch_ms(MIN(ts)) AS BIGINT) AS ts_ms,
+              CAST(COUNT(*) AS BIGINT) AS n_merged,
+              CAST(MIN(turn_idx) AS INTEGER) AS src_first_idx
+            FROM rr GROUP BY conv_id, run
+        """,
+        "context_fit": f"""
+            -- GENUINE SQL twin of fit_context_budget(48, keep_system):
+            -- same word counts, whole-conv system-token charge, suffix
+            -- sum over non-system turns in turn_idx DESC order
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM raw
+              ) WHERE rn = 1
+            ), t AS (
+              SELECT conv_id, turn_idx, role,
+                CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END AS INTEGER) AS n_tokens
+              FROM d
+            ), w AS (
+              SELECT conv_id, turn_idx, role, n_tokens,
+                SUM(CASE WHEN role = 'system' THEN n_tokens ELSE 0 END)
+                  OVER (PARTITION BY conv_id) AS sys_total,
+                SUM(CASE WHEN role = 'system' THEN 0 ELSE n_tokens END)
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                        ROWS UNBOUNDED PRECEDING) AS revcum
+              FROM t
+            )
+            SELECT conv_id, turn_idx, role, n_tokens,
+              (role = 'system' OR revcum <= 48 - sys_total) AS keep_turn
+            FROM w
+        """,
+        "system_prompts": f"""
+            -- GENUINE SQL twin of system_prompt_census on the planted
+            -- corpus (system turns carry 'You are agent profile cid%3');
+            -- dedup, first-system arg_min, md5-16 digest, census agg
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN role = 'system'
+                     THEN 'You are agent profile ' || CAST(
+                       CAST(substring(conv_id, 2, 9) AS INTEGER) % 3
+                       AS VARCHAR)
+                     ELSE text END AS text
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), conv AS (
+              SELECT conv_id, COUNT(*) AS n_turns FROM d GROUP BY 1
+            ), sys AS (
+              SELECT conv_id,
+                arg_min(trim(regexp_replace(COALESCE(text, ''),
+                  '[ \t\n\x0b\f\r]+', ' ', 'g')), turn_idx) AS p
+              FROM d WHERE role = 'system' GROUP BY 1
+            )
+            SELECT
+              CASE WHEN s.p IS NULL THEN '<none>'
+                   ELSE substring(md5(s.p), 1, 16) END AS digest,
+              CAST(COUNT(*) AS BIGINT) AS n_convs,
+              CAST(SUM(c.n_turns) AS BIGINT) AS n_turns,
+              MIN(substring(s.p, 1, 120)) AS sample_text
+            FROM conv c LEFT JOIN sys s USING (conv_id)
+            GROUP BY 1
+        """,
+        "special_tokens": f"""
+            -- GENUINE SQL twin of special_token_stats on the planted
+            -- corpus (im_start/im_end, </s>, [INST] pairs appended to
+            -- deterministic turn subsets); replace-based counting over
+            -- a markers VALUES table, (marker, role, conv) pre-agg
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE
+                  WHEN (CAST(substring(conv_id, 2, 9) AS BIGINT) * 5
+                        + turn_idx) % 11 = 0
+                    THEN COALESCE(text, '')
+                         || ' <|im_start|>assistant oops <|im_end|>'
+                  WHEN (CAST(substring(conv_id, 2, 9) AS BIGINT) * 5
+                        + turn_idx) % 13 = 1
+                    THEN COALESCE(text, '') || '</s>'
+                  WHEN (CAST(substring(conv_id, 2, 9) AS BIGINT) * 7
+                        + turn_idx) % 17 = 2
+                    THEN COALESCE(text, '') || ' [INST] retry [/INST]'
+                  ELSE text END AS text
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), m(marker) AS (
+              VALUES ('<|im_start|>'), ('<|im_end|>'), ('<|endoftext|>'),
+                ('</s>'), ('<s>'), ('[INST]'), ('[/INST]'), ('<<SYS>>'),
+                ('<|user|>'), ('<|assistant|>'), ('<|system|>'),
+                ('<|eot_id|>')
+            ), h AS (
+              SELECT d.conv_id, d.role, m.marker,
+                CAST((length(COALESCE(d.text, ''))
+                      - length(replace(COALESCE(d.text, ''), m.marker, '')))
+                     / length(m.marker) AS BIGINT) AS cnt
+              FROM d CROSS JOIN m
+            ), hh AS (
+              SELECT * FROM h WHERE cnt > 0
+            ), pc AS (
+              SELECT marker, role, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS nt,
+                CAST(SUM(cnt) AS BIGINT) AS nh
+              FROM hh GROUP BY 1, 2, 3
+            )
+            SELECT marker, role,
+              CAST(SUM(nt) AS BIGINT) AS n_turns,
+              CAST(COUNT(*) AS BIGINT) AS n_convs,
+              CAST(SUM(nh) AS BIGINT) AS n_hits
+            FROM pc GROUP BY 1, 2
+        """,
         "drift_psi": """
             -- GENUINE SQL twin of drift_psi (bins=10, eps=1e-6) on the
             -- half-split events table with the odd half's value scaled

@@ -169,6 +169,12 @@ HEADLINE = [
     "tool_errors",
     "fork_mask",
     "pref_pairs",
+    # round 5 session 10: alternation repair, context-window fit,
+    # system-prompt census, special-token leakage census
+    "alternation_repair",
+    "context_fit",
+    "system_prompts",
+    "special_tokens",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -1336,6 +1342,98 @@ def main() -> None:
     # outscore their originals -> pairs exist at corpus scale
     assert int(pp["n_pairs"]) > 0, (pp, n_planted)
 
+    # round 5 session 10: alternation repair, context-window fit,
+    # system-prompt census, special-token census at the same corpus.
+    # Invariants in-artifact: merge conserves the deduped turn count,
+    # new indices are contiguous per conversation, every system turn is
+    # kept by the fit and kept non-system tokens respect the remaining
+    # budget, the census conserves conversations and turns, and marker
+    # hits bound turns bound convs.
+    from feast_spark.operators.conversation import (
+        fit_context_budget,
+        repair_alternation,
+        system_prompt_census,
+    )
+    from feast_spark.operators.textqa import special_token_stats
+
+    n_dedup = _deduped(spark.read.parquet(tpath)).count()
+    with _Window() as wra:
+        ra_df = repair_alternation(spark.read.parquet(tpath))
+        ra = ra_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_merged").alias("merged_total"),
+        ).collect()[0]
+    assert int(ra["merged_total"]) == n_dedup, (ra, n_dedup)
+    bad_idx = (
+        ra_df.groupBy("conv_id")
+        .agg((F.max("turn_idx") + 1 != F.count(F.lit(1))).alias("bad"))
+        .filter("bad")
+        .count()
+    )
+    assert bad_idx == 0, bad_idx
+    with _Window() as wfc:
+        fc_df = fit_context_budget(spark.read.parquet(tpath), 256)
+        fc = fc_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep_turn").cast("long")).alias("n_kept"),
+            F.sum(
+                ((F.col("role") == "system") & ~F.col("keep_turn")).cast(
+                    "long"
+                )
+            ).alias("sys_dropped"),
+        ).collect()[0]
+    assert int(fc["sys_dropped"]) == 0, fc
+    over_budget = (
+        fc_df.groupBy("conv_id")
+        .agg(
+            F.sum(
+                F.when(F.col("role") == "system", F.col("n_tokens")).otherwise(0)
+            ).alias("sys_tot"),
+            F.sum(
+                F.when(
+                    F.col("keep_turn") & (F.col("role") != "system"),
+                    F.col("n_tokens"),
+                ).otherwise(0)
+            ).alias("kept_rest"),
+        )
+        .filter(F.col("kept_rest") > F.lit(256) - F.col("sys_tot"))
+        .count()
+    )
+    assert over_budget == 0, over_budget
+    with _Window() as wsp:
+        sp = system_prompt_census(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_prompts"),
+            F.sum("n_convs").alias("convs_total"),
+            F.sum("n_turns").alias("turns_total"),
+        ).collect()[0]
+    assert int(sp["turns_total"]) == n_dedup, (sp, n_dedup)
+    # marker plant at the corpus grain (the organic fixture text cannot
+    # produce template tokens): every 11th (cid*5+idx) turn leaks a pair
+    _sidx = F.substring("conv_id", 2, 9).cast("long")
+    _leaky = spark.read.parquet(tpath).withColumn(
+        "text",
+        F.when(
+            F.pmod(_sidx * 5 + F.col("turn_idx"), F.lit(11)) == 0,
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.lit(" <|im_start|>assistant oops <|im_end|>"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    with _Window() as wst:
+        st = special_token_stats(_leaky).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_hits").alias("hits"),
+            F.sum(
+                (
+                    (F.col("n_convs") > F.col("n_turns"))
+                    | (F.col("n_turns") > F.col("n_hits"))
+                ).cast("long")
+            ).alias("bound_violations"),
+        ).collect()[0]
+    assert int(st["bound_violations"]) == 0, st
+    assert int(st["hits"]) > 0, st
+
     conv_grain = {
         "n_turns": n_turns,
         "turn_dedup_wall_sec": round(wtd.wall, 3),
@@ -1377,12 +1475,25 @@ def main() -> None:
         "n_masked_turns": int(fm["n_masked"]),
         "pref_pairs_wall_sec": round(wpp.wall, 3),
         "n_pref_pairs": int(pp["n_pairs"]),
+        "alternation_repair_wall_sec": round(wra.wall, 3),
+        "alternation_repair_turns_per_sec": round(n_turns / wra.wall, 1),
+        "n_repaired_rows": int(ra["n_rows"]),
+        "context_fit_wall_sec": round(wfc.wall, 3),
+        "context_fit_turns_per_sec": round(n_turns / wfc.wall, 1),
+        "context_fit_kept_frac": round(
+            float(fc["n_kept"]) / max(float(fc["n_rows"]), 1.0), 4
+        ),
+        "system_prompts_wall_sec": round(wsp.wall, 3),
+        "n_system_prompts": int(sp["n_prompts"]),
+        "special_tokens_wall_sec": round(wst.wall, 3),
+        "special_tokens_turns_per_sec": round(n_turns / wst.wall, 1),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
             wcf.external_cores, wat.external_cores, wrp.external_cores,
             wae.external_cores, wga.external_cores, wsl.external_cores,
-            wfm.external_cores, wpp.external_cores,
+            wfm.external_cores, wpp.external_cores, wra.external_cores,
+            wfc.external_cores, wsp.external_cores, wst.external_cores,
         ],
     }
 

@@ -67,6 +67,9 @@ __all__ = [
     "tool_error_stats",
     "mask_fork_prefixes",
     "preference_pairs",
+    "repair_alternation",
+    "fit_context_budget",
+    "system_prompt_census",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -1696,5 +1699,201 @@ def preference_pairs(
             (F.col("__hi")[score_col] - F.col("__lo")[score_col]).alias(
                 "margin"
             ),
+        )
+    )
+
+
+def repair_alternation(
+    turns: DataFrame,
+    sep: str = "\n\n",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Merge consecutive same-role turns into single turns — the
+    alternation REPAIR every strict chat-template trainer needs (SFT
+    formats require user/assistant alternation; quality filtering that
+    drops individual turns, retry ingestion, and agents that emit several
+    messages in a row all leave same-role runs behind).
+
+    After latest-per-key dedup, within each conversation in ``turn_idx``
+    order, maximal runs of consecutive turns sharing one ``role`` collapse
+    to one output turn:
+
+    - ``turn_idx`` — new contiguous 0-based index (run rank)
+    - ``text`` — run texts joined by ``sep`` in original turn order
+      (NULL text joins as ``''``)
+    - ``tool`` — MIN tool name over the run (order-free deterministic;
+      NULLs ignored, NULL when no run member has one). Runs that mix
+      tool names are rare (consecutive same-tool retries dominate), and
+      an order-free pick keeps the column engine-portable.
+    - ``ts_ms`` — epoch millis of the run's earliest ``ts``
+    - ``n_merged`` — run length; ``src_first_idx`` — original first index
+
+    Plan (10^12 turns): ONE exchange keyed ``conv_id`` — the lag window,
+    the run-id prefix sum, and the ``(conv_id, run)`` hash-agg all reuse
+    it (hash(conv_id) already satisfies the grouping clustering). The
+    ordered join happens map-side inside ``array_sort`` on each grouped
+    run, never as a global sort; group sizes are RUN lengths (<= conv
+    length, AQE-bounded like every conv-grain operator here).
+
+    Reference: feast has no transcript surface; this is the
+    dedup-then-window materialization shape
+    (``infra/compute_engines/spark/nodes.py``) on the run grain.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    same = F.coalesce(F.col("role") == F.lag("role").over(w), F.lit(False))
+    run = F.sum(F.when(same, 0).otherwise(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = d.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.coalesce(F.col("text"), F.lit("")).alias("__t"),
+    ).withColumn("__run", run)
+    agg = base.groupBy("conv_id", "__run").agg(
+        F.min("role").alias("role"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "__t"))),
+                lambda s: s["__t"],
+            ),
+            sep,
+        ).alias("text"),
+        F.min("tool").alias("tool"),
+        F.unix_millis(F.min("ts")).alias("ts_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.min("turn_idx").cast("int").alias("src_first_idx"),
+    )
+    return agg.select(
+        "conv_id",
+        (F.col("__run") - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts_ms",
+        "n_merged",
+        "src_first_idx",
+    )
+
+
+def fit_context_budget(
+    turns: DataFrame,
+    token_budget: int,
+    keep_system: bool = True,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Tail-fit each conversation to a token budget — the context-window
+    FIT every SFT/continued-pretraining pipeline applies before packing:
+    keep the system prompt (the behavior contract) plus the LONGEST
+    suffix of remaining turns whose whitespace-token total fits what is
+    left of the budget.
+
+    Per deduped turn: ``n_tokens`` (whitespace count, 0 for blank/NULL)
+    and ``keep_turn``:
+
+    - ``keep_system=True``: every ``role='system'`` turn is kept and its
+      tokens are charged against the budget FIRST (a system prompt that
+      alone exceeds the budget still ships — the caller chose the
+      budget); a non-system turn is kept iff the suffix-sum of non-system
+      tokens from the conversation's end back through it fits the
+      remainder.
+    - ``keep_system=False``: system turns get no pin — one suffix-sum
+      over ALL turns.
+
+    Distinct from :func:`conversation_windows` (which assembles a
+    per-turn PRECEDING context for every target turn); this emits one
+    keep/drop verdict per turn for whole-conversation truncation.
+
+    Plan (10^12 turns): ONE exchange keyed ``conv_id`` — the descending
+    suffix-sum window and the all-rows system-token window share the same
+    partitioning. All arithmetic is integer.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    d = turns if pre_deduped else _deduped(turns)
+    base = d.select(
+        "conv_id", "turn_idx", "role", _word_count("text").alias("n_tokens")
+    )
+    rev = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    suffix = rev.rowsBetween(Window.unboundedPreceding, 0)
+    if keep_system:
+        is_sys = F.col("role") == "system"
+        sys_total = F.sum(
+            F.when(is_sys, F.col("n_tokens")).otherwise(F.lit(0))
+        ).over(
+            Window.partitionBy("conv_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        revcum = F.sum(
+            F.when(is_sys, F.lit(0)).otherwise(F.col("n_tokens"))
+        ).over(suffix)
+        keep = is_sys | (revcum <= (F.lit(int(token_budget)) - sys_total))
+    else:
+        revcum = F.sum("n_tokens").over(suffix)
+        keep = revcum <= F.lit(int(token_budget))
+    return base.withColumn("keep_turn", keep)
+
+
+def system_prompt_census(
+    turns: DataFrame,
+    sample_chars: int = 120,
+    digest_chars: int = 16,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Fleet-wide census of system prompts — which behavior contracts
+    dominate the corpus. Agent fleets run a handful of system prompts
+    across millions of conversations; their mix shifting between ingest
+    batches is the cheapest upstream-regression alarm (a config rollout
+    shows up here before any quality metric moves), and training wants
+    prompt-stratified sampling weights.
+
+    A conversation's system prompt is the whitespace-normalized text of
+    its FIRST ``role='system'`` turn (min ``turn_idx`` after dedup);
+    conversations without one fall into the ``<none>`` bucket. One row
+    per prompt digest:
+
+    - ``digest`` — first ``digest_chars`` hex of md5(normalized prompt),
+      or ``<none>``
+    - ``n_convs`` / ``n_turns`` — conversations and total deduped turns
+      under that prompt
+    - ``sample_text`` — MIN over truncated prompts (order-free
+      deterministic representative; NULL for ``<none>``)
+
+    Plan (10^12 turns): conv-grain hash-agg + conv-grain system-prompt
+    hash-agg + ONE conv-keyed SHUFFLE_HASH join (both sides are
+    conversation-DIMENSION relations — never broadcastable at fleet
+    scale, and a wrong-tiny static estimate of the cached python-sourced
+    side must not pick a driver-collecting broadcast), then a
+    digest-keyed hash-agg whose cardinality is the PROMPT dimension.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    conv = d.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_turns")
+    )
+    sys = (
+        d.filter(F.col("role") == "system")
+        .select("conv_id", "turn_idx", _norm_text("text").alias("__p"))
+        .groupBy("conv_id")
+        .agg(F.min_by("__p", "turn_idx").alias("__p"))
+    )
+    joined = conv.join(sys.hint("shuffle_hash"), "conv_id", "left")
+    digest = F.when(F.col("__p").isNull(), F.lit("<none>")).otherwise(
+        F.substring(F.md5(F.col("__p")), 1, int(digest_chars))
+    )
+    return (
+        joined.select(
+            digest.alias("digest"),
+            F.col("__n_turns"),
+            F.substring(F.col("__p"), 1, int(sample_chars)).alias("__s"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("__n_turns").cast("long").alias("n_turns"),
+            F.min("__s").alias("sample_text"),
         )
     )

@@ -34,7 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["generation_artifacts", "suffix_loop_stats", "role_ngram_diversity", "code_block_stats"]
+__all__ = [
+    "generation_artifacts",
+    "suffix_loop_stats",
+    "role_ngram_diversity",
+    "code_block_stats",
+    "special_token_stats",
+    "DEFAULT_SPECIAL_MARKERS",
+]
 
 # the ONE cross-engine whitespace class (see conversation.py for the
 # Java-vs-RE2 rationale) — imported, not re-declared, so the contract
@@ -387,4 +394,96 @@ def code_block_stats(
         F.sum("__blocks").cast("long").alias("n_blocks"),
         F.sum("__doc_chars").cast("long").alias("n_code_chars"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+# chat-template control tokens that leak into model-written corpora —
+# training on text that CONTAINS them teaches stop-token abuse and
+# template confusion (every distillation/synthetic-data cleaning stack
+# strips or drops them). Literal, case-sensitive: these are exact
+# serialization artifacts, not prose.
+DEFAULT_SPECIAL_MARKERS = [
+    "<|im_start|>",
+    "<|im_end|>",
+    "<|endoftext|>",
+    "</s>",
+    "<s>",
+    "[INST]",
+    "[/INST]",
+    "<<SYS>>",
+    "<|user|>",
+    "<|assistant|>",
+    "<|system|>",
+    "<|eot_id|>",
+]
+
+
+def special_token_stats(
+    turns: DataFrame,
+    markers: list[str] | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Census of chat-template / special-token leakage per (marker, role)
+    — the serialization-artifact sibling of :func:`generation_artifacts`
+    (which flags truncation; this flags template text that should never
+    appear INSIDE a turn at all). Model-generated transcripts leak their
+    producer's control tokens (``<|im_start|>``, ``</s>``, ``[INST]``…)
+    whenever a scraper or a tool echoes raw template strings; the census
+    says which marker family, which role, and how much.
+
+    One row per (marker, role) with at least one hit:
+
+    - ``n_hits`` — total occurrences (each marker counted independently,
+      overlaps between DIFFERENT markers both count — census semantics)
+    - ``n_turns`` — deduped turns containing the marker
+    - ``n_convs`` — distinct conversations containing it
+
+    Plan (10^12 turns): per-turn counts use the length-difference trick
+    (whole-stage codegen, no regex engine); the per-turn struct array is
+    FILTERED to hits before the explode, so the exploded relation carries
+    only hit rows (markers are rare by construction — the relation is
+    defect-sized, not corpus-sized). ``(marker, role, conv)`` pre-agg
+    then ``(marker, role)`` agg keeps distinct-conv exact with no
+    count-distinct expand and no skew (a mega-conversation pre-reduces to
+    one row per marker).
+    """
+    from feast_spark.operators.conversation import _deduped
+
+    ms = list(DEFAULT_SPECIAL_MARKERS if markers is None else markers)
+    if not ms or any(not m for m in ms):
+        raise ValueError("markers must be non-empty strings")
+    d = turns if pre_deduped else _deduped(turns)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("marker"),
+                _count_occurrences(t, m).alias("cnt"),
+            )
+            for m in ms
+        ]
+    )
+    hits = (
+        d.select(
+            "conv_id",
+            "role",
+            F.filter(counts, lambda s: s["cnt"] > 0).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+        .select("conv_id", "role", F.explode("__h").alias("__s"))
+        .select(
+            "conv_id",
+            "role",
+            F.col("__s.marker").alias("marker"),
+            F.col("__s.cnt").alias("cnt"),
+        )
+    )
+    pre = hits.groupBy("marker", "role", "conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_turns"),
+        F.sum("cnt").cast("long").alias("__n_hits"),
+    )
+    return pre.groupBy("marker", "role").agg(
+        F.sum("__n_turns").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("__n_hits").cast("long").alias("n_hits"),
     )

@@ -1616,3 +1616,162 @@ def test_preference_pairs_duplicate_scores_never_self_pair(spark):
     assert r["n_convs"] == 3  # distinct members, not score rows
     assert r["chosen_conv"] == "a2" and r["rejected_conv"] == "a3"
     assert r["margin"] == 25
+
+
+# ---------------------------------------------------------------------------
+# round 5 session 10: repair_alternation / fit_context_budget /
+# system_prompt_census
+# ---------------------------------------------------------------------------
+
+
+def _rep_turns(spark):
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def t(c, i, role, text, tool=None, sec=0):
+        return (c, i, role, text, tool, ts0.replace(second=sec % 60, minute=sec // 60))
+
+    rows = [
+        # c1: user run of 3 (one NULL text), assistant run of 2 (tool mix)
+        t("c1", 0, "user", "first", sec=0),
+        t("c1", 1, "user", None, sec=1),
+        t("c1", 2, "user", "third", sec=2),
+        t("c1", 3, "assistant", "a1", tool="search", sec=3),
+        t("c1", 4, "assistant", "a2", tool="browser", sec=4),
+        t("c1", 5, "user", "closing", sec=5),
+        # c2: already alternating — must pass through unchanged
+        t("c2", 0, "system", "sys", sec=0),
+        t("c2", 1, "user", "q", sec=1),
+        t("c2", 2, "assistant", "a", sec=2),
+        # c3: duplicate key — the edited row's ROLE change must win dedup
+        t("c3", 0, "user", "v1", sec=0),
+        t("c3", 0, "assistant", "v2-edited", sec=9),
+        t("c3", 1, "assistant", "reply", sec=10),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_repair_alternation_values(spark):
+    from feast_spark.operators.conversation import repair_alternation
+
+    out = repair_alternation(_rep_turns(spark), sep=" | ")
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in out.collect()
+    }
+    # c1 collapses 6 turns -> 3 runs with contiguous new indices
+    assert rows[("c1", 0)]["text"] == "first |  | third"  # NULL joins as ''
+    assert rows[("c1", 0)]["n_merged"] == 3
+    assert rows[("c1", 0)]["src_first_idx"] == 0
+    assert rows[("c1", 1)]["text"] == "a1 | a2"
+    assert rows[("c1", 1)]["tool"] == "browser"  # MIN over the run
+    assert rows[("c1", 2)]["text"] == "closing"
+    assert ("c1", 3) not in rows
+    # c2 unchanged: three runs of one
+    assert [rows[("c2", i)]["n_merged"] for i in range(3)] == [1, 1, 1]
+    assert rows[("c2", 0)]["role"] == "system"
+    # c3: dedup first — turn 0 becomes assistant, merging with turn 1
+    assert rows[("c3", 0)]["text"] == "v2-edited | reply"
+    assert rows[("c3", 0)]["n_merged"] == 2
+    # ts_ms is the run's earliest ts
+    assert rows[("c1", 0)]["ts_ms"] < rows[("c1", 1)]["ts_ms"]
+
+
+def test_repair_alternation_single_exchange(spark):
+    from feast_spark.operators.conversation import repair_alternation
+
+    plan = _plan(repair_alternation(_rep_turns(spark)))
+    assert plan.count("Exchange hashpartitioning") <= 2  # dedup agg + conv window
+
+
+def test_fit_context_budget_values(spark):
+    from feast_spark.operators.conversation import fit_context_budget
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        # c1: system 3 tokens, then 2/4/2/6-token turns; budget 10 ->
+        # rest 7: suffix sums from the end: idx4=6, idx3=8(stop) ->
+        # keep system + idx 4 only... then idx2: 6+2=8 > 7 as well
+        ("c1", 0, "system", "a b c", None, ts0),
+        ("c1", 1, "user", "t1 t2", None, ts0),
+        ("c1", 2, "assistant", "u1 u2 u3 u4", None, ts0),
+        ("c1", 3, "user", "v1 v2", None, ts0),
+        ("c1", 4, "assistant", "w1 w2 w3 w4 w5 w6", None, ts0),
+        # c2: system alone exceeds the budget — still kept, rest dropped
+        ("c2", 0, "system", " ".join(f"s{i}" for i in range(20)), None, ts0),
+        ("c2", 1, "user", "q", None, ts0),
+        # c3: no system turn — plain suffix fit
+        ("c3", 0, "user", "x1 x2 x3 x4 x5 x6", None, ts0),
+        ("c3", 1, "assistant", "y1 y2 y3", None, ts0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in fit_context_budget(df, 10).collect()
+    }
+    assert [out[("c1", i)]["keep_turn"] for i in range(5)] == [
+        True, False, False, False, True,
+    ]
+    assert out[("c1", 0)]["n_tokens"] == 3
+    assert out[("c2", 0)]["keep_turn"] is True  # pinned even over budget
+    assert out[("c2", 1)]["keep_turn"] is False
+    assert [out[("c3", i)]["keep_turn"] for i in range(2)] == [True, True]
+    # keep_system=False: c1 system competes like any turn (suffix from end:
+    # 6, 8, 12 -> only idx 3+4 fit)
+    out2 = {
+        (r["conv_id"], r["turn_idx"]): r["keep_turn"]
+        for r in fit_context_budget(df, 10, keep_system=False).collect()
+    }
+    assert [out2[("c1", i)] for i in range(5)] == [
+        False, False, False, True, True,
+    ]
+    assert out2[("c2", 0)] is False
+    with pytest.raises(ValueError):
+        fit_context_budget(df, 0)
+
+
+def test_fit_context_budget_single_exchange(spark):
+    from feast_spark.operators.conversation import fit_context_budget
+
+    plan = _plan(fit_context_budget(_rep_turns(spark), 10))
+    # dedup agg + the shared conv window partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_system_prompt_census_values(spark):
+    from feast_spark.operators.conversation import system_prompt_census
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        # two convs share a prompt modulo whitespace -> same digest
+        ("c1", 0, "system", "You are  a\thelpful agent", None, ts0),
+        ("c1", 1, "user", "q", None, ts0),
+        ("c2", 0, "system", "You are a helpful agent", None, ts0),
+        ("c2", 1, "user", "q", None, ts0),
+        ("c2", 2, "assistant", "a", None, ts0),
+        # distinct prompt
+        ("c3", 0, "system", "Other prompt", None, ts0),
+        ("c3", 1, "user", "q", None, ts0),
+        # no system turn
+        ("c4", 0, "user", "q", None, ts0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r["digest"]: r.asDict() for r in system_prompt_census(df).collect()}
+    assert len(out) == 3
+    none = out["<none>"]
+    assert none["n_convs"] == 1 and none["n_turns"] == 1
+    assert none["sample_text"] is None
+    shared = [v for k, v in out.items() if v["n_convs"] == 2]
+    assert len(shared) == 1
+    assert shared[0]["n_turns"] == 5
+    assert shared[0]["sample_text"] == "You are a helpful agent"
+    other = [v for k, v in out.items() if v["sample_text"] == "Other prompt"]
+    assert other and other[0]["n_convs"] == 1 and other[0]["n_turns"] == 2

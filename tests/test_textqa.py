@@ -448,3 +448,71 @@ def test_code_block_stats_rejects_undeduplicable_schema(spark):
     with _pytest.raises(ValueError, match="pre_deduped"):
         code_block_stats(df, id_col="doc_id")
     assert code_block_stats(df, id_col="doc_id", pre_deduped=True).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# round 5 session 10: special_token_stats
+# ---------------------------------------------------------------------------
+
+
+def test_special_token_stats_values(spark):
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from feast_spark.operators.textqa import special_token_stats
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    ts1 = datetime(2026, 1, 2, tzinfo=timezone.utc)
+    rows = [
+        # two occurrences in one turn + one in another conv
+        ("c1", 0, "user", "x <|im_start|>a<|im_start|> y", None, ts0),
+        ("c1", 1, "assistant", "clean reply", None, ts0),
+        ("c2", 0, "user", "<|im_start|> solo", None, ts0),
+        # </s> vs <s>: independent counting, no containment here
+        ("c2", 1, "assistant", "tail</s> and <s>head", None, ts0),
+        # duplicate key: the edited row (clean) wins dedup, so the
+        # marker in the stale v1 row must NOT count
+        ("c3", 0, "user", "[INST] stale", None, ts0),
+        ("c3", 0, "user", "edited clean", None, ts1),
+        ("c3", 1, "assistant", None, None, ts0),  # NULL text
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {
+        (r["marker"], r["role"]): r.asDict()
+        for r in special_token_stats(df).collect()
+    }
+    im = out[("<|im_start|>", "user")]
+    assert im["n_hits"] == 3 and im["n_turns"] == 2 and im["n_convs"] == 2
+    assert out[("</s>", "assistant")]["n_hits"] == 1
+    assert out[("<s>", "assistant")]["n_hits"] == 1
+    assert ("[INST]", "user") not in out  # stale duplicate suppressed
+    assert len(out) == 3
+    with _pytest.raises(ValueError):
+        special_token_stats(df, markers=[])
+    # custom marker list narrows the census
+    only = special_token_stats(df, markers=["</s>"]).collect()
+    assert len(only) == 1 and only[0]["n_hits"] == 1
+
+
+def test_special_token_stats_map_side_filter_plan(spark):
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.textqa import special_token_stats
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "x", None, ts0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = (
+        special_token_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # dedup agg + (marker, role, conv) pre-agg + final agg; counting is
+    # JVM-side (no regex-engine python eval), explode carries hits only
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
