@@ -2892,6 +2892,60 @@ def q_special_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return special_token_stats(planted)
 
 
+def q_refusal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 10: per-conversation refusal/boilerplate census.
+    # Plant: every 6th conversation's assistant turns at turn_idx%4==1
+    # open with a canned refusal carrying TWO markers ("I'm sorry" +
+    # "I can't"), so hit counts, first indices and units are all
+    # deterministic. Oracle: GENUINE DuckDB SQL — same plant, markers
+    # VALUES table, per-turn hit sums, conv agg.
+    from feast_spark.operators.conversation import assistant_refusals
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant")
+            & (F.pmod(idx, F.lit(6)) == 0)
+            & (F.pmod(F.col("turn_idx"), F.lit(4)) == 1),
+            F.concat(
+                F.lit("I'm sorry, but I can't help with that. "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return assistant_refusals(planted)
+
+
+def q_tool_json(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 10: per-tool JSON payload health. Tool-turn text
+    # is OVERWRITTEN with five controlled variants by (cid*11 +
+    # turn_idx) % 5 — valid+status, valid+status, truncated, unquoted
+    # key, non-object — shapes on which Jackson (Spark) and yyjson
+    # (DuckDB) provably agree (trailing commas / single quotes, where
+    # they diverge, are never planted). Oracle: GENUINE DuckDB SQL —
+    # same plant, json_valid + guarded json_extract, (tool, conv)
+    # pre-agg.
+    from feast_spark.operators.conversation import tool_call_json_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("long")
+    variant = F.pmod(idx * 11 + F.col("turn_idx"), F.lit(5))
+    planted = t.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "tool",
+            F.when(variant == 0, F.lit('{"status": "ok", "rows": 12}'))
+            .when(variant == 1, F.lit('{"status": "error", "msg": "boom"}'))
+            .when(variant == 2, F.lit('{"partial": true'))
+            .when(variant == 3, F.lit('{bad: "key"}'))
+            .otherwise(F.lit("plain text output")),
+        ).otherwise(F.col("text")),
+    )
+    return tool_call_json_stats(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -2908,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_fit": q_context_fit,
         "system_prompts": q_system_prompts,
         "special_tokens": q_special_tokens,
+        "refusal_stats": q_refusal_stats,
+        "tool_json": q_tool_json,
         # round 5 session 7: MinHash threshold-retention profile
         # (candidate-estimate histogram, genuine-SQL aggregation oracle)
         # + quality-ordered token-budget carving (full genuine-SQL
@@ -2940,9 +2996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_errors": q_tool_errors,
         "fork_mask": q_fork_mask,
         "pref_pairs": q_pref_pairs,
-        # round 5 session 4c: consistent pseudonymization, PSI drift
-        "pseudonymize": q_pseudonymize,
-        "drift_psi": q_drift_psi,
         # round 5 session 3: turn-grain cross-conversation dedup,
         # agent-loop run stats
         "turn_dedup": q_turn_dedup,
@@ -3001,6 +3054,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "holdout_split": q_holdout_split,
         "unimax_sample": q_unimax_sample,
+        "pseudonymize": q_pseudonymize,
+        "drift_psi": q_drift_psi,
         # rotated round 5 session 9 (still pytest-oracled here; PII stays
         # driver-covered via conv_pii + pii_echo, drift via drift_psi,
         # conv shape via conv_forks/conv_templates/role_diversity)
@@ -3173,6 +3228,120 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "refusal_stats": f"""
+            -- GENUINE SQL twin of assistant_refusals on the planted
+            -- corpus (every 6th conversation's assistant turns at
+            -- turn_idx%4==1 open with a two-marker refusal): markers
+            -- VALUES table, per-turn hit sums, conv agg
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN role = 'assistant'
+                      AND CAST(substring(conv_id, 2, 9) AS INTEGER) % 6 = 0
+                      AND turn_idx % 4 = 1
+                     THEN 'I''m sorry, but I can''t help with that. '
+                          || COALESCE(text, '')
+                     ELSE text END AS text
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), m(marker) AS (
+              VALUES ('I''m sorry'), ('I am sorry'), ('I apologize'),
+                ('I cannot'), ('I can''t'), ('I''m unable'),
+                ('I am unable'), ('As an AI'), ('as an AI'),
+                ('I won''t be able'), ('I don''t have the ability')
+            ), th AS (
+              SELECT d.conv_id, d.turn_idx,
+                SUM(CAST((length(COALESCE(d.text, ''))
+                          - length(replace(COALESCE(d.text, ''),
+                                           m.marker, '')))
+                         / length(m.marker) AS BIGINT)) AS hits
+              FROM d CROSS JOIN m
+              WHERE d.role = 'assistant'
+              GROUP BY 1, 2
+            )
+            SELECT conv_id,
+              CAST(COUNT(*) AS BIGINT) AS n_assistant_turns,
+              CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_refusal_turns,
+              CAST(SUM(hits) AS BIGINT) AS n_refusal_hits,
+              CAST(COALESCE(MIN(CASE WHEN hits > 0 THEN turn_idx END), -1)
+                   AS INTEGER) AS first_refusal_idx,
+              CAST((CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) * 1048576) // COUNT(*)
+                   AS BIGINT) AS refusal_units
+            FROM th GROUP BY 1
+        """,
+        "tool_json": f"""
+            -- GENUINE SQL twin of tool_call_json_stats on the planted
+            -- corpus (tool-turn text overwritten with five controlled
+            -- variants by (cid*11 + turn_idx) % 5; Jackson and yyjson
+            -- provably agree on all five); json_valid + guarded
+            -- json_extract, (tool, conv) pre-agg then tool agg
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN role = 'tool' THEN
+                  CASE (CAST(substring(conv_id, 2, 9) AS BIGINT) * 11
+                        + turn_idx) % 5
+                    WHEN 0 THEN '{{"status": "ok", "rows": 12}}'
+                    WHEN 1 THEN '{{"status": "error", "msg": "boom"}}'
+                    WHEN 2 THEN '{{"partial": true'
+                    WHEN 3 THEN '{{bad: "key"}}'
+                    ELSE 'plain text output' END
+                ELSE text END AS text
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), calls AS (
+              SELECT COALESCE(tool, '<unknown>') AS tool, conv_id,
+                CASE WHEN trim(COALESCE(text, '')) LIKE '{{%'
+                     THEN 1 ELSE 0 END AS o,
+                CASE WHEN trim(COALESCE(text, '')) LIKE '{{%'
+                      AND json_valid(COALESCE(text, ''))
+                     THEN 1 ELSE 0 END AS p,
+                CASE WHEN trim(COALESCE(text, '')) LIKE '{{%'
+                      AND json_valid(COALESCE(text, ''))
+                      AND json_extract(COALESCE(text, ''), '$.status')
+                          IS NOT NULL
+                     THEN 1 ELSE 0 END AS s
+              FROM d WHERE role = 'tool'
+            ), pc AS (
+              SELECT tool, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(o) AS BIGINT) AS o,
+                CAST(SUM(p) AS BIGINT) AS p,
+                CAST(SUM(s) AS BIGINT) AS s
+              FROM calls GROUP BY 1, 2
+            ), a AS (
+              SELECT tool,
+                CAST(SUM(n) AS BIGINT) AS n_calls,
+                CAST(COUNT(*) AS BIGINT) AS n_convs,
+                CAST(SUM(o) AS BIGINT) AS n_object_like,
+                CAST(SUM(p) AS BIGINT) AS n_parsed,
+                CAST(SUM(s) AS BIGINT) AS n_with_status
+              FROM pc GROUP BY 1
+            )
+            SELECT tool, n_calls, n_convs, n_object_like, n_parsed,
+              n_object_like - n_parsed AS n_malformed, n_with_status,
+              CASE WHEN n_object_like = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((CAST(n_parsed AS HUGEINT) * 1048576)
+                             // n_object_like AS BIGINT)
+              END AS parse_units
+            FROM a
+        """,
         "alternation_repair": f"""
             -- GENUINE SQL twin of repair_alternation on the filtered
             -- corpus ((cid*3 + turn_idx) % 5 == 2 turns dropped): dedup,

@@ -175,6 +175,8 @@ HEADLINE = [
     "context_fit",
     "system_prompts",
     "special_tokens",
+    "refusal_stats",
+    "tool_json",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)
@@ -1433,6 +1435,34 @@ def main() -> None:
         ).collect()[0]
     assert int(st["bound_violations"]) == 0, st
     assert int(st["hits"]) > 0, st
+    from feast_spark.operators.conversation import (
+        assistant_refusals,
+        tool_call_json_stats,
+    )
+
+    with _Window() as wrf:
+        rf = assistant_refusals(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum(
+                (F.col("n_refusal_turns") > F.col("n_assistant_turns"))
+                .cast("long")
+            ).alias("turn_overflow"),
+            F.max("refusal_units").alias("max_units"),
+        ).collect()[0]
+    assert int(rf["turn_overflow"]) == 0, rf
+    assert 0 <= int(rf["max_units"]) <= (1 << 20), rf
+    with _Window() as wtj:
+        tj = tool_call_json_stats(spark.read.parquet(tpath)).agg(
+            F.count(F.lit(1)).alias("n_tools"),
+            F.sum("n_calls").alias("calls"),
+            F.sum(
+                (
+                    (F.col("n_parsed") > F.col("n_object_like"))
+                    | (F.col("n_object_like") > F.col("n_calls"))
+                ).cast("long")
+            ).alias("bound_violations"),
+        ).collect()[0]
+    assert int(tj["bound_violations"]) == 0 and int(tj["calls"]) > 0, tj
 
     conv_grain = {
         "n_turns": n_turns,
@@ -1487,6 +1517,9 @@ def main() -> None:
         "n_system_prompts": int(sp["n_prompts"]),
         "special_tokens_wall_sec": round(wst.wall, 3),
         "special_tokens_turns_per_sec": round(n_turns / wst.wall, 1),
+        "refusals_wall_sec": round(wrf.wall, 3),
+        "tool_json_wall_sec": round(wtj.wall, 3),
+        "n_tools_json": int(tj["n_tools"]),
         "external_cores": [
             wtd.external_cores, wcr.external_cores, wrl.external_cores,
             wtt.external_cores, wtn.external_cores, wlt.external_cores,
@@ -1494,6 +1527,7 @@ def main() -> None:
             wae.external_cores, wga.external_cores, wsl.external_cores,
             wfm.external_cores, wpp.external_cores, wra.external_cores,
             wfc.external_cores, wsp.external_cores, wst.external_cores,
+            wrf.external_cores, wtj.external_cores,
         ],
     }
 

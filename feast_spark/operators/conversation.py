@@ -70,6 +70,8 @@ __all__ = [
     "repair_alternation",
     "fit_context_budget",
     "system_prompt_census",
+    "assistant_refusals",
+    "tool_call_json_stats",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -1896,4 +1898,160 @@ def system_prompt_census(
             F.sum("__n_turns").cast("long").alias("n_turns"),
             F.min("__s").alias("sample_text"),
         )
+    )
+
+
+# canned refusal / AI-boilerplate openers — the over-refusal lens every
+# SFT-distillation cleaning stack applies (training on refusal-heavy
+# synthetic data teaches refusal as a style). Literal and case-sensitive
+# (these are sentence openers; no (?i) — Java vs Unicode casefold
+# discipline).
+DEFAULT_REFUSAL_MARKERS = [
+    "I'm sorry",
+    "I am sorry",
+    "I apologize",
+    "I cannot",
+    "I can't",
+    "I'm unable",
+    "I am unable",
+    "As an AI",
+    "as an AI",
+    "I won't be able",
+    "I don't have the ability",
+]
+
+
+def assistant_refusals(
+    turns: DataFrame,
+    markers: list[str] | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Per-conversation refusal / boilerplate census over assistant
+    turns — the over-refusal lens: canned apologies and "As an AI"
+    boilerplate are each unique corpus-wide (cross-conversation dedup
+    never fires) and score healthy on length/perplexity rules, yet a
+    corpus where 30% of assistant turns open with a refusal teaches
+    refusal as a style. One row per conversation WITH assistant turns:
+
+    - ``n_assistant_turns`` — deduped assistant turns
+    - ``n_refusal_turns`` — assistant turns containing >= 1 marker
+    - ``n_refusal_hits`` — total marker occurrences (each marker counted
+      independently — census semantics)
+    - ``first_refusal_idx`` — earliest refusing ``turn_idx`` (-1 none)
+    - ``refusal_units`` — ``floor(n_refusal_turns * 2^20 /
+      n_assistant_turns)`` (integer fraction, engine-portable)
+
+    Plan (10^12 turns): marker counting is the length-difference trick
+    (whole-stage codegen, map-only); ONE ``conv_id`` hash-agg exchange.
+    """
+    ms = list(DEFAULT_REFUSAL_MARKERS if markers is None else markers)
+    if not ms or any(not m for m in ms):
+        raise ValueError("markers must be non-empty strings")
+    from feast_spark.operators.textqa import _count_occurrences
+
+    d = turns if pre_deduped else _deduped(turns)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    hits = sum(
+        (_count_occurrences(t, m) for m in ms[1:]),
+        _count_occurrences(t, ms[0]),
+    )
+    a = d.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", hits.alias("__hits")
+    )
+    agg = a.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant_turns"),
+        F.sum((F.col("__hits") > 0).cast("long")).alias("n_refusal_turns"),
+        F.sum("__hits").cast("long").alias("n_refusal_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("__hits") > 0, F.col("turn_idx"))),
+            F.lit(-1),
+        ).cast("int").alias("first_refusal_idx"),
+    )
+    return agg.withColumn(
+        "refusal_units",
+        F.expr(
+            f"(CAST(n_refusal_turns AS DECIMAL(38,0)) * {1 << 20})"
+            " div n_assistant_turns"
+        ),
+    )
+
+
+def tool_call_json_stats(
+    turns: DataFrame,
+    status_key: str = "status",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Per-tool census of JSON payload health in tool turns — the
+    protocol-QA sibling of :func:`tool_error_stats` (that one scans for
+    error BANNERS; this one checks whether the payload PARSES). Agent
+    frameworks serialize tool results as JSON objects; truncated or
+    hand-mangled payloads train the model to emit malformed tool calls.
+
+    One row per tool:
+
+    - ``n_calls`` / ``n_convs`` — deduped tool turns and distinct
+      conversations
+    - ``n_object_like`` — trimmed payloads starting with ``{``
+    - ``n_parsed`` — object-like payloads the JSON parser accepts;
+      ``n_malformed`` = object-like - parsed
+    - ``n_with_status`` — parsed payloads carrying a non-null
+      ``status_key``
+    - ``parse_units`` — ``floor(n_parsed * 2^20 / n_object_like)``
+      (-1 when no object-like payloads)
+
+    Parser semantics are Spark's Jackson (``get_json_object``): NULL on
+    malformed input. NOTE for oracle replays: Jackson and DuckDB's
+    yyjson disagree on trailing commas (yyjson accepts) and single-quoted
+    strings (Jackson's lenient mode accepts) — deterministic test plants
+    must avoid those two shapes; the driver query overwrites tool-turn
+    text entirely with controlled variants.
+
+    Plan (10^12 turns): map-only parsing, ``(tool, conv)`` pre-agg then
+    tool agg (exact distinct-conv, no count-distinct expand, mega-conv
+    skew pre-reduced) — the :func:`tool_error_stats` shape.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    obj = F.trim(t).startswith("{")
+    parsed = obj & F.get_json_object(t, "$").isNotNull()
+    with_status = parsed & F.get_json_object(
+        t, f"$.{status_key}"
+    ).isNotNull()
+    calls = d.filter(F.col("role") == "tool").select(
+        F.coalesce(F.col("tool"), F.lit("<unknown>")).alias("tool"),
+        "conv_id",
+        obj.cast("long").alias("__obj"),
+        parsed.cast("long").alias("__parsed"),
+        with_status.cast("long").alias("__status"),
+    )
+    pre = calls.groupBy("tool", "conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__obj").alias("__o"),
+        F.sum("__parsed").alias("__p"),
+        F.sum("__status").alias("__s"),
+    )
+    agg = pre.groupBy("tool").agg(
+        F.sum("__n").cast("long").alias("n_calls"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("__o").cast("long").alias("n_object_like"),
+        F.sum("__p").cast("long").alias("n_parsed"),
+        F.sum("__s").cast("long").alias("n_with_status"),
+    )
+    return agg.select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        "n_object_like",
+        "n_parsed",
+        (F.col("n_object_like") - F.col("n_parsed")).alias("n_malformed"),
+        "n_with_status",
+        F.when(F.col("n_object_like") == 0, F.lit(-1))
+        .otherwise(
+            F.expr(
+                f"(CAST(n_parsed AS DECIMAL(38,0)) * {1 << 20})"
+                " div n_object_like"
+            )
+        )
+        .cast("long")
+        .alias("parse_units"),
     )

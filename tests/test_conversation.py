@@ -1775,3 +1775,93 @@ def test_system_prompt_census_values(spark):
     assert shared[0]["sample_text"] == "You are a helpful agent"
     other = [v for k, v in out.items() if v["sample_text"] == "Other prompt"]
     assert other and other[0]["n_convs"] == 1 and other[0]["n_turns"] == 2
+
+
+def test_assistant_refusals_values(spark):
+    from feast_spark.operators.conversation import assistant_refusals
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        # c1: refusal opener with TWO markers in one turn, then clean
+        ("c1", 0, "user", "do the thing", None, ts0),
+        ("c1", 1, "assistant", "I'm sorry, but I can't help with that.", None, ts0),
+        ("c1", 2, "user", "ok fine", None, ts0),
+        ("c1", 3, "assistant", "here is a normal answer", None, ts0),
+        # c2: clean conversation
+        ("c2", 0, "user", "hi", None, ts0),
+        ("c2", 1, "assistant", "hello, happy to help", None, ts0),
+        # c3: no assistant turns -> no output row
+        ("c3", 0, "user", "alone", None, ts0),
+        # c4: marker in a USER turn must not count
+        ("c4", 0, "user", "I'm sorry I was late", None, ts0),
+        ("c4", 1, "assistant", "no problem", None, ts0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r.asDict() for r in assistant_refusals(df).collect()}
+    assert "c3" not in out and len(out) == 3
+    c1 = out["c1"]
+    assert c1["n_assistant_turns"] == 2
+    assert c1["n_refusal_turns"] == 1
+    assert c1["n_refusal_hits"] == 2  # "I'm sorry" + "I can't"
+    assert c1["first_refusal_idx"] == 1
+    assert c1["refusal_units"] == (1 << 20) // 2
+    assert out["c2"]["n_refusal_turns"] == 0
+    assert out["c2"]["first_refusal_idx"] == -1
+    assert out["c4"]["n_refusal_hits"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assistant_refusals(df, markers=[])
+
+
+def test_assistant_refusals_single_exchange(spark):
+    from feast_spark.operators.conversation import assistant_refusals
+
+    plan = _plan(assistant_refusals(_rep_turns(spark)))
+    # dedup agg + conv agg
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_tool_call_json_stats_values(spark):
+    from feast_spark.operators.conversation import tool_call_json_stats
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("c1", 0, "user", '{"not": "a tool turn"}', None, ts0),
+        ("c1", 1, "tool", '{"status": "ok", "n": 5}', "search", ts0),
+        ("c1", 2, "tool", '{"a": 1', "search", ts0),          # truncated
+        ("c1", 3, "tool", "plain text result", "search", ts0),  # not object
+        ("c2", 0, "tool", '{"nested": {"k": [1, 2]}}', "search", ts0),  # no status
+        ("c2", 1, "tool", '{status: "bad"}', "python", ts0),   # unquoted key
+        ("c2", 2, "tool", None, None, ts0),                    # NULL text+tool
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r["tool"]: r.asDict() for r in tool_call_json_stats(df).collect()}
+    s = out["search"]
+    assert s["n_calls"] == 4 and s["n_convs"] == 2
+    assert s["n_object_like"] == 3
+    assert s["n_parsed"] == 2 and s["n_malformed"] == 1
+    assert s["n_with_status"] == 1
+    assert s["parse_units"] == (2 * (1 << 20)) // 3
+    p = out["python"]
+    assert p["n_parsed"] == 0 and p["n_malformed"] == 1
+    assert p["parse_units"] == 0
+    u = out["<unknown>"]
+    assert u["n_calls"] == 1 and u["n_object_like"] == 0
+    assert u["parse_units"] == -1
+
+
+def test_tool_call_json_stats_plan(spark):
+    from feast_spark.operators.conversation import tool_call_json_stats
+
+    plan = _plan(tool_call_json_stats(_rep_turns(spark)))
+    # dedup agg + (tool, conv) pre-agg + tool agg
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan
