@@ -23,6 +23,12 @@ shape:
 4. **sample** — :func:`deterministic_sample` on ``conv_id`` (map-only,
    key-stable).
 
+Opt-in post-stages over the KEPT set: 5 — fork-prefix masking
+(``fork_mask_k``); 6 — alternation repair (``repair_alternation_sep``;
+the structure gate then forgives role repeats, the defect repair fixes);
+7 — context-budget fit (``context_budget``, over the repaired turns when
+both are on). 6/7 emit ``training_turns``.
+
 The audit table is built like the document chain's: one row per input
 conversation, LEFT joins of per-stage flag tables (each tiny — one row
 per conv), first failing stage wins.
@@ -82,6 +88,18 @@ class ConvCurationConfig:
     # trains each shared prefix exactly once (``keep_turn`` -> loss
     # mask). Turn-grain output; the conv-grain tables are unchanged.
     fork_mask_k: int | None = None
+    # OPT-IN stages 6/7 (round 5 session 10): training-table prep over
+    # the KEPT conversations. ``repair_alternation_sep`` merges
+    # consecutive same-role turns (texts joined by the separator) —
+    # the repair strict chat templates need; ``context_budget`` then
+    # tail-fits each conversation to a token budget with the system
+    # prompt pinned (fit runs over the REPAIRED turns when both are on,
+    # since repair re-indexes turns). The result carries
+    # ``training_turns``; conv-grain tables are unchanged. NOTE:
+    # ``fork_mask_k`` masks by ORIGINAL turn_idx — combine it with
+    # repair only through ``kept_turns`` (documented, not composed).
+    repair_alternation_sep: str | None = None
+    context_budget: int | None = None
 
 
 @dataclass
@@ -92,6 +110,10 @@ class ConvCurationResult:
     # stage-5 output (cfg.fork_mask_k): deduped turns of kept
     # conversations + (fork_md5, is_rep, keep_turn); None when off
     kept_turns: DataFrame | None = None
+    # stage-6/7 output (cfg.repair_alternation_sep / cfg.context_budget):
+    # the training turn table — repaired and/or budget-fitted; None when
+    # both are off
+    training_turns: DataFrame | None = None
     _cached: list = field(default_factory=list)
 
     def release(self) -> None:
@@ -126,10 +148,22 @@ def curate_conversations(
         cached.append(d)
 
     # stage 1: structure on the already-deduped turns (pre_deduped skips
-    # the operator's internal re-dedup shuffle)
-    st = conversation_structure(d, pre_deduped=True).select(
-        "conv_id", "structure_ok"
-    )
+    # the operator's internal re-dedup shuffle). When stage 6 (alternation
+    # repair) is on, role repeats are REPAIRABLE, not fatal — the gate
+    # forgives exactly the defect the repair stage fixes and still drops
+    # orphan/stray-tool, empty-turn and bad-start conversations.
+    st_full = conversation_structure(d, pre_deduped=True)
+    if cfg.repair_alternation_sep is not None:
+        gate = (
+            (F.col("n_orphan_tools") == 0)
+            & (F.col("n_missing_tool_name") == 0)
+            & (F.col("n_stray_tool_name") == 0)
+            & (F.col("n_empty") == 0)
+            & ~F.col("bad_start")
+        )
+    else:
+        gate = F.col("structure_ok")
+    st = st_full.select("conv_id", gate.alias("structure_ok"))
 
     # stage 2: per-turn quality via the shared kernel, conv keep fraction
     def _score(batches):
@@ -246,10 +280,35 @@ def curate_conversations(
             kt, k=cfg.fork_mask_k, pre_deduped=True
         )
 
+    # stages 6/7 (opt-in): training-table prep over the kept
+    # conversations — alternation repair, then context-budget fit over
+    # the repaired turns (repair re-indexes, so fit must run after)
+    training_turns = None
+    if cfg.repair_alternation_sep is not None or cfg.context_budget is not None:
+        tt = d.join(kept.select("conv_id"), "conv_id", "left_semi")
+        if cfg.repair_alternation_sep is not None:
+            from feast_spark.operators.conversation import repair_alternation
+
+            tt = repair_alternation(
+                tt, sep=cfg.repair_alternation_sep, pre_deduped=True
+            )
+        if cfg.context_budget is not None:
+            from feast_spark.operators.conversation import fit_context_budget
+
+            fit = fit_context_budget(
+                tt, cfg.context_budget, pre_deduped=True
+            ).select("conv_id", "turn_idx", "n_tokens", "keep_turn")
+            # conv-dimension-scaled join back onto the turn table: both
+            # sides share the (conv_id, turn_idx) grain — SHUFFLE_HASH,
+            # never a driver-collecting broadcast of a corpus-sized side
+            tt = tt.join(fit.hint("shuffle_hash"), ["conv_id", "turn_idx"])
+        training_turns = tt
+
     return ConvCurationResult(
         kept=kept,
         decisions=decisions,
         config=cfg,
         kept_turns=kept_turns,
+        training_turns=training_turns,
         _cached=cached,
     )

@@ -561,3 +561,88 @@ def test_conv_fork_mask_default_off(spark):
         assert res.kept_turns is None
     finally:
         res.release()
+
+
+def test_conv_training_turns_repair_and_fit(spark):
+    # opt-in stages 6/7: kept conversations flow through alternation
+    # repair (same-role runs merge) then context fit (system pinned,
+    # suffix budget) — the training turn table
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.conv_curation import (
+        ConvCurationConfig,
+        curate_conversations,
+    )
+    from feast_spark.operators.conversation import _deduped
+
+    t = transcripts_spark(spark, 30, seed=11, mega_every=0)
+    # drop a deterministic turn subset so same-role runs exist
+    idx = F.substring("conv_id", 2, 9).cast("long")
+    t = t.filter(F.pmod(idx * 3 + F.col("turn_idx"), F.lit(5)) != 2)
+    cfg = ConvCurationConfig(
+        sample_rate=1.0, repair_alternation_sep=" | ", context_budget=32
+    )
+    res = curate_conversations(spark, t, cfg)
+    try:
+        tt = res.training_turns
+        assert tt is not None
+        rows = tt.collect()
+        kept_ids = {r["conv_id"] for r in res.kept.collect()}
+        assert {r["conv_id"] for r in rows} == kept_ids
+        # repaired: no two consecutive same-role turns remain
+        by_conv = {}
+        for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        merged_any = False
+        for conv, rs in by_conv.items():
+            roles = [r["role"] for r in rs]
+            assert all(a != b for a, b in zip(roles, roles[1:])), conv
+            merged_any |= any(r["n_merged"] > 1 for r in rs)
+            # fit: system turns always kept; kept non-system tokens fit
+            # the remaining budget
+            sys_tot = sum(r["n_tokens"] for r in rs if r["role"] == "system")
+            for r in rs:
+                if r["role"] == "system":
+                    assert r["keep_turn"], r
+            kept_rest = sum(
+                r["n_tokens"]
+                for r in rs
+                if r["keep_turn"] and r["role"] != "system"
+            )
+            assert kept_rest <= max(32 - sys_tot, 0), (conv, kept_rest, sys_tot)
+        assert merged_any  # the filter plant produced real merges
+        # repair conserves the kept deduped turn count
+        n_src = (
+            _deduped(t)
+            .join(res.kept.select("conv_id"), "conv_id", "left_semi")
+            .count()
+        )
+        assert sum(r["n_merged"] for r in rows) == n_src
+    finally:
+        res.release()
+
+
+def test_conv_training_turns_fit_only_and_default_off(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.conv_curation import (
+        ConvCurationConfig,
+        curate_conversations,
+    )
+
+    t = transcripts_spark(spark, 12, seed=5, mega_every=0)
+    res0 = curate_conversations(spark, t)
+    try:
+        assert res0.training_turns is None
+    finally:
+        res0.release()
+    res = curate_conversations(
+        spark, t, ConvCurationConfig(sample_rate=1.0, context_budget=16)
+    )
+    try:
+        tt = res.training_turns
+        assert tt is not None
+        # fit-only: original turn schema + n_tokens/keep_turn, no merge cols
+        assert "n_merged" not in tt.columns and "keep_turn" in tt.columns
+        bad = tt.filter((F.col("role") == "system") & ~F.col("keep_turn"))
+        assert bad.count() == 0
+    finally:
+        res.release()
