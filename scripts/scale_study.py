@@ -541,6 +541,72 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "turns": int(sl["n_rows"]),
         "turns_per_sec": round(n_turns / wall, 1),
     }
+
+    # session-10: alternation repair + context fit at scale — the
+    # training-prep actions. Invariants: merge conserves the deduped
+    # turn count, new indices contiguous (checked via max+1 == count),
+    # system turns all kept, kept non-system tokens within budget.
+    from feast_spark.operators.conversation import (
+        fit_context_budget,
+        repair_alternation,
+    )
+
+    n_dedup = _deduped(corpus).count()
+    t0 = time.time()
+    ra_df = repair_alternation(corpus)
+    ra = ra_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_merged").alias("merged_total"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    assert int(ra["merged_total"]) == n_dedup, (ra, n_dedup)
+    bad_idx = (
+        ra_df.groupBy("conv_id")
+        .agg((F.max("turn_idx") + 1 != F.count(F.lit(1))).alias("bad"))
+        .filter("bad")
+        .count()
+    )
+    assert bad_idx == 0, bad_idx
+    out["alternation_repair"] = {
+        "wall_sec": wall,
+        "n_rows": int(ra["n_rows"]),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+    t0 = time.time()
+    fc_df = fit_context_budget(corpus, 256)
+    fc = fc_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep_turn").cast("long")).alias("n_kept"),
+        F.sum(
+            ((F.col("role") == "system") & ~F.col("keep_turn")).cast("long")
+        ).alias("sys_dropped"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    assert int(fc["sys_dropped"]) == 0, fc
+    over = (
+        fc_df.groupBy("conv_id")
+        .agg(
+            F.sum(
+                F.when(F.col("role") == "system", F.col("n_tokens"))
+                .otherwise(0)
+            ).alias("sys_tot"),
+            F.sum(
+                F.when(
+                    F.col("keep_turn") & (F.col("role") != "system"),
+                    F.col("n_tokens"),
+                ).otherwise(0)
+            ).alias("kept_rest"),
+        )
+        .filter(F.col("kept_rest") > F.lit(256) - F.col("sys_tot"))
+        .count()
+    )
+    assert over == 0, over
+    out["context_fit"] = {
+        "wall_sec": wall,
+        "kept_frac": round(float(fc["n_kept"]) / float(fc["n_rows"]), 4),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
     corpus.unpersist()
     return out
 
@@ -578,7 +644,7 @@ def main() -> None:
                     cbig[k]["wall_sec"] / max(csmall[k]["wall_sec"], 1e-9)
                     / (cbig["n_turns"] / csmall["n_turns"]), 3)
                 for k in ("conv_curate", "conv_pack", "suffix_loops",
-                          "fork_mask")
+                          "fork_mask", "alternation_repair", "context_fit")
             },
         },
     }

@@ -1865,3 +1865,18 @@ def test_tool_call_json_stats_plan(spark):
     # dedup agg + (tool, conv) pre-agg + tool agg
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_system_prompt_census_no_broadcast_plan(spark):
+    # the conv-grain join is conversation-DIMENSION sized on both sides
+    # — at fleet scale neither is broadcastable, and a wrong-tiny static
+    # estimate of the cached python-sourced side must not pick a
+    # driver-collecting broadcast (round-5 session-7 discipline)
+    from feast_spark.operators.conversation import system_prompt_census
+
+    plan = (
+        system_prompt_census(_rep_turns(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "ShuffledHashJoin" in plan, plan[:3000]
