@@ -2537,6 +2537,49 @@ def q_label_drift(spark: SparkSession, sf: str) -> DataFrame:
     return label_drift(a, b)
 
 
+def q_keep_drop_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 11: the north-rule acceptance gate as an operator —
+    # precision/recall/F1 of a candidate labeling's keep decision vs a
+    # reference labeling, plus exact scrubbed-text equality among
+    # both-kept turns. The two runs use asymmetric rule variants
+    # (rules.eval_pred_config / eval_ref_config — shared with the naive
+    # replays) so fp, fn AND kept-text diffs are all non-zero. Oracle:
+    # GENUINE SQL — confusion matrix, text equality, and the 2^-20
+    # integer metric units all re-derived by DuckDB over the two replay
+    # label tables.
+    from feast_spark import rules
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.labels import keep_drop_eval
+    from feast_spark.pipeline.quality import QualityConfig, run_quality_pipeline
+
+    transcripts = transcripts_spark(
+        spark, 100, seed=42, mega_every=50, mega_turns=200
+    )
+    pred = run_quality_pipeline(
+        spark, transcripts, QualityConfig(rules=rules.eval_pred_config()),
+        run_id="ea",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    ).labels
+    ref = run_quality_pipeline(
+        spark, transcripts, QualityConfig(rules=rules.eval_ref_config()),
+        run_id="eb",
+        decision_ts=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    ).labels
+    return keep_drop_eval(pred, ref)
+
+
+def q_tool_latency(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 11: per-tool response-latency histogram from turn
+    # timestamps (exact integer log2 buckets via length(bin(lat_us)) —
+    # the same minimal binary string on both engines). Completes the
+    # tool-ops trio: tool_errors (outcomes), tool_json (payloads),
+    # tool_latency (timing). Oracle: GENUINE DuckDB SQL (lag window,
+    # epoch_us, bin-length bucket, same div-1000 per call).
+    from feast_spark.operators.conversation import tool_latency_histogram
+
+    return tool_latency_histogram(_transcripts_fixture(spark))
+
+
 def q_conv_language(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 6: per-conversation language profile + turn-level
     # code-switch count (langs alternating inside one conversation — a
@@ -2955,6 +2998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 11: north-rule F1/agreement gate as an operator
+        # (genuine-SQL confusion matrix + metric units) and the per-tool
+        # latency histogram (integer log2 buckets)
+        "keep_drop_eval": q_keep_drop_eval,
+        "tool_latency": q_tool_latency,
         # round 5 session 10: alternation repair, context-window fit,
         # system-prompt census, special-token leakage census — all with
         # genuine DuckDB SQL oracles over the raw turns
@@ -3001,15 +3049,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_dedup": q_turn_dedup,
         "conv_repetition": q_conv_repetition,
         "conv_contamination": q_conv_contamination,
-        # round 5 session 2: byte-grain CDC near-dup + blocklist scan
-        # + per-language tokenizer fertility
-        "cdc_neardup": q_cdc_neardup,
+        # round 5 session 2: blocklist scan + per-language tokenizer
+        # fertility (cdc_neardup rotated to extras — the fuzzy near-dup
+        # family stays driver-covered via dup_clusters, neardup_verify,
+        # minhash_profile, turn_dedup, semantic_dedup)
         "blocklist_hits": q_blocklist_hits,
         "token_fertility": q_token_fertility,
         "html_extract": q_html_extract,
-        # round 5: paragraph-grain fuzzy near-dup, weighted sampling,
-        # isolated conversation packing, per-source c-TF-IDF terms
-        "para_neardup": q_para_neardup,
+        # round 5: weighted sampling, per-source c-TF-IDF terms
+        # (para_neardup rotated to extras — same family coverage note)
         "alpha_rates": q_alpha_rates,
         "source_top_terms": q_source_top_terms,
         # round 4 session 6: conversation-level operators (transcripts)
@@ -3046,6 +3094,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 11 (still pytest-oracled here; the
+        # fuzzy near-dup family stays driver-covered via dup_clusters,
+        # neardup_verify, minhash_profile, turn_dedup, semantic_dedup)
+        "para_neardup": q_para_neardup,
+        "cdc_neardup": q_cdc_neardup,
         # rotated round 5 session 10 (still pytest-oracled here; window
         # keeps same-family siblings: truncation/suffix_loops for textqa,
         # token_budget/alpha_rates for selection, cross-source lenses via
@@ -3228,6 +3281,108 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "keep_drop_eval": f"""
+            -- GENUINE SQL twin of keep_drop_eval: both label tables are
+            -- the pipeline's NAIVE pandas replays (asymmetric rule
+            -- variants — see rules.eval_pred_config/eval_ref_config);
+            -- the confusion matrix, kept-text equality, and the 2^-20
+            -- integer metric units are all re-derived in SQL (HUGEINT
+            -- numerator mirrors the Spark DECIMAL(38,0) discipline)
+            WITH p AS (
+              SELECT conv_id, turn_idx, keep, scrubbed_text
+              FROM read_parquet('{derived["transcript_labels_eval_a"]}')
+            ), r AS (
+              SELECT conv_id, turn_idx, keep, scrubbed_text
+              FROM read_parquet('{derived["transcript_labels_eval_b"]}')
+            ), j AS (
+              SELECT
+                p.conv_id IS NOT NULL AS pp,
+                r.conv_id IS NOT NULL AS pr,
+                COALESCE(p.keep, FALSE) AS kp,
+                COALESCE(r.keep, FALSE) AS kr,
+                p.scrubbed_text IS NOT DISTINCT FROM r.scrubbed_text
+                  AS teq
+              FROM p FULL OUTER JOIN r
+                ON p.conv_id = r.conv_id AND p.turn_idx = r.turn_idx
+            ), s AS (
+              SELECT
+                SUM(CASE WHEN pp AND pr THEN 1 ELSE 0 END) AS n_turns,
+                SUM(CASE WHEN pp AND NOT pr THEN 1 ELSE 0 END)
+                  AS n_only_pred,
+                SUM(CASE WHEN pr AND NOT pp THEN 1 ELSE 0 END)
+                  AS n_only_ref,
+                SUM(CASE WHEN pp AND pr AND kp AND kr THEN 1 ELSE 0 END)
+                  AS tp,
+                SUM(CASE WHEN pp AND pr AND kp AND NOT kr
+                    THEN 1 ELSE 0 END) AS fp,
+                SUM(CASE WHEN pp AND pr AND NOT kp AND kr
+                    THEN 1 ELSE 0 END) AS fn,
+                SUM(CASE WHEN pp AND pr AND NOT kp AND NOT kr
+                    THEN 1 ELSE 0 END) AS tn,
+                SUM(CASE WHEN pp AND pr AND kp AND kr AND teq
+                    THEN 1 ELSE 0 END) AS n_kept_text_equal,
+                SUM(CASE WHEN pp AND pr AND kp AND kr AND NOT teq
+                    THEN 1 ELSE 0 END) AS n_kept_text_diff
+              FROM j
+            )
+            SELECT
+              CAST(n_turns AS BIGINT) AS n_turns,
+              CAST(n_only_pred AS BIGINT) AS n_only_pred,
+              CAST(n_only_ref AS BIGINT) AS n_only_ref,
+              CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn,
+              CAST(tn AS BIGINT) AS tn,
+              CAST(n_kept_text_equal AS BIGINT) AS n_kept_text_equal,
+              CAST(n_kept_text_diff AS BIGINT) AS n_kept_text_diff,
+              CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((CAST(tp AS HUGEINT) * 1048576)
+                             // (tp + fp) AS BIGINT) END
+                AS precision_units,
+              CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((CAST(tp AS HUGEINT) * 1048576)
+                             // (tp + fn) AS BIGINT) END
+                AS recall_units,
+              CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((CAST(tp AS HUGEINT) * 2097152)
+                             // (2 * tp + fp + fn) AS BIGINT) END
+                AS f1_units
+            FROM s
+        """,
+        "tool_latency": f"""
+            -- GENUINE SQL twin of tool_latency_histogram: latest-per-key
+            -- dedup, lag window over turn_idx, epoch_us gap, integer
+            -- log2 bucket via length(bin(x)) (identical minimal binary
+            -- string on both engines), per-call div-1000 into total_ms
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), g AS (
+              SELECT role, tool,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS lat
+              FROM d
+            ), c AS (
+              SELECT tool, lat,
+                CASE WHEN lat <= 0 THEN CAST(-1 AS INTEGER)
+                     ELSE CAST(length(bin(lat)) AS INTEGER) END
+                  AS lat_bucket,
+                CASE WHEN lat > 0 THEN lat // 1000 ELSE 0 END AS ms
+              FROM g
+              WHERE role = 'tool' AND tool IS NOT NULL
+                AND lat IS NOT NULL
+            )
+            SELECT tool, lat_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_calls,
+              CAST(SUM(ms) AS BIGINT) AS total_ms,
+              CAST(MIN(lat) AS BIGINT) AS min_us,
+              CAST(MAX(lat) AS BIGINT) AS max_us
+            FROM c GROUP BY 1, 2
+        """,
         "refusal_stats": f"""
             -- GENUINE SQL twin of assistant_refusals on the planted
             -- corpus (every 6th conversation's assistant turns at

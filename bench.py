@@ -177,6 +177,10 @@ HEADLINE = [
     "special_tokens",
     "refusal_stats",
     "tool_json",
+    # round 5 session 11: north-rule F1/agreement gate, per-tool latency
+    # histogram
+    "keep_drop_eval",
+    "tool_latency",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

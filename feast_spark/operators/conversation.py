@@ -72,6 +72,7 @@ __all__ = [
     "system_prompt_census",
     "assistant_refusals",
     "tool_call_json_stats",
+    "tool_latency_histogram",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -2054,4 +2055,68 @@ def tool_call_json_stats(
         )
         .cast("long")
         .alias("parse_units"),
+    )
+
+
+def tool_latency_histogram(
+    turns: DataFrame, pre_deduped: bool = False
+) -> DataFrame:
+    """Per-tool RESPONSE-LATENCY histogram from the turn timestamps the
+    transcript actually records — the fleet-ops view ``tool_error_stats``
+    (outcomes) and ``tool_call_json_stats`` (payload health) don't cover:
+    a tool whose p99 quietly moved a log2 bucket is saturating long
+    before its error banner rate moves. A tool turn's latency is its
+    ``ts`` minus the PREVIOUS turn's ``ts`` (the request -> result gap;
+    ``reply_latency`` measures the user -> reply gap at CONVERSATION
+    grain — this is the TOOL-dimension histogram).
+
+    Buckets are exact integer log2 of the microsecond latency:
+    ``length(bin(lat_us))`` = floor(log2)+1, computed on the INTEGER
+    path on both engines (Spark ``bin`` and DuckDB ``bin`` emit the same
+    minimal binary string for non-negative int64) — no float log that
+    could round a boundary value differently per engine. Non-positive
+    latencies (timestamp inversions, edited-turn collisions) land in
+    sentinel bucket -1 and are excluded from ``total_ms``.
+
+    One row per (tool, lat_bucket): ``n_calls``, ``total_ms`` (sum of
+    per-call ``lat_us div 1000`` over POSITIVE latencies — at 10^12
+    calls x 120s ceiling that is ~1.2e17, inside int64), ``min_us``,
+    ``max_us``. First-turn tool calls (no request row) are excluded.
+
+    Scale shape: ONE exchange keyed ``conv_id`` for the lag window, then
+    a (tool, bucket) hash-agg with map-side combine whose group count is
+    bounded by #tools x 64 — dimension-sized at any corpus size.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    calls = (
+        d.select("conv_id", "turn_idx", "role", "tool", "ts")
+        .withColumn("__lat_us", lat)
+        .filter(
+            (F.col("role") == "tool")
+            & F.col("tool").isNotNull()
+            & F.col("__lat_us").isNotNull()
+        )
+    )
+    bucket = F.when(F.col("__lat_us") <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("__lat_us")))
+    )
+    ms = F.when(
+        F.col("__lat_us") > 0, F.expr("__lat_us div 1000")
+    ).otherwise(F.lit(0))
+    return (
+        calls.select(
+            "tool",
+            bucket.cast("int").alias("lat_bucket"),
+            ms.alias("__ms"),
+            "__lat_us",
+        )
+        .groupBy("tool", "lat_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.sum("__ms").cast("long").alias("total_ms"),
+            F.min("__lat_us").cast("long").alias("min_us"),
+            F.max("__lat_us").cast("long").alias("max_us"),
+        )
     )

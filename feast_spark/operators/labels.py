@@ -287,3 +287,94 @@ def label_drift(
             F.sum(F.col("__chg").cast("long")).alias("n_text_changed"),
         )
     )
+
+
+def keep_drop_eval(
+    pred: DataFrame,
+    ref: DataFrame,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Keep/drop agreement METRICS between a candidate labeling and a
+    reference labeling — the acceptance gate of the whole quality-filter
+    exercise stated as an operator: precision / recall / F1 of the
+    candidate's ``keep`` decision against the reference's, plus exact
+    scrubbed-text equality counts among turns BOTH runs kept (the two
+    halves of "keep/drop F1 >= 0.99 + exact scrubbed-text match").
+    ``label_drift`` answers *which verdict mass moved where*; this
+    answers *does the candidate pass the bar* as one auditable row.
+
+    Inputs are two label tables of the quality pipeline's shape
+    (``key_cols`` + ``keep`` + ``scrubbed_text``). Output is ONE row:
+    ``n_turns`` (keys present in both), ``n_only_pred`` / ``n_only_ref``
+    (coverage gaps), the confusion matrix ``tp/fp/fn/tn`` (reference
+    ``keep`` is the positive class), ``n_kept_text_equal`` /
+    ``n_kept_text_diff`` (null-safe scrubbed-text comparison among
+    both-kept turns), and exact 2^-20 integer ``precision_units`` /
+    ``recall_units`` / ``f1_units`` (-1 sentinel when the denominator is
+    empty). F1 = 2tp/(2tp+fp+fn); numerators run in DECIMAL(38,0) (the
+    engine's 2^43 rule — tp*2^21 wraps int64 past ~2^42 turns) and the
+    quotient is <= 2^20 so the BIGINT cast is exact.
+
+    Scale shape: one full-outer join keyed on ``key_cols`` (both sides
+    are pipeline label snapshots, natively partitioned on the
+    conversation key — co-partitioned snapshots join without a
+    re-shuffle) into a single global aggregate with map-side partial
+    combine: every executor reduces its partitions to one counter row,
+    the driver sees #partitions rows. Nothing text-sized survives the
+    agg.
+
+    Reference: the reference validates materialized data against
+    expectations (``dqm/profilers`` suite) but has no label-vs-label
+    scorer; public practice is the ablation/agreement tables of the
+    C4/Gopher/FineWeb filter papers.
+    """
+    keys = list(key_cols)
+
+    def _side(df: DataFrame, s: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col("keep").alias(f"__k{s}"),
+            F.col("scrubbed_text").alias(f"__t{s}"),
+            F.lit(True).alias(f"__p{s}"),
+        )
+
+    j = _side(pred, "p").join(_side(ref, "r"), keys, "full_outer")
+    pp = F.coalesce("__pp", F.lit(False))
+    pr = F.coalesce("__pr", F.lit(False))
+    both = pp & pr
+    kp, kr = F.col("__kp"), F.col("__kr")
+    teq = F.col("__tp").eqNullSafe(F.col("__tr"))
+
+    def _n(cond) -> F.Column:
+        return F.sum(cond.cast("long"))
+
+    agg = j.agg(
+        _n(both).alias("n_turns"),
+        _n(pp & ~pr).alias("n_only_pred"),
+        _n(~pp & pr).alias("n_only_ref"),
+        _n(both & kp & kr).alias("tp"),
+        _n(both & kp & ~kr).alias("fp"),
+        _n(both & ~kp & kr).alias("fn"),
+        _n(both & ~kp & ~kr).alias("tn"),
+        _n(both & kp & kr & teq).alias("n_kept_text_equal"),
+        _n(both & kp & kr & ~teq).alias("n_kept_text_diff"),
+    )
+    unit = 1 << 20
+    return agg.select(
+        "*",
+        F.expr(
+            f"CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT) ELSE CAST("
+            f"(CAST(tp AS DECIMAL(38,0)) * {unit}) div (tp + fp)"
+            f" AS BIGINT) END"
+        ).alias("precision_units"),
+        F.expr(
+            f"CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT) ELSE CAST("
+            f"(CAST(tp AS DECIMAL(38,0)) * {unit}) div (tp + fn)"
+            f" AS BIGINT) END"
+        ).alias("recall_units"),
+        F.expr(
+            f"CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(-1 AS BIGINT)"
+            f" ELSE CAST((CAST(tp AS DECIMAL(38,0)) * {2 * unit})"
+            f" div (2 * tp + fp + fn) AS BIGINT) END"
+        ).alias("f1_units"),
+    )

@@ -796,7 +796,9 @@ def quality_scores_pdf(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def transcript_labels_pdf(loop: bool = False, strict: bool = False) -> pd.DataFrame:
+def transcript_labels_pdf(
+    loop: bool = False, strict: bool = False, variant: str | None = None
+) -> pd.DataFrame:
     from feast_spark import rules
     from feast_spark.fixtures import generate_transcripts
     from feast_spark.pipeline.oracle import oracle_labels
@@ -806,7 +808,11 @@ def transcript_labels_pdf(loop: bool = False, strict: bool = False) -> pd.DataFr
         100, seed=42, mega_every=50, mega_turns=200,
         loop_prob=0.3 if loop else 0.0,
     )
-    if strict:
+    if variant == "eval_pred":
+        cfg = QualityConfig(rules=rules.eval_pred_config())
+    elif variant == "eval_ref":
+        cfg = QualityConfig(rules=rules.eval_ref_config())
+    elif strict:
         cfg = QualityConfig(rules=rules.strict_config())
     elif loop:
         cfg = QualityConfig(loop_min_repeats=3)
@@ -2274,6 +2280,15 @@ _RELATIONS = {
     "transcript_pipeline_loop": lambda sf: transcript_labels_pdf(loop=True),
     # same fixture under rules.strict_config() — the label_drift B run
     "transcript_labels_strict": lambda sf: transcript_labels_pdf(strict=True),
+    # asymmetric rule variants for keep_drop_eval: the candidate drops
+    # turns the reference keeps AND vice versa, and the reference scrubs
+    # in pseudonymize mode so kept-text equality is non-trivial too
+    "transcript_labels_eval_a": lambda sf: transcript_labels_pdf(
+        variant="eval_pred"
+    ),
+    "transcript_labels_eval_b": lambda sf: transcript_labels_pdf(
+        variant="eval_ref"
+    ),
     # per-turn language ids (shared language_id kernel, like the
     # pipeline's lang column) — the conv_language oracle re-derives the
     # mode/switch rollup in GENUINE SQL on top of this

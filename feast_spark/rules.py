@@ -532,6 +532,28 @@ def strict_config() -> "RuleConfig":
     return RuleConfig(min_words=4, max_perplexity=250.0)
 
 
+def eval_pred_config() -> "RuleConfig":
+    """Candidate side of the keep_drop_eval driver fixture: a tightened
+    stopword floor drops ~12 turns the reference keeps (false
+    negatives). Shared by the Spark query and the naive replay so both
+    face byte-identical thresholds."""
+    return RuleConfig(min_stopword_ratio=0.25)
+
+
+def eval_ref_config() -> "RuleConfig":
+    """Reference side of the keep_drop_eval driver fixture: perplexity +
+    symbol gates drop a couple of turns the candidate keeps (false
+    positives), and pseudonymize-mode scrubbing makes kept PII turns'
+    text differ from the candidate's redact-mode text — so every
+    counter in the metrics row is exercised."""
+    return RuleConfig(
+        max_perplexity=100.0,
+        max_symbol_ratio=0.05,
+        scrub_mode="pseudonymize",
+        pseudonym_salt="kde1",
+    )
+
+
 # Rule evaluation order is part of the output contract (drop_reason).
 RULE_ORDER = [
     "too_short",

@@ -1880,3 +1880,84 @@ def test_system_prompt_census_no_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" not in plan, plan[:3000]
     assert "ShuffledHashJoin" in plan, plan[:3000]
+
+
+def test_tool_latency_histogram_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.conversation import tool_latency_histogram
+
+    def ts(sec, us=0):
+        return datetime(2026, 1, 1, 0, 0, tzinfo=timezone.utc).replace(
+            second=sec % 60, minute=sec // 60, microsecond=us
+        )
+
+    rows = [
+        # c1: tool at idx 1 lags the request by exactly 5s = 5_000_000us
+        # (bin length 23: 2^22 <= 5e6 < 2^23); tool at idx 3 by 1us
+        # (bucket 1); first-turn tool call in c2 has no request row
+        ("c1", 0, "user", "q", None, ts(0)),
+        ("c1", 1, "tool", "r", "search", ts(5)),
+        ("c1", 2, "user", "q2", None, ts(10)),
+        ("c1", 3, "tool", "r2", "search", ts(10, 1)),
+        ("c2", 0, "tool", "orphan", "python", ts(0)),
+        # c3: ts inversion -> negative latency -> sentinel bucket -1,
+        # excluded from total_ms
+        ("c3", 0, "user", "q", None, ts(30)),
+        ("c3", 1, "tool", "r", "python", ts(20)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        (r["tool"], r["lat_bucket"]): r.asDict()
+        for r in tool_latency_histogram(df).collect()
+    }
+    assert set(out) == {("search", 23), ("search", 1), ("python", -1)}
+    s = out[("search", 23)]
+    assert s["n_calls"] == 1 and s["total_ms"] == 5000
+    assert s["min_us"] == 5_000_000 and s["max_us"] == 5_000_000
+    tiny = out[("search", 1)]
+    assert tiny["total_ms"] == 0 and tiny["max_us"] == 1  # 1us div 1000
+    neg = out[("python", -1)]
+    assert neg["n_calls"] == 1 and neg["total_ms"] == 0
+    assert neg["min_us"] == -10_000_000
+
+
+def test_tool_latency_histogram_bucket_is_exact_log2(spark):
+    # length(bin(x)) == floor(log2(x)) + 1 across bucket boundaries —
+    # the INTEGER path both engines share (no float log rounding)
+    from feast_spark.operators.conversation import tool_latency_histogram
+    from datetime import datetime, timedelta, timezone
+    import math
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows, expect = [], {}
+    for i, us in enumerate([1, 2, 3, 4, 1023, 1024, (1 << 26) - 1, 1 << 26]):
+        cid = f"b{i}"
+        rows.append((cid, 0, "user", "q", None, base))
+        rows.append(
+            (cid, 1, "tool", "r", f"t{i}", base + timedelta(microseconds=us))
+        )
+        expect[f"t{i}"] = math.floor(math.log2(us)) + 1
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        r["tool"]: r["lat_bucket"]
+        for r in tool_latency_histogram(df).collect()
+    }
+    assert got == expect
+
+
+def test_tool_latency_histogram_plan(spark):
+    from feast_spark.operators.conversation import tool_latency_histogram
+
+    plan = _plan(tool_latency_histogram(_rep_turns(spark), pre_deduped=True))
+    # one conv_id exchange for the lag window + one (tool, bucket) agg
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan

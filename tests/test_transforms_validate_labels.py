@@ -386,3 +386,72 @@ def test_label_drift_transitions_and_sentinels(spark):
     assert out[("<kept>", "<absent>")] == (1, 0)
     assert out[("<absent>", "<kept>")] == (1, 0)
     assert sum(n for n, _ in out.values()) == 5
+
+
+def test_keep_drop_eval_hand_computed(spark):
+    from feast_spark.operators.labels import keep_drop_eval
+
+    schema = (
+        "conv_id string, turn_idx int, keep boolean, drop_reason string, "
+        "scrubbed_text string"
+    )
+    pred = spark.createDataFrame(
+        [
+            ("c1", 0, True, None, "same"),        # tp, text equal
+            ("c1", 1, True, None, "pred text"),   # tp, text differs
+            ("c1", 2, True, None, "x"),           # fp
+            ("c1", 3, False, "too_short", "y"),   # fn
+            ("c1", 4, False, "toxicity", "z"),    # tn
+            ("c2", 0, True, None, "only pred"),   # n_only_pred
+        ],
+        schema,
+    )
+    ref = spark.createDataFrame(
+        [
+            ("c1", 0, True, None, "same"),
+            ("c1", 1, True, None, "ref text"),
+            ("c1", 2, False, "perplexity", "x"),
+            ("c1", 3, True, None, "y"),
+            ("c1", 4, False, "toxicity", "z"),
+            ("c3", 0, False, "language", "only ref"),  # n_only_ref
+        ],
+        schema,
+    )
+    row = keep_drop_eval(pred, ref).collect()[0].asDict()
+    assert row["n_turns"] == 5
+    assert row["n_only_pred"] == 1 and row["n_only_ref"] == 1
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (2, 1, 1, 1)
+    assert row["n_kept_text_equal"] == 1 and row["n_kept_text_diff"] == 1
+    unit = 1 << 20
+    assert row["precision_units"] == (2 * unit) // 3
+    assert row["recall_units"] == (2 * unit) // 3
+    assert row["f1_units"] == (4 * unit) // 6  # 2tp/(2tp+fp+fn)
+
+
+def test_keep_drop_eval_sentinels_and_null_text(spark):
+    from feast_spark.operators.labels import keep_drop_eval
+
+    schema = (
+        "conv_id string, turn_idx int, keep boolean, drop_reason string, "
+        "scrubbed_text string"
+    )
+    # no keeps anywhere -> every metric denominator empty -> -1 sentinels;
+    # NULL scrubbed_text on both sides of a kept pair counts as EQUAL
+    # (null-safe comparison) in the second frame pair
+    pred = spark.createDataFrame(
+        [("c1", 0, False, "too_short", None)], schema
+    )
+    ref = spark.createDataFrame(
+        [("c1", 0, False, "too_short", None)], schema
+    )
+    row = keep_drop_eval(pred, ref).collect()[0].asDict()
+    assert row["tn"] == 1 and row["tp"] == 0
+    assert row["precision_units"] == -1
+    assert row["recall_units"] == -1
+    assert row["f1_units"] == -1
+
+    pred2 = spark.createDataFrame([("c1", 0, True, None, None)], schema)
+    ref2 = spark.createDataFrame([("c1", 0, True, None, None)], schema)
+    row2 = keep_drop_eval(pred2, ref2).collect()[0].asDict()
+    assert row2["n_kept_text_equal"] == 1 and row2["n_kept_text_diff"] == 0
+    assert row2["f1_units"] == 1 << 20  # perfect agreement
