@@ -2989,6 +2989,84 @@ def q_tool_json(spark: SparkSession, sf: str) -> DataFrame:
     return tool_call_json_stats(planted)
 
 
+def q_rule_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 11: rule co-fire / ablation matrix. Plants
+    # (cidx%6==1, variant=turn_idx%4, constants in rules.RULE_MATRIX_
+    # PLANTS) force a 4-way co-fire, an exclusive too_short, a
+    # repetition+toxicity pair and an exclusive stopword_ratio on top of
+    # the fixture's organic co-occurrence. Oracle: per-turn bits come
+    # from the SHARED rule_fail_bits kernel (pandas replay, same plants
+    # + dedup); the pair explode and matrix are GENUINE DuckDB SQL.
+    from feast_spark import rules
+    from feast_spark.pipeline.quality import rule_cooccurrence
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    plantable = F.pmod(idx, F.lit(6)) == 1
+    variant = F.pmod(F.col("turn_idx"), F.lit(4))
+    expr = None
+    for v, plant in enumerate(rules.RULE_MATRIX_PLANTS):
+        cond = plantable & (variant == v)
+        expr = (
+            F.when(cond, F.lit(plant))
+            if expr is None
+            else expr.when(cond, F.lit(plant))
+        )
+    t = t.withColumn("text", expr.otherwise(F.col("text")))
+    return rule_cooccurrence(t)
+
+
+# planted by q_unicode_anomalies — one short payload per anomaly class
+# (counts per plant: bidi 2, zero_width 3, replacement 2, c0 2, c1 2)
+UANOM_PLANTS = [
+    " \u202eover\u2069",
+    "\u200bzw\u200d\ufeff",
+    " bad\ufffd\ufffd",
+    " c\x01tl\x7f",
+    " mj\x80\x9f",
+]
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, using chr() for
+    every non-printable / non-ASCII codepoint so the SQL file stays
+    visibly ASCII and the bytes match Spark's F.lit exactly."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+def q_unicode_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 11: invisible/malformed-codepoint census. Turns at
+    # (cidx*3 + turn_idx) % 10 == v (v in 0..4) get one class's payload
+    # appended (bidi override, zero-width, U+FFFD, C0, C1). Oracle:
+    # GENUINE DuckDB SQL — same plants via chr() concatenation, same
+    # dedup, per-class regexp_replace('g') length-difference counts.
+    from feast_spark.operators.textqa import unicode_anomaly_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("long")
+    variant = F.pmod(idx * 3 + F.col("turn_idx"), F.lit(10))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    expr = None
+    for v, plant in enumerate(UANOM_PLANTS):
+        cond = variant == v
+        arm = F.concat(txt, F.lit(plant))
+        expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+    t = t.withColumn("text", expr.otherwise(F.col("text")))
+    return unicode_anomaly_stats(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3003,6 +3081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latency histogram (integer log2 buckets)
         "keep_drop_eval": q_keep_drop_eval,
         "tool_latency": q_tool_latency,
+        # round 5 session 11b: rule co-fire/ablation matrix (shared
+        # rule_fail_bits kernel + genuine-SQL pair matrix) and the
+        # invisible-codepoint census (fully genuine SQL oracle)
+        "rule_matrix": q_rule_matrix,
+        "unicode_anomalies": q_unicode_anomalies,
         # round 5 session 10: alternation repair, context-window fit,
         # system-prompt census, special-token leakage census — all with
         # genuine DuckDB SQL oracles over the raw turns
@@ -3049,13 +3132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_dedup": q_turn_dedup,
         "conv_repetition": q_conv_repetition,
         "conv_contamination": q_conv_contamination,
-        # round 5 session 2: blocklist scan + per-language tokenizer
-        # fertility (cdc_neardup rotated to extras — the fuzzy near-dup
-        # family stays driver-covered via dup_clusters, neardup_verify,
+        # round 5 session 2: per-language tokenizer fertility
+        # (cdc_neardup, and in s11b blocklist_hits + html_extract,
+        # rotated to extras — the fuzzy near-dup family stays
+        # driver-covered via dup_clusters, neardup_verify,
         # minhash_profile, turn_dedup, semantic_dedup)
-        "blocklist_hits": q_blocklist_hits,
         "token_fertility": q_token_fertility,
-        "html_extract": q_html_extract,
         # round 5: weighted sampling, per-source c-TF-IDF terms
         # (para_neardup rotated to extras — same family coverage note)
         "alpha_rates": q_alpha_rates,
@@ -3099,6 +3181,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_verify, minhash_profile, turn_dedup, semantic_dedup)
         "para_neardup": q_para_neardup,
         "cdc_neardup": q_cdc_neardup,
+        "blocklist_hits": q_blocklist_hits,
+        "html_extract": q_html_extract,
         # rotated round 5 session 10 (still pytest-oracled here; window
         # keeps same-family siblings: truncation/suffix_loops for textqa,
         # token_budget/alpha_rates for selection, cross-source lenses via
@@ -3278,9 +3362,87 @@ def _all_oracle_sql() -> dict[str, str]:
         _hs_cum += _frac
         _hs_cuts.append(int(_hs_cum * (1 << 48)))
 
+    # rule_matrix: the rules dimension as a VALUES table (name, bit pos)
+    from feast_spark import rules as _rules_mod
+    from feast_spark.operators.textqa import (
+        UNICODE_ANOMALY_CLASSES as _uanom_classes,
+    )
+
+    _rule_values = ", ".join(
+        f"('{n}', {i})" for i, n in enumerate(_rules_mod.RULE_ORDER)
+    )
+    # unicode_anomalies: plants rendered via chr() (exact byte parity
+    # with the Spark F.lit constants) and one counting arm per class —
+    # the class patterns hop through variables so their braces/
+    # backslashes never meet the f-string parser (the conv_contamination
+    # lesson)
+    _uanom_case = " ".join(
+        f"WHEN {v} THEN coalesce(text, '') || {_sql_str(p)}"
+        for v, p in enumerate(UANOM_PLANTS)
+    )
+    _uanom_arms = " UNION ALL ".join(
+        f"SELECT conv_id, role, '{k}' AS kind, length(t) -"
+        f" length(regexp_replace(t, '{p}', '', 'g')) AS cnt FROM d"
+        for k, p in _uanom_classes
+    )
+
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "rule_matrix": f"""
+            -- per-turn fail bitmasks come from the SHARED
+            -- rules.rule_fail_bits kernel (pandas replay, same plants +
+            -- dedup as the Spark arm); the pair explode, co-fail counts
+            -- and exclusive (single-bit) diagonal are GENUINE SQL
+            WITH b AS (
+              SELECT bits
+              FROM read_parquet('{derived["rule_bits"]}')
+              WHERE bits > 0
+            ), r AS (
+              SELECT * FROM (VALUES {_rule_values}) AS t(name, i)
+            )
+            SELECT ra.name AS rule_a, rb.name AS rule_b,
+              CAST(COUNT(*) AS BIGINT) AS n_cofail,
+              CAST(SUM(CASE WHEN ra.i = rb.i
+                             AND b.bits = (CAST(1 AS BIGINT) << ra.i)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+            FROM b
+            JOIN r ra ON ((b.bits >> ra.i) & 1) = 1
+            JOIN r rb ON ((b.bits >> rb.i) & 1) = 1 AND rb.i >= ra.i
+            GROUP BY 1, 2
+        """,
+        "unicode_anomalies": f"""
+            -- GENUINE SQL twin of unicode_anomaly_stats: same plants
+            -- (chr()-rendered), same latest-per-(conv,turn) dedup, and
+            -- the same length-difference counts under
+            -- regexp_replace(..., 'g') per anomaly class
+            WITH r AS (
+              SELECT conv_id, turn_idx, role, ts,
+                CASE ((CAST(substring(conv_id, 2, 9) AS BIGINT) * 3
+                       + turn_idx) % 10)
+                  {_uanom_case}
+                  ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT conv_id, role, coalesce(text, '') AS t FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM r
+              ) WHERE rn = 1
+            ), c AS ({_uanom_arms}),
+            pre AS (
+              SELECT kind, role, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS nt,
+                CAST(SUM(cnt) AS BIGINT) AS nc
+              FROM c WHERE cnt > 0 GROUP BY 1, 2, 3
+            )
+            SELECT kind, role,
+              CAST(SUM(nc) AS BIGINT) AS n_chars,
+              CAST(SUM(nt) AS BIGINT) AS n_turns,
+              CAST(COUNT(*) AS BIGINT) AS n_convs
+            FROM pre GROUP BY 1, 2
+        """,
         "keep_drop_eval": f"""
             -- GENUINE SQL twin of keep_drop_eval: both label tables are
             -- the pipeline's NAIVE pandas replays (asymmetric rule

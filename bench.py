@@ -178,9 +178,11 @@ HEADLINE = [
     "refusal_stats",
     "tool_json",
     # round 5 session 11: north-rule F1/agreement gate, per-tool latency
-    # histogram
+    # histogram, rule co-fire matrix, invisible-codepoint census
     "keep_drop_eval",
     "tool_latency",
+    "rule_matrix",
+    "unicode_anomalies",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -40,7 +40,9 @@ __all__ = [
     "role_ngram_diversity",
     "code_block_stats",
     "special_token_stats",
+    "unicode_anomaly_stats",
     "DEFAULT_SPECIAL_MARKERS",
+    "UNICODE_ANOMALY_CLASSES",
 ]
 
 # the ONE cross-engine whitespace class (see conversation.py for the
@@ -486,4 +488,105 @@ def special_token_stats(
         F.sum("__n_turns").cast("long").alias("n_turns"),
         F.count(F.lit(1)).cast("long").alias("n_convs"),
         F.sum("__n_hits").cast("long").alias("n_hits"),
+    )
+
+
+# Unicode anomaly classes — each is a character class whose ``\x{...}``
+# escape syntax parses identically under Java regex (Spark) and RE2
+# (DuckDB), and every member is a single BMP codepoint so the
+# length-difference count is per-OCCURRENCE on both engines (both
+# ``length()`` implementations count codepoints). Deliberate exclusions,
+# so the census never disagrees with the repo's other contracts:
+# U+0000 (engines disagree on NUL-in-varchar handling), and \x0B/\x0C
+# (members of the canonical ASCII whitespace class ``_ASCII_WS`` — the
+# tokenizers here treat them as separators, not anomalies).
+UNICODE_ANOMALY_CLASSES: list[tuple[str, str]] = [
+    # trojan-source vector (CVE-2021-42574): explicit bidi embedding /
+    # override / isolate controls re-order rendered text vs stored text
+    ("bidi_control", "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"),
+    # invisible joiners/separators: steganographic payloads, copy-paste
+    # artifacts, and tokenizer-splitting tricks
+    ("zero_width", "[\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"),
+    # U+FFFD is the decoder's "byte sequence was not UTF-8" tombstone —
+    # any presence means an upstream mojibake/transcoding defect
+    ("replacement_char", "[\\x{FFFD}]"),
+    # C0 controls that clean text never contains (tab/LF/CR excluded —
+    # legitimate; \x0B/\x0C excluded per _ASCII_WS above) plus DEL
+    ("c0_control", "[\\x{0001}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}]"),
+    # C1 controls: the classic latin-1-read-as-cp1252 mojibake band —
+    # real text encodes curly quotes etc. ABOVE U+00A0, never here
+    ("c1_control", "[\\x{0080}-\\x{009F}]"),
+]
+
+
+def unicode_anomaly_stats(
+    turns: DataFrame,
+    classes: list[tuple[str, str]] | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Census of invisible / malformed codepoints per (kind, role) — the
+    byte-hygiene sibling of :func:`special_token_stats` (template text
+    you can SEE) for the defects you cannot: bidi override controls
+    (trojan-source reordering — rendered code differs from stored code),
+    zero-width characters (steganography, copy-paste artifacts),
+    U+FFFD replacement characters (upstream mojibake), and C0/C1
+    control bands (transcoding damage). All of these survive every
+    quality rule here — they are invisible to length/stop-word/
+    perplexity stats and unique-enough text keeps dedup silent — yet
+    they poison tokenizers and, for bidi controls in code blocks, are a
+    documented supply-chain attack vector.
+
+    One row per (kind, role) with at least one hit: ``n_chars`` (total
+    anomalous codepoints), ``n_turns`` (deduped turns containing the
+    class), ``n_convs`` (distinct conversations).
+
+    Plan (10^12 turns): per-turn counts are ``length(t) -
+    length(regexp_replace(t, class, ''))`` — one regex pass per class
+    inside whole-stage codegen, map-only; the per-turn struct array is
+    FILTERED to hits before the explode (anomalies are rare by
+    construction, so the exploded relation is defect-sized); then the
+    (kind, role, conv) pre-agg -> (kind, role) agg pair keeps
+    distinct-conv exact with no count-distinct expand and no skew.
+    """
+    from feast_spark.operators.conversation import _deduped
+
+    cs = list(UNICODE_ANOMALY_CLASSES if classes is None else classes)
+    if not cs or any(not k or not p for k, p in cs):
+        raise ValueError("classes must be non-empty (kind, pattern) pairs")
+    d = turns if pre_deduped else _deduped(turns)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("kind"),
+                (F.length(t) - F.length(F.regexp_replace(t, p, ""))).alias(
+                    "cnt"
+                ),
+            )
+            for k, p in cs
+        ]
+    )
+    hits = (
+        d.select(
+            "conv_id",
+            "role",
+            F.filter(counts, lambda s: s["cnt"] > 0).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+        .select("conv_id", "role", F.explode("__h").alias("__s"))
+        .select(
+            "conv_id",
+            "role",
+            F.col("__s.kind").alias("kind"),
+            F.col("__s.cnt").alias("cnt"),
+        )
+    )
+    pre = hits.groupBy("kind", "role", "conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_turns"),
+        F.sum("cnt").cast("long").alias("__n_chars"),
+    )
+    return pre.groupBy("kind", "role").agg(
+        F.sum("__n_chars").cast("long").alias("n_chars"),
+        F.sum("__n_turns").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
     )

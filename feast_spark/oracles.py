@@ -831,6 +831,33 @@ def transcript_labels_pdf(
     return out.reset_index(drop=True)
 
 
+def rule_bits_pdf() -> pd.DataFrame:
+    """(conv_id, turn_idx, bits) for the deduped + RULE_MATRIX-planted
+    transcript fixture — the python-kernel half of the rule_matrix
+    oracle (rule_fail_bits is the SHARED kernel, same sharing note as
+    turn_langs; the pair explode / co-fire matrix is re-derived in
+    GENUINE SQL)."""
+    from feast_spark import rules
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    turns = transcripts_raw_pdf(None).copy()
+    cidx = turns["conv_id"].str.slice(1).astype(int).to_numpy()
+    var = turns["turn_idx"].to_numpy() % 4
+    plantable = (cidx % 6) == 1
+    text = turns["text"].astype(object).to_numpy()
+    for v, plant in enumerate(rules.RULE_MATRIX_PLANTS):
+        text[plantable & (var == v)] = plant
+    turns["text"] = text
+    d = oracle_dedup_latest(turns).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "conv_id": d["conv_id"].astype(object),
+            "turn_idx": d["turn_idx"].astype("int32"),
+            "bits": rules.rule_fail_bits(d["text"]).astype("int64"),
+        }
+    )
+
+
 def turn_langs_pdf() -> pd.DataFrame:
     """(conv_id, turn_idx, lang) for the deduped transcript fixture —
     the python-kernel half of the conv_language oracle (language_id is
@@ -2293,6 +2320,7 @@ _RELATIONS = {
     # pipeline's lang column) — the conv_language oracle re-derives the
     # mode/switch rollup in GENUINE SQL on top of this
     "turn_langs": lambda sf: turn_langs_pdf(),
+    "rule_bits": lambda sf: rule_bits_pdf(),
     "conv_neardup": lambda sf: conv_neardup_pdf(),
     "bpe_tokens": lambda sf: bpe_tokens_pdf(sf),
     "tokenize_pack": lambda sf: tokenize_pack_pdf(sf),

@@ -365,3 +365,86 @@ def run_quality_pipeline(
     labels = apply_conv_rules(scored, conv_history, cfg, decision_ts)
     lineage = lineage_rows(labels, run_id, started_at)
     return PipelineResult(scored=scored, conv_features=conv, labels=labels, lineage=lineage)
+
+
+def rule_cooccurrence(
+    transcripts: DataFrame,
+    cfg: "rules.RuleConfig | None" = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Rule co-fire matrix over the (deduped) turns — the ablation-design
+    lens the first-failing-rule ``drop_reason`` cannot provide: because
+    :func:`rules.decide` attributes each drop to the FIRST rule in
+    ``RULE_ORDER``, a rule whose every firing is shadowed by an earlier
+    rule looks useless in the drop histogram while actually being the
+    only guard against a class the earlier rule would miss after any
+    threshold change. This operator evaluates EVERY rule independently
+    per turn (:func:`rules.rule_fail_bits` — the same fail bitmaps
+    ``decide`` folds, so bits and drop_reason can never disagree) and
+    reports, for every rule pair ``a <= b``:
+
+    - ``n_cofail`` — turns failing BOTH (diagonal = the rule's marginal
+      fail count, shadowed or not);
+    - ``n_exclusive`` — on the diagonal, turns failing ONLY that rule:
+      exactly the turns a filter ablation would re-admit by removing it
+      (0 off-diagonal by construction — a single-bit mask explodes to
+      its diagonal pair only).
+
+    Scale shape (10^12 turns): the mapInPandas scoring pass emits ONE
+    int64 per turn; the first aggregation is ``groupBy(bits)`` with
+    map-side partial combine into at most ``2^|RULE_ORDER|`` rows (1024
+    here) — nothing text- or turn-sized crosses that exchange — and the
+    pair explode + final agg run over that dimension-sized relation.
+    Cost is therefore the scoring scan itself, shared with
+    :func:`score_transcripts` if the caller fuses them.
+    """
+    rule_cfg = cfg if cfg is not None else rules.RuleConfig()
+    d = transcripts if pre_deduped else dedup_latest_turns(transcripts)
+    k = len(rules.RULE_ORDER)
+
+    def bits_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"bits": rules.rule_fail_bits(pdf["text"], rule_cfg)}
+            )
+
+    bit_counts = (
+        d.mapInPandas(bits_batches, "bits long")
+        .groupBy("bits")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    names = F.array(*[F.lit(n) for n in rules.RULE_ORDER])
+    set_bits = F.expr(
+        f"filter(sequence(0, {k - 1}), i -> bit_get(bits, i) = 1)"
+    )
+    pairs = (
+        bit_counts.select("bits", "cnt", set_bits.alias("__set"))
+        .filter(F.size("__set") > 0)
+        .select("bits", "cnt", "__set", F.explode("__set").alias("ai"))
+        .select(
+            "bits",
+            "cnt",
+            "ai",
+            F.explode(
+                F.filter(F.col("__set"), lambda b: b >= F.col("ai"))
+            ).alias("bi"),
+        )
+    )
+    exclusive = (F.col("ai") == F.col("bi")) & (
+        F.col("bits") == F.expr("shiftleft(CAST(1 AS BIGINT), ai)")
+    )
+    return (
+        pairs.groupBy("ai", "bi")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_cofail"),
+            F.sum(F.when(exclusive, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_exclusive"),
+        )
+        .select(
+            F.element_at(names, F.col("ai") + 1).alias("rule_a"),
+            F.element_at(names, F.col("bi") + 1).alias("rule_b"),
+            "n_cofail",
+            "n_exclusive",
+        )
+    )

@@ -116,6 +116,21 @@ _TOX_PATTERN = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 _TOX_PATTERN_LOWER = r"\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 
 
+# deterministic co-fire plants the rule_matrix driver query injects
+# (conv index % 6 == 1, variant = turn_idx % 4; same constants replayed
+# by the oracle) so the co-occurrence matrix has controlled rows: a
+# 4-way co-fire (symbol+digit+language+perplexity), an exclusive
+# too_short, a repetition+toxicity pair, and an exclusive
+# stopword_ratio (en-marked, 26 words, 1/26 < 0.04 stopword mass —
+# a rule the organic fixture never fires)
+RULE_MATRIX_PLANTS: list[str] = [
+    "@@ 123 ## 456 @@ 789 ## 012 @@ 345 ## 678",
+    "the",
+    "idiot hate the stupid moron and the damn hell crap idiot hate",
+    "the zxqv kjgf wqpx mnbv zxcq plmk oknj uhbv ygvt rfcx edcw sqaz"
+    " vfrt bgty nhyu mjik qwas wedc rfvb tgbn yhnm ujmi ikol olpk pqzm",
+]
+
 # deterministic demo suffix the driver query injects (even doc_ids only)
 # so the PII counters are non-trivial on the synthetic corpus
 PII_DEMO_SUFFIX = (
@@ -569,20 +584,16 @@ RULE_ORDER = [
 ]
 
 
-def decide(
+def rule_fails(
     stats: pd.DataFrame,
     lang: pd.Series,
     ppl: np.ndarray,
     cfg: RuleConfig = RuleConfig(),
-) -> tuple[np.ndarray, np.ndarray]:
-    """Evaluate ordered rules -> (keep: bool[n], drop_reason: object[n]).
-
-    drop_reason is the FIRST failing rule in :data:`RULE_ORDER`; None when
-    kept. Mirrors the reference's "blank, don't drop" discipline in that
-    every input row yields an output row (`dask.py:1203-1226`) — dropping
-    is a label, not a row deletion.
-    """
-    n = len(stats)
+) -> dict[str, np.ndarray]:
+    """Per-rule fail bitmaps (EVERY rule evaluated independently, not
+    just the first to fire) — the substrate :func:`decide` folds into
+    keep/drop_reason and :func:`rule_fail_bits` packs into a bitmask for
+    the co-occurrence / ablation analyses."""
     lang_arr = lang.to_numpy()
     wc = stats["word_count"].to_numpy()
     is_zh = lang_arr == "zh"
@@ -614,7 +625,24 @@ def decide(
         fails["language"] = ~np.isin(lang_arr, list(cfg.allowed_langs))
     fails["perplexity"] = ppl > cfg.max_perplexity
     fails["toxicity"] = (stats["tox_count"].to_numpy() / np.maximum(wc, 1)) > cfg.max_tox_ratio
+    return fails
 
+
+def decide(
+    stats: pd.DataFrame,
+    lang: pd.Series,
+    ppl: np.ndarray,
+    cfg: RuleConfig = RuleConfig(),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate ordered rules -> (keep: bool[n], drop_reason: object[n]).
+
+    drop_reason is the FIRST failing rule in :data:`RULE_ORDER`; None when
+    kept. Mirrors the reference's "blank, don't drop" discipline in that
+    every input row yields an output row (`dask.py:1203-1226`) — dropping
+    is a label, not a row deletion.
+    """
+    n = len(stats)
+    fails = rule_fails(stats, lang, ppl, cfg)
     keep = np.ones(n, dtype=bool)
     reason = np.full(n, None, dtype=object)
     for name in RULE_ORDER:
@@ -622,6 +650,27 @@ def decide(
         reason[f] = name
         keep &= ~fails[name]
     return keep, reason
+
+
+def rule_fail_bits(
+    texts: pd.Series, cfg: RuleConfig = RuleConfig()
+) -> np.ndarray:
+    """Pack EVERY rule's independent fail verdict into one int64 bitmask
+    per text (bit ``i`` = ``RULE_ORDER[i]`` fails) — the per-turn
+    substrate of the rule co-occurrence / ablation matrix. 0 = the turn
+    passes every rule. Shares :func:`rule_fails` with :func:`decide`, so
+    a turn's bits and its pipeline drop_reason can never disagree (the
+    drop_reason is always the lowest set bit's rule).
+    """
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    stats = heuristic_stats(s)
+    lang = language_id(s, stats)
+    ppl = perplexity(s)
+    fails = rule_fails(stats, lang, ppl, cfg)
+    bits = np.zeros(len(s), dtype=np.int64)
+    for i, name in enumerate(RULE_ORDER):
+        bits |= fails[name].astype(np.int64) << i
+    return bits
 
 
 def score_turns(texts: pd.Series, cfg: RuleConfig = RuleConfig()) -> pd.DataFrame:

@@ -264,3 +264,104 @@ def test_agent_loop_turn_rule_precedence(spark):
     reasons = {r["turn_idx"]: r["drop_reason"] for r in res.labels.collect()}
     res.scored.unpersist()
     assert all(v == "mean_word_len" for v in reasons.values()), reasons
+
+
+# ------------------------------------------ round 5 s11: rule co-occurrence
+
+
+def _naive_matrix(texts):
+    """Independent python fold of rule_fail_bits into the co-fire matrix."""
+    from feast_spark import rules
+
+    bits = rules.rule_fail_bits(pd.Series(list(texts)))
+    k = len(rules.RULE_ORDER)
+    recs: dict[tuple[int, int], list[int]] = {}
+    for b in bits:
+        b = int(b)
+        s = [i for i in range(k) if (b >> i) & 1]
+        for x in s:
+            for y in s:
+                if y >= x:
+                    c = recs.setdefault((x, y), [0, 0])
+                    c[0] += 1
+                    if x == y and b == 1 << x:
+                        c[1] += 1
+    return {
+        (rules.RULE_ORDER[x], rules.RULE_ORDER[y]): tuple(v)
+        for (x, y), v in recs.items()
+    }
+
+
+def test_rule_cooccurrence_matches_naive_fold(spark, transcripts_pdf):
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+    from feast_spark.pipeline.quality import rule_cooccurrence
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    got = {
+        (r["rule_a"], r["rule_b"]): (r["n_cofail"], r["n_exclusive"])
+        for r in rule_cooccurrence(df).collect()
+    }
+    d = oracle_dedup_latest(transcripts_pdf).reset_index(drop=True)
+    assert got == _naive_matrix(d["text"])
+
+
+def test_rule_cooccurrence_plants_and_consistency(spark):
+    from feast_spark import rules
+    from feast_spark.pipeline.quality import rule_cooccurrence
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("c1", 0, "user", rules.RULE_MATRIX_PLANTS[0], None, ts0),
+        ("c1", 1, "user", rules.RULE_MATRIX_PLANTS[1], None, ts0),
+        ("c2", 0, "user", rules.RULE_MATRIX_PLANTS[2], None, ts0),
+        ("c2", 1, "user", rules.RULE_MATRIX_PLANTS[3], None, ts0),
+        ("c3", 0, "user", "This sentence is perfectly fine and should "
+                          "pass all of the rules with ease today.", None, ts0),
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    got = {
+        (r["rule_a"], r["rule_b"]): (r["n_cofail"], r["n_exclusive"])
+        for r in rule_cooccurrence(df).collect()
+    }
+    # plant 0: symbol+digit+language+perplexity (4 rules -> 10 pairs);
+    # plant 1: exclusive too_short; plant 2: repetition+toxicity;
+    # plant 3: exclusive stopword_ratio; passing row contributes nothing
+    assert got[("too_short", "too_short")] == (1, 1)
+    assert got[("stopword_ratio", "stopword_ratio")] == (1, 1)
+    assert got[("repetition", "toxicity")] == (1, 0)
+    assert got[("repetition", "repetition")] == (1, 0)
+    assert got[("symbol_ratio", "digit_ratio")] == (1, 0)
+    assert got[("symbol_ratio", "perplexity")] == (1, 0)
+    assert got[("digit_ratio", "language")] == (1, 0)
+    assert len(got) == 4 + 6 + 1 + 3 + 1  # pairs of sizes C(4,2)+4, 1, C(2,2)+2, 1
+    # every pair is (a <= b) in RULE_ORDER index terms, and diagonal
+    # marginals bound their row/column co-fails
+    order = {n: i for i, n in enumerate(rules.RULE_ORDER)}
+    for (a, b), (c, _e) in got.items():
+        assert order[a] <= order[b]
+        assert c <= got[(a, a)][0] and c <= got[(b, b)][0]
+    # bits never disagree with decide(): the lowest set bit's rule is
+    # the pipeline drop_reason on the same texts
+    texts = pd.Series([r[3] for r in rows])
+    bits = rules.rule_fail_bits(texts)
+    scored = rules.score_turns(texts)
+    for b, reason in zip(bits, scored["drop_reason"]):
+        if int(b) == 0:
+            assert reason is None
+        else:
+            low = min(i for i in range(len(rules.RULE_ORDER)) if (int(b) >> i) & 1)
+            assert reason == rules.RULE_ORDER[low]
+
+
+def test_rule_cooccurrence_bounded_agg_plan(spark, transcripts_pdf):
+    from feast_spark.pipeline.quality import rule_cooccurrence
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    plan = (
+        rule_cooccurrence(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # dedup agg + bits agg + pair agg — and the only python stage is the
+    # Arrow-batched scoring pass (one int64 out per turn)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan

@@ -516,3 +516,82 @@ def test_special_token_stats_map_side_filter_plan(spark):
     # JVM-side (no regex-engine python eval), explode carries hits only
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------- round 5 s11: unicode anomalies
+
+
+def test_unicode_anomaly_stats_values(spark):
+    from feast_spark.operators.textqa import unicode_anomaly_stats
+
+    rows = [
+        # 4 bidi controls (RLO + PDF + isolate pair), user side
+        ("c1", 0, "user", "x ‮rev‬⁦iso⁩ y"),
+        # 4 zero-width + 1 BOM-as-ZWNBSP, assistant side
+        ("c1", 1, "assistant", "a​b‌c‍d⁠e﻿"),
+        # two replacement chars
+        ("c2", 0, "user", "moji �� bake"),
+        # c0: \x01 and DEL count; tab/LF/CR and \x0b/\x0c do NOT
+        ("c2", 1, "assistant", "a\x01b\x7fc\td\ne\rf\x0bg\x0ch"),
+        # c1 band
+        ("c3", 0, "user", "q\x80w\x9fe"),
+        # clean + NULL rows contribute nothing
+        ("c3", 1, "assistant", "perfectly ordinary text"),
+        ("c4", 0, "user", None),
+    ]
+    out = {
+        (r["kind"], r["role"]): (r["n_chars"], r["n_turns"], r["n_convs"])
+        for r in unicode_anomaly_stats(_turns(spark, rows)).collect()
+    }
+    assert out == {
+        ("bidi_control", "user"): (4, 1, 1),
+        ("zero_width", "assistant"): (5, 1, 1),
+        ("replacement_char", "user"): (2, 1, 1),
+        ("c0_control", "assistant"): (2, 1, 1),
+        ("c1_control", "user"): (2, 1, 1),
+    }
+
+
+def test_unicode_anomaly_stats_multi_turn_and_custom_classes(spark):
+    from feast_spark.operators.textqa import unicode_anomaly_stats
+
+    rows = [
+        ("c1", 0, "user", "a​b"),
+        ("c1", 1, "user", "c‍b"),
+        ("c2", 0, "user", "d﻿e"),
+    ]
+    out = unicode_anomaly_stats(_turns(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 3 chars over 3 turns across 2 conversations, one kind
+    assert (r["kind"], r["n_chars"], r["n_turns"], r["n_convs"]) == (
+        "zero_width", 3, 3, 2,
+    )
+    # custom class list narrows the census; empty list rejected
+    only = unicode_anomaly_stats(
+        _turns(spark, rows), classes=[("bom", "[\\x{FEFF}]")]
+    ).collect()
+    assert len(only) == 1 and only[0]["n_chars"] == 1
+    with pytest.raises(ValueError):
+        unicode_anomaly_stats(_turns(spark, rows), classes=[])
+
+
+def test_unicode_anomaly_stats_plan(spark):
+    from datetime import datetime, timezone
+
+    from feast_spark.operators.textqa import unicode_anomaly_stats
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "x​", None, ts0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = (
+        unicode_anomaly_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # dedup agg + (kind, role, conv) pre-agg + final agg; counting is
+    # JVM regexp (no python eval); explode carries hit rows only
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
