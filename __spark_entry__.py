@@ -3385,6 +3385,19 @@ def _all_oracle_sql() -> dict[str, str]:
         f" length(regexp_replace(t, '{p}', '', 'g')) AS cnt FROM d"
         for k, p in _uanom_classes
     )
+    # refusal_stats / special_tokens marker dimensions: generated from
+    # the SAME Python constants the Spark operators default to, so an
+    # edit to either list cannot drift the oracle (the _rule_values
+    # pattern — no hand-retyped VALUES rows).
+    from feast_spark.operators.conversation import (
+        DEFAULT_REFUSAL_MARKERS as _refusal_markers,
+    )
+    from feast_spark.operators.textqa import (
+        DEFAULT_SPECIAL_MARKERS as _special_markers,
+    )
+
+    _refusal_values = ", ".join(f"({_sql_str(m)})" for m in _refusal_markers)
+    _special_values = ", ".join(f"({_sql_str(m)})" for m in _special_markers)
 
     return {
         "pseudonymize": _rp("pseudonymize"),
@@ -3569,10 +3582,7 @@ def _all_oracle_sql() -> dict[str, str]:
                 FROM pl
               ) WHERE rn = 1
             ), m(marker) AS (
-              VALUES ('I''m sorry'), ('I am sorry'), ('I apologize'),
-                ('I cannot'), ('I can''t'), ('I''m unable'),
-                ('I am unable'), ('As an AI'), ('as an AI'),
-                ('I won''t be able'), ('I don''t have the ability')
+              VALUES {_refusal_values}
             ), th AS (
               SELECT d.conv_id, d.turn_idx,
                 SUM(CAST((length(COALESCE(d.text, ''))
@@ -3798,10 +3808,7 @@ def _all_oracle_sql() -> dict[str, str]:
                 FROM pl
               ) WHERE rn = 1
             ), m(marker) AS (
-              VALUES ('<|im_start|>'), ('<|im_end|>'), ('<|endoftext|>'),
-                ('</s>'), ('<s>'), ('[INST]'), ('[/INST]'), ('<<SYS>>'),
-                ('<|user|>'), ('<|assistant|>'), ('<|system|>'),
-                ('<|eot_id|>')
+              VALUES {_special_values}
             ), h AS (
               SELECT d.conv_id, d.role, m.marker,
                 CAST((length(COALESCE(d.text, ''))

@@ -103,8 +103,11 @@ def _deduped(turns: DataFrame) -> DataFrame:
 
 def _word_count(col: str):
     """Whitespace token count; 0 for blank/NULL text. Mirrors DuckDB's
-    ``len(string_split_regex(trim(text), '\\s+'))`` on non-blank input."""
-    t = F.trim(F.col(col))
+    ``len(string_split_regex(trim(text), '\\s+'))`` on non-blank input.
+    NULL is coalesced to '' BEFORE the blank test — otherwise the
+    ``when`` condition itself evaluates NULL and ``size(split(NULL))``
+    propagates a NULL token count the documented contract forbids."""
+    t = F.trim(F.coalesce(F.col(col), F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )

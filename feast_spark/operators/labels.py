@@ -342,7 +342,12 @@ def keep_drop_eval(
     pp = F.coalesce("__pp", F.lit(False))
     pr = F.coalesce("__pr", F.lit(False))
     both = pp & pr
-    kp, kr = F.col("__kp"), F.col("__kr")
+    # NULL keep coalesces to False (a label row that asserts nothing is a
+    # drop) — otherwise a NULL on a both-side key would fall out of every
+    # confusion cell while still counting in n_turns, silently breaking
+    # the tp+fp+fn+tn == n_turns invariant this row is audited by.
+    kp = F.coalesce(F.col("__kp"), F.lit(False))
+    kr = F.coalesce(F.col("__kr"), F.lit(False))
     teq = F.col("__tp").eqNullSafe(F.col("__tr"))
 
     def _n(cond) -> F.Column:

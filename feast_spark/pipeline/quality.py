@@ -408,8 +408,12 @@ def rule_cooccurrence(
                 {"bits": rules.rule_fail_bits(pdf["text"], rule_cfg)}
             )
 
+    # Column pruning cannot push through MapInPandas — project to the one
+    # column the scorer reads BEFORE the Arrow hop, or all six transcript
+    # columns get serialized to Python per turn.
     bit_counts = (
-        d.mapInPandas(bits_batches, "bits long")
+        d.select("text")
+        .mapInPandas(bits_batches, "bits long")
         .groupBy("bits")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -1735,6 +1735,28 @@ def test_fit_context_budget_values(spark):
         fit_context_budget(df, 0)
 
 
+def test_fit_context_budget_null_text_counts_zero(spark):
+    # documented contract: n_tokens is 0 (not NULL) for NULL text, and a
+    # NULL-text turn costs nothing against the budget
+    from feast_spark.operators.conversation import fit_context_budget
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", None, None, ts0),
+            ("c1", 1, "assistant", "a b", None, ts0),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        r["turn_idx"]: r.asDict()
+        for r in fit_context_budget(df, 2).collect()
+    }
+    assert out[0]["n_tokens"] == 0 and out[0]["keep_turn"] is True
+    assert out[1]["n_tokens"] == 2 and out[1]["keep_turn"] is True
+
+
 def test_fit_context_budget_single_exchange(spark):
     from feast_spark.operators.conversation import fit_context_budget
 

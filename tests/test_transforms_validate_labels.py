@@ -428,6 +428,27 @@ def test_keep_drop_eval_hand_computed(spark):
     assert row["f1_units"] == (4 * unit) // 6  # 2tp/(2tp+fp+fn)
 
 
+def test_keep_drop_eval_null_keep_counts_as_drop(spark):
+    # a NULL keep on a both-side key coalesces to False (drop) — the
+    # confusion cells must still sum to n_turns, never silently skip
+    from feast_spark.operators.labels import keep_drop_eval
+
+    schema = (
+        "conv_id string, turn_idx int, keep boolean, drop_reason string, "
+        "scrubbed_text string"
+    )
+    pred = spark.createDataFrame(
+        [("c1", 0, None, None, "t"), ("c1", 1, True, None, "u")], schema
+    )
+    ref = spark.createDataFrame(
+        [("c1", 0, True, None, "t"), ("c1", 1, None, None, "u")], schema
+    )
+    row = keep_drop_eval(pred, ref).collect()[0].asDict()
+    assert row["n_turns"] == 2
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (0, 1, 1, 0)
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == row["n_turns"]
+
+
 def test_keep_drop_eval_sentinels_and_null_text(spark):
     from feast_spark.operators.labels import keep_drop_eval
 
