@@ -2989,6 +2989,21 @@ def q_tool_json(spark: SparkSession, sf: str) -> DataFrame:
     return tool_call_json_stats(planted)
 
 
+def q_rule_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 12: stopword-ratio threshold tuning curve over the
+    # organic fixture — the gated '<'-direction rule exercises both the
+    # gate bypass (non-en / short turns pass at every threshold) and the
+    # complementary-cumulative bucket arm. Oracle: per-turn sweep cells
+    # come from the SHARED rules.sweep_cells kernel (pandas replay, same
+    # dedup); the histogram, curve join and 2^-20 unit math are GENUINE
+    # DuckDB SQL.
+    from feast_spark import rules
+    from feast_spark.pipeline.quality import rule_threshold_sweep
+
+    t = _transcripts_fixture(spark)
+    return rule_threshold_sweep(t, "stopword_ratio", rules.RULE_SWEEP_GRID)
+
+
 def q_rule_matrix(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 11: rule co-fire / ablation matrix. Plants
     # (cidx%6==1, variant=turn_idx%4, constants in rules.RULE_MATRIX_
@@ -3076,6 +3091,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 12: rule threshold tuning curve (shared
+        # sweep_cells kernel + genuine-SQL histogram/curve;
+        # source_top_terms rotated to extras — the per-source family
+        # stays driver-covered via source_vocab)
+        "rule_sweep": q_rule_sweep,
         # round 5 session 11: north-rule F1/agreement gate as an operator
         # (genuine-SQL confusion matrix + metric units) and the per-tool
         # latency histogram (integer log2 buckets)
@@ -3138,10 +3158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-covered via dup_clusters, neardup_verify,
         # minhash_profile, turn_dedup, semantic_dedup)
         "token_fertility": q_token_fertility,
-        # round 5: weighted sampling, per-source c-TF-IDF terms
-        # (para_neardup rotated to extras — same family coverage note)
+        # round 5: weighted sampling (para_neardup and, in s12,
+        # source_top_terms rotated to extras — same family coverage
+        # notes)
         "alpha_rates": q_alpha_rates,
-        "source_top_terms": q_source_top_terms,
         # round 4 session 6: conversation-level operators (transcripts)
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
@@ -3176,6 +3196,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 12 (still pytest-oracled here; the
+        # per-source family stays driver-covered via source_vocab)
+        "source_top_terms": q_source_top_terms,
         # rotated round 5 session 11 (still pytest-oracled here; the
         # fuzzy near-dup family stays driver-covered via dup_clusters,
         # neardup_verify, minhash_profile, turn_dedup, semantic_dedup)
@@ -3398,10 +3421,50 @@ def _all_oracle_sql() -> dict[str, str]:
 
     _refusal_values = ", ".join(f"({_sql_str(m)})" for m in _refusal_markers)
     _special_values = ", ".join(f"({_sql_str(m)})" for m in _special_markers)
+    # rule_sweep grid dimension — generated from the SAME constant the
+    # Spark query sweeps (repr() keeps the exact double literal text;
+    # CAST AS DOUBLE because bare DuckDB decimals parse as DECIMAL)
+    _sweep_values = ", ".join(
+        f"({i}, CAST({t!r} AS DOUBLE))"
+        for i, t in enumerate(_rules_mod.RULE_SWEEP_GRID)
+    )
 
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "rule_sweep": f"""
+            -- per-turn sweep cells come from the SHARED
+            -- rules.sweep_cells kernel (pandas replay, same dedup as the
+            -- Spark arm); the histogram, curve join ('lt' rule: kept at
+            -- grid point i iff bucket > i, ungated turns always kept)
+            -- and 2^-20 unit math are GENUINE SQL
+            WITH h AS (
+              SELECT others_pass, gated, bucket,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM read_parquet('{derived["sweep_cells"]}')
+              GROUP BY 1, 2, 3
+            ), g AS (
+              SELECT * FROM (VALUES {_sweep_values}) AS t(i, threshold)
+            ), curve AS (
+              SELECT g.threshold,
+                SUM(CASE WHEN h.others_pass
+                          AND ((NOT h.gated) OR h.bucket > g.i)
+                     THEN h.cnt ELSE 0 END) AS n_kept,
+                SUM(CASE WHEN h.others_pass THEN h.cnt ELSE 0 END)
+                  AS n_pass_others,
+                SUM(h.cnt) AS n_total
+              FROM h CROSS JOIN g
+              GROUP BY g.i, g.threshold
+            )
+            SELECT threshold,
+              CAST(n_kept AS BIGINT) AS n_kept,
+              CAST(n_pass_others AS BIGINT) AS n_pass_others,
+              CAST(n_total AS BIGINT) AS n_total,
+              CASE WHEN n_total = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((CAST(n_kept AS HUGEINT) * 1048576)
+                             // n_total AS BIGINT) END AS keep_frac_units
+            FROM curve ORDER BY threshold
+        """,
         "rule_matrix": f"""
             -- per-turn fail bitmasks come from the SHARED
             -- rules.rule_fail_bits kernel (pandas replay, same plants +

@@ -183,6 +183,8 @@ HEADLINE = [
     "tool_latency",
     "rule_matrix",
     "unicode_anomalies",
+    # round 5 session 12: rule threshold tuning curve
+    "rule_sweep",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

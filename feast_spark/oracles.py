@@ -831,6 +831,29 @@ def transcript_labels_pdf(
     return out.reset_index(drop=True)
 
 
+def sweep_cells_pdf() -> pd.DataFrame:
+    """(others_pass, gated, bucket) sweep cells for the deduped
+    transcript fixture under the driver's fixed stopword-ratio grid —
+    the python-kernel half of the rule_sweep oracle (rules.sweep_cells
+    is the SHARED kernel; the histogram, curve join and unit math are
+    re-derived in GENUINE SQL)."""
+    from feast_spark import rules
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    turns = transcripts_raw_pdf(None)
+    d = oracle_dedup_latest(turns).reset_index(drop=True)
+    cells = rules.sweep_cells(
+        d["text"], "stopword_ratio", rules.RULE_SWEEP_GRID
+    )
+    return pd.DataFrame(
+        {
+            "others_pass": cells["others_pass"].astype(bool),
+            "gated": cells["gated"].astype(bool),
+            "bucket": cells["bucket"].astype("int64"),
+        }
+    )
+
+
 def rule_bits_pdf() -> pd.DataFrame:
     """(conv_id, turn_idx, bits) for the deduped + RULE_MATRIX-planted
     transcript fixture — the python-kernel half of the rule_matrix
@@ -2321,6 +2344,7 @@ _RELATIONS = {
     # mode/switch rollup in GENUINE SQL on top of this
     "turn_langs": lambda sf: turn_langs_pdf(),
     "rule_bits": lambda sf: rule_bits_pdf(),
+    "sweep_cells": lambda sf: sweep_cells_pdf(),
     "conv_neardup": lambda sf: conv_neardup_pdf(),
     "bpe_tokens": lambda sf: bpe_tokens_pdf(sf),
     "tokenize_pack": lambda sf: tokenize_pack_pdf(sf),

@@ -452,3 +452,99 @@ def rule_cooccurrence(
             "n_exclusive",
         )
     )
+
+
+def rule_threshold_sweep(
+    transcripts: DataFrame,
+    rule: str,
+    thresholds: list[float],
+    cfg: "rules.RuleConfig | None" = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Threshold tuning curve for one scalar-threshold rule — the knob
+    a filter designer actually turns. :func:`rule_cooccurrence` says
+    which rules shadow each other at the CURRENT thresholds; this
+    answers "how many turns would each candidate threshold keep" for
+    every grid point in ONE scoring scan, holding all other rules fixed
+    at ``cfg`` (so the curve is exactly ``sum(keep)`` of the full
+    pipeline re-run with that one threshold swapped — pinned by test).
+
+    One row per threshold (ascending): ``threshold``, ``n_kept`` (turns
+    passing ALL rules with the swept rule at that threshold),
+    ``n_pass_others`` (turns passing every OTHER rule — the curve's
+    ceiling, constant), ``n_total`` (deduped turns, constant), and
+    exact 2^-20 ``keep_frac_units`` (``n_kept`` / ``n_total``;
+    DECIMAL(38,0) numerator per the engine's 2^43 rule, -1 sentinel on
+    empty input).
+
+    Scale shape (10^12 turns): the Arrow scoring pass emits THREE small
+    values per turn (two bools + an int64 grid bucket from
+    :func:`rules.sweep_cells` — ``np.searchsorted`` against the
+    broadcast-as-closure grid); the first aggregation collapses to at
+    most ``4 x (len(grid)+1)`` cells with map-side partial combine —
+    nothing text- or turn-sized crosses the exchange — and the curve is
+    a broadcast nested-loop join of that cell table against the
+    ``len(grid)``-row grid dimension. Cost is the scoring scan, shared
+    with :func:`score_transcripts` if the caller fuses them.
+    """
+    rule_cfg = cfg if cfg is not None else rules.RuleConfig()
+    if rule not in rules.SWEEPABLE_RULES:
+        raise ValueError(
+            f"rule {rule!r} is not sweepable"
+            f" (one of {sorted(rules.SWEEPABLE_RULES)})"
+        )
+    grid = [float(t) for t in thresholds]
+    if not grid or any(b <= a for a, b in zip(grid, grid[1:])):
+        raise ValueError("thresholds must be non-empty and strictly ascending")
+    direction, _ = rules.SWEEPABLE_RULES[rule]
+    d = transcripts if pre_deduped else dedup_latest_turns(transcripts)
+
+    def cell_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield rules.sweep_cells(pdf["text"], rule, grid, rule_cfg)
+
+    cells = (
+        d.select("text")
+        .mapInPandas(
+            cell_batches, "others_pass boolean, gated boolean, bucket long"
+        )
+        .groupBy("others_pass", "gated", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    grid_df = transcripts.sparkSession.createDataFrame(
+        [(i, t) for i, t in enumerate(grid)], "i int, threshold double"
+    )
+    rule_kept = (
+        F.col("bucket") <= F.col("i")
+        if direction == "gt"
+        else F.col("bucket") > F.col("i")
+    )
+    kept = F.col("others_pass") & (~F.col("gated") | rule_kept)
+    unit = 1 << 20
+    return (
+        cells.crossJoin(F.broadcast(grid_df))
+        .groupBy("i", "threshold")
+        .agg(
+            F.sum(F.when(kept, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("others_pass"), F.col("cnt")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_pass_others"),
+            F.sum("cnt").cast("long").alias("n_total"),
+        )
+        .select(
+            "threshold",
+            "n_kept",
+            "n_pass_others",
+            "n_total",
+            F.expr(
+                f"CASE WHEN n_total = 0 THEN CAST(-1 AS BIGINT) ELSE CAST("
+                f"(CAST(n_kept AS DECIMAL(38,0)) * {unit}) div n_total"
+                f" AS BIGINT) END"
+            ).alias("keep_frac_units"),
+        )
+        .orderBy("threshold")
+    )

@@ -673,6 +673,86 @@ def rule_fail_bits(
     return bits
 
 
+# Rules whose verdict is a single scalar threshold over one per-turn
+# stat, and therefore sweepable as a tuning curve: rule -> (direction,
+# RuleConfig attr). 'gt' = the rule FAILS when stat > threshold (raising
+# the threshold keeps more); 'lt' = fails when stat < threshold.
+# Deliberately excluded: too_short/too_long (two-branch char/word
+# gates), mean_word_len (two-sided band), language (set-valued).
+SWEEPABLE_RULES: dict[str, tuple[str, str]] = {
+    "symbol_ratio": ("gt", "max_symbol_ratio"),
+    "digit_ratio": ("gt", "max_digit_ratio"),
+    "stopword_ratio": ("lt", "min_stopword_ratio"),
+    "repetition": ("gt", "max_top2gram_frac"),
+    "perplexity": ("gt", "max_perplexity"),
+    "toxicity": ("gt", "max_tox_ratio"),
+}
+
+# The driver query's fixed stopword-ratio sweep grid (fixture config,
+# shared with the oracle replay the same way RULE_MATRIX_PLANTS is).
+RULE_SWEEP_GRID: list[float] = [0.05, 0.10, 0.15, 0.20, 0.25, 0.30]
+
+
+def sweep_cells(
+    texts: pd.Series,
+    rule: str,
+    thresholds: list[float],
+    cfg: RuleConfig = RuleConfig(),
+) -> pd.DataFrame:
+    """Per-turn threshold-sweep cells for ``rule`` — the substrate of
+    :func:`feast_spark.pipeline.quality.rule_threshold_sweep` (shared
+    with its oracle replay, so stat computation and grid placement are
+    byte-identical by construction).
+
+    Columns per text: ``others_pass`` (every rule EXCEPT ``rule`` passes
+    at ``cfg`` — :func:`rule_fails` is the shared substrate), ``gated``
+    (the swept rule's precondition holds; an ungated turn passes the
+    rule at EVERY threshold), ``bucket`` (``np.searchsorted`` of the
+    turn's stat into the strictly-ascending grid: for 'gt' rules
+    side='left' so kept-at-i ⟺ bucket <= i; for 'lt' rules side='right'
+    so kept-at-i ⟺ bucket > i — both exact under the same strict
+    inequalities :func:`rule_fails` applies).
+    """
+    if rule not in SWEEPABLE_RULES:
+        raise ValueError(
+            f"rule {rule!r} is not sweepable (one of {sorted(SWEEPABLE_RULES)})"
+        )
+    grid = np.asarray(list(thresholds), dtype=np.float64)
+    if grid.size == 0 or np.any(np.diff(grid) <= 0):
+        raise ValueError("thresholds must be non-empty and strictly ascending")
+    direction, _ = SWEEPABLE_RULES[rule]
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    stats = heuristic_stats(s)
+    lang = language_id(s, stats)
+    ppl = perplexity(s)
+    fails = rule_fails(stats, lang, ppl, cfg)
+    others_fail = np.zeros(len(s), dtype=bool)
+    for name in RULE_ORDER:
+        if name != rule:
+            others_fail |= fails[name]
+    wc = stats["word_count"].to_numpy()
+    if rule == "stopword_ratio":
+        gated = (lang.to_numpy() == "en") & (wc >= cfg.stopword_min_words)
+        stat = stats["stopword_ratio"].to_numpy(np.float64)
+    elif rule == "repetition":
+        gated = wc >= cfg.repetition_min_words
+        stat = stats["top2gram_frac"].to_numpy(np.float64)
+    elif rule == "perplexity":
+        gated = np.ones(len(s), dtype=bool)
+        stat = np.asarray(ppl, dtype=np.float64)
+    elif rule == "toxicity":
+        gated = np.ones(len(s), dtype=bool)
+        stat = stats["tox_count"].to_numpy() / np.maximum(wc, 1)
+    else:  # symbol_ratio / digit_ratio: stat column named after the rule
+        gated = np.ones(len(s), dtype=bool)
+        stat = stats[rule].to_numpy(np.float64)
+    side = "left" if direction == "gt" else "right"
+    bucket = np.searchsorted(grid, stat, side=side).astype(np.int64)
+    return pd.DataFrame(
+        {"others_pass": ~others_fail, "gated": gated, "bucket": bucket}
+    )
+
+
 def score_turns(texts: pd.Series, cfg: RuleConfig = RuleConfig()) -> pd.DataFrame:
     """One-call scoring: stats + lang + ppl + keep/drop + scrubbed text.
 

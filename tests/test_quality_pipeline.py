@@ -353,6 +353,91 @@ def test_rule_cooccurrence_plants_and_consistency(spark):
             assert reason == rules.RULE_ORDER[low]
 
 
+def test_rule_threshold_sweep_matches_decide_rerun(spark, transcripts_pdf):
+    # the curve is EXACTLY sum(keep) of the full rule chain re-run with
+    # the swept threshold swapped in — for a 'gt' rule (symbol_ratio,
+    # ungated) AND the gated 'lt' rule (stopword_ratio)
+    import dataclasses
+
+    from feast_spark import rules
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+    from feast_spark.pipeline.quality import rule_threshold_sweep
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    d = oracle_dedup_latest(transcripts_pdf).reset_index(drop=True)
+    s = d["text"].fillna("").astype(str)
+    stats = rules.heuristic_stats(s)
+    lang = rules.language_id(s, stats)
+    ppl = rules.perplexity(s)
+    for rule, grid in [
+        ("symbol_ratio", [0.05, 0.15, 0.25, 0.5]),
+        ("stopword_ratio", [0.02, 0.04, 0.1, 0.25]),
+    ]:
+        _, attr = rules.SWEEPABLE_RULES[rule]
+        got = {
+            r["threshold"]: (r["n_kept"], r["n_pass_others"], r["n_total"])
+            for r in rule_threshold_sweep(df, rule, grid).collect()
+        }
+        for t in grid:
+            cfg_t = dataclasses.replace(rules.RuleConfig(), **{attr: t})
+            keep, _ = rules.decide(stats, lang, ppl, cfg_t)
+            assert got[t][0] == int(keep.sum()), (rule, t)
+            assert got[t][2] == len(d)
+        # n_pass_others is the curve's ceiling and constant across grid
+        ceilings = {v[1] for v in got.values()}
+        assert len(ceilings) == 1
+        assert all(v[0] <= v[1] for v in got.values())
+
+
+def test_rule_threshold_sweep_boundary_and_validation(spark):
+    # a stat EXACTLY on a grid point: 'gt' rules keep it there (fail is
+    # strict >), 'lt' rules keep it there (fail is strict <)
+    from feast_spark import rules
+    from feast_spark.pipeline.quality import rule_threshold_sweep
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    # symbol_ratio = 2 symbols / 40 chars = 0.05 exactly (kernel-checked
+    # below so the test's intent can't drift from heuristic_stats), and
+    # every other rule passes — the curve isolates the swept rule
+    text = "the cat sat on the mat with a dog now @@"
+    stats = rules.heuristic_stats(pd.Series([text]))
+    assert float(stats["symbol_ratio"].iloc[0]) == 0.05
+    df = spark.createDataFrame(
+        [("c1", 0, "user", text, None, ts0)], schema=TRANSCRIPT_SCHEMA
+    )
+    got = {
+        r["threshold"]: r["n_kept"]
+        for r in rule_threshold_sweep(
+            df, "symbol_ratio", [0.01, 0.05, 0.2]
+        ).collect()
+    }
+    assert got == {0.01: 0, 0.05: 1, 0.2: 1}
+    with pytest.raises(ValueError):
+        rule_threshold_sweep(df, "language", [0.1])
+    with pytest.raises(ValueError):
+        rule_threshold_sweep(df, "symbol_ratio", [])
+    with pytest.raises(ValueError):
+        rule_threshold_sweep(df, "symbol_ratio", [0.2, 0.1])
+
+
+def test_rule_threshold_sweep_bounded_agg_plan(spark, transcripts_pdf):
+    from feast_spark import rules
+    from feast_spark.pipeline.quality import rule_threshold_sweep
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    out = rule_threshold_sweep(df, "stopword_ratio", rules.RULE_SWEEP_GRID)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # dedup agg + cell agg + curve agg; the only python stage is the
+    # Arrow scoring pass (two bools + one int64 out per turn), and the
+    # grid joins broadcast-nested-loop (two bounded dims), never as a
+    # shuffled cartesian
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_rule_cooccurrence_bounded_agg_plan(spark, transcripts_pdf):
     from feast_spark.pipeline.quality import rule_cooccurrence
 
