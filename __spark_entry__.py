@@ -2989,6 +2989,58 @@ def q_tool_json(spark: SparkSession, sf: str) -> DataFrame:
     return tool_call_json_stats(planted)
 
 
+def q_tool_args(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 12: per-tool JSON argument-key census (the
+    # schema-drift lens). Tool-turn text is OVERWRITTEN with six
+    # controlled variants by (cid*13 + turn_idx) % 6 — two canonical
+    # status payloads, a nested object (top-level keys only), a RENAMED
+    # key (the drift story), a truncated object and a non-object; the
+    # parity surface (json_object_keys vs json_valid+json_type+json_keys)
+    # was verified identical on all shapes incl. '{bad: "key"}' and
+    # '[1, 2]'. Oracle: GENUINE DuckDB SQL — same plant, json_keys
+    # unnest, (tool, key, conv) pre-agg, broadcast-equivalent totals
+    # join.
+    from feast_spark.operators.conversation import tool_arg_key_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("long")
+    variant = F.pmod(idx * 13 + F.col("turn_idx"), F.lit(6))
+    planted = t.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "tool",
+            F.when(variant == 0, F.lit('{"status": "ok", "rows": 12}'))
+            .when(variant == 1, F.lit('{"status": "error", "msg": "boom"}'))
+            .when(variant == 2, F.lit('{"status": "ok", "data": {"x": 1}}'))
+            .when(variant == 3, F.lit('{"row_count": 12}'))
+            .when(variant == 4, F.lit('{"partial": true'))
+            .otherwise(F.lit("plain text output")),
+        ).otherwise(F.col("text")),
+    )
+    return tool_arg_key_stats(planted)
+
+
+def q_repair_order(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 12: timestamp-order repair — the ACTION for the
+    # inversions conv_integrity detects. Same ts plant as
+    # q_conv_integrity (every 7th conversation's turn 2 shifted back an
+    # hour; both duplicate deliveries of that turn shift equally, so the
+    # latest-ts dedup winner is unchanged). Oracle: GENUINE DuckDB SQL —
+    # same plant, same dedup, the same (ts, turn_idx) rank window.
+    from feast_spark.operators.conversation import repair_turn_order
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.withColumn(
+        "ts",
+        F.when(
+            (F.pmod(idx, F.lit(7)) == 0) & (F.col("turn_idx") == 2),
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(F.col("ts")),
+    )
+    return repair_turn_order(planted)
+
+
 def q_rule_sweep(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 12: stopword-ratio threshold tuning curve over the
     # organic fixture — the gated '<'-direction rule exercises both the
@@ -3094,8 +3146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 session 12: rule threshold tuning curve (shared
         # sweep_cells kernel + genuine-SQL histogram/curve;
         # source_top_terms rotated to extras — the per-source family
-        # stays driver-covered via source_vocab)
+        # stays driver-covered via source_vocab), per-tool JSON
+        # argument-key census (schema drift; tool_errors rotated — the
+        # tool family stays via tool_json/tool_latency/tool_args) and
+        # timestamp-order repair (the conv_integrity ACTION;
+        # conv_repetition rotated — repetition stays via suffix_loops +
+        # the flagship's agent-loop gate)
         "rule_sweep": q_rule_sweep,
+        "tool_args": q_tool_args,
+        "repair_order": q_repair_order,
         # round 5 session 11: north-rule F1/agreement gate as an operator
         # (genuine-SQL confusion matrix + metric units) and the per-tool
         # latency histogram (integer log2 buckets)
@@ -3143,14 +3202,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_templates": q_conv_templates,
         # round 5 session 9: cross-role PII leakage, per-tool failure
         # census, fork-prefix masking (the conv_forks curation action)
+        # (tool_errors rotated to extras in s12)
         "pii_echo": q_pii_echo,
-        "tool_errors": q_tool_errors,
         "fork_mask": q_fork_mask,
         "pref_pairs": q_pref_pairs,
-        # round 5 session 3: turn-grain cross-conversation dedup,
-        # agent-loop run stats
+        # round 5 session 3: turn-grain cross-conversation dedup
+        # (conv_repetition rotated to extras in s12)
         "turn_dedup": q_turn_dedup,
-        "conv_repetition": q_conv_repetition,
         "conv_contamination": q_conv_contamination,
         # round 5 session 2: per-language tokenizer fertility
         # (cdc_neardup, and in s11b blocklist_hits + html_extract,
@@ -3197,8 +3255,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver artifact is capped."""
     return {
         # rotated round 5 session 12 (still pytest-oracled here; the
-        # per-source family stays driver-covered via source_vocab)
+        # per-source family stays driver-covered via source_vocab, the
+        # tool family via tool_json/tool_latency/tool_args, repetition
+        # via suffix_loops + the flagship's agent-loop gate)
         "source_top_terms": q_source_top_terms,
+        "tool_errors": q_tool_errors,
+        "conv_repetition": q_conv_repetition,
         # rotated round 5 session 11 (still pytest-oracled here; the
         # fuzzy near-dup family stays driver-covered via dup_clusters,
         # neardup_verify, minhash_profile, turn_dedup, semantic_dedup)
@@ -3432,6 +3494,92 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "tool_args": f"""
+            -- GENUINE SQL twin of tool_arg_key_stats on the planted
+            -- corpus (tool-turn text overwritten with six controlled
+            -- variants by (cid*13 + turn_idx) % 6; json_object_keys and
+            -- json_valid+json_type+json_keys verified to agree on every
+            -- planted shape): keys unnest, (tool, key, conv) pre-agg,
+            -- per-tool parsed totals joined back
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN role = 'tool' THEN
+                  CASE (CAST(substring(conv_id, 2, 9) AS BIGINT) * 13
+                        + turn_idx) % 6
+                    WHEN 0 THEN '{{"status": "ok", "rows": 12}}'
+                    WHEN 1 THEN '{{"status": "error", "msg": "boom"}}'
+                    WHEN 2 THEN '{{"status": "ok", "data": {{"x": 1}}}}'
+                    WHEN 3 THEN '{{"row_count": 12}}'
+                    WHEN 4 THEN '{{"partial": true'
+                    ELSE 'plain text output' END
+                ELSE text END AS text
+              FROM raw
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), parsed AS (
+              SELECT COALESCE(tool, '<unknown>') AS tool, conv_id,
+                json_keys(COALESCE(text, '')) AS ks
+              FROM d
+              WHERE role = 'tool'
+                AND json_valid(COALESCE(text, ''))
+                AND json_type(json(COALESCE(text, ''))) = 'OBJECT'
+            ), tot AS (
+              SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_parsed
+              FROM parsed GROUP BY 1
+            ), pk AS (
+              SELECT tool, conv_id, unnest(ks) AS key FROM parsed
+            ), pre AS (
+              SELECT tool, key, conv_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pk GROUP BY 1, 2, 3
+            ), agg AS (
+              SELECT tool, key,
+                CAST(SUM(n) AS BIGINT) AS n_calls,
+                CAST(COUNT(*) AS BIGINT) AS n_convs
+              FROM pre GROUP BY 1, 2
+            )
+            SELECT a.tool, a.key, a.n_calls, a.n_convs, t.n_parsed,
+              CAST((CAST(a.n_calls AS HUGEINT) * 1048576) // t.n_parsed
+                   AS BIGINT) AS coverage_units
+            FROM agg a JOIN tot t USING (tool)
+        """,
+        "repair_order": f"""
+            -- GENUINE SQL twin of repair_turn_order under the
+            -- conv_integrity ts plant (every 7th conversation's turn 2
+            -- shifted back an hour BEFORE dedup — both duplicate
+            -- deliveries shift equally, so the latest-ts winner is
+            -- unchanged): same dedup, same stable (ts, turn_idx) rank
+            WITH r AS (
+              SELECT conv_id, turn_idx, role, text, tool,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 7 = 0
+                      AND turn_idx = 2
+                     THEN ts - INTERVAL 1 HOUR ELSE ts END AS ts
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM r
+              ) WHERE rn = 1
+            ), x AS (
+              SELECT conv_id, role, text, tool, ts,
+                turn_idx AS src_turn_idx,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY ts, turn_idx) - 1
+                  AS INTEGER) AS new_idx
+              FROM d
+            )
+            SELECT conv_id, new_idx AS turn_idx, role, text, tool, ts,
+              src_turn_idx, (new_idx != src_turn_idx) AS moved
+            FROM x
+        """,
         "rule_sweep": f"""
             -- per-turn sweep cells come from the SHARED
             -- rules.sweep_cells kernel (pandas replay, same dedup as the

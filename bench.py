@@ -183,8 +183,11 @@ HEADLINE = [
     "tool_latency",
     "rule_matrix",
     "unicode_anomalies",
-    # round 5 session 12: rule threshold tuning curve
+    # round 5 session 12: rule threshold tuning curve, tool argument-key
+    # census, timestamp-order repair
     "rule_sweep",
+    "tool_args",
+    "repair_order",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -73,6 +73,8 @@ __all__ = [
     "assistant_refusals",
     "tool_call_json_stats",
     "tool_latency_histogram",
+    "tool_arg_key_stats",
+    "repair_turn_order",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -2121,5 +2123,112 @@ def tool_latency_histogram(
             F.sum("__ms").cast("long").alias("total_ms"),
             F.min("__lat_us").cast("long").alias("min_us"),
             F.max("__lat_us").cast("long").alias("max_us"),
+        )
+    )
+
+
+def tool_arg_key_stats(turns: DataFrame, pre_deduped: bool = False) -> DataFrame:
+    """Per-tool census of the TOP-LEVEL KEYS in tool-turn JSON payloads —
+    the schema-drift lens :func:`tool_call_json_stats` (does it parse)
+    and :func:`tool_error_stats` (does it report errors) don't cover: a
+    tool that renames ``rows`` to ``row_count``, starts omitting
+    ``status``, or grows a surprise ``debug`` field changes the payload
+    contract an agent model trains against long before anything fails to
+    parse. Agent fleets hit this on every tool-server rollout.
+
+    Per (tool, key) over deduped ``role='tool'`` turns whose payload is a
+    valid JSON OBJECT (Spark ``json_object_keys`` — strict object parse;
+    verified engine-parity surface: malformed / non-object / bare-text
+    payloads return NULL on BOTH Spark's Jackson path and DuckDB's
+    yyjson, ``{}`` returns an empty key list on both):
+
+    - ``n_calls`` — parsed payloads carrying the key
+    - ``n_convs`` — distinct conversations doing so
+    - ``n_parsed`` — ALL parsed payloads for the tool (the denominator,
+      repeated per key row so each row is self-contained)
+    - ``coverage_units`` — ``floor(n_calls * 2^20 / n_parsed)``: a key at
+      < 2^20 is OPTIONAL or drifting — exactly the alarm wanted.
+
+    Plan (10^12 turns): map-only parse + explode (keys are handfuls, the
+    explode is bounded by payload schema size, and the text column never
+    survives it), a (tool, key, conv) pre-agg then (tool, key) hash-agg
+    (mega-conv skew pre-reduced, exact distinct-conv without expand),
+    and a per-tool parsed-count agg joined back BROADCAST — both sides
+    of that join are dimension-sized (#tools x #keys).
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    keys = F.json_object_keys(F.coalesce(F.col("text"), F.lit("")))
+    parsed = (
+        d.filter(F.col("role") == "tool")
+        .select(
+            F.coalesce(F.col("tool"), F.lit("<unknown>")).alias("tool"),
+            "conv_id",
+            keys.alias("__keys"),
+        )
+        .filter(F.col("__keys").isNotNull())
+    )
+    totals = parsed.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parsed")
+    )
+    per_key = (
+        parsed.select("tool", "conv_id", F.explode("__keys").alias("key"))
+        .groupBy("tool", "key", "conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .groupBy("tool", "key")
+        .agg(
+            F.sum("__n").cast("long").alias("n_calls"),
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+        )
+    )
+    return per_key.join(F.broadcast(totals), "tool").select(
+        "tool",
+        "key",
+        "n_calls",
+        "n_convs",
+        "n_parsed",
+        F.expr(
+            f"CAST((CAST(n_calls AS DECIMAL(38,0)) * {1 << 20})"
+            " div n_parsed AS BIGINT)"
+        ).alias("coverage_units"),
+    )
+
+
+def repair_turn_order(turns: DataFrame, pre_deduped: bool = False) -> DataFrame:
+    """Re-index each conversation's turns into timestamp order — the
+    REPAIR action for the ``ts`` inversions
+    :func:`conversation_integrity` detects (multi-writer ingestion,
+    clock-skewed agents and backfilled tool results leave ``turn_idx``
+    disagreeing with ``ts``; windowing, latency and packing operators
+    all assume index order IS conversation order).
+
+    After latest-per-key dedup, turns re-number per conversation by
+    ``(ts, turn_idx)`` — the original index breaks exact-``ts`` ties, so
+    the repair is STABLE: an already-ordered conversation re-emits
+    byte-identically with ``moved = false`` everywhere (pinned by test).
+
+    Output per turn: the six transcript columns with the NEW contiguous
+    0-based ``turn_idx``, plus ``src_turn_idx`` and ``moved``
+    (``new != src``). Composes with :func:`repair_alternation` (which
+    assumes index order = time order) as repair stage 0; running
+    :func:`conversation_integrity` on repaired output yields zero
+    ``n_ts_inversions`` by construction (pinned by test).
+
+    Plan (10^12 turns): ONE exchange keyed ``conv_id`` shared by the
+    dedup and the rank window — same shape as every conv-grain operator
+    here.
+    """
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    return (
+        d.withColumn("__new", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            "conv_id",
+            F.col("__new").alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            "ts",
+            F.col("turn_idx").alias("src_turn_idx"),
+            (F.col("__new") != F.col("turn_idx")).alias("moved"),
         )
     )

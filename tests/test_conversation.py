@@ -1983,3 +1983,97 @@ def test_tool_latency_histogram_plan(spark):
     # one conv_id exchange for the lag window + one (tool, bucket) agg
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan
+
+
+# ---- round 5 session 12: tool_arg_key_stats / repair_turn_order ----
+
+
+def test_tool_arg_key_stats_values(spark):
+    from feast_spark.operators.conversation import tool_arg_key_stats
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        # search tool: 2 convs; "status" in all 3 parsed payloads,
+        # "rows" in 2, "extra" in 1; one malformed and one non-object
+        # payload (neither counts in n_parsed)
+        ("c1", 1, "tool", '{"status": "ok", "rows": 1}', "search", ts0),
+        ("c1", 3, "tool", '{"status": "ok", "rows": 2, "extra": true}',
+         "search", ts0),
+        ("c2", 1, "tool", '{"status": "err"}', "search", ts0),
+        ("c2", 3, "tool", '{"broken": true', "search", ts0),
+        ("c2", 5, "tool", "[1, 2]", "search", ts0),
+        # NULL tool name buckets under <unknown>; nested object only
+        # contributes its TOP-LEVEL keys
+        ("c3", 1, "tool", '{"data": {"inner": 1}}', None, ts0),
+        # non-tool roles never counted even with JSON text
+        ("c3", 2, "assistant", '{"status": "sneaky"}', None, ts0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["tool"], r["key"]): r.asDict()
+        for r in tool_arg_key_stats(df).collect()
+    }
+    assert set(got) == {
+        ("search", "status"), ("search", "rows"), ("search", "extra"),
+        ("<unknown>", "data"),
+    }
+    st = got[("search", "status")]
+    assert (st["n_calls"], st["n_convs"], st["n_parsed"]) == (3, 2, 3)
+    assert st["coverage_units"] == 1 << 20
+    rw = got[("search", "rows")]
+    assert (rw["n_calls"], rw["n_convs"]) == (2, 1)
+    assert rw["coverage_units"] == (2 * (1 << 20)) // 3
+    assert got[("<unknown>", "data")]["n_parsed"] == 1
+    # "inner" must NOT appear — top-level keys only
+    assert ("<unknown>", "inner") not in got
+
+
+def test_repair_turn_order_stable_and_composes(spark):
+    from feast_spark.operators.conversation import (
+        conversation_integrity,
+        repair_turn_order,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def at(s):
+        return datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        # c1: already ordered — repair must be a byte-identical no-op
+        ("c1", 0, "user", "a", None, at(0)),
+        ("c1", 1, "assistant", "b", None, at(10)),
+        # c2: turn 2's ts precedes turn 1's (backfilled tool result)
+        ("c2", 0, "user", "q", None, at(0)),
+        ("c2", 1, "assistant", "r", None, at(30)),
+        ("c2", 2, "tool", "out", "search", at(20)),
+        # c3: exact-ts tie — original index order preserved (stable)
+        ("c3", 0, "user", "x", None, at(5)),
+        ("c3", 1, "user", "y", None, at(5)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in repair_turn_order(df).collect()
+    }
+    assert all(not out[("c1", i)]["moved"] for i in range(2))
+    assert [out[("c2", i)]["src_turn_idx"] for i in range(3)] == [0, 2, 1]
+    assert [out[("c2", i)]["moved"] for i in range(3)] == [False, True, True]
+    assert [out[("c3", i)]["src_turn_idx"] for i in range(2)] == [0, 1]
+    # composition: integrity on repaired output reports ZERO inversions
+    rep = repair_turn_order(df).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    integ = {
+        r["conv_id"]: r["n_ts_inversions"]
+        for r in conversation_integrity(rep).collect()
+    }
+    assert integ == {"c1": 0, "c2": 0, "c3": 0}
