@@ -607,6 +607,104 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "kept_frac": round(float(fc["n_kept"]) / float(fc["n_rows"]), 4),
         "turns_per_sec": round(n_turns / wall, 1),
     }
+
+    # session-12: rule threshold sweep + tool argument-key census +
+    # timestamp-order repair at scale. Invariants: sweep curve monotone
+    # (raising the 'lt' stopword floor only drops turns), n_total = the
+    # deduped count every row; tool keys exactly the planted set with
+    # coverage <= 2^20; repair conserves the deduped count, re-indexes
+    # contiguously, and leaves ZERO ts inversions.
+    from feast_spark import rules as _rules
+    from feast_spark.operators.conversation import (
+        conversation_integrity,
+        repair_turn_order,
+        tool_arg_key_stats,
+    )
+    from feast_spark.pipeline.quality import rule_threshold_sweep
+
+    t0 = time.time()
+    curve = (
+        rule_threshold_sweep(corpus, "stopword_ratio", _rules.RULE_SWEEP_GRID)
+        .collect()
+    )
+    wall = round(time.time() - t0, 2)
+    kept_seq = [r["n_kept"] for r in sorted(curve, key=lambda r: r["threshold"])]
+    assert all(a >= b for a, b in zip(kept_seq, kept_seq[1:])), kept_seq
+    assert all(r["n_total"] == n_dedup for r in curve), (curve[0], n_dedup)
+    assert all(r["n_kept"] <= r["n_pass_others"] for r in curve)
+    out["rule_sweep"] = {
+        "wall_sec": wall,
+        "kept_at_min": kept_seq[0],
+        "kept_at_max": kept_seq[-1],
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+    # bound the hash before *13: raw xxhash64 * 13 overflows int64 under
+    # ANSI mode
+    idx = F.pmod(F.xxhash64("conv_id"), F.lit(1 << 31))
+    variant = F.pmod(idx * 13 + F.col("turn_idx"), F.lit(6))
+    planted = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "tool",
+            F.when(variant == 0, F.lit('{"status": "ok", "rows": 12}'))
+            .when(variant == 1, F.lit('{"status": "error", "msg": "boom"}'))
+            .when(variant == 2, F.lit('{"status": "ok", "data": {"x": 1}}'))
+            .when(variant == 3, F.lit('{"row_count": 12}'))
+            .when(variant == 4, F.lit('{"partial": true'))
+            .otherwise(F.lit("plain text output")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    keys = tool_arg_key_stats(planted).collect()
+    wall = round(time.time() - t0, 2)
+    assert {r["key"] for r in keys} <= {
+        "status", "rows", "msg", "data", "row_count"
+    }, keys
+    assert all(0 <= r["coverage_units"] <= (1 << 20) for r in keys)
+    assert all(r["n_calls"] <= r["n_parsed"] for r in keys)
+    out["tool_args"] = {
+        "wall_sec": wall,
+        "n_key_rows": len(keys),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+    shifted = corpus.withColumn(
+        "ts",
+        F.when(
+            (F.pmod(F.xxhash64("conv_id"), F.lit(7)) == 0)
+            & (F.col("turn_idx") == 2),
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(F.col("ts")),
+    )
+    t0 = time.time()
+    rep = repair_turn_order(shifted)
+    ro = rep.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("moved").cast("long")).alias("n_moved"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    assert int(ro["n_rows"]) == n_dedup, (ro, n_dedup)
+    bad_idx = (
+        rep.groupBy("conv_id")
+        .agg((F.max("turn_idx") + 1 != F.count(F.lit(1))).alias("bad"))
+        .filter("bad")
+        .count()
+    )
+    assert bad_idx == 0, bad_idx
+    inversions = (
+        conversation_integrity(
+            rep.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        )
+        .agg(F.sum("n_ts_inversions").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert int(inversions) == 0, inversions
+    out["repair_order"] = {
+        "wall_sec": wall,
+        "n_moved": int(ro["n_moved"]),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
     corpus.unpersist()
     return out
 
@@ -644,7 +742,8 @@ def main() -> None:
                     cbig[k]["wall_sec"] / max(csmall[k]["wall_sec"], 1e-9)
                     / (cbig["n_turns"] / csmall["n_turns"]), 3)
                 for k in ("conv_curate", "conv_pack", "suffix_loops",
-                          "fork_mask", "alternation_repair", "context_fit")
+                          "fork_mask", "alternation_repair", "context_fit",
+                          "rule_sweep", "tool_args", "repair_order")
             },
         },
     }
