@@ -1,0 +1,197 @@
+"""Exactly-once batch / streaming composition of the QUALITY pipeline —
+label snapshots with the curation-incremental commit discipline.
+
+:func:`~feast_spark.pipeline.quality.run_quality_pipeline` labels one
+DataFrame; real transcript ingest arrives in batches (micro-batches,
+backfills, retried deliveries), and the north-rule contract is that the
+job "checkpoints and resumes idempotently": a crashed or re-delivered
+batch must neither drop labels nor double-count them. This module adds
+exactly that, reusing the span-state protocol
+:mod:`feast_spark.pipeline.incremental` proved out
+(``_SUCCESS``-gated per-batch partitions; reference shape:
+``materialization_intervals`` checkpointing, ``feature_view.py:157``,
+``registry.py:1016``):
+
+- Per batch, conversation features append to the SHARED feature table
+  FIRST, then lineage, then the labels partition LAST — the labels
+  partition's ``_SUCCESS`` marker IS the commit point. A crash anywhere
+  earlier leaves the batch uncommitted and the retry reruns clean; the
+  orphaned feature snapshot a crashed attempt may leave behind is
+  ABSORBED by the PIT join's created-ts tie-break (newest snapshot wins
+  — the idempotence `test_pipeline_rerun_idempotent_labels` pins), so
+  no cleanup pass is needed.
+- A batch whose partition carries ``_SUCCESS`` is returned from state
+  without reprocessing (re-delivered micro-batch ids are free).
+- :func:`resolved_labels` folds all committed snapshots into the
+  current label per turn: latest ``batch_id`` wins per
+  ``(conv_id, turn_idx)`` — callers use monotone zero-padded ids (the
+  stream path's ``s<%08d>`` satisfies this), so lexicographic order is
+  arrival order.
+
+Scale shape: everything is the underlying pipeline's shape (one Arrow
+scoring scan, conv-keyed aggs, as-of join); the commit layer adds only
+per-batch parquet writes of label-sized relations and an O(#batches)
+directory listing. The resolved view is one latest-per-key hash-agg
+over the committed label log — the pull_latest kernel, map-side
+combined, no window sort.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.operators.latest import latest_per_key
+from feast_spark.pipeline.quality import (
+    QualityConfig,
+    run_quality_pipeline,
+)
+
+__all__ = [
+    "QualityBatchResult",
+    "run_quality_batch",
+    "resolved_labels",
+    "quality_stream",
+    "committed_label_batches",
+]
+
+
+@dataclass
+class QualityBatchResult:
+    batch_id: str
+    labels: DataFrame
+    resumed: bool = False
+
+
+def _labels_root(state_dir: str) -> str:
+    return os.path.join(state_dir, "labels")
+
+
+def _batch_dir(state_dir: str, batch_id: str) -> str:
+    return os.path.join(_labels_root(state_dir), f"batch={batch_id}")
+
+
+def committed_label_batches(state_dir: str) -> list[str]:
+    """Sorted batch ids whose labels partition carries ``_SUCCESS``."""
+    root = _labels_root(state_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(root)
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+
+
+def run_quality_batch(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    state_dir: str,
+    batch_id: str,
+    cfg: QualityConfig = QualityConfig(),
+    decision_ts: datetime | None = None,
+) -> QualityBatchResult:
+    """Label one ingest batch exactly once. A batch id whose labels
+    partition is ``_SUCCESS``-committed returns from state without
+    reprocessing; otherwise the full pipeline runs with the SHARED
+    ``<state_dir>/conv_features`` feature table (so this batch's labels
+    see every previously committed conversation-feature snapshot through
+    the as-of join — a conversation spanning batches is labeled with its
+    freshest known features, the online-consistent semantics).
+
+    ``/`` is rejected in ``batch_id`` (it would escape the partition
+    directory).
+    """
+    if "/" in batch_id or not batch_id:
+        raise ValueError(f"invalid batch_id {batch_id!r}")
+    bdir = _batch_dir(state_dir, batch_id)
+    if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        return QualityBatchResult(
+            batch_id, spark.read.parquet(bdir), resumed=True
+        )
+    res = run_quality_pipeline(
+        spark,
+        transcripts,
+        cfg,
+        run_id=batch_id,
+        decision_ts=decision_ts,
+        feature_table_path=os.path.join(state_dir, "conv_features"),
+    )
+    # commit order: lineage before labels; the labels partition's
+    # _SUCCESS is the single commit point (module docstring)
+    res.lineage.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "lineage", f"batch={batch_id}")
+    )
+    res.labels.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).parquet(bdir)
+    res.scored.unpersist()
+    return QualityBatchResult(batch_id, spark.read.parquet(bdir))
+
+
+def resolved_labels(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current label per ``(conv_id, turn_idx)`` across every COMMITTED
+    batch: the latest ``batch_id`` wins (monotone ids = arrival order),
+    ``ts DESC, scrubbed_text DESC`` breaking impossible-in-practice ties
+    deterministically. One latest-per-key hash-agg over the label log.
+
+    Raises ``FileNotFoundError`` when no batch has committed (an empty
+    log has no schema to offer)."""
+    batches = committed_label_batches(state_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed label batches in {state_dir}")
+    log = spark.read.parquet(
+        *[_batch_dir(state_dir, b) for b in batches]
+    )
+    return latest_per_key(
+        log,
+        ["conv_id", "turn_idx"],
+        "batch_id",
+        strategy="agg",
+        tiebreak_cols=["ts", "scrubbed_text"],
+    )
+
+
+def quality_stream(
+    spark: SparkSession,
+    stream_turns: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    cfg: QualityConfig = QualityConfig(),
+    decision_ts: datetime | None = None,
+):
+    """Run the quality pipeline under Structured Streaming: every
+    micro-batch becomes one :func:`run_quality_batch` batch (id
+    ``s<%08d>`` — zero-padded, so lexicographic order is micro-batch
+    order and :func:`resolved_labels` resolves correctly).
+
+    Exactly-once composition, the :func:`curate_stream` argument:
+    ``foreachBatch`` may re-deliver a micro-batch id after a failure;
+    a committed id returns from state, a half-written one left no
+    ``_SUCCESS`` so the retry runs clean, and the orphaned feature
+    snapshot is absorbed by the as-of tie-break. The streaming
+    checkpoint guarantees each source file maps to one micro-batch id;
+    the state dir guarantees each id commits once.
+
+    Returns the started ``StreamingQuery``."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        run_quality_batch(
+            spark,
+            batch_df,
+            state_dir,
+            f"s{batch_id:08d}",
+            cfg,
+            decision_ts,
+        )
+
+    return (
+        stream_turns.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -450,3 +450,125 @@ def test_rule_cooccurrence_bounded_agg_plan(spark, transcripts_pdf):
     assert plan.count("Exchange hashpartitioning") <= 3
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+# ---- round 5 session 12: exactly-once label snapshots ----
+
+
+def test_quality_batch_commit_resume_resolve_and_crash(spark, tmp_path):
+    import os
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality_incremental import (
+        committed_label_batches,
+        resolved_labels,
+        run_quality_batch,
+    )
+
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    state = str(tmp_path / "qstate")
+    t = transcripts_spark(spark, 40, seed=33)
+    # every conversation spans both batches (turn split), so batch 2's
+    # as-of join reads batch 1's committed feature snapshots
+    b1 = t.filter("turn_idx < 3")
+    b2 = t.filter("turn_idx >= 3")
+
+    r1 = run_quality_batch(spark, b1, state, "b1", decision_ts=dts)
+    r2 = run_quality_batch(spark, b2, state, "b2", decision_ts=dts)
+    assert not r1.resumed and not r2.resumed
+    assert committed_label_batches(state) == ["b1", "b2"]
+
+    feat = f"{state}/conv_features"
+    n_feat = spark.read.parquet(feat).count()
+    # re-delivery of a committed id: returned from state, NO reprocessing
+    # (feature table untouched), labels identical
+    r1b = run_quality_batch(spark, b1, state, "b1", decision_ts=dts)
+    assert r1b.resumed
+    assert spark.read.parquet(feat).count() == n_feat
+    assert sorted(map(tuple, r1b.labels.collect())) == sorted(
+        map(tuple, r1.labels.collect())
+    )
+
+    res = resolved_labels(spark, state).collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in res]
+    assert len(keys) == len(set(keys))
+    assert len(keys) == r1.labels.count() + r2.labels.count()
+
+    # re-delivery that RE-LABELS earlier turns under a later batch id:
+    # the resolved view must carry the later id for those keys
+    r3 = run_quality_batch(spark, b1, state, "b3", decision_ts=dts)
+    assert not r3.resumed
+    res2 = resolved_labels(spark, state)
+    assert res2.filter("turn_idx < 3 AND batch_id != 'b3'").count() == 0
+
+    # crash-retry idempotence: in a SECOND state dir, b2's first attempt
+    # dies AFTER its feature append but BEFORE the labels _SUCCESS (the
+    # marker is removed to simulate it); the retry's resolved labels are
+    # identical to the clean run's — the orphaned feature snapshot is
+    # absorbed by the as-of created-ts tie-break (same content, newest
+    # wins)
+    state_b = str(tmp_path / "qstate_crash")
+    run_quality_batch(spark, b1, state_b, "b1", decision_ts=dts)
+    run_quality_batch(spark, b2, state_b, "b2", decision_ts=dts)
+    os.remove(f"{state_b}/labels/batch=b2/_SUCCESS")
+    assert committed_label_batches(state_b) == ["b1"]
+    feat_b = f"{state_b}/conv_features"
+    with_orphan = spark.read.parquet(feat_b).count()
+    rb2 = run_quality_batch(spark, b2, state_b, "b2", decision_ts=dts)
+    assert not rb2.resumed
+    assert committed_label_batches(state_b) == ["b1", "b2"]
+    assert spark.read.parquet(feat_b).count() > with_orphan
+    cols = ["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text"]
+    clean = sorted(map(tuple, r2.labels.select(*cols).collect()))
+    retried = sorted(map(tuple, rb2.labels.select(*cols).collect()))
+    assert clean == retried
+    with pytest.raises(ValueError):
+        run_quality_batch(spark, b1, state, "evil/../id", decision_ts=dts)
+
+
+def test_quality_stream_matches_manual_batches(spark, tmp_path):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality_incremental import (
+        committed_label_batches,
+        quality_stream,
+        resolved_labels,
+        run_quality_batch,
+    )
+
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    t = transcripts_spark(spark, 30, seed=34)
+    b1 = t.filter("turn_idx < 3")
+    b2 = t.filter("turn_idx >= 3")
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f0"))
+    b2.coalesce(1).write.parquet(str(src / "f1"))
+
+    s_state = str(tmp_path / "s_state")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = quality_stream(
+        spark, stream, s_state, str(tmp_path / "ckpt"), decision_ts=dts
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert committed_label_batches(s_state) == ["s00000000", "s00000001"]
+
+    m_state = str(tmp_path / "m_state")
+    # file order == micro-batch order (maxFilesPerTrigger=1)
+    run_quality_batch(spark, spark.read.parquet(str(src / "f0")),
+                      m_state, "s00000000", decision_ts=dts)
+    run_quality_batch(spark, spark.read.parquet(str(src / "f1")),
+                      m_state, "s00000001", decision_ts=dts)
+    cols = ["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text",
+            "batch_id"]
+    got = sorted(
+        map(tuple, resolved_labels(spark, s_state).select(*cols).collect())
+    )
+    exp = sorted(
+        map(tuple, resolved_labels(spark, m_state).select(*cols).collect())
+    )
+    assert got == exp
