@@ -3134,6 +3134,71 @@ def q_unicode_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     return unicode_anomaly_stats(t)
 
 
+def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 13: exact words-per-turn quantiles by role via the
+    # global-sort-free grouped_quantiles kernel (one (role, value) hash
+    # agg bounds everything by distinct-value cardinality; DECIMAL(38,0)
+    # rank thresholds). Oracle: FULL genuine DuckDB SQL — same dedup,
+    # same explicit-ASCII-class word counts, cumulative window over
+    # distinct values, HUGEINT ceil-div rank.
+    from feast_spark.operators.conversation import turn_length_quantiles
+
+    return turn_length_quantiles(_transcripts_fixture(spark))
+
+
+def q_script_mix(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 13: writing-script codepoint census per (script,
+    # role) — the model-free complement of conv_language (codepoint
+    # EVIDENCE vs classifier label). The fixture's organic multilingual
+    # text exercises latin/digit/han/cyrillic; a deterministic plant
+    # adds kana+hangul+arabic so more bands carry rows. Oracle: FULL
+    # genuine DuckDB SQL — same plant via chr() concatenation, same
+    # per-class regexp_replace('g') length-difference counts, HUGEINT
+    # share units over role totals.
+    from feast_spark.operators.textqa import script_mix_stats
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    planted = t.withColumn(
+        "text",
+        F.when(
+            (F.pmod(idx, F.lit(8)) == 2) & (F.col("role") == "user"),
+            F.concat(txt, F.lit(SCRIPT_MIX_PLANT)),
+        ).otherwise(F.col("text")),
+    )
+    return script_mix_stats(planted)
+
+
+# kana + hangul + arabic payload appended by q_script_mix (9 kana, 4
+# hangul syllables, 5 arabic letters, 2 spaces — ws counts toward the
+# role total only)
+SCRIPT_MIX_PLANT = " こんにちはカタカナ 안녕하세مرحبا"
+
+
+def q_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 13: Zipf rank-frequency slope per source over the
+    # documents table — exact integer log2 axes (length(bin(x)) - 1), so
+    # the OLS numerator/denominator and the truncated-toward-zero
+    # slope_units are bit-identical cross-engine. Every 7th doc is
+    # remapped to a planted '__flood' source with a two-term vocabulary
+    # (exercises the tiny-R arm and a maximal planted slope). Oracle:
+    # FULL genuine DuckDB SQL.
+    from feast_spark.operators.lexical import zipf_profile
+
+    d = _t(spark, sf, "documents")
+    flood = F.pmod("doc_id", F.lit(7)) == 0
+    planted = d.withColumn(
+        "source", F.when(flood, F.lit("__flood")).otherwise(F.col("source"))
+    ).withColumn(
+        "text",
+        F.when(flood, F.expr("repeat('spam ham spam ', 20)")).otherwise(
+            F.col("text")
+        ),
+    )
+    return zipf_profile(planted, top_r=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3143,6 +3208,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tests/test_entry_oracle.py::test_driver_query_window`` enforces the
     cap."""
     return {
+        # round 5 session 13: exact grouped quantiles (words-per-turn by
+        # role), writing-script codepoint census, and the Zipf
+        # rank-frequency slope — all with FULL genuine DuckDB SQL
+        # oracles. Rotated to extras: lm_perplexity (the LM family stays
+        # driver-covered via doc_curation_lm), dsir_weights (importance
+        # selection stays via token_budget/alpha_rates; moore_lewis
+        # pytest-oracled), dup_clusters (the minhash family stays via
+        # minhash_profile/neardup_verify/turn_dedup/semantic_dedup) —
+        # all three carry green driver rows in r03+r04.
+        "length_quantiles": q_length_quantiles,
+        "script_mix": q_script_mix,
+        "zipf_profile": q_zipf_profile,
         # round 5 session 12: rule threshold tuning curve (shared
         # sweep_cells kernel + genuine-SQL histogram/curve;
         # source_top_terms rotated to extras — the per-source family
@@ -3230,18 +3307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
         "langid_classifier": q_langid_classifier,
-        "lm_perplexity": q_lm_perplexity,
         "doc_curation_lm": q_doc_curation_lm,
         "quality_classifier": q_quality_classifier,
         # flagship + round-3 selection family
         "transcript_pipeline": q_transcript_pipeline,
         "doc_curation": q_doc_curation,
         "substring_dedup": q_substring_dedup,
-        "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         # round 2-3 operators
         "stream_window_parity": q_stream_window_parity,
-        "dup_clusters": q_dup_clusters,
         # core relational / PIT surface
         "pit_last_click": q_pit_last_click,
     }
@@ -3254,6 +3328,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 13 (still pytest-oracled here; all
+        # three carry green r03+r04 driver rows — family coverage notes
+        # in queries())
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
+        "dup_clusters": q_dup_clusters,
         # rotated round 5 session 12 (still pytest-oracled here; the
         # per-source family stays driver-covered via source_vocab, the
         # tool family via tool_json/tool_latency/tool_args, repetition
@@ -3491,9 +3571,165 @@ def _all_oracle_sql() -> dict[str, str]:
         for i, t in enumerate(_rules_mod.RULE_SWEEP_GRID)
     )
 
+    # session 13: probes / script classes generated from the SAME
+    # constants the Spark operators use (no hand-retyped dimensions);
+    # script patterns hop through f-string VARIABLES (their \x{..}
+    # braces would otherwise parse as format fields)
+    from feast_spark.operators.conversation import (
+        DEFAULT_LENGTH_PROBES as _len_probes,
+    )
+    from feast_spark.operators.textqa import SCRIPT_CLASSES as _script_classes
+
+    _probe_values = ", ".join(
+        f"(CAST({int(v)} AS BIGINT))" for v in _len_probes
+    )
+    _script_arms = "\n              UNION ALL ".join(
+        f"SELECT conv_id, role, '{k}' AS script, length(t) -"
+        f" length(regexp_replace(t, '{pat}', '', 'g')) AS cnt FROM d2"
+        for k, pat in _script_classes
+    )
+
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "length_quantiles": f"""
+            -- FULL genuine-SQL twin of turn_length_quantiles: same
+            -- dedup, explicit-ASCII-class word counts, distinct-value
+            -- cumulative window, HUGEINT ceil-div rank thresholds,
+            -- lower discrete quantile = min value whose cum >= rank
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), wc AS (
+              SELECT role,
+                CAST(len(list_filter(string_split_regex(
+                  COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '')) AS BIGINT) AS v
+              FROM d
+            ), c AS (
+              SELECT role, v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM wc GROUP BY role, v
+            ), cum AS (
+              SELECT role, v,
+                CAST(SUM(cnt) OVER (
+                  PARTITION BY role ORDER BY v) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY role) AS BIGINT) AS n
+              FROM c
+            ), pr AS (
+              SELECT * FROM (VALUES {_probe_values}) p(probe_units)
+            ), hit AS (
+              SELECT role, probe_units, v, cum, n,
+                CAST((CAST(probe_units AS HUGEINT) * n + 1048575)
+                     // 1048576 AS BIGINT) AS rnk
+              FROM cum CROSS JOIN pr
+            )
+            SELECT role, CAST(probe_units AS BIGINT) AS probe_units,
+              CAST(MAX(n) AS BIGINT) AS n_rows,
+              CAST(MAX(rnk) AS BIGINT) AS "rank",
+              CAST(MIN(v) AS BIGINT) AS q_value
+            FROM hit WHERE cum >= rnk
+            GROUP BY role, probe_units
+        """,
+        "script_mix": f"""
+            -- FULL genuine-SQL twin of script_mix_stats under the kana/
+            -- hangul/arabic plant (every 8th conversation's user turns,
+            -- rendered via chr() for exact byte parity): same dedup,
+            -- one regexp_replace('g') length-difference arm per script
+            -- class, (script, role, conv) pre-agg, HUGEINT share units
+            -- over role total codepoints
+            WITH pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 8 = 2
+                      AND role = 'user'
+                     THEN COALESCE(text, '') || {_sql_str(SCRIPT_MIX_PLANT)}
+                     ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), d2 AS (
+              SELECT conv_id, role, COALESCE(text, '') AS t FROM d
+            ), h AS (
+              {_script_arms}
+            ), pre AS (
+              SELECT script, role, conv_id,
+                CAST(COUNT(*) AS BIGINT) AS nt,
+                CAST(SUM(cnt) AS BIGINT) AS nc
+              FROM h WHERE cnt > 0
+              GROUP BY script, role, conv_id
+            ), agg AS (
+              SELECT script, role,
+                CAST(SUM(nc) AS BIGINT) AS n_chars,
+                CAST(SUM(nt) AS BIGINT) AS n_turns,
+                CAST(COUNT(*) AS BIGINT) AS n_convs
+              FROM pre GROUP BY script, role
+            ), tot AS (
+              SELECT role,
+                CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total
+              FROM d GROUP BY role
+            )
+            SELECT script, agg.role, n_chars, n_turns, n_convs,
+              CAST((CAST(n_chars AS HUGEINT) * 1048576) // total
+                   AS BIGINT) AS share_units
+            FROM agg JOIN tot ON agg.role = tot.role
+        """,
+        "zipf_profile": """
+            -- FULL genuine-SQL twin of zipf_profile (top_r=64) under
+            -- the '__flood' plant (every 7th doc remapped to a two-term
+            -- synthetic source): exact integer log2 via length(bin(x)),
+            -- integer OLS sums, truncated-toward-zero slope units
+            -- (DuckDB // and Spark div agree on negatives)
+            WITH base AS (
+              SELECT
+                CASE WHEN doc_id % 7 = 0 THEN '__flood'
+                     ELSE source END AS grp,
+                CASE WHEN doc_id % 7 = 0 THEN repeat('spam ham spam ', 20)
+                     ELSE text END AS text
+              FROM documents
+            ), tok AS (
+              SELECT grp, unnest(list_filter(string_split_regex(
+                COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS term
+              FROM base
+            ), tf AS (
+              SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY grp, term
+            ), rk AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY grp ORDER BY tf DESC, term) AS rank
+              FROM tf
+            ), top AS (
+              SELECT *,
+                CAST(length(bin(rank)) - 1 AS BIGINT) AS lx,
+                CAST(length(bin(tf)) - 1 AS BIGINT) AS ly
+              FROM rk WHERE rank <= 64
+            ), a AS (
+              SELECT grp,
+                CAST(COUNT(*) AS BIGINT) AS n_terms,
+                MIN(CASE WHEN rank = 1 THEN term END) AS top_term,
+                MAX(CASE WHEN rank = 1 THEN tf END) AS top_tf,
+                SUM(lx) AS sx, SUM(ly) AS sy,
+                SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+              FROM top GROUP BY grp
+            )
+            SELECT grp AS "group", n_terms, top_term,
+              CAST(top_tf AS BIGINT) AS top_tf,
+              CAST(n_terms * sxy - sx * sy AS BIGINT) AS slope_num,
+              CAST(n_terms * sxx - sx * sx AS BIGINT) AS slope_den,
+              CAST(CASE WHEN n_terms * sxx - sx * sx <> 0
+                   THEN ((n_terms * sxy - sx * sy) * 1048576)
+                        // (n_terms * sxx - sx * sx) END
+                   AS BIGINT) AS slope_units
+            FROM a
+        """,
         "tool_args": f"""
             -- GENUINE SQL twin of tool_arg_key_stats on the planted
             -- corpus (tool-turn text overwritten with six controlled

@@ -188,6 +188,11 @@ HEADLINE = [
     "rule_sweep",
     "tool_args",
     "repair_order",
+    # round 5 session 13: exact grouped length quantiles, writing-script
+    # census, Zipf rank-frequency slope
+    "length_quantiles",
+    "script_mix",
+    "zipf_profile",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -180,3 +180,99 @@ def categorical_stats(df: DataFrame, column: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col(column))
         .limit(top_n)
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probe_units: list[int],
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Exact discrete quantiles per group, global-sort-free — the
+    distributional sibling of :func:`numeric_stats` (one global row,
+    driver-side percentile list) for GROUPED integer statistics at
+    corpus scale (words-per-turn by role, latency by tool, doc length
+    by source).
+
+    For each group and each probe ``p`` (a ``units``-denominated
+    fraction, ``0 < p <= units``) the answer is the lower discrete
+    quantile: the smallest value ``v`` in the group such that at least
+    ``ceil(p * n / units)`` of the group's rows have ``value <= v``
+    (``n`` = group row count). All arithmetic is integer — the rank
+    threshold runs in DECIMAL(38,0) (Spark IntegralDivide -> BIGINT /
+    DuckDB HUGEINT) so ``p * n`` cannot wrap int64 at 10^12 rows — and
+    the result is therefore bit-identical cross-engine (GENUINE SQL
+    oracle; no float percentile interpolation anywhere).
+
+    One row per (group, probe): ``(group..., probe_units, n_rows,
+    rank, q_value)`` where ``rank`` is the threshold rank the quantile
+    satisfied. Groups are never dropped: every group emits every probe.
+
+    Plan at 10^12 input rows: ONE (group, value) map-side-combined hash
+    agg collapses the input to distinct-value cardinality (words-per-
+    turn has a few thousand distinct values regardless of corpus size);
+    the cumulative and total counts are two window frames over the SAME
+    (group, value-order) exchange — partition size = distinct values
+    per group, never input rows; probes enter as a broadcast literal
+    dimension (len(probe_units) rows); the final (group, probe) hash
+    agg is dimension-sized. No global sort, no per-input-row window,
+    nothing driver-side.
+
+    Reference: feast's monitoring percentiles are per-column global
+    scalars (``spark_offline_store/spark.py:777-905``, PERCENTILE_APPROX
+    driver-collected); the grouped, exact, integer form is this repo's
+    scale restatement.
+    """
+    from pyspark.sql import Window
+
+    if not probe_units:
+        raise ValueError("probe_units must be non-empty")
+    bad = [p for p in probe_units if not (0 < int(p) <= units)]
+    if bad:
+        raise ValueError(f"probe_units out of (0, {units}]: {bad}")
+    if len(set(probe_units)) != len(probe_units):
+        raise ValueError(f"duplicate probe_units: {probe_units}")
+
+    counts = (
+        df.groupBy(*group_cols, F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        "__v",
+        F.sum("__cnt").over(w_cum).cast("long").alias("__cum"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+    )
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(int(p),) for p in probe_units], "probe_units long"
+    )
+    # rank = ceil(p * n / units), >= 1 (p > 0 guarantees it); the
+    # multiply runs in DECIMAL(38,0): 2^20 * 10^12 ~ 2^60 fits int64
+    # today, but the discipline here is that corpus-scale numerators
+    # never ride int64 (temperature_sample_rates' alpha=1.0 lesson)
+    rank = F.expr(
+        "CAST((CAST(probe_units AS DECIMAL(38,0)) * __n"
+        f" + {units - 1}) DIV {units} AS BIGINT)"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(probes))
+        .withColumn("__rank", rank)
+        .filter(F.col("__cum") >= F.col("__rank"))
+    )
+    return (
+        hit.groupBy(*group_cols, "probe_units")
+        .agg(
+            F.max("__n").alias("n_rows"),
+            F.max("__rank").alias("rank"),
+            F.min("__v").alias("q_value"),
+        )
+        .select(*group_cols, "probe_units", "n_rows", "rank", "q_value")
+    )

@@ -75,6 +75,7 @@ __all__ = [
     "tool_latency_histogram",
     "tool_arg_key_stats",
     "repair_turn_order",
+    "turn_length_quantiles",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -2232,3 +2233,48 @@ def repair_turn_order(turns: DataFrame, pre_deduped: bool = False) -> DataFrame:
             (F.col("__new") != F.col("turn_idx")).alias("moved"),
         )
     )
+
+
+# 25 / 50 / 90 / 99 percent in 2^-20 units — the oracle SQL generates
+# its probe dimension from this SAME constant
+DEFAULT_LENGTH_PROBES = (262144, 524288, 943718, 1038090)
+
+
+def turn_length_quantiles(
+    turns: DataFrame,
+    probe_units: list[int] | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Exact words-per-turn quantiles by role — the distributional
+    length lens the mean/stddev in per-turn rules cannot give: a
+    healthy corpus has a stable p50/p90/p99 per role (user turns short,
+    assistant turns longer, tool output heavy-tailed); a fleet
+    regression (runaway tool dumps, one-word assistant collapse) moves
+    a tail quantile long before it moves the mean.
+
+    Thin transcript-native wrapper over the generic
+    :func:`feast_spark.operators.aggregate.grouped_quantiles` kernel:
+    latest-per-key dedup, explicit-ASCII-class word counts (Java ``\\s``
+    vs RE2 divergence — the conv_pack-oracle lesson), group = ``role``.
+    Default probes = 25/50/90/99 percent in 2^-20 units. Output one row
+    per (role, probe): ``(role, probe_units, n_rows, rank, q_value)``.
+
+    Scale shape (10^12 turns): the (role, word-count) hash agg bounds
+    everything downstream by DISTINCT word-count values per role (a few
+    thousand at any corpus size) — see the kernel docstring.
+    """
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    if probe_units is None:
+        probe_units = list(DEFAULT_LENGTH_PROBES)
+    d = turns if pre_deduped else _deduped(turns)
+    wc = d.select(
+        "role",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), _ASCII_WS),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long").alias("n_words"),
+    )
+    return grouped_quantiles(wc, ["role"], "n_words", probe_units)

@@ -45,6 +45,7 @@ __all__ = [
     "source_vocab_stats",
     "compression_stats_pdf_batch",
     "compression_stats",
+    "zipf_profile",
 ]
 
 _QUANT = float(2**40)  # entropy quantization: integer units of 2^-40 bits
@@ -413,4 +414,111 @@ def readability_scores(
             " + 11.8D * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
             f" - 15.59D) * {u!r}D) AS BIGINT)"
         ).alias("fk_units"),
+    )
+
+
+def zipf_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_r: int = 256,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Zipf rank-frequency slope per group — the third vocabulary-health
+    lens alongside :func:`source_vocab_stats` (type/token/hapax mass)
+    and :func:`source_top_terms` (which terms): natural prose follows
+    ``freq ~ rank^-s`` with s near 1 (Zipf's law); template/synthetic
+    floods FLATTEN the head (a few canned terms at near-equal high
+    counts drive s toward 0 only after the flood dominates, but the
+    planted-head deviation moves first), while concatenated-garbage
+    slices steepen it. The slope of the top-``top_r`` rank curve per
+    source per ingest batch is a one-number corpus-shape alarm the
+    count aggregates alone cannot raise.
+
+    Integer-exact contract: both axes are EXACT integer log2 via
+    ``length(bin(x)) - 1`` (the minimal-binary-string trick
+    tool_latency_histogram established — no float ``ln`` whose last ulp
+    differs between Java's Math.log and libm). The ordinary
+    least-squares slope of ``ly`` on ``lx`` over the top-R points then
+    has integer numerator/denominator::
+
+        num = R * sum(lx*ly) - sum(lx) * sum(ly)
+        den = R * sum(lx^2)  - sum(lx)^2
+
+    Both are emitted exactly, plus ``slope_units = num * units DIV
+    den`` — Spark ``div`` and DuckDB ``//`` BOTH truncate toward zero
+    (verified ``-7 div 2 = -3`` on each), so the signed quantized slope
+    is bit-identical cross-engine. Healthy prose lands near ``-units``;
+    the log2 bucketing costs under a bit of resolution per decade,
+    irrelevant for a drift alarm. ``den = 0`` (a group with one ranked
+    term) yields NULL ``slope_units``.
+
+    One row per group: ``(group, n_terms, top_term, top_tf, slope_num,
+    slope_den, slope_units)``; ``n_terms = min(top_r, vocabulary)``.
+
+    Scale shape (10^12 turns): tokenization map-only; (group, term)
+    counts one map-side-combined hash agg; the per-group top-R
+    ``row_number`` rewrites to ``WindowGroupLimit`` (each map task keeps
+    <= top_r rows per group BEFORE the exchange — a mega-source never
+    funnels its whole vocabulary through one sort); everything after is
+    a top_r-bounded per-group agg. Bound ints: lx, ly <= 63, R <= top_r,
+    so every OLS sum fits int64 with > 20 bits to spare.
+
+    Tokens are explicit-ASCII-class splits, no case fold (the
+    source_vocab_stats cross-engine contract). Reference: feast has no
+    corpus-shape profiling; Zipf-curve monitoring follows the public
+    corpus-statistics literature (Zipf 1949; Gopher/C4 corpus analyses).
+    """
+    from pyspark.sql import Window
+
+    if top_r < 1:
+        raise ValueError(f"top_r must be >= 1, got {top_r}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\n\x0B\f\r]+"),
+        lambda x: F.length(x) > 0,
+    )
+    tf = (
+        docs.select(F.col(group_col).alias("group"), toks.alias("_t"))
+        .select("group", F.explode("_t").alias("term"))
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    win = Window.partitionBy("group").orderBy(F.col("tf").desc(), F.col("term"))
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= int(top_r))
+        .select(
+            "group",
+            "term",
+            "tf",
+            "rank",
+            (F.length(F.bin("rank")) - 1).cast("long").alias("__lx"),
+            (F.length(F.bin("tf")) - 1).cast("long").alias("__ly"),
+        )
+    )
+    agg = ranked.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.min(F.when(F.col("rank") == 1, F.col("term"))).alias("top_term"),
+        F.max(F.when(F.col("rank") == 1, F.col("tf"))).alias("top_tf"),
+        F.sum("__lx").alias("__sx"),
+        F.sum("__ly").alias("__sy"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("__sxy"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("__sxx"),
+    )
+    num = (F.col("n_terms") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    den = (F.col("n_terms") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    nd = agg.select(
+        "group",
+        "n_terms",
+        "top_term",
+        "top_tf",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+    )
+    return nd.withColumn(
+        "slope_units",
+        F.when(
+            F.col("slope_den") != 0,
+            F.expr(f"(slope_num * CAST({units} AS BIGINT)) div slope_den"),
+        ).cast("long"),
     )

@@ -41,8 +41,10 @@ __all__ = [
     "code_block_stats",
     "special_token_stats",
     "unicode_anomaly_stats",
+    "script_mix_stats",
     "DEFAULT_SPECIAL_MARKERS",
     "UNICODE_ANOMALY_CLASSES",
+    "SCRIPT_CLASSES",
 ]
 
 # the ONE cross-engine whitespace class (see conversation.py for the
@@ -589,4 +591,120 @@ def unicode_anomaly_stats(
         F.sum("__n_chars").cast("long").alias("n_chars"),
         F.sum("__n_turns").cast("long").alias("n_turns"),
         F.count(F.lit(1)).cast("long").alias("n_convs"),
+    )
+
+
+# Unicode script ranges as EXPLICIT codepoint classes — both Java and
+# RE2 support \x{...} classes byte-identically, while named script
+# properties diverge (Java spells them \p{IsHan}/\p{script=Han}, RE2
+# \p{Han}; neither agrees on property coverage across versions), so the
+# ranges are spelled out. BMP core blocks only — deliberate: the census
+# is a drift lens, not a Unicode-complete classifier, and the classes
+# must stay disjoint so per-script counts sum to <= total.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    # basic Latin letters + Latin-1/Extended-A/B (é, ß, ø, č ...)
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("hebrew", "[\\x{0590}-\\x{05FF}]"),
+    ("devanagari", "[\\x{0900}-\\x{097F}]"),
+    # CJK unified ideographs + extension A
+    ("han", "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]"),
+    ("kana", "[\\x{3040}-\\x{30FF}]"),
+    # Hangul syllables + jamo
+    ("hangul", "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]"),
+]
+
+
+def script_mix_stats(
+    turns: DataFrame,
+    classes: list[tuple[str, str]] | None = None,
+    pre_deduped: bool = False,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Census of writing-script codepoints per (script, role) — the
+    model-free complement of ``conversation_language``: langid claims a
+    LABEL per turn from a trained model; this counts raw codepoint
+    EVIDENCE per script band, so it sees what a classifier smooths
+    over — mixed-script turns (code-switching inside one turn),
+    mojibake that lands in the wrong band (cp1252 double-decoding
+    scatters Cyrillic into Latin-1 punctuation), and a fleet's language
+    mix drifting between ingest batches (the per-batch (script, role)
+    share vector is the cheapest language-drift alarm).
+
+    One row per (script, role) with at least one hit: ``n_chars``
+    (codepoints in the band), ``n_turns`` (deduped turns containing
+    it), ``n_convs`` (distinct conversations), ``share_units`` =
+    ``n_chars * units div`` (role's TOTAL text codepoints, whitespace
+    included). Share numerators run in DECIMAL(38,0) — at 10^12 turns
+    role char mass passes 2^43 and ``n_chars * 2^20`` would wrap int64
+    (the temperature_sample_rates lesson).
+
+    Plan (10^12 turns): identical chassis to
+    :func:`unicode_anomaly_stats` — one regexp length-difference pass
+    per class in whole-stage codegen, map-only; hit-filtered before the
+    explode; (script, role, conv) pre-agg -> (script, role) agg keeps
+    distinct-conv exact with no expand. Role totals are ONE extra
+    role-grain hash agg broadcast back — roles are schema-bounded
+    (user/assistant/system/tool), so the broadcast is a handful of rows
+    at any corpus size.
+    """
+    from feast_spark.operators.conversation import _deduped
+
+    cs = list(SCRIPT_CLASSES if classes is None else classes)
+    if not cs or any(not k or not p for k, p in cs):
+        raise ValueError("classes must be non-empty (kind, pattern) pairs")
+    d = turns if pre_deduped else _deduped(turns)
+    d = d.select("conv_id", "role", F.coalesce("text", F.lit("")).alias("__t"))
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("script"),
+                (
+                    F.length("__t")
+                    - F.length(F.regexp_replace("__t", p, ""))
+                ).alias("cnt"),
+            )
+            for k, p in cs
+        ]
+    )
+    hits = (
+        d.select(
+            "conv_id",
+            "role",
+            F.filter(counts, lambda s: s["cnt"] > 0).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+        .select("conv_id", "role", F.explode("__h").alias("__s"))
+        .select(
+            "conv_id",
+            "role",
+            F.col("__s.script").alias("script"),
+            F.col("__s.cnt").alias("cnt"),
+        )
+    )
+    pre = hits.groupBy("script", "role", "conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_turns"),
+        F.sum("cnt").cast("long").alias("__n_chars"),
+    )
+    agg = pre.groupBy("script", "role").agg(
+        F.sum("__n_chars").cast("long").alias("n_chars"),
+        F.sum("__n_turns").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+    )
+    totals = d.groupBy("role").agg(
+        F.sum(F.length("__t")).cast("long").alias("__total_chars")
+    )
+    return agg.join(F.broadcast(totals), "role").select(
+        "script",
+        "role",
+        "n_chars",
+        "n_turns",
+        "n_convs",
+        F.expr(
+            f"CAST((CAST(n_chars AS DECIMAL(38,0)) * {units})"
+            " DIV __total_chars AS BIGINT)"
+        ).alias("share_units"),
     )

@@ -1,0 +1,300 @@
+"""Round-5 session-13 operators: exact grouped quantiles, writing-script
+census, Zipf rank-frequency profile.
+
+Value tests replay each contract naively in Python (Counter / sorted
+lists) on planted inputs; plan tests pin the scale shapes the docstrings
+claim (one exchange for both quantile window frames, broadcast probe
+dimension, map-side WindowGroupLimit for the Zipf top-R, broadcast role
+totals for the script census)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+from collections import Counter
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def _naive_quantiles(rows, probes, units=1 << 20):
+    """(group, value) rows -> {(group, p): (n, rank, q_value)} by the
+    documented contract: smallest v with cum(v) >= ceil(p*n/units)."""
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    out = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for p in probes:
+            k = -(-p * n // units)  # ceil
+            out[(g, p)] = (n, k, vs[k - 1])
+    return out
+
+
+def test_grouped_quantiles_matches_naive_replay(spark):
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (f"g{i % 3}", rng.randrange(0, 40))
+        for i in range(500)
+    ] + [("g_single", 7)]  # one-row group: every probe must answer 7
+    probes = [1, 262144, 524288, 943718, 1048576]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["probe_units"]): (r["n_rows"], r["rank"], r["q_value"])
+        for r in grouped_quantiles(df, ["g"], "v", probes).collect()
+    }
+    exp = _naive_quantiles(rows, probes)
+    assert got == exp
+    # every group emits every probe
+    assert len(got) == 4 * len(probes)
+
+
+def test_grouped_quantiles_probe_validation(spark):
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles(df, ["g"], "v", [])
+    with pytest.raises(ValueError, match="out of"):
+        grouped_quantiles(df, ["g"], "v", [0])
+    with pytest.raises(ValueError, match="out of"):
+        grouped_quantiles(df, ["g"], "v", [(1 << 20) + 1])
+    with pytest.raises(ValueError, match="duplicate"):
+        grouped_quantiles(df, ["g"], "v", [5, 5])
+
+
+def test_turn_length_quantiles_counts_blank_and_null_as_zero(spark):
+    from feast_spark.operators.conversation import turn_length_quantiles
+
+    rows = [
+        ("c1", 0, "user", None, None, "2026-01-01 00:00:00"),
+        ("c1", 1, "user", "   ", None, "2026-01-01 00:00:01"),
+        ("c1", 2, "user", "one two three", None, "2026-01-01 00:00:02"),
+        ("c1", 3, "user", "a b", None, "2026-01-01 00:00:03"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+    # median over word counts [0, 0, 2, 3] -> rank ceil(0.5*4)=2 -> 0
+    out = {
+        r["probe_units"]: r["q_value"]
+        for r in turn_length_quantiles(df, probe_units=[524288, 1048576]).collect()
+    }
+    assert out == {524288: 0, 1048576: 3}
+
+
+def test_grouped_quantiles_plan_one_exchange_two_frames(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 17).alias("v"),
+    )
+    plan = _plan(grouped_quantiles(df, ["g"], "v", [524288]))
+    # the cumulative and total frames must share ONE group-keyed
+    # exchange: exactly two Window nodes, and exchanges = input agg
+    # partials (id->g,v agg needs one) + the window's g exchange
+    assert plan.count("Window") >= 2
+    # probes ride a broadcast nested-loop join, never a real cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exchanges: one for the (g, v) agg, one for the window partition —
+    # nothing else (the final agg reuses the window partitioning's
+    # output via partial agg; a 3rd exchange appears for the final
+    # (g, probe) agg which is dimension-sized)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+# --------------------------------------------------------------- script mix
+
+
+def test_script_mix_stats_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.textqa import script_mix_stats
+
+    rows = [
+        # 5 latin + 2 digit + 4 han chars, total len 13 (2 spaces)
+        ("c1", 0, "user", "hello 42 你好世界", None,
+         "2026-01-01 00:00:00"),
+        # 6 kana, total len 6
+        ("c1", 1, "assistant", "こんにちはカ", None,
+         "2026-01-01 00:00:01"),
+        # duplicate delivery of turn 0 (earlier ts) — dedup must drop it
+        ("c1", 0, "user", "zzzz zzzz zzzz zzzz", None,
+         "2025-12-31 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["script"], r["role"]): (
+            r["n_chars"], r["n_turns"], r["n_convs"], r["share_units"]
+        )
+        for r in script_mix_stats(df).collect()
+    }
+    assert got == {
+        ("latin", "user"): (5, 1, 1, 5 * (1 << 20) // 13),
+        ("digit", "user"): (2, 1, 1, 2 * (1 << 20) // 13),
+        ("han", "user"): (4, 1, 1, 4 * (1 << 20) // 13),
+        ("kana", "assistant"): (6, 1, 1, 6 * (1 << 20) // 6),
+    }
+
+
+def test_script_mix_stats_validates_classes(spark):
+    from feast_spark.operators.textqa import script_mix_stats
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        script_mix_stats(df, classes=[])
+    with pytest.raises(ValueError, match="non-empty"):
+        script_mix_stats(df, classes=[("x", "")])
+
+
+def test_script_mix_plan_broadcasts_role_totals(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.textqa import script_mix_stats
+
+    t = transcripts_spark(spark, 20, seed=1)
+    plan = _plan(script_mix_stats(t))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------- zipf
+
+
+def _naive_zipf(docs, top_r=64, units=1 << 20):
+    out = {}
+    by_g: dict[str, Counter] = {}
+    for g, text in docs:
+        toks = [w for w in (text or "").replace("\t", " ").split(" ") if w]
+        by_g.setdefault(g, Counter()).update(toks)
+    for g, c in by_g.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_r]
+        pts = [
+            (len(bin(i + 1)) - 3, len(bin(tf)) - 3)  # '0b' prefix
+            for i, (_, tf) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        su = None
+        if den != 0:
+            q = num * units / den
+            su = math.floor(q) if q >= 0 else -math.floor(-q)  # trunc to 0
+            su = int(num * units // den) if (num * units) % den == 0 else su
+            # exact truncation toward zero:
+            su = int(
+                (num * units) // den
+                if (num * units) % den == 0 or num * units >= 0
+                else -((-num * units) // den)
+            )
+        out[g] = (n, ranked[0][0], ranked[0][1], num, den, su)
+    return out
+
+
+def test_zipf_profile_matches_naive_replay(spark):
+    from feast_spark.operators.lexical import zipf_profile
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(80):
+        g = f"s{i % 3}"
+        # zipf-ish draw: term j with weight 1/(j+1)
+        words = rng.choices(vocab, weights=[1 / (j + 1) for j in range(60)], k=120)
+        docs.append((g, " ".join(words)))
+    docs.append(("one_term", "solo solo solo"))  # den = 0 -> NULL slope
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        r["group"]: (
+            r["n_terms"], r["top_term"], r["top_tf"],
+            r["slope_num"], r["slope_den"], r["slope_units"],
+        )
+        for r in zipf_profile(df, top_r=64).collect()
+    }
+    exp = _naive_zipf(docs, top_r=64)
+    assert got == exp
+    assert got["one_term"][4] == 0 and got["one_term"][5] is None
+
+
+def test_zipf_profile_negative_truncation_toward_zero(spark):
+    from feast_spark.operators.lexical import zipf_profile
+
+    # two-point curve: rank 1 (lx=0) tf=4 (ly=2), rank 2 (lx=1) tf=1
+    # (ly=0): num = 2*0 - 1*2 = -2, den = 2*1 - 1 = 1 -> units exact;
+    # then a 3-point curve engineered so num*units/den is fractional
+    # and negative, pinning trunc-toward-zero against Python floor
+    df = spark.createDataFrame(
+        [("a", "x x x x y")], "source string, text string"
+    )
+    r = zipf_profile(df, top_r=8).collect()[0]
+    assert (r["slope_num"], r["slope_den"]) == (-2, 1)
+    assert r["slope_units"] == -2 * (1 << 20)
+
+    # a 5-term curve with a NON-divisible negative num/den so the
+    # rounding direction is observable: tfs 16,4,2,1,1 -> (lx, ly)
+    # points (0,4),(1,2),(1,1),(2,0),(2,0): sxy=3, sx=6, sy=7, sxx=10,
+    # num = 5*3 - 6*7 = -27, den = 5*10 - 36 = 14 -> -27*2^20/14 =
+    # -2022253.71..., trunc toward zero -> -2022253 (floor would give
+    # -2022254)
+    df3 = spark.createDataFrame(
+        [("b", " ".join(["p"] * 16 + ["q"] * 4 + ["r"] * 2 + ["s", "t"]))],
+        "source string, text string",
+    )
+    r3 = zipf_profile(df3, top_r=8).collect()[0]
+    assert (r3["slope_num"], r3["slope_den"]) == (-27, 14)
+    assert r3["slope_units"] == -2022253  # NOT the floor -2022254
+
+
+def test_zipf_profile_rejects_bad_top_r(spark):
+    from feast_spark.operators.lexical import zipf_profile
+
+    df = spark.createDataFrame([("a", "x")], "source string, text string")
+    with pytest.raises(ValueError, match="top_r"):
+        zipf_profile(df, top_r=0)
+
+
+def test_zipf_profile_plan_has_mapside_window_group_limit(spark):
+    from feast_spark.operators.lexical import zipf_profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(zipf_profile(df, top_r=64))
+    # the top-R rank prune must run BEFORE the exchange (map-side
+    # WindowGroupLimit) so a mega-source never funnels its vocabulary
+    # through one sort — formatted plans list operators bottom-up per
+    # subtree; assert both the partial and final forms exist
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
