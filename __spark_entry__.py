@@ -3199,6 +3199,29 @@ def q_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
     return zipf_profile(planted, top_r=64)
 
 
+def q_frequent_terms(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 13b: threshold heavy hitters — Misra-Gries
+    # candidate sketch + exact broadcast-semi-join verify; the OUTPUT is
+    # partitioning-independent and exactly "terms with cnt * k >
+    # n_tokens", so the oracle is FULL genuine SQL (GROUP BY ... HAVING
+    # with HUGEINT strict threshold). Every 2nd doc carries a planted
+    # heavy bigram so qualification is exercised on both organic and
+    # planted mass.
+    from feast_spark.operators.lexical import frequent_terms
+
+    d = _t(spark, sf, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 0, F.lit(" zzheavy zzheavy")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return frequent_terms(planted, k=120)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3217,6 +3240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-oracled), dup_clusters (the minhash family stays via
         # minhash_profile/neardup_verify/turn_dedup/semantic_dedup) —
         # all three carry green driver rows in r03+r04.
+        # round 5 session 13b: threshold heavy hitters
+        # (langid_classifier rotated to extras — the language family
+        # stays driver-covered via conv_language + script_mix)
+        "frequent_terms": q_frequent_terms,
         "length_quantiles": q_length_quantiles,
         "script_mix": q_script_mix,
         "zipf_profile": q_zipf_profile,
@@ -3306,7 +3333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
-        "langid_classifier": q_langid_classifier,
         "doc_curation_lm": q_doc_curation_lm,
         "quality_classifier": q_quality_classifier,
         # flagship + round-3 selection family
@@ -3334,6 +3360,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "dup_clusters": q_dup_clusters,
+        "langid_classifier": q_langid_classifier,
         # rotated round 5 session 12 (still pytest-oracled here; the
         # per-source family stays driver-covered via source_vocab, the
         # tool family via tool_json/tool_latency/tool_args, repetition
@@ -3592,6 +3619,32 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "frequent_terms": """
+            -- FULL genuine-SQL twin of frequent_terms (k=120) under the
+            -- every-2nd-doc ' zzheavy zzheavy' plant: exact token
+            -- counts, strict HUGEINT threshold cnt * k > n_tokens — the
+            -- Misra-Gries sketch is pure mechanism and never appears in
+            -- the contract
+            WITH base AS (
+              SELECT COALESCE(text, '') ||
+                CASE WHEN doc_id % 2 = 0 THEN ' zzheavy zzheavy'
+                     ELSE '' END AS text
+              FROM documents
+            ), tok AS (
+              SELECT unnest(list_filter(string_split_regex(
+                text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
+              FROM base
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+            ), c AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY term
+            )
+            SELECT term, cnt, n AS n_tokens,
+              CAST((CAST(cnt AS HUGEINT) * 1048576) // n AS BIGINT)
+                AS ratio_units
+            FROM c, tot WHERE CAST(cnt AS HUGEINT) * 120 > n
+        """,
         "length_quantiles": f"""
             -- FULL genuine-SQL twin of turn_length_quantiles: same
             -- dedup, explicit-ASCII-class word counts, distinct-value

@@ -193,6 +193,7 @@ HEADLINE = [
     "length_quantiles",
     "script_mix",
     "zipf_profile",
+    "frequent_terms",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

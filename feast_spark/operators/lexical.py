@@ -46,6 +46,7 @@ __all__ = [
     "compression_stats_pdf_batch",
     "compression_stats",
     "zipf_profile",
+    "frequent_terms",
 ]
 
 _QUANT = float(2**40)  # entropy quantization: integer units of 2^-40 bits
@@ -521,4 +522,129 @@ def zipf_profile(
             F.col("slope_den") != 0,
             F.expr(f"(slope_num * CAST({units} AS BIGINT)) div slope_den"),
         ).cast("long"),
+    )
+
+
+def frequent_terms(
+    docs: DataFrame,
+    k: int = 1024,
+    text_col: str = "text",
+    units: int = 1 << 20,
+) -> DataFrame:
+    """All terms whose EXACT corpus count exceeds ``n_tokens / k``, with
+    exact counts — the threshold form of heavy hitters, and the
+    scale-sound dual of :func:`feast_spark.operators.selection
+    .top_ngrams` (which hash-aggregates the FULL gram table: correct,
+    but its exchange carries the whole vocabulary; a 10^12-turn corpus
+    with adversarial unique garbage makes that vocabulary corpus-sized).
+
+    Two passes, sketch-then-verify:
+
+    1. **Candidates** — one Arrow ``mapInPandas`` pass runs a
+       Misra-Gries summary of capacity ``k`` per partition (merged
+       batch-at-a-time by the mergeable-summaries rule: add the batch's
+       exact counts, then subtract the (k+1)-th largest counter from
+       all and drop non-positives — Agarwal et al., PODS 2012). The
+       classical guarantee survives the merge: any term with partition
+       count > (partition tokens)/(k+1) is in that partition's summary,
+       so by averaging any term with GLOBAL count > n/k is in the union
+       — the candidate set is a provable superset of every qualifying
+       term. Output is <= k rows per partition (+1 token-count row), so
+       the driver collect is model-sized and bounded by construction.
+    2. **Verify** — tokens explode map-side, a BROADCAST semi join
+       against the candidate set drops every non-candidate occurrence
+       BEFORE the exchange, and a map-side-combined hash agg counts the
+       survivors exactly; the strict threshold ``cnt * k > n_tokens``
+       runs in DECIMAL(38,0) (int64 wraps past cnt ~ 2^43 * k).
+
+    The OUTPUT is therefore exact and deterministic even though the
+    sketch is not: whatever extra near-heavy candidates a particular
+    partitioning lets survive pass 1, pass 2 counts them exactly and
+    the threshold filter keeps only true qualifiers — so the result is
+    independent of partitioning, batch sizes, and dict iteration order,
+    and a DuckDB oracle can replay it as plain GROUP BY ... HAVING
+    (GENUINE SQL; the sketch is pure mechanism, invisible in the
+    contract).
+
+    One row per qualifying term: ``(term, cnt, n_tokens, ratio_units)``
+    with ``ratio_units = cnt * units div n_tokens``. Tokens are
+    explicit-ASCII-class splits, no case fold (the source_vocab_stats
+    contract). Ties AT the threshold (cnt * k == n_tokens) are
+    excluded — the inequality is strict on both engines.
+
+    Reference: feast's categorical profiling is exact global top-N
+    (``dqm/profilers``-shaped); the sketch-verify composition follows
+    the public heavy-hitters literature (Misra-Gries 1982; Agarwal et
+    al. 2012 mergeable summaries).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kk = int(k)
+
+    def mg_pass(batches):
+        state = pd.Series(dtype="int64")
+        n_tok = 0
+        for pdf in batches:
+            flat = (
+                pdf[text_col]
+                .fillna("")
+                .str.split(r"[ \t\n\x0b\f\r]+", regex=True)
+                .explode()
+            )
+            flat = flat[flat.notna() & (flat != "")]
+            n_tok += len(flat)
+            if len(flat) == 0:
+                continue
+            state = state.add(flat.value_counts(), fill_value=0).astype(
+                "int64"
+            )
+            if len(state) > kk:
+                # mergeable-summaries decrement: subtract the (k+1)-th
+                # largest value, drop non-positives -> <= k survivors
+                kth = np.partition(state.to_numpy(), -(kk + 1))[-(kk + 1)]
+                state = state - int(kth)
+                state = state[state > 0]
+        yield pd.DataFrame(
+            {
+                "term": list(state.index) + [None],
+                "n": [0] * len(state) + [n_tok],
+            }
+        )
+
+    summary = docs.select(text_col).mapInPandas(
+        mg_pass, "term string, n long"
+    ).collect()
+    n_tokens = sum(r["n"] for r in summary if r["term"] is None)
+    cand = sorted({r["term"] for r in summary if r["term"] is not None})
+    spark = docs.sparkSession
+    if not cand or n_tokens == 0:
+        return spark.createDataFrame(
+            [],
+            "term string, cnt long, n_tokens long, ratio_units long",
+        )
+    cand_df = spark.createDataFrame([(t,) for t in cand], "term string")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\n\x0B\f\r]+"),
+        lambda x: F.length(x) > 0,
+    )
+    exploded = docs.select(F.explode(toks).alias("term"))
+    counted = (
+        exploded.join(F.broadcast(cand_df), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counted.filter(
+            F.expr(f"CAST(cnt AS DECIMAL(38,0)) * {kk}")
+            > F.lit(int(n_tokens)).cast("decimal(38,0)")
+        )
+        .select(
+            "term",
+            "cnt",
+            F.lit(int(n_tokens)).cast("long").alias("n_tokens"),
+            F.expr(
+                f"CAST((CAST(cnt AS DECIMAL(38,0)) * {units})"
+                f" DIV {int(n_tokens)} AS BIGINT)"
+            ).alias("ratio_units"),
+        )
     )

@@ -298,3 +298,70 @@ def test_zipf_profile_plan_has_mapside_window_group_limit(spark):
     # subtree; assert both the partial and final forms exist
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------- heavy hitters
+
+
+def test_frequent_terms_matches_exact_replay(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.lexical import frequent_terms
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(200)]  # vocab >> k forces evictions
+    docs = []
+    for i in range(300):
+        words = rng.choices(vocab, k=30)
+        if i % 3 == 0:
+            words += ["heavy_a"] * 4
+        if i % 5 == 0:
+            words += ["heavy_b"] * 6
+        docs.append((" ".join(words),))
+    df = spark.createDataFrame(docs, "text string").repartition(7)
+    k = 64
+    out = {r["term"]: r["cnt"] for r in frequent_terms(df, k=k).collect()}
+    c = Counter(w for (t,) in docs for w in t.split(" "))
+    n = sum(c.values())
+    exp = {t: v for t, v in c.items() if v * k > n}
+    assert out == exp
+    assert "heavy_a" in out and "heavy_b" in out
+    # partitioning must not change the OUTPUT (sketch is mechanism only)
+    out2 = {
+        r["term"]: r["cnt"]
+        for r in frequent_terms(df.repartition(2), k=k).collect()
+    }
+    assert out2 == exp
+    # ratio_units exactness
+    row = [
+        r for r in frequent_terms(df, k=k).collect() if r["term"] == "heavy_a"
+    ][0]
+    assert row["n_tokens"] == n
+    assert row["ratio_units"] == exp["heavy_a"] * (1 << 20) // n
+
+
+def test_frequent_terms_edges(spark):
+    from feast_spark.operators.lexical import frequent_terms
+
+    with pytest.raises(ValueError, match="k must be"):
+        frequent_terms(
+            spark.createDataFrame([("x",)], "text string"), k=0
+        )
+    # all-blank corpus -> empty frame with the contract schema
+    df = spark.createDataFrame([("",), (None,), ("   ",)], "text string")
+    out = frequent_terms(df, k=4)
+    assert out.count() == 0
+    assert out.columns == ["term", "cnt", "n_tokens", "ratio_units"]
+
+
+def test_frequent_terms_verify_pass_broadcasts_candidates(spark):
+    from feast_spark.operators.lexical import frequent_terms
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(frequent_terms(df, k=32))
+    # the exact pass must semi-join the broadcast candidate set BEFORE
+    # the exchange — never hash-aggregate the raw vocabulary
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
