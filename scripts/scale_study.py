@@ -251,6 +251,31 @@ def _one_size(spark, n_docs: int) -> dict:
     assert n_confirmed >= 0.95 * (n_docs // 10) * 3, n_confirmed
     release_dedup_caches()
 
+    # session 13: Zipf slope (vocab-bounded after the map-side top-R
+    # prune) and threshold heavy hitters (sketch-verify; the exchange
+    # carries candidates only). Heavy plant: one ' zzheavy' per doc ->
+    # cnt == n_docs must qualify at k=120 (~60 organic tokens/doc).
+    from feast_spark.operators.lexical import frequent_terms, zipf_profile
+
+    t0 = time.time()
+    zp = zipf_profile(docs, top_r=256).collect()
+    out["zipf_profile"] = {"wall_sec": round(time.time() - t0, 2),
+                           "n_groups": len(zp)}
+    assert all(r["slope_den"] > 0 for r in zp), "degenerate rank curve"
+    assert all(1 <= r["n_terms"] <= 256 for r in zp)
+
+    heavy = docs.withColumn(
+        "text", F.concat(F.coalesce("text", F.lit("")), F.lit(" zzheavy"))
+    )
+    t0 = time.time()
+    ft = frequent_terms(heavy, k=120).collect()
+    out["frequent_terms"] = {"wall_sec": round(time.time() - t0, 2),
+                             "n_heavy": len(ft)}
+    by_term = {r["term"]: r for r in ft}
+    assert "zzheavy" in by_term and by_term["zzheavy"]["cnt"] == n_docs
+    n_tok = ft[0]["n_tokens"]
+    assert all(r["cnt"] * 120 > n_tok for r in ft)
+
     bench_df = docs.filter(F.col("doc_id") % 41 == 0).select(
         F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")
     )
@@ -705,6 +730,50 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "n_moved": int(ro["n_moved"]),
         "turns_per_sec": round(n_turns / wall, 1),
     }
+    # session 13: writing-script census (map-only regex passes +
+    # defect-sized explode) and exact grouped length quantiles (the
+    # (role, value) agg bounds the window partitions by distinct word
+    # counts, never turns)
+    from feast_spark.operators.conversation import turn_length_quantiles
+    from feast_spark.operators.textqa import script_mix_stats
+
+    t0 = time.time()
+    sm = script_mix_stats(corpus).collect()
+    wall = round(time.time() - t0, 2)
+    assert all(r["n_chars"] > 0 for r in sm)
+    from collections import defaultdict
+
+    share_by_role = defaultdict(int)
+    for r in sm:
+        share_by_role[r["role"]] += r["share_units"]
+    # script classes are disjoint, so per-role shares can never exceed 1
+    assert all(v <= (1 << 20) for v in share_by_role.values()), share_by_role
+    out["script_mix"] = {
+        "wall_sec": wall,
+        "n_rows": len(sm),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+    t0 = time.time()
+    lq = turn_length_quantiles(corpus).collect()
+    wall = round(time.time() - t0, 2)
+    by_role: dict = {}
+    for r in lq:
+        by_role.setdefault(r["role"], []).append(
+            (r["probe_units"], r["q_value"], r["n_rows"])
+        )
+    for role, rows in by_role.items():
+        rows.sort()
+        qs = [q for _, q, _ in rows]
+        assert qs == sorted(qs), (role, qs)  # quantiles monotone in p
+    # role row counts partition the deduped corpus exactly
+    assert sum(rows[0][2] for rows in by_role.values()) == n_dedup
+    out["length_quantiles"] = {
+        "wall_sec": wall,
+        "n_rows": len(lq),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
     corpus.unpersist()
     return out
 
@@ -735,7 +804,8 @@ def main() -> None:
                           "clean_lines", "lexical_stats", "minhash_cc",
                           "curation", "shard_export", "readability",
                           "source_overlap", "token_budget",
-                          "minhash_profile")
+                          "minhash_profile", "zipf_profile",
+                          "frequent_terms")
             },
             **{
                 k: round(
@@ -743,7 +813,8 @@ def main() -> None:
                     / (cbig["n_turns"] / csmall["n_turns"]), 3)
                 for k in ("conv_curate", "conv_pack", "suffix_loops",
                           "fork_mask", "alternation_repair", "context_fit",
-                          "rule_sweep", "tool_args", "repair_order")
+                          "rule_sweep", "tool_args", "repair_order",
+                          "script_mix", "length_quantiles")
             },
         },
     }
