@@ -3222,6 +3222,18 @@ def q_frequent_terms(spark: SparkSession, sf: str) -> DataFrame:
     return frequent_terms(planted, k=120)
 
 
+def q_dataset_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 14: integer data card — one melted (metric, value)
+    # frame over the fixture (counts, role mix, exact length quantiles,
+    # TTR, script chars, PII hit totals, global Zipf slope). Oracle:
+    # FULL genuine DuckDB SQL — a UNION ALL of the proven per-lens
+    # fragments (dedup CTE shared; PII/script patterns interpolated via
+    # variables, never literally into the f-string).
+    from feast_spark.operators.profile import dataset_profile
+
+    return dataset_profile(_transcripts_fixture(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3243,6 +3255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 session 13b: threshold heavy hitters
         # (langid_classifier rotated to extras — the language family
         # stays driver-covered via conv_language + script_mix)
+        # round 5 session 14: melted integer data card (conv_pii rotated
+        # to extras — the PII family stays driver-covered via pii_echo +
+        # the card's pii_*_hits rows)
+        "dataset_profile": q_dataset_profile,
         "frequent_terms": q_frequent_terms,
         "length_quantiles": q_length_quantiles,
         "script_mix": q_script_mix,
@@ -3328,7 +3344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
         "conv_curate": q_conv_curate,
-        "conv_pii": q_conv_pii,
         "conv_pack": q_conv_pack,
         "bm25_topk": q_bm25_topk,
         # round 4: trained langid + LM + source cap + quantile calibration
@@ -3361,6 +3376,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dup_clusters": q_dup_clusters,
         "langid_classifier": q_langid_classifier,
+        "conv_pii": q_conv_pii,
         # rotated round 5 session 12 (still pytest-oracled here; the
         # per-source family stays driver-covered via source_vocab, the
         # tool family via tool_json/tool_latency/tool_args, repetition
@@ -3610,6 +3626,27 @@ def _all_oracle_sql() -> dict[str, str]:
     _probe_values = ", ".join(
         f"(CAST({int(v)} AS BIGINT))" for v in _len_probes
     )
+    from feast_spark.rules import SCRUB_PATTERNS as _scrub_all
+
+    _card_pii_arms = "\n              UNION ALL ".join(
+        f"SELECT 'pii_{k}_hits' AS metric,"
+        f" CAST(COALESCE(SUM(len(regexp_extract_all(t, '{pat}'))), 0)"
+        f" AS BIGINT) AS value FROM d2"
+        for k, pat, _ in _scrub_all
+    )
+    _card_script_arms = "\n              UNION ALL ".join(
+        f"SELECT 'script_chars_{k}' AS metric,"
+        f" CAST(SUM(length(t) - length(regexp_replace(t, '{pat}', '',"
+        f" 'g'))) AS BIGINT) AS value FROM d2"
+        for k, pat in _script_classes
+    )
+    _card_probe_values = ", ".join(
+        f"({p_}, '{n_}')"
+        for p_, n_ in (
+            (524288, "words_p50"), (943718, "words_p90"),
+            (1038090, "words_p99"),
+        )
+    )
     _script_arms = "\n              UNION ALL ".join(
         f"SELECT conv_id, role, '{k}' AS script, length(t) -"
         f" length(regexp_replace(t, '{pat}', '', 'g')) AS cnt FROM d2"
@@ -3619,6 +3656,92 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "dataset_profile": f"""
+            -- FULL genuine-SQL twin of dataset_profile: shared dedup
+            -- CTE, one arm per lens, UNION ALL melt. Script classes
+            -- with zero hits are absent BY CONTRACT; zero-hit PII
+            -- patterns stay (a vanished pattern is drift).
+            WITH raw AS (
+              SELECT * FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM raw
+              ) WHERE rn = 1
+            ), d2 AS (
+              SELECT conv_id, role, COALESCE(text, '') AS t FROM d
+            ), wc AS (
+              SELECT CAST(len(list_filter(string_split_regex(t,
+                '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS v
+              FROM d2
+            ), wcc AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM wc GROUP BY v
+            ), wcum AS (
+              SELECT v,
+                CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER () AS BIGINT) AS n
+              FROM wcc
+            ), qprobes AS (
+              SELECT * FROM (VALUES {_card_probe_values})
+                p(probe_units, metric)
+            ), qhit AS (
+              SELECT metric, v, cum,
+                CAST((CAST(probe_units AS HUGEINT) * n + 1048575)
+                     // 1048576 AS BIGINT) AS rnk
+              FROM wcum CROSS JOIN qprobes
+            ), tf AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (
+                SELECT unnest(list_filter(string_split_regex(t,
+                  '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
+                FROM d2
+              ) GROUP BY term
+            ), zrk AS (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY tf DESC, term) AS rank
+              FROM tf
+            ), ztop AS (
+              SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS lx,
+                CAST(length(bin(tf)) - 1 AS BIGINT) AS ly
+              FROM zrk WHERE rank <= 256
+            ), za AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                SUM(lx) AS sx, SUM(ly) AS sy,
+                SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+              FROM ztop
+            ), melted AS (
+              SELECT 'n_turns_raw' AS metric,
+                CAST(COUNT(*) AS BIGINT) AS value FROM raw
+              UNION ALL SELECT 'n_turns', CAST(COUNT(*) AS BIGINT) FROM d
+              UNION ALL SELECT 'n_convs',
+                CAST(COUNT(DISTINCT conv_id) AS BIGINT) FROM d
+              UNION ALL SELECT 'n_words',
+                CAST(COALESCE(SUM(len(list_filter(string_split_regex(t,
+                  '[ \t\n\x0b\f\r]+'), x -> x <> ''))), 0)
+                  AS BIGINT) FROM d2
+              UNION ALL SELECT 'n_chars',
+                CAST(COALESCE(SUM(length(t)), 0) AS BIGINT) FROM d2
+              UNION ALL SELECT 'turns_role_' || role,
+                CAST(COUNT(*) AS BIGINT) FROM d2 GROUP BY role
+              UNION ALL {_card_script_arms}
+              UNION ALL {_card_pii_arms}
+              UNION ALL
+              SELECT metric, CAST(MIN(v) AS BIGINT)
+              FROM qhit WHERE cum >= rnk GROUP BY metric
+              UNION ALL SELECT 'ttr_units',
+                CAST((CAST(COUNT(*) AS HUGEINT) * 1048576) // SUM(tf)
+                  AS BIGINT) FROM tf
+              UNION ALL
+              SELECT 'zipf_slope_units',
+                CAST(((n_terms * sxy - sx * sy) * 1048576)
+                     // (n_terms * sxx - sx * sx) AS BIGINT)
+              FROM za WHERE n_terms * sxx - sx * sx <> 0
+            )
+            SELECT metric, value FROM melted
+            WHERE metric NOT LIKE 'script_chars_%' OR value > 0
+        """,
         "frequent_terms": """
             -- FULL genuine-SQL twin of frequent_terms (k=120) under the
             -- every-2nd-doc ' zzheavy zzheavy' plant: exact token

@@ -194,6 +194,7 @@ HEADLINE = [
     "script_mix",
     "zipf_profile",
     "frequent_terms",
+    "dataset_profile",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

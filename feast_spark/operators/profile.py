@@ -420,3 +420,171 @@ def drift_psi_categorical(
         )
 
     return _psi_from_counts(_folded(cntr), _folded(cntc), eps)
+
+
+def dataset_profile(
+    turns: DataFrame,
+    pre_deduped: bool = False,
+    top_r: int = 256,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Integer data card for a transcript corpus — ONE melted
+    ``(metric, value)`` frame carrying the standard release-manifest
+    numbers every corpus card publishes (counts, role mix, length
+    quantiles, vocabulary health, script mix, PII density, Zipf shape),
+    each bit-identical cross-engine so two snapshots diff exactly.
+    :func:`drift_psi` compares FEATURE distributions between runs; this
+    is the corpus-grain summary those runs are ABOUT, and the natural
+    left/right input for an ingest-batch diff (profile batch A, profile
+    batch B, join on metric).
+
+    Metrics (all int64):
+
+    - ``n_turns_raw`` / ``n_turns`` / ``n_convs`` — delivered rows,
+      latest-per-key deduped turns, distinct conversations
+    - ``n_words`` / ``n_chars`` — explicit-ASCII-class token count and
+      codepoint count over deduped turns
+    - ``turns_role_<role>`` — deduped turns per role
+    - ``words_p50`` / ``words_p90`` / ``words_p99`` — exact lower
+      discrete words-per-turn quantiles (the
+      :func:`feast_spark.operators.aggregate.grouped_quantiles`
+      contract, single global group)
+    - ``ttr_units`` — global type-token ratio in 2^-20 units
+    - ``script_chars_<kind>`` — codepoints per writing-script class
+      (only classes with hits emit rows)
+    - ``pii_<kind>_hits`` — total matches per SCRUB pattern (every
+      pattern emits a row, zero included — a vanished pattern is drift)
+    - ``zipf_slope_units`` — global Zipf slope (omitted when the rank
+      curve is degenerate, i.e. fewer than two distinct log2 ranks)
+
+    Plan at 10^12 turns: dedup feeds ONE global hash agg computing
+    counts, chars, words, every script-class count and every PII count
+    as parallel sums in the same pass (single-row result), plus one
+    role-grain agg and one bounded (value)-grain agg for the quantiles
+    — all map-side combined; the vocabulary metrics reuse ONE (term)
+    hash agg shared by ttr and the Zipf top-R (map-side
+    WindowGroupLimit). Everything melted is literal- or
+    dimension-sized; nothing corpus-sized crosses a union.
+
+    The global quantile and Zipf windows are single-partition (Spark
+    warns), but their INPUT is bounded by construction: the quantile
+    window sees one row per DISTINCT word count (thousands at any
+    corpus size) and the Zipf window is fed <= top_r rows per map task
+    by the map-side WindowGroupLimit — the same bounded-funnel argument
+    as TakeOrderedAndProject.
+    """
+    from feast_spark.operators.aggregate import grouped_quantiles
+    from feast_spark.operators.conversation import _deduped
+    from feast_spark.operators.lexical import zipf_profile
+    from feast_spark.operators.textqa import SCRIPT_CLASSES
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    spark = turns.sparkSession
+    d = turns if pre_deduped else _deduped(turns)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(
+        F.split(t, "[ \t\n\x0B\f\r]+"), lambda x: F.length(x) > 0
+    )
+
+    def _row(metric: str, col) -> list:
+        return [F.struct(F.lit(metric).alias("metric"), col.alias("value"))]
+
+    # pass 1: one global agg — counts + chars + words + scripts + pii
+    base_exprs = (
+        _row("n_turns", F.count(F.lit(1)).cast("long"))
+        + _row("n_convs", F.countDistinct("conv_id").cast("long"))
+        + _row("n_words", F.sum(F.size(toks)).cast("long"))
+        + _row("n_chars", F.sum(F.length(t)).cast("long"))
+        + [
+            F.struct(
+                F.lit(f"script_chars_{k}").alias("metric"),
+                F.sum(
+                    F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+                ).cast("long").alias("value"),
+            )
+            for k, pat in SCRIPT_CLASSES
+        ]
+        + [
+            F.struct(
+                F.lit(f"pii_{k}_hits").alias("metric"),
+                F.sum(F.regexp_count(t, F.lit(pat))).cast("long").alias(
+                    "value"
+                ),
+            )
+            for k, pat, _ in SCRUB_PATTERNS
+        ]
+    )
+    global_rows = (
+        d.agg(F.array(*base_exprs).alias("__m"))
+        .select(F.explode("__m").alias("__s"))
+        .select("__s.metric", "__s.value")
+        # zero-hit script classes are absent by CONTRACT (mirrors
+        # script_mix_stats); zero-hit PII patterns stay (drift signal)
+        .filter(
+            ~F.col("metric").startswith("script_chars_")
+            | (F.col("value") > 0)
+        )
+    )
+    raw_rows = turns.agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(F.lit("n_turns_raw").alias("metric"), "value")
+    role_rows = d.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(
+        F.concat(F.lit("turns_role_"), F.col("role")).alias("metric"),
+        "value",
+    )
+
+    # pass 2: words-per-turn quantiles (bounded distinct-value grain)
+    wc = d.select(
+        F.lit("all").alias("__g"), F.size(toks).cast("long").alias("__wc")
+    )
+    qname = {524288: "words_p50", 943718: "words_p90", 1038090: "words_p99"}
+    q_rows = grouped_quantiles(
+        wc, ["__g"], "__wc", list(qname), units=units
+    ).select(
+        F.element_at(
+            F.create_map(
+                *[x for p, n in qname.items() for x in (F.lit(p), F.lit(n))]
+            ),
+            F.col("probe_units"),
+        ).alias("metric"),
+        F.col("q_value").alias("value"),
+    )
+
+    # pass 3: vocabulary — ttr + zipf share the (term) aggregation
+    tf = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    ttr_rows = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("__types"),
+        F.sum("tf").cast("long").alias("__toks"),
+    ).select(
+        F.lit("ttr_units").alias("metric"),
+        F.expr(
+            f"CAST((CAST(__types AS DECIMAL(38,0)) * {units})"
+            " DIV __toks AS BIGINT)"
+        ).alias("value"),
+    )
+    zipf_rows = (
+        zipf_profile(
+            d.select(F.lit("all").alias("__src"), t.alias("text")),
+            group_col="__src",
+            top_r=top_r,
+            units=units,
+        )
+        .filter(F.col("slope_units").isNotNull())
+        .select(
+            F.lit("zipf_slope_units").alias("metric"),
+            F.col("slope_units").alias("value"),
+        )
+    )
+    return (
+        raw_rows.unionByName(global_rows)
+        .unionByName(role_rows)
+        .unionByName(q_rows)
+        .unionByName(ttr_rows)
+        .unionByName(zipf_rows)
+    )

@@ -254,7 +254,8 @@ def _one_size(spark, n_docs: int) -> dict:
     # session 13: Zipf slope (vocab-bounded after the map-side top-R
     # prune) and threshold heavy hitters (sketch-verify; the exchange
     # carries candidates only). Heavy plant: one ' zzheavy' per doc ->
-    # cnt == n_docs must qualify at k=120 (~60 organic tokens/doc).
+    # mass = 1/(avg words+1) ~ 1/600 of tokens at EVERY corpus size, so
+    # it must qualify at k=2048 (threshold 1/2048) at both sizes.
     from feast_spark.operators.lexical import frequent_terms, zipf_profile
 
     t0 = time.time()
@@ -267,14 +268,15 @@ def _one_size(spark, n_docs: int) -> dict:
     heavy = docs.withColumn(
         "text", F.concat(F.coalesce("text", F.lit("")), F.lit(" zzheavy"))
     )
+    n_rows = docs.count()  # corpus carries planted near-dup EXTRA rows
     t0 = time.time()
-    ft = frequent_terms(heavy, k=120).collect()
+    ft = frequent_terms(heavy, k=2048).collect()
     out["frequent_terms"] = {"wall_sec": round(time.time() - t0, 2),
                              "n_heavy": len(ft)}
     by_term = {r["term"]: r for r in ft}
-    assert "zzheavy" in by_term and by_term["zzheavy"]["cnt"] == n_docs
+    assert "zzheavy" in by_term and by_term["zzheavy"]["cnt"] == n_rows
     n_tok = ft[0]["n_tokens"]
-    assert all(r["cnt"] * 120 > n_tok for r in ft)
+    assert all(r["cnt"] * 2048 > n_tok for r in ft)
 
     bench_df = docs.filter(F.col("doc_id") % 41 == 0).select(
         F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("bench_text")

@@ -365,3 +365,53 @@ def test_frequent_terms_verify_pass_broadcasts_candidates(spark):
     # the exchange — never hash-aggregate the raw vocabulary
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- data card
+
+
+def test_dataset_profile_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.profile import dataset_profile
+
+    t = transcripts_spark(spark, 60, seed=9)
+    card = {r["metric"]: r["value"] for r in dataset_profile(t).collect()}
+    # role counts partition the deduped corpus
+    roles = {k: v for k, v in card.items() if k.startswith("turns_role_")}
+    assert sum(roles.values()) == card["n_turns"]
+    assert card["n_turns"] <= card["n_turns_raw"]
+    assert card["n_convs"] == 60
+    # quantiles are monotone and n_words-consistent
+    assert card["words_p50"] <= card["words_p90"] <= card["words_p99"]
+    # every PII pattern emits a row (zero included); script classes only
+    # emit on hits
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    for k, _, _ in SCRUB_PATTERNS:
+        assert f"pii_{k}_hits" in card
+    assert all(v > 0 for k, v in card.items() if k.startswith("script_chars_"))
+    # cross-check two direct facts
+    assert card["n_turns_raw"] == t.count()
+    ded = t.groupBy("conv_id", "turn_idx").count().count()
+    assert card["n_turns"] == ded
+
+
+def test_dataset_profile_quantiles_match_kernel(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import turn_length_quantiles
+    from feast_spark.operators.profile import dataset_profile
+
+    t = transcripts_spark(spark, 40, seed=3)
+    card = {r["metric"]: r["value"] for r in dataset_profile(t).collect()}
+    # global quantiles from the card == role-pooled quantiles from the
+    # kernel run with a single collapsed group
+    pooled = turn_length_quantiles(
+        t.withColumn("role", __import__("pyspark").sql.functions.lit("x")),
+        probe_units=[524288, 943718, 1038090],
+    ).collect()
+    by_probe = {r["probe_units"]: r["q_value"] for r in pooled}
+    assert card["words_p50"] == by_probe[524288]
+    assert card["words_p90"] == by_probe[943718]
+    assert card["words_p99"] == by_probe[1038090]
