@@ -195,6 +195,7 @@ HEADLINE = [
     "zipf_profile",
     "frequent_terms",
     "dataset_profile",
+    "profile_drift",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

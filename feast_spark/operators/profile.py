@@ -588,3 +588,53 @@ def dataset_profile(
         .unionByName(ttr_rows)
         .unionByName(zipf_rows)
     )
+
+
+def profile_drift(
+    turns_a: DataFrame,
+    turns_b: DataFrame,
+    units: int = 1 << 20,
+    **profile_kwargs,
+) -> DataFrame:
+    """Diff two :func:`dataset_profile` data cards — the ingest-batch /
+    release-to-release corpus drift report: one row per metric with
+    both values, the integer delta, and a relative-change figure.
+    :func:`drift_psi` compares FEATURE DISTRIBUTIONS bucket-by-bucket;
+    this compares the corpus-grain manifest numbers themselves (did the
+    role mix shift, did p99 turn length jump, did a PII pattern vanish,
+    did the Zipf slope flatten) — the first screen a fleet operator
+    reads before reaching for the distributional lenses.
+
+    Output per metric present in EITHER card: ``(metric, value_a,
+    value_b, delta, rel_units)``. A metric absent from one side keeps
+    that side NULL (and NULL delta) — absence is itself the signal
+    (e.g. a script class appearing for the first time). ``rel_units =
+    (value_b - value_a) * units div value_a`` only when ``value_a > 0``
+    (relative change against a negative or zero base is not
+    meaningful); DECIMAL(38,0) numerator, truncation toward zero on
+    both engines.
+
+    Plan: two card plans (each bounded as documented on
+    :func:`dataset_profile`) + one full-outer join on a metric
+    dimension of a few dozen rows — nothing corpus-sized.
+    """
+    a = dataset_profile(turns_a, units=units, **profile_kwargs).select(
+        "metric", F.col("value").alias("value_a")
+    )
+    b = dataset_profile(turns_b, units=units, **profile_kwargs).select(
+        "metric", F.col("value").alias("value_b")
+    )
+    j = a.join(b, "metric", "full_outer")
+    return j.select(
+        "metric",
+        "value_a",
+        "value_b",
+        (F.col("value_b") - F.col("value_a")).cast("long").alias("delta"),
+        F.when(
+            F.col("value_a") > 0,
+            F.expr(
+                f"CAST((CAST(value_b - value_a AS DECIMAL(38,0)) * {units})"
+                " DIV value_a AS BIGINT)"
+            ),
+        ).cast("long").alias("rel_units"),
+    )

@@ -415,3 +415,39 @@ def test_dataset_profile_quantiles_match_kernel(spark):
     assert card["words_p50"] == by_probe[524288]
     assert card["words_p90"] == by_probe[943718]
     assert card["words_p99"] == by_probe[1038090]
+
+
+def test_profile_drift_composition(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.profile import dataset_profile, profile_drift
+
+    t = transcripts_spark(spark, 50, seed=11)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    a = t.filter(F.pmod(idx, F.lit(2)) == 0)
+    b = t.filter(F.pmod(idx, F.lit(2)) == 1)
+    drift = {r["metric"]: r for r in profile_drift(a, b).collect()}
+    card_a = {r["metric"]: r["value"] for r in dataset_profile(a).collect()}
+    card_b = {r["metric"]: r["value"] for r in dataset_profile(b).collect()}
+    assert set(drift) == set(card_a) | set(card_b)
+    for m, r in drift.items():
+        assert r["value_a"] == card_a.get(m)
+        assert r["value_b"] == card_b.get(m)
+        if m in card_a and m in card_b:
+            assert r["delta"] == card_b[m] - card_a[m]
+            if card_a[m] > 0:
+                d = card_b[m] - card_a[m]
+                exp = (
+                    (d * (1 << 20)) // card_a[m]
+                    if d >= 0
+                    else -((-d * (1 << 20)) // card_a[m])
+                )
+                assert r["rel_units"] == exp, (m, r["rel_units"], exp)
+            else:
+                assert r["rel_units"] is None
+        else:
+            assert r["delta"] is None and r["rel_units"] is None
+    # an identical pair drifts nowhere
+    same = profile_drift(a, a).filter("delta != 0 OR delta IS NULL").count()
+    assert same == 0
