@@ -3753,7 +3753,7 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM qhit WHERE cum >= rnk GROUP BY metric
               UNION ALL SELECT 'ttr_units',
                 CAST((CAST(COUNT(*) AS HUGEINT) * 1048576) // SUM(tf)
-                  AS BIGINT) FROM tf
+                  AS BIGINT) FROM tf HAVING SUM(tf) IS NOT NULL
               UNION ALL
               SELECT 'zipf_slope_units',
                 CAST(((n_terms * sxy - sx * sy) * 1048576)

@@ -199,7 +199,11 @@ def grouped_quantiles(
     fraction, ``0 < p <= units``) the answer is the lower discrete
     quantile: the smallest value ``v`` in the group such that at least
     ``ceil(p * n / units)`` of the group's rows have ``value <= v``
-    (``n`` = group row count). All arithmetic is integer — the rank
+    (``n`` = group row count). Rows whose value is NULL are EXCLUDED —
+    from ``n_rows`` and from the ranks: a missing measurement is not a
+    smallest value (and Spark's NULLS FIRST vs DuckDB's NULLS LAST
+    window conventions would otherwise diverge); callers wanting NULLs
+    counted must coalesce first. All arithmetic is integer — the rank
     threshold runs in DECIMAL(38,0) (Spark IntegralDivide -> BIGINT /
     DuckDB HUGEINT) so ``p * n`` cannot wrap int64 at 10^12 rows — and
     the result is therefore bit-identical cross-engine (GENUINE SQL
@@ -235,7 +239,8 @@ def grouped_quantiles(
         raise ValueError(f"duplicate probe_units: {probe_units}")
 
     counts = (
-        df.groupBy(*group_cols, F.col(value_col).cast("long").alias("__v"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).cast("long").alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
     w_cum = (

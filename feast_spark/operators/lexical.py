@@ -46,6 +46,7 @@ __all__ = [
     "compression_stats_pdf_batch",
     "compression_stats",
     "zipf_profile",
+    "zipf_from_counts",
     "frequent_terms",
 ]
 
@@ -484,6 +485,24 @@ def zipf_profile(
         .groupBy("group", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    return zipf_from_counts(tf, top_r=top_r, units=units)
+
+
+def zipf_from_counts(
+    tf: DataFrame,
+    top_r: int = 256,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """The rank/log2/OLS half of :func:`zipf_profile` over an existing
+    ``(group, term, tf)`` count relation — so a caller that already
+    holds the vocabulary aggregation (e.g. ``dataset_profile``, which
+    shares one (group, term) agg between TTR and the slope) does not
+    tokenize and shuffle the corpus a second time. Contract and plan
+    shape are exactly :func:`zipf_profile`'s from the counts onward."""
+    from pyspark.sql import Window
+
+    if top_r < 1:
+        raise ValueError(f"top_r must be >= 1, got {top_r}")
     win = Window.partitionBy("group").orderBy(F.col("tf").desc(), F.col("term"))
     ranked = (
         tf.withColumn("rank", F.row_number().over(win))

@@ -422,11 +422,15 @@ def drift_psi_categorical(
     return _psi_from_counts(_folded(cntr), _folded(cntc), eps)
 
 
+_CARD_UNITS = 1 << 20  # fixed: the probe names (words_p50/p90/p99) are
+# 2^-20-denominated constants, so the card's unit scale is part of its
+# metric CONTRACT, not a parameter
+
+
 def dataset_profile(
     turns: DataFrame,
     pre_deduped: bool = False,
     top_r: int = 256,
-    units: int = 1 << 20,
 ) -> DataFrame:
     """Integer data card for a transcript corpus — ONE melted
     ``(metric, value)`` frame carrying the standard release-manifest
@@ -475,9 +479,11 @@ def dataset_profile(
     """
     from feast_spark.operators.aggregate import grouped_quantiles
     from feast_spark.operators.conversation import _deduped
-    from feast_spark.operators.lexical import zipf_profile
+    from feast_spark.operators.lexical import zipf_from_counts
     from feast_spark.operators.textqa import SCRIPT_CLASSES
     from feast_spark.rules import SCRUB_PATTERNS
+
+    units = _CARD_UNITS
 
     spark = turns.sparkSession
     d = turns if pre_deduped else _deduped(turns)
@@ -493,8 +499,14 @@ def dataset_profile(
     base_exprs = (
         _row("n_turns", F.count(F.lit(1)).cast("long"))
         + _row("n_convs", F.countDistinct("conv_id").cast("long"))
-        + _row("n_words", F.sum(F.size(toks)).cast("long"))
-        + _row("n_chars", F.sum(F.length(t)).cast("long"))
+        + _row(
+            "n_words",
+            F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long"),
+        )
+        + _row(
+            "n_chars",
+            F.coalesce(F.sum(F.length(t)), F.lit(0)).cast("long"),
+        )
         + [
             F.struct(
                 F.lit(f"script_chars_{k}").alias("metric"),
@@ -507,9 +519,8 @@ def dataset_profile(
         + [
             F.struct(
                 F.lit(f"pii_{k}_hits").alias("metric"),
-                F.sum(F.regexp_count(t, F.lit(pat))).cast("long").alias(
-                    "value"
-                ),
+                F.coalesce(F.sum(F.regexp_count(t, F.lit(pat))), F.lit(0))
+                .cast("long").alias("value"),
             )
             for k, pat, _ in SCRUB_PATTERNS
         ]
@@ -552,29 +563,33 @@ def dataset_profile(
         F.col("q_value").alias("value"),
     )
 
-    # pass 3: vocabulary — ttr + zipf share the (term) aggregation
+    # pass 3: vocabulary — ttr and zipf share ONE (group, term) hash
+    # agg: both branches reference the IDENTICAL aggregation subtree
+    # (same literal group key), so AQE's ReuseExchange deduplicates the
+    # tokenize+shuffle instead of running it once per branch
     tf = (
-        d.select(F.explode(toks).alias("term"))
-        .groupBy("term")
+        d.select(F.lit("all").alias("group"), F.explode(toks).alias("term"))
+        .groupBy("group", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    ttr_rows = tf.agg(
-        F.count(F.lit(1)).cast("long").alias("__types"),
-        F.sum("tf").cast("long").alias("__toks"),
-    ).select(
-        F.lit("ttr_units").alias("metric"),
-        F.expr(
-            f"CAST((CAST(__types AS DECIMAL(38,0)) * {units})"
-            " DIV __toks AS BIGINT)"
-        ).alias("value"),
+    ttr_rows = (
+        tf.agg(
+            F.count(F.lit(1)).cast("long").alias("__types"),
+            F.sum("tf").cast("long").alias("__toks"),
+        )
+        .select(
+            F.lit("ttr_units").alias("metric"),
+            F.expr(
+                f"CAST((CAST(__types AS DECIMAL(38,0)) * {units})"
+                " DIV __toks AS BIGINT)"
+            ).alias("value"),
+        )
+        # empty corpus: zero tokens -> NULL division -> no row (matches
+        # the oracle's HAVING guard)
+        .filter(F.col("value").isNotNull())
     )
     zipf_rows = (
-        zipf_profile(
-            d.select(F.lit("all").alias("__src"), t.alias("text")),
-            group_col="__src",
-            top_r=top_r,
-            units=units,
-        )
+        zipf_from_counts(tf, top_r=top_r, units=units)
         .filter(F.col("slope_units").isNotNull())
         .select(
             F.lit("zipf_slope_units").alias("metric"),
@@ -593,7 +608,6 @@ def dataset_profile(
 def profile_drift(
     turns_a: DataFrame,
     turns_b: DataFrame,
-    units: int = 1 << 20,
     **profile_kwargs,
 ) -> DataFrame:
     """Diff two :func:`dataset_profile` data cards — the ingest-batch /
@@ -609,7 +623,8 @@ def profile_drift(
     value_b, delta, rel_units)``. A metric absent from one side keeps
     that side NULL (and NULL delta) — absence is itself the signal
     (e.g. a script class appearing for the first time). ``rel_units =
-    (value_b - value_a) * units div value_a`` only when ``value_a > 0``
+    (value_b - value_a) * 2^20 div value_a`` (the card's fixed unit
+    scale) only when ``value_a > 0``
     (relative change against a negative or zero base is not
     meaningful); DECIMAL(38,0) numerator, truncation toward zero on
     both engines.
@@ -618,10 +633,11 @@ def profile_drift(
     :func:`dataset_profile`) + one full-outer join on a metric
     dimension of a few dozen rows — nothing corpus-sized.
     """
-    a = dataset_profile(turns_a, units=units, **profile_kwargs).select(
+    units = _CARD_UNITS
+    a = dataset_profile(turns_a, **profile_kwargs).select(
         "metric", F.col("value").alias("value_a")
     )
-    b = dataset_profile(turns_b, units=units, **profile_kwargs).select(
+    b = dataset_profile(turns_b, **profile_kwargs).select(
         "metric", F.col("value").alias("value_b")
     )
     j = a.join(b, "metric", "full_outer")

@@ -451,3 +451,52 @@ def test_profile_drift_composition(spark):
     # an identical pair drifts nowhere
     same = profile_drift(a, a).filter("delta != 0 OR delta IS NULL").count()
     assert same == 0
+
+
+def test_grouped_quantiles_excludes_null_values(spark):
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    rows = [("g", None), ("g", None), ("g", None), ("g", 5), ("g", 100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["probe_units"]: (r["n_rows"], r["q_value"])
+        for r in grouped_quantiles(df, ["g"], "v", [524288, 1048576]).collect()
+    }
+    # NULLs excluded: n = 2, median = 5, max = 100 (NULLS-FIRST counting
+    # would have given n = 5 and a phantom median)
+    assert out == {524288: (2, 5), 1048576: (2, 100)}
+
+
+def test_dataset_profile_empty_corpus_contract(spark):
+    from feast_spark.operators.profile import dataset_profile
+    from feast_spark.rules import SCRUB_PATTERNS
+
+    empty = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    card = {r["metric"]: r["value"] for r in dataset_profile(empty).collect()}
+    # counts and PII rows are present with ZERO (not NULL); distribution
+    # rows (quantiles, ttr, zipf, scripts, roles) are absent
+    assert card["n_turns_raw"] == 0 and card["n_turns"] == 0
+    assert card["n_words"] == 0 and card["n_chars"] == 0
+    for k, _, _ in SCRUB_PATTERNS:
+        assert card[f"pii_{k}_hits"] == 0
+    assert "ttr_units" not in card and "words_p50" not in card
+    assert not any(m.startswith("script_chars_") for m in card)
+
+
+def test_dataset_profile_reuses_vocab_exchange(spark):
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.profile import dataset_profile
+
+    t = transcripts_spark(spark, 20, seed=1)
+    df = dataset_profile(t)
+    df.collect()  # AQE decides reuse at runtime — read the FINAL plan
+    plan = _plan(df)
+    # ttr and zipf branches must reference the IDENTICAL (group, term)
+    # aggregation so the tokenize+shuffle runs once (ReusedExchange in
+    # the executed plan), not once per branch
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
