@@ -3250,6 +3250,16 @@ def q_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tool_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 14: exact per-tool latency quantiles (pytest-gate
+    # extra — the window is full; tool_latency keeps the histogram form
+    # in the driver artifact). Oracle: FULL genuine SQL — epoch_us lag,
+    # positive-gap filter, ms quantization, the quantile fragment.
+    from feast_spark.operators.conversation import tool_latency_quantiles
+
+    return tool_latency_quantiles(_transcripts_fixture(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3390,6 +3400,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated round 5 session 13 (still pytest-oracled here; all
         # three carry green r03+r04 driver rows — family coverage notes
         # in queries())
+        "tool_latency_q": q_tool_latency_quantiles,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "dup_clusters": q_dup_clusters,
@@ -3767,6 +3778,52 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "tool_latency_q": f"""
+            -- FULL genuine-SQL twin of tool_latency_quantiles: same
+            -- dedup, epoch_us lag gap, positive-gap tool filter, ms
+            -- quantization (// 1000, positive-only so truncation
+            -- direction is moot), the grouped-quantile fragment
+            WITH d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), lat AS (
+              SELECT tool, role,
+                epoch_us(ts) - epoch_us(lag(ts) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx)) AS lat_us
+              FROM d
+            ), calls AS (
+              SELECT tool, CAST(lat_us // 1000 AS BIGINT) AS v
+              FROM lat
+              WHERE role = 'tool' AND tool IS NOT NULL AND lat_us > 0
+            ), c AS (
+              SELECT tool, v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM calls GROUP BY tool, v
+            ), cum AS (
+              SELECT tool, v,
+                CAST(SUM(cnt) OVER (
+                  PARTITION BY tool ORDER BY v) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY tool) AS BIGINT) AS n
+              FROM c
+            ), pr AS (
+              SELECT * FROM (VALUES (CAST(524288 AS BIGINT)), (943718),
+                (1038090)) p(probe_units)
+            ), hit AS (
+              SELECT tool, probe_units, v, cum, n,
+                CAST((CAST(probe_units AS HUGEINT) * n + 1048575)
+                     // 1048576 AS BIGINT) AS rnk
+              FROM cum CROSS JOIN pr
+            )
+            SELECT tool, CAST(probe_units AS BIGINT) AS probe_units,
+              CAST(MAX(n) AS BIGINT) AS n_rows,
+              CAST(MAX(rnk) AS BIGINT) AS "rank",
+              CAST(MIN(v) AS BIGINT) AS q_value
+            FROM hit WHERE cum >= rnk
+            GROUP BY tool, probe_units
+        """,
         "dataset_profile": _card_sql("TRUE"),
         "profile_drift": f"""
             -- FULL genuine-SQL twin of profile_drift over the

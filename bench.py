@@ -1483,8 +1483,29 @@ def main() -> None:
         ).collect()[0]
     assert int(tj["bound_violations"]) == 0 and int(tj["calls"]) > 0, tj
 
+    # round 5 session 14: the data card at corpus scale. Invariants
+    # in-artifact: role rows partition the deduped count, quantiles
+    # monotone, every PII pattern row present.
+    from feast_spark.operators.profile import dataset_profile
+
+    with _Window() as wdc:
+        dc = {
+            r["metric"]: r["value"]
+            for r in dataset_profile(spark.read.parquet(tpath)).collect()
+        }
+    assert sum(
+        v for k, v in dc.items() if k.startswith("turns_role_")
+    ) == dc["n_turns"], dc
+    assert dc["words_p50"] <= dc["words_p90"] <= dc["words_p99"], dc
+    from feast_spark.rules import SCRUB_PATTERNS as _card_scrub
+
+    assert all(f"pii_{k}_hits" in dc for k, _, _ in _card_scrub), dc
+
     conv_grain = {
         "n_turns": n_turns,
+        "data_card_wall_sec": round(wdc.wall, 3),
+        "data_card_turns_per_sec": round(n_turns / wdc.wall, 1),
+        "card_n_metrics": len(dc),
         "turn_dedup_wall_sec": round(wtd.wall, 3),
         "turn_dedup_turns_per_sec": round(n_turns / wtd.wall, 1),
         "n_eligible": int(td["n_eligible"]),

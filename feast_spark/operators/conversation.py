@@ -76,6 +76,7 @@ __all__ = [
     "tool_arg_key_stats",
     "repair_turn_order",
     "turn_length_quantiles",
+    "tool_latency_quantiles",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -2278,3 +2279,50 @@ def turn_length_quantiles(
         ).cast("long").alias("n_words"),
     )
     return grouped_quantiles(wc, ["role"], "n_words", probe_units)
+
+
+def tool_latency_quantiles(
+    turns: DataFrame,
+    probe_units: list[int] | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Exact per-tool response-latency quantiles in MILLISECONDS — the
+    percentile companion of :func:`tool_latency_histogram` (same
+    request->result gap, same exclusions): the histogram shows the
+    shape, this answers "what IS tool X's p99 now" as one exact integer
+    per (tool, probe) that two runs diff bit-for-bit.
+
+    Latency derivation is shared with the histogram: a tool turn's
+    ``ts`` minus the previous turn's ``ts``; first-turn calls and
+    non-positive gaps (inversions) are EXCLUDED — a broken timestamp is
+    not a fast call. Values are quantized to ``lat_us div 1000``
+    BEFORE the quantile kernel so the distinct-value cardinality that
+    bounds the kernel's window partitions stays ~1.2e5 even for a 120 s
+    latency ceiling (microsecond grain would make it corpus-sized);
+    the returned ``q_value`` is therefore a millisecond figure. Default
+    probes = 50/90/99 percent in 2^-20 units.
+
+    One row per (tool, probe): ``(tool, probe_units, n_rows, rank,
+    q_value)`` — the :func:`feast_spark.operators.aggregate
+    .grouped_quantiles` contract. Scale: one conv_id exchange for the
+    lag window (shared shape with the histogram), then the kernel's
+    (tool, ms) hash agg.
+    """
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    if probe_units is None:
+        probe_units = [524288, 943718, 1038090]
+    d = turns if pre_deduped else _deduped(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    calls = (
+        d.select("conv_id", "turn_idx", "role", "tool", "ts")
+        .withColumn("__lat_us", lat)
+        .filter(
+            (F.col("role") == "tool")
+            & F.col("tool").isNotNull()
+            & (F.col("__lat_us") > 0)
+        )
+        .select("tool", F.expr("__lat_us div 1000").alias("__lat_ms"))
+    )
+    return grouped_quantiles(calls, ["tool"], "__lat_ms", probe_units)
