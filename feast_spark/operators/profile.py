@@ -633,13 +633,20 @@ def profile_drift(
     :func:`dataset_profile`) + one full-outer join on a metric
     dimension of a few dozen rows — nothing corpus-sized.
     """
+    return card_drift(
+        dataset_profile(turns_a, **profile_kwargs),
+        dataset_profile(turns_b, **profile_kwargs),
+    )
+
+
+def card_drift(card_a: DataFrame, card_b: DataFrame) -> DataFrame:
+    """The diff half of :func:`profile_drift` over two ALREADY-COMPUTED
+    ``(metric, value)`` cards — e.g. cards persisted per ingest batch by
+    the incremental pipeline, diffed long after the turns that produced
+    them are gone. Same output contract as :func:`profile_drift`."""
     units = _CARD_UNITS
-    a = dataset_profile(turns_a, **profile_kwargs).select(
-        "metric", F.col("value").alias("value_a")
-    )
-    b = dataset_profile(turns_b, **profile_kwargs).select(
-        "metric", F.col("value").alias("value_b")
-    )
+    a = card_a.select("metric", F.col("value").alias("value_a"))
+    b = card_b.select("metric", F.col("value").alias("value_b"))
     j = a.join(b, "metric", "full_outer")
     return j.select(
         "metric",

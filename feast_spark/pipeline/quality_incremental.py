@@ -88,6 +88,10 @@ def committed_label_batches(state_dir: str) -> list[str]:
     )
 
 
+def _profile_dir(state_dir: str, batch_id: str) -> str:
+    return os.path.join(state_dir, "profile", f"batch={batch_id}")
+
+
 def run_quality_batch(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -95,6 +99,7 @@ def run_quality_batch(
     batch_id: str,
     cfg: QualityConfig = QualityConfig(),
     decision_ts: datetime | None = None,
+    profile: bool = False,
 ) -> QualityBatchResult:
     """Label one ingest batch exactly once. A batch id whose labels
     partition is ``_SUCCESS``-committed returns from state without
@@ -106,6 +111,16 @@ def run_quality_batch(
 
     ``/`` is rejected in ``batch_id`` (it would escape the partition
     directory).
+
+    ``profile=True`` additionally persists this batch's
+    :func:`~feast_spark.operators.profile.dataset_profile` data card
+    (over the RAW batch delivery — the ingest-grain view) to
+    ``<state_dir>/profile/batch=<id>`` BEFORE the labels partition:
+    the labels ``_SUCCESS`` remains the single commit point, so a
+    committed batch always has its card, a crash between the two
+    writes leaves the batch uncommitted, and the retry overwrites both
+    — the paragraph-state crash argument. Re-delivered committed ids
+    never recompute the card.
     """
     if "/" in batch_id or not batch_id:
         raise ValueError(f"invalid batch_id {batch_id!r}")
@@ -122,8 +137,16 @@ def run_quality_batch(
         decision_ts=decision_ts,
         feature_table_path=os.path.join(state_dir, "conv_features"),
     )
-    # commit order: lineage before labels; the labels partition's
-    # _SUCCESS is the single commit point (module docstring)
+    # commit order: card, then lineage, then labels; the labels
+    # partition's _SUCCESS is the single commit point (module docstring)
+    if profile:
+        from feast_spark.operators.profile import dataset_profile
+
+        dataset_profile(transcripts).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _profile_dir(state_dir, batch_id)
+        )
     res.lineage.write.mode("overwrite").parquet(
         os.path.join(state_dir, "lineage", f"batch={batch_id}")
     )
@@ -157,6 +180,45 @@ def resolved_labels(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def profile_history(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Every COMMITTED batch's persisted data card as one long frame
+    ``(batch_id, metric, value)`` — the fleet's corpus-health time
+    series (plot any metric over batch_id; feed consecutive pairs to
+    :func:`batch_profile_drift`). Uncommitted/crashed batches' cards
+    are excluded by the ``_SUCCESS`` gate even though their card files
+    may exist. Raises ``FileNotFoundError`` when no committed batch has
+    a card (profile=False runs leave none)."""
+    dirs = [
+        _profile_dir(state_dir, b)
+        for b in committed_label_batches(state_dir)
+        if os.path.exists(_profile_dir(state_dir, b))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed batch cards in {state_dir}")
+    return spark.read.parquet(*dirs).select("batch_id", "metric", "value")
+
+
+def batch_profile_drift(
+    spark: SparkSession, state_dir: str, batch_a: str, batch_b: str
+) -> DataFrame:
+    """Corpus drift between two COMMITTED batches from their PERSISTED
+    cards (``feast_spark.operators.profile.card_drift`` — no access to
+    the original turns needed). Same output contract as
+    ``profile_drift``."""
+    from feast_spark.operators.profile import card_drift
+
+    committed = set(committed_label_batches(state_dir))
+    for b in (batch_a, batch_b):
+        if b not in committed:
+            raise ValueError(f"batch {b!r} is not committed")
+        if not os.path.exists(_profile_dir(state_dir, b)):
+            raise FileNotFoundError(f"batch {b!r} has no persisted card")
+    return card_drift(
+        spark.read.parquet(_profile_dir(state_dir, batch_a)),
+        spark.read.parquet(_profile_dir(state_dir, batch_b)),
+    )
+
+
 def quality_stream(
     spark: SparkSession,
     stream_turns: DataFrame,
@@ -164,6 +226,7 @@ def quality_stream(
     checkpoint: str,
     cfg: QualityConfig = QualityConfig(),
     decision_ts: datetime | None = None,
+    profile: bool = False,
 ):
     """Run the quality pipeline under Structured Streaming: every
     micro-batch becomes one :func:`run_quality_batch` batch (id
@@ -188,6 +251,7 @@ def quality_stream(
             f"s{batch_id:08d}",
             cfg,
             decision_ts,
+            profile=profile,
         )
 
     return (

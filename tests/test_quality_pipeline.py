@@ -572,3 +572,77 @@ def test_quality_stream_matches_manual_batches(spark, tmp_path):
         map(tuple, resolved_labels(spark, m_state).select(*cols).collect())
     )
     assert got == exp
+
+
+def test_quality_batch_profile_cards_and_drift(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.profile import dataset_profile, profile_drift
+    from feast_spark.pipeline.quality_incremental import (
+        batch_profile_drift,
+        profile_history,
+        run_quality_batch,
+    )
+
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    state = str(tmp_path / "qstate_prof")
+    t = transcripts_spark(spark, 30, seed=21)
+    b1 = t.filter("turn_idx < 3")
+    b2 = t.filter("turn_idx >= 3")
+
+    # profile=False leaves no cards -> history raises
+    run_quality_batch(spark, b1, state, "p0", decision_ts=dts)
+    with _pytest.raises(FileNotFoundError):
+        profile_history(spark, state)
+
+    run_quality_batch(spark, b1, state, "p1", decision_ts=dts, profile=True)
+    run_quality_batch(spark, b2, state, "p2", decision_ts=dts, profile=True)
+
+    hist = profile_history(spark, state).collect()
+    by_batch: dict = {}
+    for r in hist:
+        by_batch.setdefault(r["batch_id"], {})[r["metric"]] = r["value"]
+    assert set(by_batch) == {"p1", "p2"}
+    # persisted card == recomputing the card on the batch input
+    direct = {r["metric"]: r["value"] for r in dataset_profile(b1).collect()}
+    assert by_batch["p1"] == direct
+
+    # stored-card drift == live drift on the raw inputs
+    stored = {
+        r["metric"]: (r["value_a"], r["value_b"], r["delta"], r["rel_units"])
+        for r in batch_profile_drift(spark, state, "p1", "p2").collect()
+    }
+    live = {
+        r["metric"]: (r["value_a"], r["value_b"], r["delta"], r["rel_units"])
+        for r in profile_drift(b1, b2).collect()
+    }
+    assert stored == live
+
+    # re-delivered committed id: card untouched (no recompute)
+    card_dir = f"{state}/profile/batch=p1"
+    mtimes = {
+        f: os.path.getmtime(os.path.join(card_dir, f))
+        for f in os.listdir(card_dir)
+    }
+    r = run_quality_batch(spark, b1, state, "p1", decision_ts=dts, profile=True)
+    assert r.resumed
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(card_dir, f))
+        for f in os.listdir(card_dir)
+    }
+
+    # crashed batch: card written, labels _SUCCESS removed -> excluded
+    # from history and rejected by drift
+    run_quality_batch(spark, b2, state, "p3", decision_ts=dts, profile=True)
+    os.remove(f"{state}/labels/batch=p3/_SUCCESS")
+    assert set(
+        r["batch_id"] for r in profile_history(spark, state).collect()
+    ) == {"p1", "p2"}
+    with _pytest.raises(ValueError, match="not committed"):
+        batch_profile_drift(spark, state, "p1", "p3")
+    # committed batch without a card (p0) is a FileNotFoundError
+    with _pytest.raises(FileNotFoundError, match="no persisted card"):
+        batch_profile_drift(spark, state, "p0", "p1")
