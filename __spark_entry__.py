@@ -3260,6 +3260,18 @@ def q_tool_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return tool_latency_quantiles(_transcripts_fixture(spark))
 
 
+def q_lang_script_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 14: classifier-vs-codepoint language agreement
+    # (pytest-gate extra). Organic fixture: multilingual conversations
+    # exercise en/es/zh labels against latin/han dominance and the
+    # 'und'/no-script NULL arms. Oracle: turn langs from the SHARED
+    # kernel relation (conv_language's pattern); mode, script dominance,
+    # expectation map and agree flag all GENUINE SQL.
+    from feast_spark.operators.conversation import language_script_agreement
+
+    return language_script_agreement(_transcripts_fixture(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3401,6 +3413,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three carry green r03+r04 driver rows — family coverage notes
         # in queries())
         "tool_latency_q": q_tool_latency_quantiles,
+        "lang_script_agree": q_lang_script_agreement,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "dup_clusters": q_dup_clusters,
@@ -3670,6 +3683,19 @@ def _all_oracle_sql() -> dict[str, str]:
         f" 'g'))) AS BIGINT) AS value FROM d2"
         for k, pat in _script_classes
     )
+    from feast_spark.operators.conversation import (
+        LANG_SCRIPT_EXPECTATIONS as _lang_script_map,
+    )
+
+    _agree_script_arms = "\n              UNION ALL ".join(
+        f"SELECT conv_id, '{k}' AS script, length(t) -"
+        f" length(regexp_replace(t, '{pat}', '', 'g')) AS cnt FROM d2"
+        for k, pat in _script_classes
+    )
+    _agree_exp_values = ", ".join(
+        f"('{lang}', '{script}')"
+        for lang, script in sorted(_lang_script_map.items())
+    )
     _card_probe_values = ", ".join(
         f"({p_}, '{n_}')"
         for p_, n_ in (
@@ -3778,6 +3804,62 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
+        "lang_script_agree": f"""
+            -- language_script_agreement twin: lang per turn from the
+            -- shared-kernel relation; mode (cnt DESC, lang ASC — the
+            -- Spark mode(lang, true) tie rule), per-conv script mass,
+            -- dominance rank (cnt DESC, script ASC), expectation map
+            -- and the NULL-aware string verdict — all GENUINE SQL
+            WITH l AS (
+              SELECT conv_id, lang
+              FROM read_parquet('{derived["turn_langs"]}')
+            ), lc AS (
+              SELECT conv_id, lang, COUNT(*) AS cnt FROM l GROUP BY 1, 2
+            ), m AS (
+              SELECT conv_id, lang AS lang_mode FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY cnt DESC, lang) AS rn
+                FROM lc
+              ) WHERE rn = 1
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM read_parquet('{derived["transcripts_raw"]}')
+              ) WHERE rn = 1
+            ), d2 AS (
+              SELECT conv_id, COALESCE(text, '') AS t FROM d
+            ), h AS (
+              {_agree_script_arms}
+            ), pc AS (
+              SELECT conv_id, script, CAST(SUM(cnt) AS BIGINT) AS cnt
+              FROM h WHERE cnt > 0 GROUP BY conv_id, script
+            ), dom AS (
+              SELECT conv_id, script AS dominant_script,
+                cnt AS script_chars
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id ORDER BY cnt DESC, script) AS rn
+                FROM pc
+              ) WHERE rn = 1
+            ), exp AS (
+              SELECT * FROM (VALUES {_agree_exp_values})
+                e(lang, expected_script)
+            )
+            SELECT m.conv_id, m.lang_mode, dom.dominant_script,
+              CAST(COALESCE(dom.script_chars, 0) AS BIGINT)
+                AS script_chars,
+              exp.expected_script,
+              CASE WHEN exp.expected_script IS NOT NULL
+                    AND dom.dominant_script IS NOT NULL
+                   THEN CASE WHEN exp.expected_script = dom.dominant_script
+                             THEN 'agree' ELSE 'disagree' END
+              END AS verdict
+            FROM m
+            LEFT JOIN dom ON m.conv_id = dom.conv_id
+            LEFT JOIN exp ON m.lang_mode = exp.lang
+        """,
         "tool_latency_q": f"""
             -- FULL genuine-SQL twin of tool_latency_quantiles: same
             -- dedup, epoch_us lag gap, positive-gap tool filter, ms

@@ -77,6 +77,8 @@ __all__ = [
     "repair_turn_order",
     "turn_length_quantiles",
     "tool_latency_quantiles",
+    "language_script_agreement",
+    "LANG_SCRIPT_EXPECTATIONS",
 ]
 
 # ASCII whitespace — identical under Java regex, RE2 (DuckDB) and
@@ -2326,3 +2328,114 @@ def tool_latency_quantiles(
         .select("tool", F.expr("__lat_us div 1000").alias("__lat_ms"))
     )
     return grouped_quantiles(calls, ["tool"], "__lat_ms", probe_units)
+
+
+# expected dominant script per language_id label ({en,de,es,fr,zh};
+# 'und' deliberately unmapped -> agreement is NULL, not false)
+LANG_SCRIPT_EXPECTATIONS: dict[str, str] = {
+    "en": "latin",
+    "de": "latin",
+    "es": "latin",
+    "fr": "latin",
+    "zh": "han",
+}
+
+
+def language_script_agreement(
+    turns: DataFrame,
+    expectations: dict[str, str] | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Cross-check the LANGUAGE CLASSIFIER against raw CODEPOINT
+    evidence per conversation: ``conversation_language``'s ``lang_mode``
+    claims a label from the trained/heuristic model; the dominant
+    writing script (most codepoints across the
+    ``textqa.SCRIPT_CLASSES`` bands) is what the bytes actually say.
+    Disagreement is the mislabel/mojibake alarm neither lens raises
+    alone — a conversation whose classifier says ``en`` but whose
+    chars are majority-Cyrillic is typically double-decoded cp1252,
+    transliteration damage, or a classifier false positive, and every
+    downstream language gate then filters it WRONG.
+
+    One row per conversation: ``(conv_id, lang_mode, dominant_script,
+    script_chars, expected_script, verdict)`` — ``dominant_script`` by
+    codepoint count (ties: lexicographically smallest script, both
+    engines), ``verdict`` one of ``'agree'`` / ``'disagree'`` and NULL
+    (not ``'disagree'``) when the label has no script expectation
+    (``und``) or the conversation has no script codepoints at all. A
+    string verdict rather than a nullable boolean: a NULL bool
+    round-trips as None on Spark but NaN from DuckDB through pandas,
+    which the driver's dtype-sensitive compare rejects.
+
+    Plan (10^12 turns): langid is the shared one-Arrow-pass kernel; the
+    script counts are the unicode_anomaly chassis (regex
+    length-difference per class, hit-filter before explode) into a
+    (conv, script) hash agg; dominance is a WindowGroupLimit-bounded
+    rank over <= #classes rows per conversation; the final join is
+    conv-dimension keyed and pinned SHUFFLE_HASH (one row per
+    conversation — never broadcastable at fleet scale).
+    """
+    from feast_spark.operators.textqa import SCRIPT_CLASSES
+
+    exp_map = (
+        LANG_SCRIPT_EXPECTATIONS if expectations is None else expectations
+    )
+    d = turns if pre_deduped else _deduped(turns)
+    conv_lang = conversation_language(d, pre_deduped=True).select(
+        "conv_id", "lang_mode"
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("script"),
+                (
+                    F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+                ).alias("cnt"),
+            )
+            for k, pat in SCRIPT_CLASSES
+        ]
+    )
+    per_conv = (
+        d.select(
+            "conv_id", F.filter(counts, lambda s: s["cnt"] > 0).alias("__h")
+        )
+        .filter(F.size("__h") > 0)
+        .select("conv_id", F.explode("__h").alias("__s"))
+        .groupBy("conv_id", F.col("__s.script").alias("script"))
+        .agg(F.sum("__s.cnt").cast("long").alias("cnt"))
+    )
+    win = Window.partitionBy("conv_id").orderBy(
+        F.col("cnt").desc(), F.col("script")
+    )
+    dominant = (
+        per_conv.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") == 1)
+        .select(
+            "conv_id",
+            F.col("script").alias("dominant_script"),
+            F.col("cnt").alias("script_chars"),
+        )
+    )
+    expected = F.create_map(
+        *[F.lit(x) for kv in sorted(exp_map.items()) for x in kv]
+    )
+    joined = conv_lang.join(dominant.hint("SHUFFLE_HASH"), "conv_id", "left")
+    return joined.select(
+        "conv_id",
+        "lang_mode",
+        "dominant_script",
+        F.coalesce("script_chars", F.lit(0)).cast("long").alias(
+            "script_chars"
+        ),
+        F.element_at(expected, F.col("lang_mode")).alias("expected_script"),
+        F.when(
+            F.element_at(expected, F.col("lang_mode")).isNotNull()
+            & F.col("dominant_script").isNotNull(),
+            F.when(
+                F.element_at(expected, F.col("lang_mode"))
+                == F.col("dominant_script"),
+                F.lit("agree"),
+            ).otherwise(F.lit("disagree")),
+        ).alias("verdict"),
+    )

@@ -500,3 +500,74 @@ def test_dataset_profile_reuses_vocab_exchange(spark):
     # the executed plan), not once per branch
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_grouped_quantiles_negative_values(spark):
+    from feast_spark.operators.aggregate import grouped_quantiles
+
+    import random
+
+    rng = random.Random(99)
+    rows = [("g", rng.randrange(-50, 50)) for _ in range(301)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    probes = [1, 262144, 524288, 1048576]
+    got = {
+        r["probe_units"]: (r["n_rows"], r["rank"], r["q_value"])
+        for r in grouped_quantiles(df, ["g"], "v", probes).collect()
+    }
+    exp = _naive_quantiles(rows, probes)
+    assert got == {p: exp[("g", p)] for p in probes}
+    # p=1/2^20 of 301 rows -> rank 1 -> the minimum (a negative)
+    assert got[1][1] == 1 and got[1][2] == min(v for _, v in rows)
+
+
+def test_language_script_agreement_detects_mojibake(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.conversation import language_script_agreement
+
+    t = transcripts_spark(spark, 40, seed=17)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    # every 5th conversation keeps its en marker words (classifier still
+    # says en) but drowns them in Cyrillic — the double-decoded-cp1252
+    # signature: langid and script evidence must now DISAGREE
+    planted = t.withColumn(
+        "text",
+        F.when(
+            F.pmod(idx, F.lit(5)) == 0,
+            F.concat(
+                F.lit("the and is of with "),
+                F.expr("repeat('привет мир это тест ', 20)"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = {r["conv_id"]: r for r in language_script_agreement(planted).collect()}
+    assert len(out) == 40
+    for cid, r in out.items():
+        i = int(cid[1:10])
+        if i % 5 == 0:
+            assert r["lang_mode"] == "en", (cid, r)
+            assert r["dominant_script"] == "cyrillic", (cid, r)
+            assert r["verdict"] == "disagree", (cid, r)
+        elif r["verdict"] is not None:
+            # organic convs: expectation maps en/de/es/fr->latin, zh->han
+            want = {"en": "latin", "de": "latin", "es": "latin",
+                    "fr": "latin", "zh": "han"}[r["lang_mode"]]
+            assert r["expected_script"] == want
+            assert (r["verdict"] == "agree") == (
+                r["dominant_script"] == want
+            )
+    # NULL arms: an unmapped label and a no-script conversation
+    extra = spark.createDataFrame(
+        [
+            ("x1", 0, "user", "zzz qqq vvv www", None, None),  # und
+            ("x2", 0, "user", "!!! ??? ... 〜〜", None, None),  # no script
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    o2 = {r["conv_id"]: r for r in language_script_agreement(extra).collect()}
+    assert o2["x1"]["expected_script"] is None and o2["x1"]["verdict"] is None
+    assert o2["x2"]["dominant_script"] is None and o2["x2"]["verdict"] is None
+    assert o2["x2"]["script_chars"] == 0
