@@ -3272,6 +3272,108 @@ def q_lang_script_agreement(spark: SparkSession, sf: str) -> DataFrame:
     return language_script_agreement(_transcripts_fixture(spark))
 
 
+def q_packing_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15: seq-len tuning curve for document-isolated
+    # packing — per-conversation word counts swept over 5 candidate
+    # context lengths in ONE scan (broadcast literal dimension + one
+    # dimension-sized agg). Every 11th conversation's text is blanked so
+    # the n_empty arm carries rows. Oracle: FULL genuine DuckDB SQL —
+    # same plant, same dedup, the proven word-count fragment, integer
+    # ceil-div chunk counts, HUGEINT util units.
+    from feast_spark.operators.conversation import _deduped, _word_count
+    from feast_spark.operators.selection import packing_sweep
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    planted = t.withColumn(
+        "text",
+        F.when(F.pmod(idx, F.lit(11)) == 3, F.lit("")).otherwise(
+            F.col("text")
+        ),
+    )
+    counts = (
+        _deduped(planted)
+        .groupBy("conv_id")
+        .agg(F.sum(_word_count("text")).cast("long").alias("n_tokens"))
+    )
+    return packing_sweep(counts, [32, 64, 128, 256, 512])
+
+
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15: shuffle-partition skew diagnostic on the raw
+    # transcript delivery keyed by conv_id at 16 simulated partitions —
+    # the fixture's organic mega-conversations (every 50th conv, 200
+    # turns) produce a real hot bucket and a salt_hint > 1. Oracle: FULL
+    # genuine DuckDB SQL (md5-48 partition simulation, deterministic
+    # max-cnt-then-max-key hot key, HUGEINT balance/salt arithmetic).
+    from feast_spark.operators.salting import shuffle_skew_report
+
+    return shuffle_skew_report(
+        _transcripts_fixture(spark), ["conv_id"], n_partitions=16
+    )
+
+
+def q_grounding(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15: fabricated-figure / fabricated-link detector.
+    # Plant (every 5th conversation): user turn 0 introduces number 4242
+    # and https://ok.example/a; every later assistant turn repeats both
+    # AND fabricates number 9191 + https://fab.example/b — so each
+    # planted assistant turn carries exactly one grounded and one
+    # ungrounded entity of each kind, on top of the fixture's organic
+    # numbers. Oracle: FULL genuine DuckDB SQL (same plant, same
+    # patterns via variable interpolation, distinct-entity streams,
+    # min-source-index resolution, strict < comparison).
+    from feast_spark.operators.conversation import assistant_grounding
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    sel = F.pmod(idx, F.lit(5)) == 1
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    planted = t.withColumn(
+        "text",
+        F.when(
+            sel & (F.col("role") == "user") & (F.col("turn_idx") == 0),
+            F.concat(txt, F.lit(" ref 4242 see https://ok.example/a")),
+        )
+        .when(
+            sel & (F.col("role") == "assistant") & (F.col("turn_idx") >= 1),
+            F.concat(
+                txt,
+                F.lit(
+                    " ref 4242 total 9191 https://ok.example/a"
+                    " https://fab.example/b"
+                ),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return assistant_grounding(planted)
+
+
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15: K-minimum-values distinct-count sketch — the
+    # cardinality member of the sketch family (frequent_terms =
+    # Misra-Gries mass): per-source vocabulary estimate from the k=256
+    # smallest md5-48 term hashes. Deterministic hash -> the estimate is
+    # bit-reproducible and the oracle is FULL genuine DuckDB SQL
+    # (DISTINCT hash, ROW_NUMBER <= k, (k-1)*2^48 // max HUGEINT). The
+    # exact contrast lives in source_vocab_stats (documented).
+    from feast_spark.operators.lexical import kmv_estimate, kmv_sketch
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), "[ \t\n\x0b\f\r]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    sk = kmv_sketch(toks, ["source"], "term", k=256)
+    return kmv_estimate(sk, ["source"], k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3296,6 +3398,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 session 14: melted integer data card (conv_pii rotated
         # to extras — the PII family stays driver-covered via pii_echo +
         # the card's pii_*_hits rows)
+        # round 5 session 15: packing seq-len tuning curve, shuffle-skew
+        # diagnostic + salt hint, assistant grounding (fabricated
+        # figures/links), KMV distinct-count sketch — all FULL genuine
+        # DuckDB SQL oracles. Rotated to extras: quality_classifier
+        # (trained-model family stays via doc_curation_lm + langid in
+        # extras), conv_pack (packing stays via packing_sweep +
+        # conv_pack_isolated/tokenize_pack extras), substring_dedup
+        # (span family stays via doc_curation's span stage + span/para
+        # extras), semantic_dedup (near-dup stays via minhash_profile +
+        # neardup_verify + turn_dedup; ann/ivf/diverse extras) — all
+        # four carry green r03+r04 driver rows.
+        "packing_sweep": q_packing_sweep,
+        "skew_report": q_skew_report,
+        "grounding": q_grounding,
+        "kmv_distinct": q_kmv_distinct,
         # round 5 session 14b: card-diff drift report (bm25_topk rotated
         # to extras — sparse retrieval stays pytest-oracled and benched)
         "profile_drift": q_profile_drift,
@@ -3385,16 +3502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + Gopher repetition rule family + NFC normalization + C4 line
         # cleaning + lexical diversity
         "conv_curate": q_conv_curate,
-        "conv_pack": q_conv_pack,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
         "doc_curation_lm": q_doc_curation_lm,
-        "quality_classifier": q_quality_classifier,
         # flagship + round-3 selection family
         "transcript_pipeline": q_transcript_pipeline,
         "doc_curation": q_doc_curation,
-        "substring_dedup": q_substring_dedup,
-        "semantic_dedup": q_semantic_dedup,
         # round 2-3 operators
         "stream_window_parity": q_stream_window_parity,
         # core relational / PIT surface
@@ -3409,6 +3522,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 15 (all four carry green r03+r04
+        # driver rows — family coverage notes in queries())
+        "quality_classifier": q_quality_classifier,
+        "conv_pack": q_conv_pack,
+        "substring_dedup": q_substring_dedup,
+        "semantic_dedup": q_semantic_dedup,
         # rotated round 5 session 13 (still pytest-oracled here; all
         # three carry green r03+r04 driver rows — family coverage notes
         # in queries())
@@ -3801,7 +3920,182 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE metric NOT LIKE 'script_chars_%' OR value > 0
         """
 
+    # session 15: grounding entity arms generated from the SAME
+    # GROUNDING_PATTERNS constant the Spark operator scans (kind,
+    # pattern, min_len) — patterns reach the SQL through plain string
+    # concatenation, never through an f-string literal (the
+    # conv_contamination format-field lesson)
+    from feast_spark.operators.conversation import (
+        GROUNDING_PATTERNS as _gpats,
+    )
+
+    _ground_arms = "\n              UNION ALL\n".join(
+        f"""              SELECT conv_id, turn_idx, role, '{k}' AS kind,
+                unnest(list_distinct(list_filter(regexp_extract_all(
+                  COALESCE(text, ''), '{pat}'), x -> length(x) >= {ml})))
+                AS ent
+              FROM gd"""
+        for k, pat, ml in _gpats
+    )
+
     return {
+        "packing_sweep": f"""
+            -- FULL genuine-SQL twin of packing_sweep over per-conv word
+            -- counts (every 11th conversation blanked -> the n_empty
+            -- arm): same plant, same dedup, the proven word-count
+            -- fragment, integer ceil-div chunk counts, HUGEINT util
+            WITH pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 11 = 3
+                     THEN '' ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), wc AS (
+              SELECT conv_id, CAST(SUM(len(list_filter(string_split_regex(
+                COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
+                x -> x <> ''))) AS BIGINT) AS n
+              FROM d GROUP BY conv_id
+            ), dim AS (
+              SELECT CAST(seq_len AS BIGINT) AS seq_len
+              FROM (VALUES (32), (64), (128), (256), (512)) v(seq_len)
+            ), per AS (
+              SELECT seq_len, n, (n + seq_len - 1) // seq_len AS nseq
+              FROM wc CROSS JOIN dim
+            ), agg AS (
+              SELECT seq_len,
+                CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_items,
+                CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_empty,
+                CAST(SUM(nseq) AS BIGINT) AS n_seqs,
+                CAST(SUM(n) AS BIGINT) AS n_tokens
+              FROM per GROUP BY seq_len
+            )
+            SELECT seq_len, n_items, n_empty, n_seqs,
+              n_seqs - n_items AS n_splits, n_tokens,
+              n_seqs * seq_len - n_tokens AS n_pad,
+              CASE WHEN n_seqs = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((CAST(n_tokens AS HUGEINT) * 1048576)
+                             // (n_seqs * seq_len) AS BIGINT)
+              END AS util_units
+            FROM agg
+        """,
+        "skew_report": f"""
+            -- FULL genuine-SQL twin of shuffle_skew_report(conv_id, 16)
+            -- over the RAW delivery: md5-48 partition simulation,
+            -- deterministic max-cnt-then-max-key hot key, HUGEINT
+            -- balance/salt arithmetic, empty partitions zero-filled
+            WITH k AS (
+              SELECT COALESCE(CAST(conv_id AS VARCHAR), '<null>') AS key,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM read_parquet('{derived["transcripts_raw"]}') GROUP BY 1
+            ), kp AS (
+              SELECT key, cnt,
+                CAST('0x' || substr(md5(key), 1, 12) AS BIGINT) % 16 AS p
+              FROM k
+            ), pa AS (
+              SELECT p, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_keys,
+                     CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+              FROM kp GROUP BY p
+            ), hot AS (
+              SELECT p, MAX(key) AS hot_key
+              FROM kp JOIN pa USING (p) WHERE cnt = max_key_rows GROUP BY p
+            ), tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM pa),
+            dim AS (SELECT unnest(range(16)) AS pt)
+            SELECT CAST(pt AS BIGINT) AS "partition",
+              CAST(COALESCE(n_rows, 0) AS BIGINT) AS n_rows,
+              CAST(COALESCE(n_keys, 0) AS BIGINT) AS n_keys,
+              CAST(COALESCE(max_key_rows, 0) AS BIGINT) AS max_key_rows,
+              hot_key,
+              CAST(CASE WHEN n_rows IS NULL THEN 0
+                   ELSE (CAST(n_rows AS HUGEINT) * 16 * 1048576) // total
+                   END AS BIGINT) AS balance_units,
+              CAST(CASE WHEN n_rows IS NULL THEN 0
+                   ELSE (CAST(max_key_rows AS HUGEINT) * 16 + total - 1)
+                        // total
+                   END AS BIGINT) AS salt_hint
+            FROM dim LEFT JOIN pa ON pt = pa.p LEFT JOIN hot ON pt = hot.p
+            CROSS JOIN tot
+        """,
+        "grounding": f"""
+            -- FULL genuine-SQL twin of assistant_grounding under the
+            -- every-5th-conversation plant (user turn 0 introduces
+            -- 4242 + ok-URL; later assistant turns repeat both and
+            -- fabricate 9191 + fab-URL): same plant, entity arms
+            -- GENERATED from GROUNDING_PATTERNS, distinct per-turn
+            -- entities, min non-assistant source index, strict <
+            WITH pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE
+                  WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 5 = 1
+                       AND role = 'user' AND turn_idx = 0
+                  THEN COALESCE(text, '') ||
+                       ' ref 4242 see https://ok.example/a'
+                  WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 5 = 1
+                       AND role = 'assistant' AND turn_idx >= 1
+                  THEN COALESCE(text, '') ||
+                       ' ref 4242 total 9191 https://ok.example/a' ||
+                       ' https://fab.example/b'
+                  ELSE text END AS text
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), gd AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), e AS (
+{_ground_arms}
+            ), src AS (
+              SELECT conv_id, kind, ent,
+                MIN(CASE WHEN role <> 'assistant' THEN turn_idx END) AS fsi
+              FROM e GROUP BY 1, 2, 3
+            ), a AS (SELECT * FROM e WHERE role = 'assistant')
+            SELECT conv_id, turn_idx, kind,
+              CAST(COUNT(*) AS BIGINT) AS n_entities,
+              CAST(SUM(CASE WHEN fsi IS NOT NULL AND fsi < turn_idx
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_grounded,
+              CAST(((COUNT(*) - SUM(CASE WHEN fsi IS NOT NULL
+                                         AND fsi < turn_idx
+                                    THEN 1 ELSE 0 END)) * 1048576)
+                   // COUNT(*) AS BIGINT) AS ungrounded_units
+            FROM a JOIN src USING (conv_id, kind, ent)
+            GROUP BY 1, 2, 3
+        """,
+        "kmv_distinct": """
+            -- FULL genuine-SQL twin of kmv_sketch + kmv_estimate
+            -- (k=256) over per-source document terms: DISTINCT md5-48
+            -- hashes, ROW_NUMBER <= k, exact-below-k arm, unbiased
+            -- (k-1) * 2^48 // max_hash HUGEINT estimate
+            WITH tok AS (
+              SELECT source, unnest(list_filter(string_split_regex(
+                COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS term
+              FROM documents
+            ), h AS (
+              SELECT DISTINCT source,
+                CAST('0x' || substr(md5(term), 1, 12) AS BIGINT) AS hv
+              FROM tok
+            ), r AS (
+              SELECT source, hv, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY hv) AS rn
+              FROM h
+            ), s AS (SELECT * FROM r WHERE rn <= 256)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+              CAST(MAX(hv) AS BIGINT) AS max_hash,
+              CAST(CASE WHEN COUNT(*) >= 256
+                   THEN (CAST(255 AS HUGEINT) * 281474976710656) // MAX(hv)
+                   ELSE COUNT(*) END AS BIGINT) AS est_distinct
+            FROM s GROUP BY source
+        """,
         "pseudonymize": _rp("pseudonymize"),
         "turn_neardup": _rp("turn_neardup"),
         "lang_script_agree": f"""

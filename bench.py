@@ -196,6 +196,12 @@ HEADLINE = [
     "frequent_terms",
     "dataset_profile",
     "profile_drift",
+    # round 5 session 15: packing seq-len sweep, shuffle-skew diagnostic,
+    # assistant grounding, KMV distinct sketch
+    "packing_sweep",
+    "skew_report",
+    "grounding",
+    "kmv_distinct",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -78,6 +78,8 @@ __all__ = [
     "turn_length_quantiles",
     "tool_latency_quantiles",
     "language_script_agreement",
+    "assistant_grounding",
+    "GROUNDING_PATTERNS",
     "LANG_SCRIPT_EXPECTATIONS",
 ]
 
@@ -2438,4 +2440,127 @@ def language_script_agreement(
                 F.lit("agree"),
             ).otherwise(F.lit("disagree")),
         ).alias("verdict"),
+    )
+
+
+# entity kinds assistant_grounding can check: (kind, pattern, min_len).
+# Patterns are explicit ASCII classes, no (?i) and no \b — the Java vs
+# RE2 casefold/boundary discipline; both engines scan left-to-right
+# non-overlapping so the extracted entity streams are byte-identical.
+# number: integer or decimal runs, min 2 chars (single digits are list
+#         markers / step numbers, not figures); version strings
+#         contribute their components ('2.5.1' -> '2.5', '1').
+# url:    scheme-anchored raw grab to the next ASCII whitespace —
+#         trailing punctuation rides along (documented; the grounding
+#         comparison is exact-string so both sides carry it equally).
+GROUNDING_PATTERNS: list[tuple[str, str, int]] = [
+    ("number", r"[0-9]+(?:\.[0-9]+)?", 2),
+    ("url", r"https?://[^ \t\n\x0b\f\r]+", 1),
+]
+
+
+def assistant_grounding(
+    turns: DataFrame,
+    kinds: tuple[str, ...] = ("number", "url"),
+    units: int = 1 << 20,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Fabricated-figure / fabricated-link detector: for every assistant
+    turn, which of its concrete entities (numbers, URLs) were GROUNDED —
+    introduced by an earlier non-assistant turn of the same conversation
+    (the user asked about them, or a tool returned them) — and which
+    appear out of thin air. An agent that invents "$1,234" or cites a
+    URL no tool ever returned produces turns that per-turn quality rules
+    score healthy, that dedup never sees (each fabrication is unique),
+    and that assistant_echo misses when the fabrication does NOT echo
+    the preceding turn. The within-conversation directional complement
+    of ``pii_echo`` (there: user-introduced entities the assistant
+    repeats = leakage; here: assistant entities NO earlier turn
+    introduced = fabrication risk).
+
+    Contract: entities are the DISTINCT per-turn matches of
+    :data:`GROUNDING_PATTERNS` (exact string grain — '42' and '42.0'
+    are different entities). An assistant occurrence at ``turn_idx`` is
+    grounded iff some turn with role != 'assistant' and STRICTLY
+    smaller ``turn_idx`` contains the same (kind, entity) — an
+    assistant inventing a number and repeating it later does not
+    ground itself. One row per (assistant turn, kind) with >= 1
+    entity: ``(conv_id, turn_idx, kind, n_entities, n_grounded,
+    ungrounded_units)``; ``ungrounded_units`` is the exact integer
+    fraction ``(n_entities - n_grounded) * units div n_entities``
+    (per-turn counts are bounded by turn length, so plain int64).
+
+    Scale shape at 10^12 turns: extraction is one map-only JVM
+    ``regexp_extract_all`` pass per kind (entity stream is
+    defect-sized — rows explode only where entities exist); first-source
+    resolution is ONE (conv, kind, entity)-keyed map-side-combined hash
+    agg; assistant occurrences join that relation on the same key with
+    SHUFFLE_HASH pinned (the entity relation is corpus-scaled — never
+    broadcastable; Catalyst's static estimate of a cached python-sourced
+    subtree cannot be trusted to know that, the minhash lesson); the
+    final (conv, turn, kind) agg reuses defect-sized rows. Text never
+    survives extraction.
+
+    Reference: feast has no cross-turn surface; the rule-engine shape
+    this extends is ``labeling/conflict_resolver.py``'s per-key
+    resolution restated at the (conv, entity) grain.
+    """
+    pats = [t for t in GROUNDING_PATTERNS if t[0] in kinds]
+    unknown = set(kinds) - {k for k, _, _ in GROUNDING_PATTERNS}
+    if unknown or not pats:
+        raise ValueError(
+            f"unknown kinds {sorted(unknown)}; available: "
+            f"{[k for k, _, _ in GROUNDING_PATTERNS]}"
+        )
+
+    d = turns if pre_deduped else _deduped(turns)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("kind"),
+                F.array_distinct(
+                    F.filter(
+                        F.regexp_extract_all(txt, F.lit(p), F.lit(0)),
+                        lambda x: F.length(x) >= F.lit(ml),
+                    )
+                ).alias("ents"),
+            )
+            for k, p, ml in pats
+        ]
+    )
+    ents = (
+        d.select("conv_id", "turn_idx", "role", F.explode(arms).alias("ke"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("ke.kind").alias("kind"),
+            F.explode("ke.ents").alias("ent"),
+        )
+    )
+    src = ents.groupBy("conv_id", "kind", "ent").agg(
+        F.min(
+            F.when(F.col("role") != "assistant", F.col("turn_idx"))
+        ).alias("__first_src_idx")
+    )
+    a = ents.filter(F.col("role") == "assistant")
+    j = a.join(src.hint("SHUFFLE_HASH"), ["conv_id", "kind", "ent"])
+    grounded = (
+        F.col("__first_src_idx").isNotNull()
+        & (F.col("__first_src_idx") < F.col("turn_idx"))
+    ).cast("long")
+    agg = j.groupBy("conv_id", "turn_idx", "kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum(grounded).alias("n_grounded"),
+    )
+    return agg.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        "n_entities",
+        "n_grounded",
+        F.expr(
+            f"((n_entities - n_grounded) * {int(units)}) div n_entities"
+        ).alias("ungrounded_units"),
     )

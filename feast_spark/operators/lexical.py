@@ -48,6 +48,9 @@ __all__ = [
     "zipf_profile",
     "zipf_from_counts",
     "frequent_terms",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
 ]
 
 _QUANT = float(2**40)  # entropy quantization: integer units of 2^-40 bits
@@ -666,4 +669,106 @@ def frequent_terms(
                 f" DIV {int(n_tokens)} AS BIGINT)"
             ).alias("ratio_units"),
         )
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et
+    al. 2002 — the cardinality member of this module's
+    sketch-then-verify family, next to :func:`frequent_terms`'
+    Misra-Gries): the ``k`` smallest DISTINCT md5-48 hashes of
+    ``value_col`` per group. Returns ``(group..., kmv_hash)`` — at most
+    ``k`` rows per group, NULL values excluded.
+
+    Why a sketch when ``groupBy(value).count()`` is already
+    distributed: the sketch is a bounded, MERGEABLE summary —
+    ``sketch(A ∪ B) == resketch(sketch(A) ∪ sketch(B))``
+    (:func:`kmv_merge`; the k smallest of a union are a subset of the
+    two k-smallest sets) — so committed batches keep a ``k``-row-per-
+    group state relation and incremental ingest never re-reads the
+    corpus to re-count vocabulary (the ``minhash_dedup_incremental``
+    state argument at the cardinality grain). The hash is the portable
+    md5-48 (deterministic: the estimate is bit-reproducible and the
+    DuckDB oracle is GENUINE SQL); swap ``xxhash64 & (2^48-1)`` at
+    10^12 rows exactly as span_dedup's hash arm.
+
+    Plan: ONE (group, hash)-keyed map-side-combined distinct agg, then
+    the rank-<=k window prunes MAP-SIDE via WindowGroupLimit before its
+    group-keyed exchange — per-task state is k rows/group, the
+    zipf_profile top-R funnel argument.
+    """
+    from pyspark.sql import Window
+
+    if k < 16:
+        raise ValueError(f"k must be >= 16: {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("kmv_hash"))
+        .groupBy(*group_cols, "kmv_hash")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge two KMV sketches (same ``k``): union, dedup, keep the k
+    smallest per group — exactly a sketch of the concatenated inputs.
+    Both sides are <= k rows/group, so every stage is sketch-sized."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).groupBy(*group_cols, "kmv_hash").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).drop("__c")
+    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: per group,
+    ``n_sketch`` (rows), ``max_hash`` (the k-th minimum when the sketch
+    is full), and ``est_distinct`` — EXACT ``n_sketch`` when the group
+    holds fewer than ``k`` distinct values (the sketch saw everything),
+    else the unbiased ``(k-1) * 2^48 div max_hash`` (integer, so the
+    estimate is bit-reproducible cross-engine). One sketch-sized hash
+    agg; nothing driver-side."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("kmv_hash").cast("long").alias("max_hash"),
+    )
+    full = F.col("n_sketch") >= k
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        "max_hash",
+        F.when(
+            full,
+            F.expr(
+                f"(CAST({int(k) - 1} AS DECIMAL(38,0)) * {1 << 48})"
+                " div max_hash"
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_sketch"))
+        .alias("est_distinct"),
     )

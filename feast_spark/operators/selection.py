@@ -1856,3 +1856,113 @@ def temperature_sample_rates(
         ),
     )
     return out
+
+
+def packing_sweep(
+    counts: DataFrame,
+    seq_lens: list[int],
+    tokens_col: str = "n_tokens",
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Sequence-length tuning curve for document-isolated packing: for
+    every candidate context length ``L`` in ``seq_lens``, the corpus-wide
+    cost of packing each item (document / conversation) into its own
+    ``ceil(n/L)`` chunks with the final chunk padded — the
+    :func:`pack_token_sequences`-with-``cross_boundaries=False`` /
+    ``pack_conversations(cross_boundaries=False)`` layout. Answers
+    "which seq_len wastes the least compute" in ONE scan, the packing
+    analogue of ``rule_threshold_sweep``'s tuning curve.
+
+    Input is a pre-aggregated ``(item, n_tokens)`` relation (one row per
+    document or conversation — grain-agnostic on purpose: word counts,
+    BPE token counts and char budgets all sweep identically). Rows with
+    NULL ``tokens_col`` are EXCLUDED (a missing measurement, the
+    :func:`grouped_quantiles` contract); negative counts raise.
+
+    One row per seq_len — every requested length ALWAYS emits, even on
+    an empty input (zeros + ``-1`` util sentinel):
+
+    - ``n_items`` — items with >= 1 token
+    - ``n_empty`` — zero-token items (contribute no sequences)
+    - ``n_seqs``  — ``sum(ceil(n/L))``
+    - ``n_splits`` — ``n_seqs - n_items``: chunk boundaries cut inside
+      items (attention-context fragmentation)
+    - ``n_tokens`` / ``n_pad`` — real vs padding token slots
+      (``n_seqs*L - n_tokens``)
+    - ``util_units`` — ``n_tokens * units div (n_seqs * L)``; exact
+      integer, DECIMAL(38,0) numerator (a 10^12-turn corpus holds
+      ~2^50 tokens; ``* 2^20`` wraps int64 — the
+      ``temperature_sample_rates`` lesson), ``-1`` when ``n_seqs == 0``.
+
+    Plan at 10^12 items: the candidate lengths enter as a broadcast
+    literal dimension (``len(seq_lens)`` rows, BroadcastNestedLoopJoin
+    — same shape as ``grouped_quantiles``' probes); per-(partition,
+    seq_len) partial sums map-side-combine, so the single exchange
+    carries ``partitions x len(seq_lens)`` rows into a
+    dimension-sized final agg. Nothing item-sized survives the shuffle
+    and nothing is driver-side. The right-join against the dimension
+    that guarantees empty-input rows joins two dimension-sized
+    relations.
+
+    Reference: feast has no packing surface; the layout contract matches
+    this repo's packers (`pack_conversations` doc-isolated arm), whose
+    per-item chunk count is exactly ``ceil(n/L)``.
+    """
+    if not seq_lens:
+        raise ValueError("seq_lens must be non-empty")
+    ls = [int(x) for x in seq_lens]
+    if len(set(ls)) != len(ls):
+        raise ValueError(f"duplicate seq_lens: {seq_lens}")
+    if any(x <= 0 for x in ls):
+        raise ValueError(f"seq_lens must be positive: {seq_lens}")
+
+    spark = counts.sparkSession
+    dim = spark.createDataFrame([(x,) for x in ls], "seq_len long")
+
+    n = F.col(tokens_col).cast("long")
+    guarded = (
+        counts.filter(n.isNotNull())
+        .select(
+            F.when(
+                n < 0, F.raise_error(F.concat(F.lit("negative token count: "), n))
+            )
+            .otherwise(n)
+            .alias("__n")
+        )
+    )
+    per = guarded.crossJoin(F.broadcast(dim)).select(
+        "seq_len",
+        "__n",
+        # ceil(n/L) in pure integer arithmetic
+        F.expr("(__n + seq_len - 1) div seq_len").alias("__nseq"),
+    )
+    agg = per.groupBy("seq_len").agg(
+        F.sum(F.expr("CAST(__n > 0 AS BIGINT)")).alias("n_items"),
+        F.sum(F.expr("CAST(__n = 0 AS BIGINT)")).alias("n_empty"),
+        F.sum("__nseq").alias("n_seqs"),
+        F.sum("__n").alias("n_tokens"),
+    )
+    # every requested length emits, even over an empty input
+    full = dim.join(agg, "seq_len", "left").select(
+        "seq_len",
+        *(F.coalesce(c, F.lit(0)).alias(c) for c in
+          ("n_items", "n_empty", "n_seqs", "n_tokens")),
+    )
+    return full.select(
+        "seq_len",
+        "n_items",
+        "n_empty",
+        "n_seqs",
+        (F.col("n_seqs") - F.col("n_items")).alias("n_splits"),
+        "n_tokens",
+        (F.col("n_seqs") * F.col("seq_len") - F.col("n_tokens")).alias("n_pad"),
+        F.when(F.col("n_seqs") == 0, F.lit(-1))
+        .otherwise(
+            F.expr(
+                f"(CAST(n_tokens AS DECIMAL(38,0)) * {int(units)})"
+                " div (n_seqs * seq_len)"
+            )
+        )
+        .cast("long")
+        .alias("util_units"),
+    )

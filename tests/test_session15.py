@@ -1,0 +1,334 @@
+"""Round-5 session-15 operators: packing seq-len sweep, shuffle-skew
+diagnostic, assistant grounding, KMV distinct sketch.
+
+Value tests replay each contract naively in Python (Counter / hashlib /
+sorted lists) on planted inputs; plan tests pin the scale shapes the
+docstrings claim (broadcast literal dimensions, SHUFFLE_HASH on the
+corpus-scaled grounding join, WindowGroupLimit on the KMV rank prune)."""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+from collections import defaultdict
+from datetime import datetime
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _md5_48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+# ------------------------------------------------------------- packing_sweep
+
+
+def test_packing_sweep_matches_naive_replay(spark):
+    from feast_spark.operators.selection import packing_sweep
+
+    import random
+
+    rng = random.Random(15)
+    counts = [rng.randrange(0, 300) for _ in range(400)] + [0, 0, 1]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "id long, n_tokens long"
+    )
+    lens = [16, 50, 128]
+    got = {r["seq_len"]: r for r in packing_sweep(df, lens).collect()}
+    for L in lens:
+        nseqs = sum(-(-c // L) for c in counts)
+        ntok = sum(counts)
+        nitems = sum(1 for c in counts if c > 0)
+        r = got[L]
+        assert r["n_items"] == nitems
+        assert r["n_empty"] == sum(1 for c in counts if c == 0)
+        assert r["n_seqs"] == nseqs
+        assert r["n_splits"] == nseqs - nitems
+        assert r["n_tokens"] == ntok
+        assert r["n_pad"] == nseqs * L - ntok
+        assert r["util_units"] == ntok * (1 << 20) // (nseqs * L)
+
+
+def test_packing_sweep_empty_input_and_null_rows(spark):
+    from feast_spark.operators.selection import packing_sweep
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10)], "id long, n_tokens long"
+    )
+    # NULL rows are excluded by contract
+    got = {r["seq_len"]: r for r in packing_sweep(df, [8]).collect()}
+    assert got[8]["n_items"] == 1 and got[8]["n_tokens"] == 10
+    # empty input still emits every requested length, with the -1 sentinel
+    rows = packing_sweep(df.filter("id < 0"), [8, 16]).collect()
+    assert sorted(r["seq_len"] for r in rows) == [8, 16]
+    assert all(
+        r["n_seqs"] == 0 and r["util_units"] == -1 and r["n_pad"] == 0
+        for r in rows
+    )
+
+
+def test_packing_sweep_validation_and_negative_counts(spark):
+    from feast_spark.operators.selection import packing_sweep
+
+    df = spark.createDataFrame([(1, 5)], "id long, n_tokens long")
+    with pytest.raises(ValueError, match="non-empty"):
+        packing_sweep(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        packing_sweep(df, [8, 8])
+    with pytest.raises(ValueError, match="positive"):
+        packing_sweep(df, [0, 8])
+    bad = spark.createDataFrame([(1, -5)], "id long, n_tokens long")
+    with pytest.raises(Exception, match="negative token count"):
+        packing_sweep(bad, [8]).collect()
+
+
+def test_packing_sweep_plan_broadcast_dimension(spark):
+    from feast_spark.operators.selection import packing_sweep
+
+    df = spark.createDataFrame([(1, 5)], "id long, n_tokens long")
+    plan = _plan(packing_sweep(df, [8, 16, 32]))
+    # the seq_len dimension rides a broadcast nested-loop join; the item
+    # relation is never shuffled before the dimension-sized agg
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- skew report
+
+
+def _naive_skew(keys, n_parts, units=1 << 20):
+    cnt: dict[str, int] = defaultdict(int)
+    for k in keys:
+        cnt[k] += 1
+    parts: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for k, c in cnt.items():
+        parts[_md5_48(k) % n_parts].append((k, c))
+    total = len(keys)
+    out = {}
+    for p in range(n_parts):
+        ks = parts.get(p, [])
+        if not ks:
+            out[p] = (0, 0, 0, None, 0, 0)
+            continue
+        n_rows = sum(c for _, c in ks)
+        mx = max(c for _, c in ks)
+        hot = max(k for k, c in ks if c == mx)
+        out[p] = (
+            n_rows,
+            len(ks),
+            mx,
+            hot,
+            n_rows * n_parts * units // total,
+            -(-mx * n_parts // total),
+        )
+    return out
+
+
+def test_shuffle_skew_report_matches_naive_replay(spark):
+    from feast_spark.operators.salting import shuffle_skew_report
+
+    keys = [f"c{i % 13}" for i in range(200)] + ["mega"] * 500
+    df = spark.createDataFrame([(k,) for k in keys], "conv_id string")
+    got = {
+        r["partition"]: (
+            r["n_rows"], r["n_keys"], r["max_key_rows"], r["hot_key"],
+            r["balance_units"], r["salt_hint"],
+        )
+        for r in shuffle_skew_report(df, ["conv_id"], 8).collect()
+    }
+    assert got == _naive_skew(keys, 8)
+    # the mega key's partition must recommend salting
+    mega_part = _md5_48("mega") % 8
+    assert got[mega_part][5] > 1
+
+
+def test_shuffle_skew_report_null_and_multi_column_keys(spark):
+    from feast_spark.operators.salting import shuffle_skew_report
+
+    rows = [("a", 1), (None, 1), ("a", None), ("a", 1)]
+    df = spark.createDataFrame(rows, "k1 string, k2 long")
+    out = shuffle_skew_report(df, ["k1", "k2"], 4).collect()
+    assert len(out) == 4
+    # keys concatenate with chr(30); NULL -> '<null>' on each component
+    expect = _naive_skew(
+        ["a\x1e1", "<null>\x1e1", "a\x1e<null>", "a\x1e1"], 4
+    )
+    got = {
+        r["partition"]: (
+            r["n_rows"], r["n_keys"], r["max_key_rows"], r["hot_key"],
+            r["balance_units"], r["salt_hint"],
+        )
+        for r in out
+    }
+    assert got == expect
+    hot = [r for r in out if r["max_key_rows"] == 2]
+    assert hot and hot[0]["hot_key"] == "a\x1e1"
+
+
+def test_shuffle_skew_report_validation(spark):
+    from feast_spark.operators.salting import shuffle_skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="positive"):
+        shuffle_skew_report(df, ["k"], 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        shuffle_skew_report(df, [], 4)
+
+
+def test_shuffle_skew_report_balance_sums(spark):
+    from feast_spark.operators.salting import shuffle_skew_report
+
+    keys = [f"k{i}" for i in range(97)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = shuffle_skew_report(df, ["k"], 16).collect()
+    # conservation: partition row counts sum to the input size
+    assert sum(r["n_rows"] for r in rows) == 97
+    assert sum(r["n_keys"] for r in rows) == 97
+
+
+# -------------------------------------------------------------- grounding
+
+
+def test_assistant_grounding_contract(spark):
+    from feast_spark.operators.conversation import assistant_grounding
+
+    T = datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", None, T, "budget is 4242 see https://ok.example/a"),
+        ("c1", 1, "assistant", None, T,
+         "total 4242 plus 9191 at https://ok.example/a and"
+         " https://fab.example/b"),
+        ("c1", 2, "tool", "search", T, "result 777"),
+        ("c1", 3, "assistant", None, T,
+         "so 777 and 9191 again, v2.5.1 and step 1"),
+        ("c2", 0, "user", None, T, "no numbers here"),
+        ("c2", 1, "assistant", None, T, "fabricated 31337"),
+        # self-introduction: an assistant inventing a number never
+        # grounds itself, even on repeat
+        ("c3", 0, "assistant", None, T, "self 55 intro"),
+        ("c3", 1, "assistant", None, T, "repeat 55"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string,"
+        " ts timestamp, text string",
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["kind"], r["n_entities"],
+         r["n_grounded"])
+        for r in assistant_grounding(df).collect()
+    )
+    # c1 t3 numbers: 777 (grounded by tool t2), 9191 (assistant-only),
+    # 2.5 from 'v2.5.1' (len>=2; the trailing '1' and 'step 1' are
+    # single digits, excluded)
+    assert got == [
+        ("c1", 1, "number", 2, 1),
+        ("c1", 1, "url", 2, 1),
+        ("c1", 3, "number", 3, 1),
+        ("c2", 1, "number", 1, 0),
+        ("c3", 0, "number", 1, 0),
+        ("c3", 1, "number", 1, 0),
+    ]
+
+
+def test_assistant_grounding_kinds_and_validation(spark):
+    from feast_spark.operators.conversation import assistant_grounding
+
+    T = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, T, "see https://a.example x 42"),
+         ("c1", 1, "assistant", None, T, "https://a.example and 42")],
+        "conv_id string, turn_idx int, role string, tool string,"
+        " ts timestamp, text string",
+    )
+    only_url = assistant_grounding(df, kinds=("url",)).collect()
+    assert [r["kind"] for r in only_url] == ["url"]
+    assert only_url[0]["n_grounded"] == 1
+    with pytest.raises(ValueError, match="unknown kinds"):
+        assistant_grounding(df, kinds=("number", "ssn"))
+
+
+def test_assistant_grounding_plan_shuffle_hash(spark):
+    from feast_spark.operators.conversation import assistant_grounding
+
+    T = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, T, "42 and 43"),
+         ("c1", 1, "assistant", None, T, "42 44")],
+        "conv_id string, turn_idx int, role string, tool string,"
+        " ts timestamp, text string",
+    )
+    plan = _plan(assistant_grounding(df))
+    # the (conv, kind, entity) source relation is corpus-scaled — the
+    # grounding join must never auto-broadcast it
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+# ------------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k_and_estimate(spark):
+    from feast_spark.operators.lexical import kmv_estimate, kmv_sketch
+
+    import random
+
+    rng = random.Random(7)
+    rows = [("big", f"w{rng.randrange(4000)}") for _ in range(20000)] + [
+        ("small", f"w{i}") for i in range(50)
+    ] + [("small", None)]
+    df = spark.createDataFrame(rows, "source string, term string")
+    k = 256
+    est = {
+        r["source"]: r
+        for r in kmv_estimate(
+            kmv_sketch(df, ["source"], "term", k=k), ["source"], k
+        ).collect()
+    }
+    # below k distinct -> exact (NULL excluded)
+    assert est["small"]["n_sketch"] == 50
+    assert est["small"]["est_distinct"] == 50
+    # full sketch -> the unbiased estimator, replayed exactly
+    big_terms = {t for s, t in rows if s == "big"}
+    hashes = sorted({_md5_48(t) for t in big_terms})
+    exact = len(hashes)
+    kth = hashes[k - 1]
+    expect = (k - 1) * (1 << 48) // kth
+    assert est["big"]["n_sketch"] == k
+    assert est["big"]["max_hash"] == kth
+    assert est["big"]["est_distinct"] == expect
+    # and the estimate is actually close: k=256 -> stderr ~ 6%
+    assert abs(expect - exact) / exact < 0.2
+
+
+def test_kmv_merge_equals_whole_sketch(spark):
+    from feast_spark.operators.lexical import kmv_merge, kmv_sketch
+
+    rows = [("s", f"t{i % 700}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "source string, term string")
+    k = 64
+    a = kmv_sketch(df.filter("term < 't4'"), ["source"], "term", k=k)
+    b = kmv_sketch(df.filter("term >= 't4'"), ["source"], "term", k=k)
+    merged = kmv_merge(a, b, ["source"], k)
+    whole = kmv_sketch(df, ["source"], "term", k=k)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_validation_and_plan(spark):
+    from feast_spark.operators.lexical import kmv_sketch
+
+    df = spark.createDataFrame([("s", "t")], "source string, term string")
+    with pytest.raises(ValueError, match=">= 16"):
+        kmv_sketch(df, ["source"], "term", k=4)
+    plan = _plan(kmv_sketch(df, ["source"], "term", k=64))
+    # the rank<=k prune must run map-side before the group exchange
+    assert "WindowGroupLimit" in plan
