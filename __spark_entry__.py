@@ -3374,6 +3374,66 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_estimate(sk, ["source"], k=256)
 
 
+# driver-query weights for interleave_sources: 20 fixture sources at
+# ratios 1..5 (W = 60); generated here so the oracle VALUES table is
+# produced from the SAME dict (no hand-retyped dimension rows)
+INTERLEAVE_WEIGHTS = {f"src{i}": 1 + i % 5 for i in range(20)}
+
+
+def q_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15b: stride-scheduling source-mixing order — every
+    # prefix of the (sched_key, source, id) order holds the target
+    # mixture (until a source exhausts). Oracle: FULL genuine DuckDB SQL
+    # (md5-48 per-source rank replay + HUGEINT key arithmetic; weights
+    # VALUES generated from INTERLEAVE_WEIGHTS).
+    from feast_spark.operators.selection import interleave_sources
+
+    return interleave_sources(
+        _t(spark, sf, "documents"), INTERLEAVE_WEIGHTS
+    )
+
+
+def q_tool_loops(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15b: stuck-agent / polling-loop detector —
+    # identical tool payloads repeated within one conversation. Plant:
+    # every 7th conversation's tool turns all carry the same payload
+    # ('status pending retry'), on top of any organic repeats. Oracle:
+    # FULL genuine DuckDB SQL (same plant, same ws-normalization, md5-16
+    # digest, HAVING >= 2).
+    from feast_spark.operators.conversation import repeated_tool_calls
+
+    t = _transcripts_fixture(spark)
+    idx = F.substring("conv_id", 2, 9).cast("int")
+    sel = (F.pmod(idx, F.lit(3)) == 1) & (F.col("role") == "tool")
+    planted = t.withColumn(
+        "text",
+        F.when(sel, F.lit("status pending retry")).otherwise(F.col("text")),
+    ).withColumn(
+        "tool", F.when(sel, F.lit("poll")).otherwise(F.col("tool"))
+    )
+    return repeated_tool_calls(planted, min_calls=2)
+
+
+def q_pack_ffd(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15b: minimal-padding first-fit-decreasing packing
+    # of whole turns into 96-token bins within md5 buckets — the waste
+    # optimizer packing_sweep measures. Turn grain: id = conv_id:idx,
+    # per-turn word counts, oversize turns filtered (the documented
+    # chunk-first contract). Oracle: the SHARED ffd_pack_kernel replay
+    # (FFD is sequential — no SQL form; the kernel IS the contract).
+    from feast_spark.operators.conversation import _deduped, _word_count
+    from feast_spark.operators.selection import pack_best_fit
+
+    d = _deduped(_transcripts_fixture(spark))
+    counts = d.select(
+        F.concat_ws(
+            ":", "conv_id", F.col("turn_idx").cast("string")
+        ).alias("id"),
+        _word_count("text").cast("long").alias("n_tokens"),
+    ).filter("n_tokens > 0 and n_tokens <= 96")
+    return pack_best_fit(counts, seq_len=96, bucket_docs=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3409,6 +3469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extras), semantic_dedup (near-dup stays via minhash_profile +
         # neardup_verify + turn_dedup; ann/ivf/diverse extras) — all
         # four carry green r03+r04 driver rows.
+        # round 5 session 15b: stride-scheduling mixture order, stuck-
+        # agent tool-loop detector, FFD minimal-padding packing. Rotated
+        # to extras: doc_curation_lm (LM family stays pytest-oracled;
+        # perplexity rules stay in-window inside transcript_pipeline),
+        # stream_window_parity and pit_last_click (green r01-r04 driver
+        # rows — four artifacts of evidence; streaming + PIT stay
+        # pytest-covered) — all three green in r03+r04.
+        "interleave": q_interleave,
+        "tool_loops": q_tool_loops,
+        "pack_ffd": q_pack_ffd,
         "packing_sweep": q_packing_sweep,
         "skew_report": q_skew_report,
         "grounding": q_grounding,
@@ -3504,14 +3574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_curate": q_conv_curate,
         # round 4: trained langid + LM + source cap + quantile calibration
         # + reference-fidelity label resolution + trained classifier
-        "doc_curation_lm": q_doc_curation_lm,
         # flagship + round-3 selection family
         "transcript_pipeline": q_transcript_pipeline,
         "doc_curation": q_doc_curation,
         # round 2-3 operators
-        "stream_window_parity": q_stream_window_parity,
         # core relational / PIT surface
-        "pit_last_click": q_pit_last_click,
     }
 
 
@@ -3522,6 +3589,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 15b (green r03+r04 rows; pit/stream
+        # green since r01)
+        "doc_curation_lm": q_doc_curation_lm,
+        "stream_window_parity": q_stream_window_parity,
+        "pit_last_click": q_pit_last_click,
         # rotated round 5 session 15 (all four carry green r03+r04
         # driver rows — family coverage notes in queries())
         "quality_classifier": q_quality_classifier,
@@ -3920,6 +3992,14 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE metric NOT LIKE 'script_chars_%' OR value > 0
         """
 
+    # session 15b: interleave weights VALUES generated from the SAME
+    # INTERLEAVE_WEIGHTS dict the Spark query passes (sorted for
+    # stability); W is its sum
+    _ilw_values = ", ".join(
+        f"('{k}', {int(v)})" for k, v in sorted(INTERLEAVE_WEIGHTS.items())
+    )
+    _ilw_total = sum(int(v) for v in INTERLEAVE_WEIGHTS.values())
+
     # session 15: grounding entity arms generated from the SAME
     # GROUNDING_PATTERNS constant the Spark operator scans (kind,
     # pattern, min_len) — patterns reach the SQL through plain string
@@ -3939,6 +4019,69 @@ def _all_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "interleave": f"""
+            -- FULL genuine-SQL twin of interleave_sources over the
+            -- documents table: per-source md5-48 rank order, stride key
+            -- src_rank * W div w (HUGEINT numerator); weights VALUES
+            -- generated from INTERLEAVE_WEIGHTS
+            WITH w AS (
+              SELECT * FROM (VALUES {_ilw_values}) w(source, wt)
+            ), j AS (
+              SELECT doc_id, d.source, wt
+              FROM documents d JOIN w USING (source)
+            ), r AS (
+              SELECT doc_id, source, wt,
+                ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY CAST('0x' || substr(
+                    md5('il1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT),
+                    doc_id
+                ) AS src_rank
+              FROM j
+            )
+            SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+              CAST((CAST(src_rank AS HUGEINT) * {_ilw_total}) // wt
+                   AS BIGINT) AS sched_key
+            FROM r
+        """,
+        "tool_loops": f"""
+            -- FULL genuine-SQL twin of repeated_tool_calls under the
+            -- every-7th-conversation plant (all tool turns carry the
+            -- same payload): same ws normalization, md5-16 digest,
+            -- HAVING n_calls >= 2
+            WITH pl AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 3 = 1
+                          AND role = 'tool'
+                     THEN 'status pending retry' ELSE text END AS text,
+                CASE WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 3 = 1
+                          AND role = 'tool'
+                     THEN 'poll' ELSE tool END AS tool2
+              FROM read_parquet('{derived["transcripts_raw"]}')
+            ), d AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, text DESC) AS rn
+                FROM pl
+              ) WHERE rn = 1
+            ), c AS (
+              SELECT conv_id, tool2 AS tool, turn_idx,
+                trim(regexp_replace(COALESCE(text, ''),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm
+              FROM d WHERE role = 'tool' AND tool2 IS NOT NULL
+            ), c2 AS (
+              SELECT conv_id, tool, turn_idx,
+                substr(md5(norm), 1, 16) AS call_digest
+              FROM c WHERE length(norm) > 0
+            )
+            SELECT conv_id, tool, call_digest,
+              CAST(COUNT(*) AS BIGINT) AS n_calls,
+              MIN(turn_idx) AS first_idx,
+              MAX(turn_idx) AS last_idx
+            FROM c2 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        """,
+        "pack_ffd": _rp("pack_ffd"),
         "packing_sweep": f"""
             -- FULL genuine-SQL twin of packing_sweep over per-conv word
             -- counts (every 11th conversation blanked -> the n_empty

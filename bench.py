@@ -202,6 +202,9 @@ HEADLINE = [
     "skew_report",
     "grounding",
     "kmv_distinct",
+    "interleave",
+    "tool_loops",
+    "pack_ffd",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -80,6 +80,7 @@ __all__ = [
     "language_script_agreement",
     "assistant_grounding",
     "GROUNDING_PATTERNS",
+    "repeated_tool_calls",
     "LANG_SCRIPT_EXPECTATIONS",
 ]
 
@@ -2564,3 +2565,59 @@ def assistant_grounding(
             f"((n_entities - n_grounded) * {int(units)}) div n_entities"
         ).alias("ungrounded_units"),
     )
+
+
+def repeated_tool_calls(
+    turns: DataFrame,
+    min_calls: int = 2,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Stuck-agent / polling-loop detector: identical tool payloads
+    repeated WITHIN one conversation. An agent stuck retrying the same
+    failing call, or polling an unchanged resource, emits tool turns
+    whose payloads are verbatim-identical but non-consecutive — so
+    :func:`conversation_repetition` (identical CONSECUTIVE turns) and
+    :func:`turn_dedup` (cross-conversation, assistant-grain) both miss
+    them, while the wasted calls inflate tool-latency mass and teach
+    the model that repeating a call is normal.
+
+    Payload identity is the md5-16 digest of the whitespace-normalized
+    text (:func:`_norm_text` — turn_dedup's engine-agnostic
+    normalization, NO case fold); empty/NULL payloads are excluded
+    (orphan empty tool turns are conversation_structure's finding, not
+    a repeat signal). One row per (conv_id, tool, call_digest) with
+    ``n_calls >= min_calls``: ``(conv_id, tool, call_digest, n_calls,
+    first_idx, last_idx)`` — ``last_idx - first_idx + 1 > n_calls``
+    distinguishes spread-out polling from a tight retry burst.
+
+    Scale shape: map-only digesting (text never survives it), ONE
+    (conv, tool, digest)-keyed map-side-combined hash agg, defect-sized
+    output. Reference: feast has no tool surface; the per-key census
+    chassis matches ``tool_error_stats``.
+    """
+    if min_calls < 2:
+        raise ValueError(f"min_calls must be >= 2: {min_calls}")
+    d = turns if pre_deduped else _deduped(turns)
+    calls = d.filter(
+        (F.col("role") == "tool") & F.col("tool").isNotNull()
+    ).select(
+        "conv_id",
+        "tool",
+        "turn_idx",
+        _norm_text("text").alias("__norm"),
+    ).filter(F.length("__norm") > 0)
+    agg = (
+        calls.select(
+            "conv_id",
+            "tool",
+            "turn_idx",
+            F.substring(F.md5("__norm"), 1, 16).alias("call_digest"),
+        )
+        .groupBy("conv_id", "tool", "call_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.min("turn_idx").alias("first_idx"),
+            F.max("turn_idx").alias("last_idx"),
+        )
+    )
+    return agg.filter(F.col("n_calls") >= min_calls)

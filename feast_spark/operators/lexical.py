@@ -50,6 +50,7 @@ __all__ = [
     "frequent_terms",
     "kmv_sketch",
     "kmv_merge",
+    "kmv_resketch",
     "kmv_estimate",
 ]
 
@@ -724,15 +725,17 @@ def kmv_sketch(
     )
 
 
-def kmv_merge(
-    a: DataFrame, b: DataFrame, group_cols: list[str], k: int
+def kmv_resketch(
+    sketches: DataFrame, group_cols: list[str], k: int
 ) -> DataFrame:
-    """Merge two KMV sketches (same ``k``): union, dedup, keep the k
-    smallest per group — exactly a sketch of the concatenated inputs.
-    Both sides are <= k rows/group, so every stage is sketch-sized."""
+    """Re-sketch a union of KMV sketch relations (same ``k``): dedup
+    hashes, keep the k smallest per group — exactly a sketch of the
+    concatenated original inputs (the k smallest of a union are a
+    subset of the per-part k-smallest sets). Input is sketch-sized
+    (<= parts x k rows/group), so every stage is too."""
     from pyspark.sql import Window
 
-    u = a.unionByName(b).groupBy(*group_cols, "kmv_hash").agg(
+    u = sketches.groupBy(*group_cols, "kmv_hash").agg(
         F.count(F.lit(1)).alias("__c")
     ).drop("__c")
     w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
@@ -741,6 +744,14 @@ def kmv_merge(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge two KMV sketches (same ``k``) — :func:`kmv_resketch` of
+    their union."""
+    return kmv_resketch(a.unionByName(b), group_cols, k)
 
 
 def kmv_estimate(

@@ -1966,3 +1966,252 @@ def packing_sweep(
         .cast("long")
         .alias("util_units"),
     )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "il1",
+) -> DataFrame:
+    """Deterministic source-mixing schedule by stride scheduling
+    (Waldspurger's lottery/stride discipline applied to data mixing):
+    assign every document an integer ``sched_key`` such that reading
+    the corpus in ``(sched_key, source, id)`` order interleaves sources
+    at the requested ``weights`` ratio IN EVERY PREFIX — the
+    missing half of the sampling family: :func:`temperature_sample_rates`
+    / :func:`unimax_allocation` decide HOW MUCH of each source to take,
+    this decides IN WHAT ORDER the mixture streams, so a training run
+    stopped at any step has consumed the target mixture (and a
+    curriculum phase boundary lands on-ratio).
+
+    Contract: within each source, documents rank 1..n in the portable
+    deterministic-shuffle order ``(md5_48(seed || id), id)`` (the
+    :func:`deterministic_shuffle` / unimax order). Then
+    ``sched_key = src_rank * W div w_s`` (``W`` = sum of all weights,
+    DECIMAL(38,0) numerator) — the estimated GLOBAL slot at which the
+    r-th item of source ``s`` should appear; the stride ``W/w_s`` is
+    inversely proportional to weight, so per-source counts in any
+    key-prefix drift from ``n * w_s / W`` by at most 1 per source.
+    Sources missing from ``weights`` are EXCLUDED (schedule only what
+    you weighted — the mixture contract is over the weighted set);
+    exhausted sources simply stop emitting keys (callers wanting epoch
+    caps compose :func:`unimax_sample` first). Bound: keys fit int64
+    while ``src_rank * W / w_s < 2^63`` — at 10^12 docs that allows
+    weight ratios to ~10^6:1 (documented; the numerator itself is
+    DECIMAL so only the final key magnitude matters).
+
+    Returns ``(id, source, src_rank, sched_key)`` — the consumer sorts
+    (or range-partitions shards) by ``(sched_key, source, id)``.
+
+    Plan at 10^12 docs: per-source ranks use the grouped two-phase
+    md5-order prefix count (top-10-bit buckets -> bounded offset table
+    broadcast back -> row_number windows partitioned (source, bucket),
+    1024-way spread per source — no mega-source sort funnel, the
+    unimax kernel); the weights dimension joins as a broadcast literal.
+    Map-only otherwise; GENUINE SQL oracle (md5 rank replay + HUGEINT
+    key arithmetic).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {k: v for k, v in weights.items() if int(v) <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive: {bad}")
+    W = sum(int(v) for v in weights.values())
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(weights.items())],
+        f"{source_col} string, __w long",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = (
+        docs.join(F.broadcast(wdf), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            "__w",
+            h.alias("__h"),
+        )
+        .withColumn("__b", F.shiftright(F.col("__h"), 38))
+    )
+    bcnt = keyed.groupBy(source_col, "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    offs = bcnt.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.partitionBy(source_col)
+                .orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(source_col, "__b", "__off")
+    inner = Window.partitionBy(source_col, "__b").orderBy("__h", id_col)
+    ranked = keyed.join(F.broadcast(offs), [source_col, "__b"]).withColumn(
+        "src_rank", (F.col("__off") + F.row_number().over(inner)).cast("long")
+    )
+    return ranked.select(
+        id_col,
+        source_col,
+        "src_rank",
+        F.expr(f"(CAST(src_rank AS DECIMAL(38,0)) * {W}) div __w")
+        .cast("long")
+        .alias("sched_key"),
+    )
+
+
+def ffd_pack_kernel(
+    items: "list[tuple]", seq_len: int, seed: str = "ffd1"
+) -> "list[tuple]":
+    """Pure-python first-fit-decreasing bin packing — the kernel BOTH
+    the Spark operator (inside its per-bucket Arrow pass) and the naive
+    oracle replay run verbatim, so they agree bit-for-bit by
+    construction. Items are ``(id, n_tokens)``; order is the
+    deterministic ``(-n, md5(seed || id), id-as-string)`` — fully tied,
+    so two runs (or two engines) place every item identically. Returns
+    ``(id, bin_idx, offset)`` with bins numbered 0.. in creation order.
+
+    Plain first-fit over a bin list: O(items * bins) worst case —
+    bounded, because callers only ever hand it one bucket
+    (<= ~bucket_docs items)."""
+    import hashlib
+
+    order = sorted(
+        items,
+        key=lambda t: (
+            -int(t[1]),
+            hashlib.md5((seed + str(t[0])).encode()).hexdigest()[:12],
+            str(t[0]),
+        ),
+    )
+    bins: list[int] = []  # remaining capacity per bin
+    out = []
+    for item_id, n in order:
+        n = int(n)
+        placed = False
+        for b, rem in enumerate(bins):
+            if rem >= n:
+                out.append((item_id, b, seq_len - rem))
+                bins[b] = rem - n
+                placed = True
+                break
+        if not placed:
+            bins.append(seq_len - n)
+            out.append((item_id, len(bins) - 1, 0))
+    return out
+
+
+def pack_best_fit(
+    counts: DataFrame,
+    seq_len: int,
+    id_col: str = "id",
+    tokens_col: str = "n_tokens",
+    bucket_docs: int = 8192,
+    seed: str = "ffd1",
+) -> DataFrame:
+    """Minimal-padding sequence packing: first-fit-decreasing bin
+    packing of WHOLE items into ``seq_len``-token bins, within
+    deterministic md5 buckets of ~``bucket_docs`` items. The
+    leak-free-attention optimizer the packer family was missing:
+    ``pack_conversations(cross_boundaries=False)`` gives every item its
+    own ``ceil(n/L)`` chunks (no combining — maximal padding),
+    the corpus-stream packers combine but SPLIT items across bins;
+    this one combines WITHOUT splitting or crossing, and
+    :func:`packing_sweep` measures exactly the waste it removes
+    (pinned by test: FFD bins <= the sweep's ``n_seqs`` at the same
+    ``seq_len``, >= the ``ceil(total/L)`` lower bound).
+
+    Contract: items need ``0 < n_tokens <= seq_len`` — NULL/zero rows
+    are excluded (the packing_sweep contract), oversize rows RAISE
+    (chunk first via :func:`chunk_documents` /
+    ``fit_context_budget``). Output ``(id, n_tokens, pack_bucket,
+    pack_bin, pack_offset)``; bins are (bucket, bin) pairs — they
+    never cross buckets, so the layout is reproducible batch-by-batch
+    and two engines agree exactly (:func:`ffd_pack_kernel` is the
+    shared ordering + placement).
+
+    Plan at 10^12 items: ONE count() sizes the bucket count
+    (``ceil(n / bucket_docs)`` — an aggregate-only job on the
+    item-grain relation), bucket assignment is map-side md5, and the
+    FFD runs as ONE applyInPandas pass per bucket (task state =
+    ``bucket_docs`` items — bounded regardless of corpus size; the
+    classifier/langid Arrow-pass argument). Packing quality loses only
+    the cross-bucket combinations — at 8192 items/bucket the FFD bound
+    (11/9 OPT + 6/9 bins) applies per bucket.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    n_col = F.col(tokens_col).cast("long")
+    items = (
+        counts.filter(n_col.isNotNull() & (n_col > 0))
+        .select(
+            F.col(id_col),
+            F.when(
+                n_col > seq_len,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"item exceeds seq_len {seq_len}: "),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(n_col)
+            .alias("__n"),
+        )
+    )
+    n_items = items.count()
+    if n_items == 0:
+        return items.select(
+            F.col(id_col),
+            F.col("__n").alias(tokens_col),
+            F.lit(0).cast("long").alias("pack_bucket"),
+            F.lit(0).cast("long").alias("pack_bin"),
+            F.lit(0).cast("long").alias("pack_offset"),
+        )
+    n_buckets = max(1, -(-n_items // int(bucket_docs)))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucketed = items.withColumn(
+        "pack_bucket", F.pmod(h, F.lit(n_buckets)).cast("long")
+    )
+
+    id_field = counts.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_field}, {tokens_col} long, pack_bucket long,"
+        " pack_bin long, pack_offset long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["pack_bucket"].iloc[0])
+        placed = ffd_pack_kernel(
+            list(zip(pdf[id_col], pdf["__n"])), seq_len, seed
+        )
+        n_map = dict(zip(pdf[id_col], pdf["__n"]))
+        return pd.DataFrame(
+            {
+                id_col: [p[0] for p in placed],
+                tokens_col: [int(n_map[p[0]]) for p in placed],
+                "pack_bucket": bucket,
+                "pack_bin": [int(p[1]) for p in placed],
+                "pack_offset": [int(p[2]) for p in placed],
+            }
+        )
+
+    return bucketed.groupBy("pack_bucket").applyInPandas(_pack, out_schema)

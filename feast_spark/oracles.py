@@ -2296,6 +2296,51 @@ def compressibility_pdf(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def pack_ffd_pdf() -> pd.DataFrame:
+    """Naive replay of the q_pack_ffd driver query: deduped fixture
+    turns -> per-turn ASCII-ws word counts -> 0 < n <= 96 -> md5-48
+    buckets (n_buckets = ceil(n_items / 512)) -> the SHARED
+    :func:`feast_spark.operators.selection.ffd_pack_kernel` per bucket
+    (first-fit-decreasing is sequential — no SQL form exists; the
+    kernel is the contract and both arms run it verbatim)."""
+    import hashlib
+    import re
+
+    from feast_spark.fixtures import generate_transcripts
+    from feast_spark.operators.selection import ffd_pack_kernel
+    from feast_spark.pipeline.oracle import oracle_dedup_latest
+
+    pdf = generate_transcripts(100, seed=42, mega_every=50, mega_turns=200)
+    d = oracle_dedup_latest(pdf)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    items = []
+    for conv, idx, text in zip(d["conv_id"], d["turn_idx"], d["text"]):
+        t = "" if text is None else str(text)
+        n = len([x for x in ws.split(t) if x])
+        if 0 < n <= 96:
+            items.append((f"{conv}:{idx}", n))
+    n_buckets = max(1, -(-len(items) // 512))
+    buckets: dict[int, list] = {}
+    for i, n in items:
+        b = (
+            int(hashlib.md5(("ffd1" + i).encode()).hexdigest()[:12], 16)
+            % n_buckets
+        )
+        buckets.setdefault(b, []).append((i, n))
+    rows = []
+    for b, its in buckets.items():
+        nm = dict(its)
+        for item_id, bin_idx, off in ffd_pack_kernel(its, 96, "ffd1"):
+            rows.append((item_id, nm[item_id], b, bin_idx, off))
+    return pd.DataFrame(
+        rows, columns=["id", "n_tokens", "pack_bucket", "pack_bin",
+                       "pack_offset"]
+    ).astype(
+        {"id": "string", "n_tokens": "int64", "pack_bucket": "int64",
+         "pack_bin": "int64", "pack_offset": "int64"}
+    )
+
+
 _RELATIONS = {
     "html_extract": lambda sf: html_extract_pdf(sf),
     "doc_curation_blocklist": lambda sf: curation_blocklist_pdf(sf),
@@ -2359,6 +2404,7 @@ _RELATIONS = {
     "para_neardup": lambda sf: paragraph_neardup_pdf(sf),
     "moore_lewis": lambda sf: moore_lewis_pdf(sf),
     "compressibility": lambda sf: compressibility_pdf(sf),
+    "pack_ffd": lambda sf: pack_ffd_pdf(),
 }
 
 

@@ -92,6 +92,30 @@ def _profile_dir(state_dir: str, batch_id: str) -> str:
     return os.path.join(state_dir, "profile", f"batch={batch_id}")
 
 
+def _vocab_dir(state_dir: str, batch_id: str) -> str:
+    return os.path.join(state_dir, "vocab", f"batch={batch_id}")
+
+
+def _batch_vocab_sketch(transcripts: DataFrame, k: int) -> DataFrame:
+    """Per-role KMV sketch of this batch's ASCII-ws terms — the bounded
+    (<= roles x k rows) mergeable vocabulary summary."""
+    from feast_spark.operators.lexical import kmv_sketch
+
+    toks = transcripts.select(
+        "role",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    "[ \t\n\x0b\f\r]+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    return kmv_sketch(toks, ["role"], "term", k=k)
+
+
 def run_quality_batch(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -100,6 +124,7 @@ def run_quality_batch(
     cfg: QualityConfig = QualityConfig(),
     decision_ts: datetime | None = None,
     profile: bool = False,
+    vocab_k: int = 0,
 ) -> QualityBatchResult:
     """Label one ingest batch exactly once. A batch id whose labels
     partition is ``_SUCCESS``-committed returns from state without
@@ -121,6 +146,18 @@ def run_quality_batch(
     writes leaves the batch uncommitted, and the retry overwrites both
     — the paragraph-state crash argument. Re-delivered committed ids
     never recompute the card.
+
+    ``vocab_k > 0`` additionally persists this batch's per-role KMV
+    vocabulary sketch (``operators/lexical.kmv_sketch`` — <= roles x k
+    rows, text never stored) to ``<state_dir>/vocab/batch=<id>`` under
+    the SAME commit discipline: sketch before labels, labels
+    ``_SUCCESS`` the single commit point. Because KMV sketches are
+    mergeable (``sketch(A ∪ B) == resketch(sketch(A) ∪ sketch(B))``),
+    :func:`corpus_vocab_estimate` then answers "distinct terms per role
+    across ALL committed batches" WITHOUT re-reading any batch's text —
+    the incremental-state matrix extended to the cardinality grain
+    (span/para hashes = exact membership, minhash sigs = similarity,
+    KMV = cardinality).
     """
     if "/" in batch_id or not batch_id:
         raise ValueError(f"invalid batch_id {batch_id!r}")
@@ -147,6 +184,10 @@ def run_quality_batch(
         ).coalesce(1).write.mode("overwrite").parquet(
             _profile_dir(state_dir, batch_id)
         )
+    if vocab_k > 0:
+        _batch_vocab_sketch(transcripts, vocab_k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_vocab_dir(state_dir, batch_id))
     res.lineage.write.mode("overwrite").parquet(
         os.path.join(state_dir, "lineage", f"batch={batch_id}")
     )
@@ -219,6 +260,33 @@ def batch_profile_drift(
     )
 
 
+def corpus_vocab_estimate(
+    spark: SparkSession, state_dir: str, k: int
+) -> DataFrame:
+    """Distinct-term estimate per role across ALL committed batches,
+    from the persisted KMV sketches alone (no batch text is re-read):
+    union the committed sketch partitions, re-sketch (dedup + k
+    smallest per role — exactly a sketch of the concatenated batches,
+    the merge property), and run ``kmv_estimate``. ``k`` must equal the
+    ``vocab_k`` the batches were written with (a batch written with a
+    smaller k cannot be widened — fail fast on fewer committed rows is
+    impossible at this grain, so the contract is the caller's; the
+    minhash params-sidecar discipline is overkill for one integer
+    documented at the call site). Raises if no committed batch carries
+    a sketch."""
+    from feast_spark.operators.lexical import kmv_estimate, kmv_resketch
+
+    dirs = [
+        _vocab_dir(state_dir, b)
+        for b in committed_label_batches(state_dir)
+        if os.path.exists(_vocab_dir(state_dir, b))
+    ]
+    if not dirs:
+        raise ValueError(f"no committed vocab sketches under {state_dir}")
+    u = spark.read.parquet(*dirs)
+    return kmv_estimate(kmv_resketch(u, ["role"], k), ["role"], k)
+
+
 def quality_stream(
     spark: SparkSession,
     stream_turns: DataFrame,
@@ -227,6 +295,7 @@ def quality_stream(
     cfg: QualityConfig = QualityConfig(),
     decision_ts: datetime | None = None,
     profile: bool = False,
+    vocab_k: int = 0,
 ):
     """Run the quality pipeline under Structured Streaming: every
     micro-batch becomes one :func:`run_quality_batch` batch (id
@@ -252,6 +321,7 @@ def quality_stream(
             cfg,
             decision_ts,
             profile=profile,
+            vocab_k=vocab_k,
         )
 
     return (

@@ -332,3 +332,278 @@ def test_kmv_validation_and_plan(spark):
     plan = _plan(kmv_sketch(df, ["source"], "term", k=64))
     # the rank<=k prune must run map-side before the group exchange
     assert "WindowGroupLimit" in plan
+
+
+# ------------------------------------------------------------- interleave
+
+
+def test_interleave_sources_rank_and_key_replay(spark):
+    from feast_spark.operators.selection import interleave_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 1, "s1": 2, "s2": 4}
+    out = interleave_sources(df, w).collect()
+    by_src: dict[str, list[int]] = defaultdict(list)
+    for i, s in rows:
+        by_src[s].append(i)
+    exp = {}
+    W = 7
+    for s, ids in by_src.items():
+        ids.sort(key=lambda i: (_md5_48("il1" + str(i)), i))
+        for r, i in enumerate(ids, 1):
+            exp[i] = (s, r, r * W // w[s])
+    got = {
+        r["doc_id"]: (r["source"], r["src_rank"], r["sched_key"])
+        for r in out
+    }
+    assert got == exp
+
+
+def test_interleave_sources_prefix_mixture(spark):
+    from collections import Counter
+
+    from feast_spark.operators.selection import interleave_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 1, "s1": 2, "s2": 4}
+    W = 7
+    out = interleave_sources(df, w).collect()
+    order = sorted(out, key=lambda r: (r["sched_key"], r["source"], r["doc_id"]))
+    # stride property: before ANY source exhausts, per-source counts in
+    # every prefix drift < 1 from target (+1 slack for position ties)
+    limit = min(300 * W // ws for ws in w.values())
+    c: Counter = Counter()
+    for n, r in enumerate(order[:limit], 1):
+        c[r["source"]] += 1
+        for s in w:
+            assert abs(c[s] - n * w[s] / W) <= 2, (n, s, c[s])
+
+
+def test_interleave_sources_exclusion_and_validation(spark):
+    from feast_spark.operators.selection import interleave_sources
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zzz")], "doc_id long, source string"
+    )
+    out = interleave_sources(df, {"a": 1, "b": 1}).collect()
+    # unweighted sources are excluded from the schedule
+    assert sorted(r["source"] for r in out) == ["a", "b"]
+    with pytest.raises(ValueError, match="non-empty"):
+        interleave_sources(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        interleave_sources(df, {"a": 0})
+
+
+def test_interleave_sources_plan_no_source_funnel(spark):
+    from feast_spark.operators.selection import interleave_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = _plan(interleave_sources(df, {"a": 1}))
+    # ranks come from windows partitioned (source, bucket) — never a
+    # single-source sort funnel; offsets + weights ride broadcasts
+    assert "hashpartitioning" in plan and "__b" in plan
+    assert "BroadcastExchange" in plan
+
+
+# -------------------------------------------------------- repeated tools
+
+
+def test_repeated_tool_calls_contract(spark):
+    from feast_spark.operators.conversation import repeated_tool_calls
+
+    T = datetime(2026, 1, 1)
+    rows = [
+        # non-consecutive identical payloads (different ws spelling)
+        ("c1", 1, "tool", "search", T, "status  pending"),
+        ("c1", 3, "assistant", None, T, "hmm"),
+        ("c1", 5, "tool", "search", T, " status pending "),
+        # same payload, different tool -> separate group, not repeated
+        ("c1", 7, "tool", "browser", T, "status pending"),
+        # empty payloads are excluded
+        ("c2", 1, "tool", "search", T, ""),
+        ("c2", 3, "tool", "search", T, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string,"
+        " ts timestamp, text string",
+    )
+    out = repeated_tool_calls(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["conv_id"], r["tool"], r["n_calls"], r["first_idx"],
+            r["last_idx"]) == ("c1", "search", 2, 1, 5)
+    with pytest.raises(ValueError, match=">= 2"):
+        repeated_tool_calls(df, min_calls=1)
+
+
+# ---------------------------------------------------------- pack_best_fit
+
+
+def test_pack_best_fit_conservation_and_bounds(spark):
+    import math
+
+    from feast_spark.operators.selection import pack_best_fit
+
+    items = [(f"d{i}", 1 + (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(items, "id string, n_tokens long")
+    packed = pack_best_fit(df, 128, bucket_docs=100).collect()
+    assert sorted(r["id"] for r in packed) == sorted(i for i, _ in items)
+    bins: dict[tuple, int] = defaultdict(int)
+    for r in packed:
+        bins[(r["pack_bucket"], r["pack_bin"])] += r["n_tokens"]
+    assert all(v <= 128 for v in bins.values())
+    total = sum(n for _, n in items)
+    assert math.ceil(total / 128) <= len(bins) < len(items)
+
+
+def test_pack_best_fit_beats_isolated_packing(spark):
+    from feast_spark.operators.selection import pack_best_fit, packing_sweep
+
+    items = [(i, 1 + (i * 53) % 90) for i in range(400)]
+    df = spark.createDataFrame(items, "id long, n_tokens long")
+    L = 96
+    sweep = {
+        r["seq_len"]: r for r in packing_sweep(df, [L]).collect()
+    }[L]
+    ffd_bins = {
+        (r["pack_bucket"], r["pack_bin"])
+        for r in pack_best_fit(df, L, bucket_docs=200).collect()
+    }
+    # FFD combines whole items -> strictly fewer sequences than the
+    # one-item-per-sequence isolated layout the sweep prices
+    assert len(ffd_bins) < sweep["n_seqs"]
+
+
+def test_pack_best_fit_deterministic_across_partitioning(spark):
+    from feast_spark.operators.selection import pack_best_fit
+
+    items = [(f"x{i}", 1 + i % 50) for i in range(300)]
+    df = spark.createDataFrame(items, "id string, n_tokens long")
+    a = sorted(map(tuple, pack_best_fit(df, 64, bucket_docs=64).collect()))
+    b = sorted(
+        map(tuple, pack_best_fit(df.repartition(17), 64, bucket_docs=64).collect())
+    )
+    assert a == b
+
+
+def test_pack_best_fit_oversize_and_empty(spark):
+    from feast_spark.operators.selection import pack_best_fit
+
+    bad = spark.createDataFrame([("x", 200)], "id string, n_tokens long")
+    with pytest.raises(Exception, match="exceeds seq_len"):
+        pack_best_fit(bad, 128).collect()
+    empty = bad.filter("n_tokens < 0")
+    assert pack_best_fit(empty, 128).count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        pack_best_fit(bad, 0)
+
+
+# ------------------------------------------------- incremental vocab state
+
+
+def test_batch_vocab_sketch_state_and_corpus_estimate(spark, tmp_path):
+    import os
+    from datetime import timezone
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.operators.lexical import kmv_estimate, kmv_sketch
+    from feast_spark.pipeline.quality_incremental import (
+        corpus_vocab_estimate,
+        run_quality_batch,
+    )
+    from pyspark.sql import functions as F
+
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    state = str(tmp_path / "vstate")
+    t = transcripts_spark(spark, 30, seed=9)
+    b1 = t.filter("turn_idx < 3")
+    b2 = t.filter("turn_idx >= 3")
+    k = 64
+
+    run_quality_batch(spark, b1, state, "b1", decision_ts=dts, vocab_k=k)
+    run_quality_batch(spark, b2, state, "b2", decision_ts=dts, vocab_k=k)
+
+    # merged committed sketches == one sketch over the concatenated
+    # batches (the KMV merge property, end-to-end through the state dir)
+    toks = t.select(
+        "role",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), "[ \t\n\x0b\f\r]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    whole = {
+        (r["role"], r["n_sketch"], r["max_hash"], r["est_distinct"])
+        for r in kmv_estimate(
+            kmv_sketch(toks, ["role"], "term", k=k), ["role"], k
+        ).collect()
+    }
+    got = {
+        (r["role"], r["n_sketch"], r["max_hash"], r["est_distinct"])
+        for r in corpus_vocab_estimate(spark, state, k).collect()
+    }
+    assert got == whole
+
+    # re-delivery of a committed id never rewrites the sketch partition
+    vdir = os.path.join(state, "vocab", "batch=b1")
+    mtime = max(
+        os.path.getmtime(os.path.join(vdir, f)) for f in os.listdir(vdir)
+    )
+    r = run_quality_batch(spark, b1, state, "b1", decision_ts=dts, vocab_k=k)
+    assert r.resumed
+    assert mtime == max(
+        os.path.getmtime(os.path.join(vdir, f)) for f in os.listdir(vdir)
+    )
+
+
+def test_corpus_vocab_estimate_excludes_uncommitted_batches(
+    spark, tmp_path
+):
+    import os
+    import shutil
+    from datetime import timezone
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality_incremental import (
+        corpus_vocab_estimate,
+        run_quality_batch,
+    )
+
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    state = str(tmp_path / "vstate2")
+    t = transcripts_spark(spark, 20, seed=11)
+    b1 = t.filter("turn_idx < 2")
+    b2 = t.filter("turn_idx >= 2")
+    k = 32
+    run_quality_batch(spark, b1, state, "b1", decision_ts=dts, vocab_k=k)
+    base = sorted(
+        map(tuple, corpus_vocab_estimate(spark, state, k).collect())
+    )
+
+    # simulate a crash AFTER the b2 sketch write but BEFORE the labels
+    # commit: sketch dir exists, labels _SUCCESS does not -> the corpus
+    # estimate must ignore it
+    run_quality_batch(spark, b2, state, "b2", decision_ts=dts, vocab_k=k)
+    succ = os.path.join(state, "labels", "batch=b2", "_SUCCESS")
+    os.remove(succ)
+    crashed = sorted(
+        map(tuple, corpus_vocab_estimate(spark, state, k).collect())
+    )
+    assert crashed == base
+
+    # the retry overwrites the orphan sketch and commits both
+    shutil.rmtree(os.path.join(state, "labels", "batch=b2"))
+    run_quality_batch(spark, b2, state, "b2", decision_ts=dts, vocab_k=k)
+    after = sorted(
+        map(tuple, corpus_vocab_estimate(spark, state, k).collect())
+    )
+    assert after != base
+
+    # empty state raises
+    with pytest.raises(ValueError, match="no committed vocab"):
+        corpus_vocab_estimate(spark, str(tmp_path / "nothing"), k)
