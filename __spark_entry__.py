@@ -3434,6 +3434,37 @@ def q_pack_ffd(spark: SparkSession, sf: str) -> DataFrame:
     return pack_best_fit(counts, seq_len=96, bucket_docs=512)
 
 
+def q_embedding_qa(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15c: embedding-column health gate (the QA step
+    # before ANN/semantic-dedup). Plants: every 17th vector NULLed,
+    # every 13th zeroed, every 9th gets a NaN head element (dim
+    # preserved via slice-concat) — CASE order matters and the oracle
+    # replays it verbatim. Oracle: FULL genuine DuckDB SQL
+    # (list_transform/list_filter/list_sum on the same double-widened
+    # integer-quantized arithmetic; non-finite terms guarded on BOTH
+    # engines).
+    from feast_spark.operators.similarity import embedding_qa
+
+    e = _t(spark, sf, "embeddings")
+    planted = e.withColumn(
+        "embedding",
+        F.when(F.pmod("vec_id", F.lit(17)) == 8, F.lit(None))
+        .when(
+            F.pmod("vec_id", F.lit(13)) == 6,
+            F.expr("transform(embedding, x -> cast(0.0 as float))"),
+        )
+        .when(
+            F.pmod("vec_id", F.lit(9)) == 4,
+            F.expr(
+                "concat(array(cast('NaN' as float)),"
+                " slice(embedding, 2, size(embedding) - 1))"
+            ),
+        )
+        .otherwise(F.col("embedding")),
+    )
+    return embedding_qa(planted, expected_dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3476,6 +3507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_window_parity and pit_last_click (green r01-r04 driver
         # rows — four artifacts of evidence; streaming + PIT stay
         # pytest-covered) — all three green in r03+r04.
+        # round 5 session 15c: embedding health gate (label_drift
+        # rotated to extras — the labels family stays in-window via
+        # keep_drop_eval; embedding family regains its driver row)
+        "embedding_qa": q_embedding_qa,
         "interleave": q_interleave,
         "tool_loops": q_tool_loops,
         "pack_ffd": q_pack_ffd,
@@ -3532,7 +3567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector
         "truncation": q_truncation,
         "suffix_loops": q_suffix_loops,
-        "label_drift": q_label_drift,
         "conv_language": q_conv_language,
         # round 5 session 5: edit-similarity verification of LSH
         # candidate pairs (genuine-SQL levenshtein oracle)
@@ -3589,6 +3623,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # rotated round 5 session 15c (labels family stays in-window
+        # via keep_drop_eval)
+        "label_drift": q_label_drift,
         # rotated round 5 session 15b (green r03+r04 rows; pit/stream
         # green since r01)
         "doc_curation_lm": q_doc_curation_lm,
@@ -4019,6 +4056,48 @@ def _all_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "embedding_qa": """
+            -- FULL genuine-SQL twin of embedding_qa under the
+            -- NULL/zero/NaN plants (CASE order identical to the Spark
+            -- query): per-element double-widened floor(x^2 * 2^30)
+            -- with NULL/NaN/Inf terms guarded to 0, BIGINT sums,
+            -- the same qa_ok conjunction
+            WITH pl AS (
+              SELECT vec_id,
+                CASE
+                  WHEN vec_id % 17 = 8 THEN NULL
+                  WHEN vec_id % 13 = 6
+                    THEN list_transform(embedding, x -> 0.0::FLOAT)
+                  WHEN vec_id % 9 = 4
+                    THEN list_concat(['NaN'::FLOAT], embedding[2:])
+                  ELSE embedding END AS v
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id,
+                CAST(CASE WHEN v IS NULL THEN -1 ELSE len(v) END AS BIGINT)
+                  AS dim,
+                CAST(CASE WHEN v IS NULL THEN 0 ELSE
+                  len(list_filter(v, x -> isnan(x))) END AS BIGINT) AS n_nan,
+                CAST(CASE WHEN v IS NULL THEN 0 ELSE
+                  len(list_filter(v, x -> isinf(x))) END AS BIGINT) AS n_inf,
+                CAST(CASE WHEN v IS NULL THEN 0 ELSE
+                  len(list_filter(v, x -> x IS NULL)) END AS BIGINT)
+                  AS n_null,
+                CAST(CASE WHEN v IS NULL THEN 0 ELSE
+                  len(list_filter(v, x -> x = 0.0)) END AS BIGINT) AS n_zero,
+                CAST(CASE WHEN v IS NULL THEN -1 ELSE
+                  COALESCE(list_sum(list_transform(v, x ->
+                    CASE WHEN x IS NULL OR isnan(x) OR isinf(x) THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) *
+                              CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)
+                    END)), 0) END AS BIGINT) AS norm2_units
+              FROM pl
+            )
+            SELECT vec_id, dim, n_nan, n_inf, n_null, n_zero, norm2_units,
+              dim = 64 AND n_nan = 0 AND n_inf = 0 AND n_null = 0
+                AND norm2_units > 0 AS qa_ok
+            FROM m
+        """,
         "interleave": f"""
             -- FULL genuine-SQL twin of interleave_sources over the
             -- documents table: per-source md5-48 rank order, stride key

@@ -205,6 +205,7 @@ HEADLINE = [
     "interleave",
     "tool_loops",
     "pack_ffd",
+    "embedding_qa",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -637,3 +637,97 @@ def diverse_sample(
         F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
     )
     return assigned.groupBy("cluster").applyInPandas(pick_cluster, schema)
+
+
+def embedding_qa(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+    units: int = 1 << 30,
+) -> DataFrame:
+    """Embedding-column health check — the QA gate BEFORE any ANN /
+    semantic-dedup stage in this module: a batch of NaN, zero, or
+    wrong-dimension vectors silently poisons every cosine (NaN
+    propagates through dot products; zero vectors make cosine
+    undefined; a dim mismatch crashes — or worse, truncates — the
+    centroid kernels). One row per input row:
+
+    - ``dim`` — vector length (``-1`` for a NULL vector)
+    - ``n_nan`` / ``n_inf`` / ``n_null`` / ``n_zero`` — NaN, infinite,
+      NULL-element and exact-0.0 components. Non-finite and NULL
+      elements contribute 0 to the norm on BOTH engines (guarded
+      term — Spark saturates a NaN/Inf bigint cast where DuckDB
+      raises, so the guard is the only portable spelling) and fail
+      ``qa_ok``
+    - ``norm2_units`` — integer squared norm: per element
+      ``floor(x^2 * units)`` (x widened float->double — exact — so the
+      elementwise value is bit-identical cross-engine), summed as
+      BIGINT (order-free). ``-1`` for NULL vectors. Bound: |x| must
+      stay under ~2^16 at the default units or the per-element floor
+      wraps (unit-norm embedding spaces are O(1) — documented).
+    - ``qa_ok`` — dim matches ``expected_dim`` (when given, else any
+      positive dim), no NaN, and norm2 > 0
+
+    Map-only JVM higher-order functions (transform/filter/aggregate —
+    no Python, no shuffle, scales trivially); GENUINE SQL oracle
+    (DuckDB list_transform/list_sum + isnan on the same
+    double-widened arithmetic).
+
+    Reference: feast validates tabular dtypes only
+    (``type_map.py``/``schema inference``); array-typed feature QA is
+    this repo's extension, sized for the embeddings the similarity
+    family consumes.
+    """
+    v = F.col(vec_col)
+    dim = F.when(v.isNull(), F.lit(-1)).otherwise(F.size(v)).cast("long")
+    n_nan = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: F.isnan(x)))
+    ).cast("long")
+    inf = F.lit(float("inf")).cast("double")
+    n_inf = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: F.abs(x.cast("double")) == inf))
+    ).cast("long")
+    n_null = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: x.isNull()))
+    ).cast("long")
+    n_zero = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: x == 0.0))
+    ).cast("long")
+    norm2 = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.aggregate(
+            v,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(
+                x.isNull() | F.isnan(x) | (F.abs(x.cast("double")) == inf),
+                F.lit(0).cast("long"),
+            ).otherwise(
+                F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(float(units))
+                ).cast("long")
+            ),
+        )
+    ).alias("norm2_units")
+    out = emb.select(
+        F.col(id_col),
+        dim.alias("dim"),
+        n_nan.alias("n_nan"),
+        n_inf.alias("n_inf"),
+        n_null.alias("n_null"),
+        n_zero.alias("n_zero"),
+        norm2,
+    )
+    dim_ok = (
+        (F.col("dim") == int(expected_dim))
+        if expected_dim is not None
+        else (F.col("dim") > 0)
+    )
+    return out.withColumn(
+        "qa_ok",
+        dim_ok
+        & (F.col("n_nan") == 0)
+        & (F.col("n_inf") == 0)
+        & (F.col("n_null") == 0)
+        & (F.col("norm2_units") > 0),
+    )

@@ -311,6 +311,43 @@ def _one_size(spark, n_docs: int) -> dict:
     assert n_exp == n_kept
     res.release()
     docs.unpersist()
+    # session 15: KMV distinct sketch (k-row-per-group summary; the
+    # estimate must stay within the deterministic-hash error band at
+    # every size) and the stride interleave schedule (two-phase ranks;
+    # the prefix-mixture property is size-invariant)
+    from feast_spark.operators.lexical import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    t0 = time.time()
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.coalesce("text", F.lit("")),
+                             "[ \t\n\x0b\f\r]+"),
+                     lambda x: x != ""),
+        ).alias("term"),
+    )
+    kv = kmv_estimate(
+        kmv_sketch(toks, ["source"], "term", k=1024), ["source"], 1024
+    ).collect()
+    out["kmv_distinct"] = {"wall_sec": round(time.time() - t0, 2),
+                           "n_groups": len(kv)}
+    assert all(r["est_distinct"] > 0 for r in kv)
+
+    from feast_spark.operators.selection import interleave_sources
+
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    wts = {sc: 1 + i % 5 for i, sc in enumerate(sorted(srcs))}
+    t0 = time.time()
+    il = interleave_sources(docs, wts)
+    n_il = il.count()
+    wall = round(time.time() - t0, 2)
+    # schedule covers every weighted doc exactly once
+    assert n_il == docs.count(), (n_il,)
+    out["interleave"] = {"wall_sec": wall, "n_rows": n_il}
+
     return out
 
 
@@ -776,6 +813,73 @@ def _one_size_conv(spark, n_convs: int) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
     }
 
+    # session 15: skew diagnostic (the planted mega-convs must surface a
+    # salt hint), assistant grounding, tool-loop detector, packing sweep
+    # + FFD packing (FFD bins <= the sweep's isolated n_seqs — the
+    # waste-reduction pin, held at every size)
+    from feast_spark.operators.conversation import (
+        assistant_grounding,
+        repeated_tool_calls,
+    )
+    from feast_spark.operators.salting import shuffle_skew_report
+
+    t0 = time.time()
+    sk = shuffle_skew_report(corpus, ["conv_id"], 64).collect()
+    wall = round(time.time() - t0, 2)
+    assert sum(r["n_rows"] for r in sk) == n_turns
+    assert max(r["salt_hint"] for r in sk) >= 1
+    out["skew_report"] = {
+        "wall_sec": wall,
+        "max_balance_units": max(r["balance_units"] for r in sk),
+        "max_salt_hint": max(r["salt_hint"] for r in sk),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+    t0 = time.time()
+    gr = assistant_grounding(corpus)
+    n_gr = gr.count()
+    wall = round(time.time() - t0, 2)
+    out["grounding"] = {"wall_sec": wall, "n_rows": n_gr,
+                        "turns_per_sec": round(n_turns / wall, 1)}
+
+    t0 = time.time()
+    tl = repeated_tool_calls(corpus)
+    n_tl = tl.count()
+    wall = round(time.time() - t0, 2)
+    out["tool_loops"] = {"wall_sec": wall, "n_rows": n_tl,
+                         "turns_per_sec": round(n_turns / wall, 1)}
+
+    from feast_spark.operators.selection import pack_best_fit, packing_sweep
+
+    counts = corpus.groupBy("conv_id").agg(
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce("text", F.lit("")))) == 0, 0)
+            .otherwise(F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
+                                      r"\s+")))
+        ).cast("long").alias("n_tokens")
+    ).persist()
+    counts.count()
+    t0 = time.time()
+    sw = {r["seq_len"]: r
+          for r in packing_sweep(counts, [256, 1024, 4096]).collect()}
+    wall = round(time.time() - t0, 2)
+    assert all(sw[L]["n_pad"] >= 0 for L in sw)
+    out["packing_sweep"] = {"wall_sec": wall,
+                            "util_1024": sw[1024]["util_units"]}
+
+    fit = counts.filter("n_tokens > 0 and n_tokens <= 1024")
+    t0 = time.time()
+    pk = pack_best_fit(fit, 1024, id_col="conv_id", bucket_docs=8192)
+    n_bins = pk.select("pack_bucket", "pack_bin").distinct().count()
+    wall = round(time.time() - t0, 2)
+    n_fit = fit.count()
+    # FFD combines whole conversations -> never more bins than the
+    # one-item-per-sequence isolated layout
+    assert n_bins <= n_fit, (n_bins, n_fit)
+    out["pack_ffd"] = {"wall_sec": wall, "n_bins": n_bins,
+                       "n_items": n_fit}
+    counts.unpersist()
+
     corpus.unpersist()
     return out
 
@@ -807,7 +911,7 @@ def main() -> None:
                           "curation", "shard_export", "readability",
                           "source_overlap", "token_budget",
                           "minhash_profile", "zipf_profile",
-                          "frequent_terms")
+                          "frequent_terms", "kmv_distinct", "interleave")
             },
             **{
                 k: round(
@@ -816,7 +920,9 @@ def main() -> None:
                 for k in ("conv_curate", "conv_pack", "suffix_loops",
                           "fork_mask", "alternation_repair", "context_fit",
                           "rule_sweep", "tool_args", "repair_order",
-                          "script_mix", "length_quantiles")
+                          "script_mix", "length_quantiles",
+                          "skew_report", "grounding", "tool_loops",
+                          "packing_sweep", "pack_ffd")
             },
         },
     }

@@ -607,3 +607,87 @@ def test_corpus_vocab_estimate_excludes_uncommitted_batches(
     # empty state raises
     with pytest.raises(ValueError, match="no committed vocab"):
         corpus_vocab_estimate(spark, str(tmp_path / "nothing"), k)
+
+
+# ------------------------------------------------------------ embedding QA
+
+
+def test_embedding_qa_contract(spark):
+    from feast_spark.operators.similarity import embedding_qa
+
+    rows = [
+        (0, [0.5, -0.25, 0.0]),
+        (1, [float("nan"), 1.0, 2.0]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, None),
+        (4, [1.0, 1.0]),          # wrong dim
+        (5, [float("inf"), 1.0, 1.0]),
+        (6, [0.5, None, 0.5]),    # NULL element
+        (7, [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["dim"], r["n_nan"], r["n_inf"], r["n_null"],
+                      r["n_zero"], r["norm2_units"], r["qa_ok"])
+        for r in embedding_qa(df, expected_dim=3).collect()
+    }
+    U = 1 << 30
+    assert got[0] == (3, 0, 0, 0, 1, int(0.25 * U) + int(0.0625 * U), True)
+    # NaN component: counted, contributes 0 to the norm, fails qa
+    assert got[1] == (3, 1, 0, 0, 0, 1 * U + 4 * U, False)
+    assert got[2] == (3, 0, 0, 0, 3, 0, False)      # zero vector
+    assert got[3] == (-1, 0, 0, 0, 0, -1, False)    # NULL vector
+    assert got[4][0] == 2 and not got[4][6]          # dim mismatch
+    assert got[5] == (3, 0, 1, 0, 0, 2 * U, False)  # Inf guarded
+    assert got[6] == (3, 0, 0, 1, 0, int(0.5 * U), False)
+    assert got[7] == (3, 0, 0, 0, 0, 14 * U, True)
+    # without expected_dim, any positive dim passes
+    free = {
+        r["vec_id"]: r["qa_ok"] for r in embedding_qa(df).collect()
+    }
+    assert free[4] and free[7]
+
+
+def test_embedding_qa_plan_map_only(spark):
+    from feast_spark.operators.similarity import embedding_qa
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    plan = _plan(embedding_qa(df))
+    assert "Exchange" not in plan  # map-only, no shuffle at any size
+
+
+# ------------------------------------- interleave -> export composition
+
+
+def test_interleave_order_rides_shard_export(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.selection import interleave_sources
+    from feast_spark.pipeline.export import export_training_shards
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sched = interleave_sources(df, {"s0": 1, "s1": 2, "s2": 4})
+    full = df.join(sched.select("doc_id", "sched_key"), "doc_id")
+    res = export_training_shards(
+        spark,
+        full,
+        key=F.col("doc_id"),
+        out_dir=str(tmp_path / "shards"),
+        n_shards=4,
+        order_by=["sched_key", "doc_id"],
+    )
+    # within every shard file, rows stream in schedule order — a trainer
+    # reading any shard sequentially consumes the mixture in stride order
+    import glob
+
+    import pandas as pd
+
+    for d in sorted(glob.glob(str(tmp_path / "shards/shards/shard_id=*"))):
+        pdf = pd.concat(
+            [pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))]
+        )
+        keys = list(pdf["sched_key"])
+        assert keys == sorted(keys), d
