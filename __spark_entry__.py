@@ -3396,8 +3396,11 @@ def q_interleave(spark: SparkSession, sf: str) -> DataFrame:
 def q_tool_loops(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 15b: stuck-agent / polling-loop detector —
     # identical tool payloads repeated within one conversation. Plant:
-    # every 7th conversation's tool turns all carry the same payload
-    # ('status pending retry'), on top of any organic repeats. Oracle:
+    # every 3rd conversation's tool turns all carry the same payload
+    # AND tool name ('poll'), on top of any organic repeats (the
+    # fixture has only ~10 organic same-(conv, tool) repeat pairs, all
+    # with distinct payloads — the denser plant keeps the row count
+    # meaningful at the fixture's 100 conversations). Oracle:
     # FULL genuine DuckDB SQL (same plant, same ws-normalization, md5-16
     # digest, HAVING >= 2).
     from feast_spark.operators.conversation import repeated_tool_calls
@@ -4125,9 +4128,9 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "tool_loops": f"""
             -- FULL genuine-SQL twin of repeated_tool_calls under the
-            -- every-7th-conversation plant (all tool turns carry the
-            -- same payload): same ws normalization, md5-16 digest,
-            -- HAVING n_calls >= 2
+            -- every-3rd-conversation plant (all tool turns carry the
+            -- same payload and the 'poll' tool name): same ws
+            -- normalization, md5-16 digest, HAVING n_calls >= 2
             WITH pl AS (
               SELECT conv_id, turn_idx, role, tool, ts,
                 CASE WHEN CAST(substring(conv_id, 2, 9) AS INTEGER) % 3 = 1

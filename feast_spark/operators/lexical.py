@@ -710,19 +710,12 @@ def kmv_sketch(
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
-    distinct = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, h.alias("kmv_hash"))
-        .groupBy(*group_cols, "kmv_hash")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .drop("__c")
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, h.alias("kmv_hash")
     )
-    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
-    return (
-        distinct.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    # dedup + rank<=k prune shared with merge/resketch — one place to
+    # hold the WindowGroupLimit shape
+    return kmv_resketch(hashed, group_cols, k)
 
 
 def kmv_resketch(

@@ -1993,7 +1993,9 @@ def interleave_sources(
     DECIMAL(38,0) numerator) — the estimated GLOBAL slot at which the
     r-th item of source ``s`` should appear; the stride ``W/w_s`` is
     inversely proportional to weight, so per-source counts in any
-    key-prefix drift from ``n * w_s / W`` by at most 1 per source.
+    key-prefix drift from ``n * w_s / W`` by at most 2 per source
+    (floor keys tie across sources; a prefix cut inside a tie group —
+    broken by source name, not round-robin — costs one extra).
     Sources missing from ``weights`` are EXCLUDED (schedule only what
     you weighted — the mixture contract is over the weighted set);
     exhausted sources simply stop emitting keys (callers wanting epoch
@@ -2200,6 +2202,12 @@ def pack_best_fit(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["pack_bucket"].iloc[0])
+        if pdf[id_col].duplicated().any():
+            dup = pdf[id_col][pdf[id_col].duplicated()].iloc[0]
+            raise ValueError(
+                f"duplicate id in pack_best_fit input (pre-aggregate"
+                f" counts to one row per item): {dup!r}"
+            )
         placed = ffd_pack_kernel(
             list(zip(pdf[id_col], pdf["__n"])), seq_len, seed
         )

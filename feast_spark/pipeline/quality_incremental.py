@@ -273,14 +273,23 @@ def corpus_vocab_estimate(
     impossible at this grain, so the contract is the caller's; the
     minhash params-sidecar discipline is overkill for one integer
     documented at the call site). Raises if no committed batch carries
-    a sketch."""
+    a sketch — and if ANY committed batch is missing one (a batch
+    labeled with ``vocab_k=0`` has no sketch to merge; silently
+    skipping it would return an under-count documented as the
+    full-corpus answer, and the ``_SUCCESS`` early-return means a
+    re-delivery can never backfill it)."""
     from feast_spark.operators.lexical import kmv_estimate, kmv_resketch
 
-    dirs = [
-        _vocab_dir(state_dir, b)
-        for b in committed_label_batches(state_dir)
-        if os.path.exists(_vocab_dir(state_dir, b))
+    batches = committed_label_batches(state_dir)
+    missing = [
+        b for b in batches if not os.path.exists(_vocab_dir(state_dir, b))
     ]
+    if missing:
+        raise ValueError(
+            f"committed batches without vocab sketches (labeled with"
+            f" vocab_k=0?): {missing} under {state_dir}"
+        )
+    dirs = [_vocab_dir(state_dir, b) for b in batches]
     if not dirs:
         raise ValueError(f"no committed vocab sketches under {state_dir}")
     u = spark.read.parquet(*dirs)

@@ -310,7 +310,6 @@ def _one_size(spark, n_docs: int) -> dict:
                            "docs_exported": int(n_exp)}
     assert n_exp == n_kept
     res.release()
-    docs.unpersist()
     # session 15: KMV distinct sketch (k-row-per-group summary; the
     # estimate must stay within the deterministic-hash error band at
     # every size) and the stride interleave schedule (two-phase ranks;
@@ -348,6 +347,7 @@ def _one_size(spark, n_docs: int) -> dict:
     assert n_il == docs.count(), (n_il,)
     out["interleave"] = {"wall_sec": wall, "n_rows": n_il}
 
+    docs.unpersist()
     return out
 
 
@@ -827,7 +827,7 @@ def _one_size_conv(spark, n_convs: int) -> dict:
     sk = shuffle_skew_report(corpus, ["conv_id"], 64).collect()
     wall = round(time.time() - t0, 2)
     assert sum(r["n_rows"] for r in sk) == n_turns
-    assert max(r["salt_hint"] for r in sk) >= 1
+    assert max(r["salt_hint"] for r in sk) > 1
     out["skew_report"] = {
         "wall_sec": wall,
         "max_balance_units": max(r["balance_units"] for r in sk),

@@ -691,3 +691,40 @@ def test_interleave_order_rides_shard_export(spark, tmp_path):
         )
         keys = list(pdf["sched_key"])
         assert keys == sorted(keys), d
+
+
+# ----------------------------------------------------- review-pass pins
+
+
+def test_corpus_vocab_estimate_rejects_sketchless_committed_batch(
+    spark, tmp_path
+):
+    from datetime import timezone
+
+    from feast_spark.fixtures import transcripts_spark
+    from feast_spark.pipeline.quality_incremental import (
+        corpus_vocab_estimate,
+        run_quality_batch,
+    )
+
+    dts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    state = str(tmp_path / "vstate3")
+    t = transcripts_spark(spark, 10, seed=3)
+    # b1 committed WITHOUT a sketch (vocab_k=0), b2 with one: the merged
+    # estimate would silently exclude b1's vocabulary — must raise
+    run_quality_batch(spark, t.filter("turn_idx < 2"), state, "b1",
+                      decision_ts=dts)
+    run_quality_batch(spark, t.filter("turn_idx >= 2"), state, "b2",
+                      decision_ts=dts, vocab_k=32)
+    with pytest.raises(ValueError, match="without vocab sketches"):
+        corpus_vocab_estimate(spark, state, 32)
+
+
+def test_pack_best_fit_rejects_duplicate_ids(spark):
+    from feast_spark.operators.selection import pack_best_fit
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 3)], "id string, n_tokens long"
+    )
+    with pytest.raises(Exception, match="duplicate id"):
+        pack_best_fit(df, 64).collect()
