@@ -3468,6 +3468,30 @@ def q_embedding_qa(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_qa(planted, expected_dim=64)
 
 
+_BB_WS = "[ \t\n\x0b\f\r]+"
+
+
+def q_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 15d (pytest-gate extra — the window is full):
+    # length-bucketed batch assignment over per-doc word counts —
+    # exact-log2 buckets, deterministic md5-order batches of 32.
+    # Oracle: FULL genuine DuckDB SQL (bin() length, per-bucket
+    # ROW_NUMBER over the md5-48 order, integer div/mod).
+    from feast_spark.operators.selection import bucketed_batches
+
+    d = _t(spark, sf, "documents")
+    counts = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), _BB_WS),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return bucketed_batches(counts, 32, id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3626,6 +3650,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
+        # round 5 session 15d pytest-gate extra (no window cost)
+        "bucketed_batches": q_bucketed_batches,
         # rotated round 5 session 15c (labels family stays in-window
         # via keep_drop_eval)
         "label_drift": q_label_drift,
@@ -4059,6 +4085,34 @@ def _all_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "bucketed_batches": """
+            -- FULL genuine-SQL twin of bucketed_batches(32) over
+            -- per-doc word counts: bin()-length log2 buckets, md5-48
+            -- order ROW_NUMBER, integer div/mod batch coordinates
+            WITH wc AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(
+                  COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '')) AS BIGINT) AS n
+              FROM documents
+            ), it AS (
+              SELECT doc_id, n FROM wc WHERE n > 0
+            ), r AS (
+              SELECT doc_id, n,
+                CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+                ROW_NUMBER() OVER (
+                  PARTITION BY length(bin(n))
+                  ORDER BY CAST('0x' || substr(
+                    md5('bb1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT),
+                    doc_id
+                ) - 1 AS rnk
+              FROM it
+            )
+            SELECT doc_id, n AS n_tokens, bucket,
+              CAST(rnk // 32 AS BIGINT) AS batch_idx,
+              CAST(rnk % 32 AS BIGINT) AS slot
+            FROM r
+        """,
         "embedding_qa": """
             -- FULL genuine-SQL twin of embedding_qa under the
             -- NULL/zero/NaN plants (CASE order identical to the Spark

@@ -206,6 +206,7 @@ HEADLINE = [
     "tool_loops",
     "pack_ffd",
     "embedding_qa",
+    "bucketed_batches",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

@@ -2223,3 +2223,80 @@ def pack_best_fit(
         )
 
     return bucketed.groupBy("pack_bucket").applyInPandas(_pack, out_schema)
+
+
+def bucketed_batches(
+    counts: DataFrame,
+    batch_size: int,
+    id_col: str = "id",
+    tokens_col: str = "n_tokens",
+    seed: str = "bb1",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the BATCHING sibling of the
+    packing family (packing concatenates into one stream; batching
+    groups whole items so a dynamic-padding trainer/inference server
+    pads each batch only to its own bucket's band): items bucket by
+    EXACT integer log2 of their token count (``length(bin(n)) - 1`` —
+    the tool_latency trick, no float log whose final ulp could differ
+    cross-engine), then within each bucket take the deterministic
+    ``(md5_48(seed || id), id)`` order and group into ``batch_size``
+    batches. Returns ``(id, n_tokens, bucket, batch_idx, slot)`` —
+    the last batch of a bucket may be partial (callers drop or pad it;
+    the slot column makes either trivial). NULL and non-positive
+    counts are EXCLUDED (log2 undefined; the packing_sweep contract).
+
+    Worst-case intra-batch padding is bounded by construction: a
+    bucket spans [2^b, 2^(b+1)), so padding-to-batch-max wastes < 50%
+    of any slot — against unbucketed batching where one long item pads
+    the whole batch to itself.
+
+    Plan at 10^12 items: ranks use the grouped two-phase md5-order
+    prefix count (top-10-bit sub-buckets -> bounded offset table
+    broadcast back -> row_number windows partitioned (bucket, sub) —
+    ~64 log2 buckets never funnel through 64 tasks). Everything else
+    is map-side arithmetic. GENUINE SQL oracle (per-bucket ROW_NUMBER
+    replay + integer div/mod).
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive: {batch_size}")
+    n = F.col(tokens_col).cast("long")
+    items = counts.filter(n.isNotNull() & (n > 0)).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (F.length(F.bin(n)) - 1).cast("long").alias("bucket"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = items.withColumn("__h", h).withColumn(
+        "__sb", F.shiftright(F.col("__h"), 38)
+    )
+    bcnt = keyed.groupBy("bucket", "__sb").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    offs = bcnt.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.partitionBy("bucket")
+                .orderBy("__sb")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "__sb", "__off")
+    inner = Window.partitionBy("bucket", "__sb").orderBy("__h", id_col)
+    ranked = keyed.join(F.broadcast(offs), ["bucket", "__sb"]).withColumn(
+        "__rank", (F.col("__off") + F.row_number().over(inner) - 1).cast("long")
+    )
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.expr(f"__rank div {int(batch_size)}").cast("long").alias("batch_idx"),
+        F.pmod("__rank", F.lit(int(batch_size))).cast("long").alias("slot"),
+    )

@@ -728,3 +728,49 @@ def test_pack_best_fit_rejects_duplicate_ids(spark):
     )
     with pytest.raises(Exception, match="duplicate id"):
         pack_best_fit(df, 64).collect()
+
+
+# --------------------------------------------------------- bucketed batches
+
+
+def test_bucketed_batches_contract(spark):
+    from feast_spark.operators.selection import bucketed_batches
+
+    rows = [(f"d{i}", 1 + (i * 7) % 200) for i in range(300)] + [
+        ("z1", None), ("z2", 0)
+    ]
+    df = spark.createDataFrame(rows, "id string, n_tokens long")
+    out = bucketed_batches(df, 8).collect()
+    # NULL/zero excluded; everything else assigned exactly once
+    assert len(out) == 300
+    by_bucket = defaultdict(list)
+    for r in out:
+        # bucket is the exact integer log2
+        assert r["bucket"] == r["n_tokens"].bit_length() - 1
+        assert 2 ** r["bucket"] <= r["n_tokens"] < 2 ** (r["bucket"] + 1)
+        by_bucket[r["bucket"]].append(r)
+    # replay the md5 order per bucket: rank -> (batch, slot)
+    for b, rs in by_bucket.items():
+        order = sorted(rs, key=lambda r: (_md5_48("bb1" + r["id"]), r["id"]))
+        for rank, r in enumerate(order):
+            assert (r["batch_idx"], r["slot"]) == (rank // 8, rank % 8), (
+                b, r)
+    # every batch except possibly the bucket's last is full
+    sizes = defaultdict(int)
+    for r in out:
+        sizes[(r["bucket"], r["batch_idx"])] += 1
+    for (b, bi), n in sizes.items():
+        last = max(i for (bb, i) in sizes if bb == b)
+        assert n == 8 or bi == last
+    with pytest.raises(ValueError, match="positive"):
+        bucketed_batches(df, 0)
+
+
+def test_bucketed_batches_plan_no_bucket_funnel(spark):
+    from feast_spark.operators.selection import bucketed_batches
+
+    df = spark.createDataFrame([("a", 5)], "id string, n_tokens long")
+    plan = _plan(bucketed_batches(df, 4))
+    # rank windows partition (bucket, sub-bucket) — 64 log2 buckets
+    # never funnel through 64 tasks; offsets ride a broadcast
+    assert "__sb" in plan and "BroadcastExchange" in plan
