@@ -3492,6 +3492,18 @@ def q_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
     return bucketed_batches(counts, 32, id_col="doc_id")
 
 
+def q_sentence_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # round 5 session 16 (pytest-gate extra — the window is full):
+    # sentence-aware chunking over documents at a 60-word target —
+    # streaming-fill on sentence boundaries ([.!?]+ groups, the
+    # readability boundary), chunks never split a sentence. Oracle:
+    # FULL genuine DuckDB SQL (generate_subscripts ordinal unnest +
+    # the same cumulative window + ordered string_agg).
+    from feast_spark.operators.selection import sentence_chunks
+
+    return sentence_chunks(_t(spark, sf, "documents"), target_words=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver correctness window: AT MOST 50 entries (the driver records
     only the first 50 — CORRECTNESS_r03 proved it), newest-first so every
@@ -3650,8 +3662,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle_sql() ∪ extra_oracle_sql() — coverage is unchanged, only the
     driver artifact is capped."""
     return {
-        # round 5 session 15d pytest-gate extra (no window cost)
+        # round 5 session 15d/16 pytest-gate extras (no window cost)
         "bucketed_batches": q_bucketed_batches,
+        "sentence_chunks": q_sentence_chunks,
         # rotated round 5 session 15c (labels family stays in-window
         # via keep_drop_eval)
         "label_drift": q_label_drift,
@@ -4085,6 +4098,42 @@ def _all_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "sentence_chunks": """
+            -- FULL genuine-SQL twin of sentence_chunks(60) over
+            -- documents: [.!?]+ sentence groups, ws-collapse trim,
+            -- empty fragments dropped, cumulative-words streaming
+            -- fill, ordered string_agg re-join
+            WITH lst AS (
+              SELECT doc_id,
+                string_split_regex(COALESCE(text, ''), '[.!?]+') AS l
+              FROM documents
+            ), sp AS (
+              SELECT doc_id, unnest(l) AS s0,
+                generate_subscripts(l, 1) AS i
+              FROM lst
+            ), tr AS (
+              SELECT doc_id, i,
+                trim(regexp_replace(s0, '[ \t\n\x0b\f\r]+', ' ', 'g'))
+                  AS s
+              FROM sp
+            ), ne AS (
+              SELECT doc_id,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+                s, CAST(len(string_split(s, ' ')) AS BIGINT) AS w
+              FROM tr WHERE s <> ''
+            ), cu AS (
+              SELECT *, CAST(COALESCE(SUM(w) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 60 AS BIGINT) AS chunk_idx
+              FROM ne
+            )
+            SELECT doc_id, chunk_idx,
+              string_agg(s, ' ' ORDER BY i) AS chunk_text,
+              CAST(COUNT(*) AS BIGINT) AS n_sentences,
+              CAST(SUM(w) AS BIGINT) AS n_words
+            FROM cu GROUP BY 1, 2
+        """,
         "bucketed_batches": """
             -- FULL genuine-SQL twin of bucketed_batches(32) over
             -- per-doc word counts: bin()-length log2 buckets, md5-48

@@ -207,6 +207,7 @@ HEADLINE = [
     "pack_ffd",
     "embedding_qa",
     "bucketed_batches",
+    "sentence_chunks",
 ]
 
 # pipeline corpus sized to the sf (~80k turns at sf0.1)

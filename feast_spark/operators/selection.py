@@ -2300,3 +2300,74 @@ def bucketed_batches(
         F.expr(f"__rank div {int(batch_size)}").cast("long").alias("batch_idx"),
         F.pmod("__rank", F.lit(int(batch_size))).cast("long").alias("slot"),
     )
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    target_words: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aware chunking — the retrieval-prep sibling of
+    :func:`chunk_documents` (that one cuts fixed word windows mid-
+    sentence; this one never splits a sentence): text splits into
+    sentence groups on ``[.!?]+`` runs (the readability_scores
+    boundary, ASCII-explicit on both engines), and sentence ``i``
+    belongs to chunk ``floor(words_before_i / target_words)`` — the
+    streaming-fill rule, so a chunk may OVERFLOW ``target_words`` by
+    at most its last sentence (boundary-respecting; a single sentence
+    longer than the target owns its chunk span). Deterministic and
+    engine-portable: no greedy lookahead whose tie-breaks could
+    diverge.
+
+    One row per (doc, chunk): ``(id, chunk_idx, chunk_text,
+    n_sentences, n_words)`` — ``chunk_text`` re-joins the trimmed
+    sentences with a single space (terminator runs are not preserved;
+    the chunk is retrieval text, not a reconstruction). Blank/NULL
+    docs and empty sentence fragments are excluded.
+
+    Plan at 10^12 docs: sentence split + word counts are map-side
+    (one posexplode); the running word count is a window over the
+    (doc, sentence-order) exchange — partition size = sentences per
+    document, never corpus-sized — and the final (doc, chunk) hash agg
+    consumes sentence-sized rows. ONE doc-keyed exchange
+    total. GENUINE SQL oracle (unnest WITH ORDINALITY + the same
+    cumulative window + string_agg in sentence order).
+    """
+    if target_words <= 0:
+        raise ValueError(f"target_words must be positive: {target_words}")
+    sents = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+"),
+            lambda s: F.trim(F.regexp_replace(s, "[ \\t\\n\\x0b\\f\\r]+", " ")),
+        ),
+        lambda s: s != "",
+    )
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(sents).alias("__i", "__s"),
+    ).withColumn("__w", F.size(F.split("__s", " ")))
+    chunked = ex.withColumn(
+        "chunk_idx",
+        F.expr(
+            f"CAST(coalesce(sum(__w) OVER (PARTITION BY {id_col} ORDER BY"
+            f" __i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" div {int(target_words)} AS BIGINT)"
+        ),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__i", "__s"))
+                    ),
+                    lambda st: st["__s"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("__w").cast("long").alias("n_words"),
+        )
+    )

@@ -335,6 +335,32 @@ def _one_size(spark, n_docs: int) -> dict:
                            "n_groups": len(kv)}
     assert all(r["est_distinct"] > 0 for r in kv)
 
+    from feast_spark.operators.selection import (
+        bucketed_batches,
+        sentence_chunks,
+    )
+
+    t0 = time.time()
+    sc_ = sentence_chunks(docs, target_words=100)
+    n_chunks = sc_.count()
+    wall = round(time.time() - t0, 2)
+    assert n_chunks > 0
+    out["sentence_chunks"] = {"wall_sec": wall, "n_chunks": n_chunks}
+
+    wc_rel = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.coalesce("text", F.lit("")),
+                                "[ \t\n\x0b\f\r]+"),
+                        lambda x: x != "")).cast("long").alias("n_tokens"),
+    )
+    t0 = time.time()
+    bb = bucketed_batches(wc_rel, 32, id_col="doc_id")
+    n_bb = bb.count()
+    wall = round(time.time() - t0, 2)
+    # every positive-count doc is assigned exactly once
+    assert n_bb == wc_rel.filter("n_tokens > 0").count()
+    out["bucketed_batches"] = {"wall_sec": wall, "n_rows": n_bb}
+
     from feast_spark.operators.selection import interleave_sources
 
     srcs = [r["source"] for r in docs.select("source").distinct().collect()]
@@ -911,7 +937,8 @@ def main() -> None:
                           "curation", "shard_export", "readability",
                           "source_overlap", "token_budget",
                           "minhash_profile", "zipf_profile",
-                          "frequent_terms", "kmv_distinct", "interleave")
+                          "frequent_terms", "kmv_distinct", "interleave",
+                          "sentence_chunks", "bucketed_batches")
             },
             **{
                 k: round(

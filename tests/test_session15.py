@@ -774,3 +774,67 @@ def test_bucketed_batches_plan_no_bucket_funnel(spark):
     # rank windows partition (bucket, sub-bucket) — 64 log2 buckets
     # never funnel through 64 tasks; offsets ride a broadcast
     assert "__sb" in plan and "BroadcastExchange" in plan
+
+
+# --------------------------------------------------------- sentence chunks
+
+
+def test_sentence_chunks_contract(spark):
+    from feast_spark.operators.selection import sentence_chunks
+
+    rows = [
+        (1, "One two three. Four five! Six seven eight nine? Ten."),
+        (2, "Single sentence with exactly seven words here."),
+        (3, None),
+        (4, "   "),
+        (5, "A very long sentence that keeps going well past target. End."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_sentences"],
+         r["n_words"])
+        for r in sentence_chunks(df, target_words=5).collect()
+    )
+    # doc 1: sentences of 3/2/4/1 words -> cum-before 0,3,5,9 ->
+    # chunks 0,0,1,1 (never splits a sentence; chunk 0 holds 5 words)
+    assert out[0] == (1, 0, "One two three Four five", 2, 5)
+    assert out[1] == (1, 1, "Six seven eight nine Ten", 2, 5)
+    # doc 2: one 7-word sentence owns chunk 0 (overflow allowed)
+    assert out[2] == (2, 0, "Single sentence with exactly seven words here",
+                      1, 7)
+    # NULL/blank docs emit nothing
+    assert all(d not in (3, 4) for d, *_ in out)
+    # doc 5: 10-word sentence -> chunk 0; 'End' starts at cum 10 -> chunk 2
+    d5 = [t for t in out if t[0] == 5]
+    assert [t[1] for t in d5] == [0, 2]
+    with pytest.raises(ValueError, match="positive"):
+        sentence_chunks(df, 0)
+
+
+def test_sentence_chunks_conservation_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.selection import sentence_chunks
+
+    docs = spark.createDataFrame(
+        [(i, ". ".join(f"sent {i} word{j} extra" for j in range(7)) + ".")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    ch = sentence_chunks(docs, target_words=8)
+    # conservation: total words and sentences survive chunking
+    agg = ch.agg(F.sum("n_words"), F.sum("n_sentences")).first()
+    assert agg[0] == 50 * 7 * 4 and agg[1] == 50 * 7
+    # fill rule: a chunk that is not its doc's last must have reached
+    # the target with its final sentence (the next sentence started a
+    # new chunk only because cum-before >= target)
+    rows = ch.collect()
+    last = {}
+    for r in rows:
+        last[r["doc_id"]] = max(last.get(r["doc_id"], -1), r["chunk_idx"])
+    for r in rows:
+        if r["chunk_idx"] != last[r["doc_id"]]:
+            assert r["n_words"] >= 8 - 3, r  # >= target minus one sentence
+    plan = _plan(ch)
+    # ONE doc-keyed exchange feeds both the window and the agg
+    assert plan.count("Exchange hashpartitioning") <= 2
