@@ -3468,9 +3468,6 @@ def q_embedding_qa(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_qa(planted, expected_dim=64)
 
 
-_BB_WS = "[ \t\n\x0b\f\r]+"
-
-
 def q_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
     # round 5 session 15d (pytest-gate extra — the window is full):
     # length-bucketed batch assignment over per-doc word counts —
@@ -3479,16 +3476,10 @@ def q_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
     # ROW_NUMBER over the md5-48 order, integer div/mod).
     from feast_spark.operators.selection import bucketed_batches
 
+    from feast_spark.operators.selection import ws_word_count
+
     d = _t(spark, sf, "documents")
-    counts = d.select(
-        "doc_id",
-        F.size(
-            F.filter(
-                F.split(F.coalesce("text", F.lit("")), _BB_WS),
-                lambda x: x != "",
-            )
-        ).cast("long").alias("n_tokens"),
-    )
+    counts = d.select("doc_id", ws_word_count("text").alias("n_tokens"))
     return bucketed_batches(counts, 32, id_col="doc_id")
 
 

@@ -703,8 +703,6 @@ def kmv_sketch(
     group-keyed exchange — per-task state is k rows/group, the
     zipf_profile top-R funnel argument.
     """
-    from pyspark.sql import Window
-
     if k < 16:
         raise ValueError(f"k must be >= 16: {k}")
     h = F.conv(

@@ -2225,6 +2225,22 @@ def pack_best_fit(
     return bucketed.groupBy("pack_bucket").applyInPandas(_pack, out_schema)
 
 
+def ws_word_count(text_col: str) -> Column:
+    """ASCII-whitespace word count of a text column (NULL -> 0 words):
+    the ONE Python-side spelling of the ``[ \\t\\n\\x0b\\f\\r]+``
+    filtered-split count the DuckDB oracles mirror — shared so the
+    entry queries and the scale study cannot drift from each other."""
+    return F.size(
+        F.filter(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "[ \t\n\x0b\f\r]+",
+            ),
+            lambda x: x != "",
+        )
+    ).cast("long")
+
+
 def bucketed_batches(
     counts: DataFrame,
     batch_size: int,
@@ -2243,7 +2259,14 @@ def bucketed_batches(
     batches. Returns ``(id, n_tokens, bucket, batch_idx, slot)`` —
     the last batch of a bucket may be partial (callers drop or pad it;
     the slot column makes either trivial). NULL and non-positive
-    counts are EXCLUDED (log2 undefined; the packing_sweep contract).
+    counts are EXCLUDED (log2 undefined; the packing_sweep contract);
+    a NULL id RAISES (identity is the join key of the whole layout —
+    silently dropping it at the rank join would violate the
+    assigned-exactly-once contract). Duplicate ids are the CALLER's
+    modeling error (pre-aggregate to one row per item, the
+    pack_best_fit contract) but stay deterministic: the rank order
+    tie-breaks on (hash, id, n_tokens), so two runs and two engines
+    place even duplicate rows identically.
 
     Worst-case intra-batch padding is bounded by construction: a
     bucket spans [2^b, 2^(b+1)), so padding-to-batch-max wastes < 50%
@@ -2261,7 +2284,12 @@ def bucketed_batches(
         raise ValueError(f"batch_size must be positive: {batch_size}")
     n = F.col(tokens_col).cast("long")
     items = counts.filter(n.isNotNull() & (n > 0)).select(
-        F.col(id_col),
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit("bucketed_batches: NULL id")),
+        )
+        .otherwise(F.col(id_col))
+        .alias(id_col),
         n.alias("n_tokens"),
         (F.length(F.bin(n)) - 1).cast("long").alias("bucket"),
     )
@@ -2289,7 +2317,9 @@ def bucketed_batches(
             F.lit(0),
         ),
     ).select("bucket", "__sb", "__off")
-    inner = Window.partitionBy("bucket", "__sb").orderBy("__h", id_col)
+    inner = Window.partitionBy("bucket", "__sb").orderBy(
+        "__h", id_col, "n_tokens"
+    )
     ranked = keyed.join(F.broadcast(offs), ["bucket", "__sb"]).withColumn(
         "__rank", (F.col("__off") + F.row_number().over(inner) - 1).cast("long")
     )
@@ -2320,8 +2350,12 @@ def sentence_chunks(
     engine-portable: no greedy lookahead whose tie-breaks could
     diverge.
 
-    One row per (doc, chunk): ``(id, chunk_idx, chunk_text,
-    n_sentences, n_words)`` — ``chunk_text`` re-joins the trimmed
+    PRECONDITION: one row per document — duplicate ``id_col`` rows
+    would interleave two texts' sentence streams into one
+    nondeterministic chunk sequence (dedup first, e.g.
+    ``latest_per_key``; every caller in this repo feeds a deduped or
+    primary-key relation). One row per (doc, chunk): ``(id,
+    chunk_idx, chunk_text, n_sentences, n_words)`` — ``chunk_text`` re-joins the trimmed
     sentences with a single space (terminator runs are not preserved;
     the chunk is retrieval text, not a reconstruction). Blank/NULL
     docs and empty sentence fragments are excluded.

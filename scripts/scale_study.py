@@ -347,12 +347,9 @@ def _one_size(spark, n_docs: int) -> dict:
     assert n_chunks > 0
     out["sentence_chunks"] = {"wall_sec": wall, "n_chunks": n_chunks}
 
-    wc_rel = docs.select(
-        "doc_id",
-        F.size(F.filter(F.split(F.coalesce("text", F.lit("")),
-                                "[ \t\n\x0b\f\r]+"),
-                        lambda x: x != "")).cast("long").alias("n_tokens"),
-    )
+    from feast_spark.operators.selection import ws_word_count
+
+    wc_rel = docs.select("doc_id", ws_word_count("text").alias("n_tokens"))
     t0 = time.time()
     bb = bucketed_batches(wc_rel, 32, id_col="doc_id")
     n_bb = bb.count()
@@ -849,11 +846,20 @@ def _one_size_conv(spark, n_convs: int) -> dict:
     )
     from feast_spark.operators.salting import shuffle_skew_report
 
+    biggest_conv = (
+        corpus.groupBy("conv_id").count().agg(F.max("count")).first()[0]
+    )
     t0 = time.time()
     sk = shuffle_skew_report(corpus, ["conv_id"], 64).collect()
     wall = round(time.time() - t0, 2)
     assert sum(r["n_rows"] for r in sk) == n_turns
-    assert max(r["salt_hint"] for r in sk) > 1
+    # non-vacuous hot-key pin that survives any corpus size: the
+    # report's global hottest key must be EXACTLY the independently
+    # measured biggest conversation (salt_hint is then arithmetic)
+    assert max(r["max_key_rows"] for r in sk) == biggest_conv, (
+        max(r["max_key_rows"] for r in sk), biggest_conv)
+    expected_hint = -(-biggest_conv * 64 // n_turns)
+    assert max(r["salt_hint"] for r in sk) == expected_hint
     out["skew_report"] = {
         "wall_sec": wall,
         "max_balance_units": max(r["balance_units"] for r in sk),

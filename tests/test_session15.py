@@ -838,3 +838,21 @@ def test_sentence_chunks_conservation_and_plan(spark):
     plan = _plan(ch)
     # ONE doc-keyed exchange feeds both the window and the agg
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_batches_null_id_raises_and_dup_ids_deterministic(spark):
+    from feast_spark.operators.selection import bucketed_batches
+
+    bad = spark.createDataFrame(
+        [(None, 5), ("b", 3)], "id string, n_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL id"):
+        bucketed_batches(bad, 8).collect()
+    # duplicate ids: caller's modeling error, but output is
+    # deterministic — (hash, id, n_tokens) tie-break
+    dup = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 3)], "id string, n_tokens long"
+    )
+    a = sorted(map(tuple, bucketed_batches(dup, 8).collect()))
+    b = sorted(map(tuple, bucketed_batches(dup.repartition(7), 8).collect()))
+    assert a == b and len(a) == 3
